@@ -1,0 +1,124 @@
+"""Cleaning operators: null scans, consistency predicates, forward fill.
+
+Reference parity (SURVEY.md §2.2/§2.5):
+- P4 `detect_missing_values`  — `etl/data_cleaner.py:27-85`
+- P5 `detect_inconsistencies` — `etl/data_cleaner.py:88-147`
+- W1 `clean_with_forward_fill`— `etl/data_cleaner.py:150-191`
+- P3 `remove_invalid_rows`    — `etl/data_cleaner.py:194-220`
+
+All pure built-in expressions (single scan each, whole-stage codegen);
+the window ops partition by symbol so the work distributes per asset.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OHLCV_COLS = ("open", "high", "low", "close", "volume")
+
+
+def missing_value_summary(
+    df: DataFrame, cols: Sequence[str] = OHLCV_COLS, group: str = "symbol"
+) -> DataFrame:
+    """Per-group count of null cells per column + rows with ≥1 null.
+
+    Reference: `etl/data_cleaner.py:27-85` returns (total null cells,
+    indices of rows with any null); relational form keys by group
+    instead of positional index. One scan, map-side partial aggregation.
+    """
+    aggs = [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}") for c in cols
+    ]
+    any_null = None
+    for c in cols:
+        cond = F.col(c).isNull()
+        any_null = cond if any_null is None else (any_null | cond)
+    aggs.append(F.sum(any_null.cast("long")).alias("rows_with_null"))
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    return df.groupBy(group).agg(*aggs)
+
+
+def detect_inconsistencies(df: DataFrame) -> DataFrame:
+    """Rows violating OHLC consistency, tagged with an anomaly type.
+
+    Reference: `etl/data_cleaner.py:88-147` — three predicates, each
+    skipped when an operand is null:
+      high_lt_low        : high < low
+      close_out_of_range : close ∉ [low, high]
+      open_out_of_range  : open  ∉ [low, high]
+    A row may emit several anomalies (one output row per violated
+    predicate). Implemented as one scan: build an array of fired tags,
+    explode it — no triple-scan union.
+    """
+    tags = F.array_compact(
+        F.array(
+            F.when(F.col("high") < F.col("low"), F.lit("high_lt_low")),
+            F.when(
+                (F.col("close") < F.col("low")) | (F.col("close") > F.col("high")),
+                F.lit("close_out_of_range"),
+            ),
+            F.when(
+                (F.col("open") < F.col("low")) | (F.col("open") > F.col("high")),
+                F.lit("open_out_of_range"),
+            ),
+        )
+    )
+    return (
+        df.withColumn("anomaly", F.explode(tags))
+        .select("symbol", "date", "open", "high", "low", "close", "anomaly")
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    value_col: str = "close",
+    order_cols: Sequence[str] = ("date",),
+    partition_col: str = "symbol",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill nulls with the last prior non-null value within each symbol.
+
+    Reference: `etl/data_cleaner.py:150-191` (leading nulls stay null).
+    One window pass: `last(ignorenulls)` over an unbounded-preceding row
+    frame. The shuffle partitions by symbol; state per partition is one
+    scalar — this is the plan you want at any scale.
+    """
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col or value_col, F.last(value_col, ignorenulls=True).over(w)
+    )
+
+
+def remove_invalid_rows(df: DataFrame, critical_col: str = "close") -> DataFrame:
+    """Drop rows whose critical field is null (`etl/data_cleaner.py:194-220`).
+
+    The filter is a pushable predicate: when it sits directly over a
+    parquet scan Catalyst turns it into a row-group-level IS NOT NULL.
+    """
+    return df.filter(F.col(critical_col).isNotNull())
+
+
+def drop_empty_symbols(df: DataFrame, min_rows: int = 1) -> DataFrame:
+    """Drop symbols with fewer than `min_rows` valid rows.
+
+    Reference: P6 `etl/etl_pipeline.py:157` (empty assets) and P9
+    `app.py:454-458` (≤10 valid closes before risk). Implemented as an
+    aggregate + broadcast semi-join on the symbol list — the grouped
+    side is tiny (one row per symbol) so no large shuffle of the fact
+    table beyond the groupBy itself.
+    """
+    keep = (
+        df.filter(F.col("close").isNotNull())
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_rows)
+        .select("symbol")
+    )
+    return df.join(F.broadcast(keep), "symbol", "left_semi")

@@ -1,0 +1,103 @@
+"""Relational query suite over the TPC-H-ish star schema.
+
+The reference's relational surface (scan → filter → hash join → group →
+sort, SURVEY.md §3.1) generalized to the driver's star schema. These
+queries are the engine's join/aggregation workout and the headline
+bench workload; each is written so Catalyst produces the plan we'd want
+on a 1000-executor cluster:
+
+- dimension tables (`region`, `nation`, `customer`, `supplier`, `part`)
+  are broadcast — no shuffle of the fact tables for dim joins;
+- aggregates run partial (map-side) before the single key shuffle;
+- top-k uses TakeOrderedAndProject, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: grouped pricing aggregates after a pushed filter."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: fact ⋈ fact ⋈ broadcast dims, grouped revenue."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def top_customers_by_revenue(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
+) -> DataFrame:
+    """Q3-flavored: revenue per customer, top-k (TakeOrderedAndProject)."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+    return per_cust.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(k)
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Q4 shape: EXISTS via left-semi join (no fact-side duplication)."""
+    late_lines = lineitem.filter(
+        F.col("l_returnflag") == F.lit("R")
+    ).select("l_orderkey").distinct()
+    return (
+        orders.join(late_lines, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def parts_per_size_bucket(part: DataFrame) -> DataFrame:
+    """CASE bucketing + grouped count over a dimension (W8-style buckets)."""
+    bucket = (
+        F.when(F.col("p_size") <= 10, F.lit("small"))
+        .when(F.col("p_size") <= 30, F.lit("medium"))
+        .otherwise(F.lit("large"))
+    )
+    return (
+        part.withColumn("size_bucket", bucket)
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+    )

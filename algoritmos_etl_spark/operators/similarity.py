@@ -1,0 +1,281 @@
+"""Pairwise time-series similarity: Euclidean / Pearson / cosine / DTW.
+
+Reference parity (SURVEY.md §2.4/§2.9):
+- A7 Pearson          — `algorithms/similarity.py:100-193` → built-in `corr`
+- A8 Euclidean        — `algorithms/similarity.py:36-93`
+- A9 Cosine           — `algorithms/similarity.py:359-433`
+- X1 banded DTW       — `algorithms/similarity.py:200-352`
+- X2 DTW with path    — `algorithms/similarity.py:536-608`
+- X3 4-metric bundle  — `algorithms/similarity.py:440-530`
+- J4/J5 pair join & all-pairs heatmap — `similarity.py:481-497`, `app.py:322-353`
+
+Alignment semantics (P7, `similarity.py:481-497`): keep dates where BOTH
+symbols have a valid (non-null, > 0) price, then compute 0.0-fill log
+returns over the *aligned* sequence — returns are between consecutive
+aligned positions, not consecutive calendar days.
+
+Scale design:
+- Pair metrics are grouped aggregates over a date-equi-join — shuffle on
+  date, partial aggs map-side. For the all-pairs heatmap the join
+  explodes each date across symbol pairs; with k symbols and n days
+  that's O(n·k²) rows streamed through one aggregation — distributed,
+  no driver materialization.
+- DTW is inherently per-pair DP: series are gathered with
+  `collect_list` (bounded: one row per trading day per symbol), pairs
+  formed by a broadcast-able self-join, DP executed in an Arrow-batched
+  `applyInPandas`. The Sakoe-Chiba band (w = max(n,m)//4, min 10,
+  widened to ≥ |n−m|; window=0 ⇒ full matrix) and the 2-row memory
+  optimization are preserved from the reference.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _valid_price(col: str) -> F.Column:
+    return F.col(col).isNotNull() & (F.col(col) > 0)
+
+
+def aligned_pairs(bars: DataFrame, sym_a, sym_b) -> DataFrame:
+    """P7/J4: inner join the two symbols' valid closes on date."""
+    a = bars.filter((F.col("symbol") == sym_a) & _valid_price("close")).select(
+        "date", F.col("close").alias("close_a")
+    )
+    b = bars.filter((F.col("symbol") == sym_b) & _valid_price("close")).select(
+        "date", F.col("close").alias("close_b")
+    )
+    return a.join(b, "date")
+
+
+def aligned_returns(pairs: DataFrame) -> DataFrame:
+    """0.0-fill (W2) log returns over the aligned two-column sequence."""
+    w = Window.orderBy("date")
+    out = pairs
+    for side in ("a", "b"):
+        cur, prev = F.col(f"close_{side}"), F.lag(f"close_{side}").over(w)
+        valid = prev.isNotNull() & (prev > 0) & (cur > 0)
+        out = out.withColumn(
+            f"ret_{side}", F.when(valid, F.log(cur / prev)).otherwise(F.lit(0.0))
+        )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
+def pair_metrics(bars: DataFrame, sym_a, sym_b) -> DataFrame:
+    """X3 minus DTW: one row {euclidean, pearson, cosine, n_points}.
+
+    `n_points` counts aligned price pairs (reference `similarity.py:528`);
+    the metric aggregates run over the n_points−1 aligned returns.
+    Pearson degenerates to 0.0 on zero variance (`similarity.py:188-190`),
+    cosine to 0.0 on a zero norm (`similarity.py:425-428`).
+    """
+    rets = aligned_returns(aligned_pairs(bars, sym_a, sym_b))
+    a, b = F.col("ret_a"), F.col("ret_b")
+    return rets.agg(
+        F.sqrt(F.sum((a - b) * (a - b))).alias("euclidean"),
+        F.coalesce(F.corr(a, b), F.lit(0.0)).alias("pearson"),
+        F.coalesce(
+            F.sum(a * b)
+            / (F.sqrt(F.sum(a * a)) * F.sqrt(F.sum(b * b))),
+            F.lit(0.0),
+        ).alias("cosine"),
+        F.when(F.count(F.lit(1)) > 0, F.count(F.lit(1)) + 1)
+        .otherwise(F.lit(0))
+        .alias("n_points"),
+    )
+
+
+def per_symbol_returns(bars: DataFrame) -> DataFrame:
+    """Per-symbol 0.0-fill log returns over each symbol's own valid closes.
+
+    Heatmap precomputes these once for all pairs — the reference's own
+    optimization (`app.py:330-335`, SURVEY.md §4).
+    """
+    valid = bars.filter(_valid_price("close"))
+    w = Window.partitionBy("symbol").orderBy("date")
+    prev = F.lag("close").over(w)
+    ok = prev.isNotNull() & (prev > 0) & (F.col("close") > 0)
+    return (
+        valid.withColumn(
+            "ret", F.when(ok, F.log(F.col("close") / prev)).otherwise(F.lit(0.0))
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("symbol", "date", "ret")
+    )
+
+
+def correlation_heatmap(bars: DataFrame) -> DataFrame:
+    """J5: Pearson correlation for every unordered symbol pair (a < b).
+
+    Upper triangle only — the reference's symmetry optimization
+    (`app.py:344-346`) kept as a query-shape choice; mirror at the edge
+    if a full matrix is needed. Returns are joined on date so only
+    co-traded days feed each pair's correlation.
+    """
+    rets = per_symbol_returns(bars)
+    a = rets.select(
+        F.col("symbol").alias("sym_a"), "date", F.col("ret").alias("ret_a")
+    )
+    b = rets.select(
+        F.col("symbol").alias("sym_b"), "date", F.col("ret").alias("ret_b")
+    )
+    joined = a.join(b, "date").filter(F.col("sym_a") < F.col("sym_b"))
+    return (
+        joined.groupBy("sym_a", "sym_b")
+        .agg(
+            F.coalesce(F.corr("ret_a", "ret_b"), F.lit(0.0)).alias("pearson"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+
+
+def _dtw_numpy(a, b, window=None, with_path: bool = False):
+    """Banded DTW distance (reference `similarity.py:200-352`).
+
+    Cost |a_i − b_j|; band |i−j| ≤ w with w = max(n,m)//4 (min 10,
+    widened to ≥ |n−m|) when window is None; window=0 ⇒ full matrix.
+    2-row rolling storage. `with_path=True` keeps the full matrix and
+    backtracks (X2, `similarity.py:536-608`).
+    """
+    import numpy as np
+
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return (float("inf"), []) if with_path else float("inf")
+    if window is None:
+        w = max(10, max(n, m) // 4)
+    elif window == 0:
+        w = max(n, m)
+    else:
+        w = window
+    w = max(w, abs(n - m))
+    inf = float("inf")
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    if with_path:
+        dp = np.full((n + 1, m + 1), inf)
+        dp[0, 0] = 0.0
+        for i in range(1, n + 1):
+            lo, hi = max(1, i - w), min(m, i + w)
+            for j in range(lo, hi + 1):
+                cost = abs(a[i - 1] - b[j - 1])
+                dp[i, j] = cost + min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+        path = []
+        i, j = n, m
+        while i > 0 or j > 0:
+            path.append((i - 1, j - 1))
+            if i == 0:
+                j -= 1
+            elif j == 0:
+                i -= 1
+            else:
+                step = min(dp[i - 1, j - 1], dp[i - 1, j], dp[i, j - 1])
+                if step == dp[i - 1, j - 1]:
+                    i, j = i - 1, j - 1
+                elif step == dp[i - 1, j]:
+                    i -= 1
+                else:
+                    j -= 1
+        path.reverse()
+        return float(dp[n, m]), path
+    prev = np.full(m + 1, inf)
+    prev[0] = 0.0
+    cur = np.full(m + 1, inf)
+    for i in range(1, n + 1):
+        cur.fill(inf)
+        lo, hi = max(1, i - w), min(m, i + w)
+        costs = np.abs(a[i - 1] - b[lo - 1 : hi])
+        for idx, j in enumerate(range(lo, hi + 1)):
+            cur[j] = costs[idx] + min(prev[j], prev[j - 1], cur[j - 1])
+        prev, cur = cur, prev
+    return float(prev[m])
+
+
+def dtw_pairs(
+    bars: DataFrame,
+    pairs: list[tuple] | None = None,
+    window: int | None = None,
+    use_returns: bool = True,
+) -> DataFrame:
+    """X1 at scale: DTW distance for symbol pairs (all unordered pairs
+    by default).
+
+    Plan: per-symbol `collect_list(struct(date, close))` → one bounded
+    array row per symbol → self-join on `sym_a < sym_b` (tiny, broadcast)
+    → `applyInPandas` DP per pair. Each task handles one pair; the DP
+    arrays are one trading-day series each, so executor memory is flat.
+    """
+    valid = bars.filter(_valid_price("close"))
+    series = (
+        valid.groupBy("symbol")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("date", "close"))
+            ).alias("series")
+        )
+        .select("symbol", F.col("series.close").alias("closes"))
+    )
+    a = series.select(F.col("symbol").alias("sym_a"), F.col("closes").alias("closes_a"))
+    b = series.select(F.col("symbol").alias("sym_b"), F.col("closes").alias("closes_b"))
+    joined = a.crossJoin(b).filter(F.col("sym_a") < F.col("sym_b"))
+    if pairs is not None:
+        cond = F.lit(False)
+        for pa, pb in pairs:
+            lo, hi = sorted((pa, pb))
+            cond = cond | ((F.col("sym_a") == lo) & (F.col("sym_b") == hi))
+        joined = joined.filter(cond)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        rows = []
+        for _, row in pdf.iterrows():
+            pa = np.asarray(row["closes_a"], dtype=float)
+            pb = np.asarray(row["closes_b"], dtype=float)
+            if use_returns:
+                with pd.option_context("mode.chained_assignment", None):
+                    ra = _zero_fill_log_returns(pa)
+                    rb = _zero_fill_log_returns(pb)
+            else:
+                ra, rb = pa, pb
+            dist = _dtw_numpy(ra, rb, window=window)
+            rows.append(
+                {
+                    "sym_a": row["sym_a"],
+                    "sym_b": row["sym_b"],
+                    "dtw": dist,
+                    "n_a": len(ra),
+                    "n_b": len(rb),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return joined.groupBy("sym_a", "sym_b").applyInPandas(
+        run, schema="sym_a long, sym_b long, dtw double, n_a long, n_b long"
+    )
+
+
+def _zero_fill_log_returns(prices):
+    """W2 semantics on a NumPy vector (for the DTW UDF's input prep)."""
+    import numpy as np
+
+    prev, cur = prices[:-1], prices[1:]
+    ok = (prev > 0) & (cur > 0)
+    out = np.zeros(len(cur))
+    out[ok] = np.log(cur[ok] / prev[ok])
+    return out
+
+
+def compare_two_assets(bars: DataFrame, sym_a, sym_b, window: int | None = None) -> DataFrame:
+    """X3 full bundle: euclidean/pearson/cosine natively + DTW UDF."""
+    metrics = pair_metrics(bars, sym_a, sym_b)
+    dtw = dtw_pairs(bars, pairs=[(sym_a, sym_b)], window=window).select("dtw")
+    return metrics.crossJoin(dtw)

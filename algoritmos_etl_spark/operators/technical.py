@@ -1,0 +1,117 @@
+"""Derived-series operators: returns (three semantics), SMA, moments.
+
+Reference parity (SURVEY.md §2.4/§2.5):
+- A1/A2 mean & sample stddev — `algorithms/technical.py:27-97`
+- W2  log returns, 0.0-fill  — `algorithms/technical.py:104-154`
+- W2b log returns, omit      — `algorithms/volatility.py:30-56`
+- W3  simple returns         — `algorithms/technical.py:161-186`
+- W4  SMA with warm-up nulls — `algorithms/technical.py:193-243`
+
+The W2 vs W2b split is a real semantic divergence in the reference
+(similarity uses 0.0-fill, volatility drops invalid pairs — different n,
+different stddev); both are preserved as distinct builders.
+
+All are lag/frame window expressions partitioned by symbol: one shuffle
+on symbol, then per-partition streaming evaluation — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _series_window(partition: str = "symbol", order: str = "date") -> Window:
+    return Window.partitionBy(partition).orderBy(order)
+
+
+def log_returns(
+    df: DataFrame,
+    price_col: str = "close",
+    zero_fill: bool = True,
+    out_col: str = "ret",
+) -> DataFrame:
+    """Per-symbol log returns ln(p_i / p_{i-1}), i ≥ 1.
+
+    zero_fill=True  → W2: invalid pairs (either price ≤ 0 or null)
+                      emit 0.0 (`technical.py:144-153`).
+    zero_fill=False → W2b: invalid pairs are omitted
+                      (`volatility.py:43-56`).
+    The first row of each symbol has no predecessor and is omitted in
+    both variants (reference returns length n−1).
+    """
+    w = _series_window()
+    prev = F.lag(price_col).over(w)
+    cur = F.col(price_col)
+    valid = prev.isNotNull() & cur.isNotNull() & (prev > 0) & (cur > 0)
+    ret = F.log(cur / prev)
+    if zero_fill:
+        out = df.withColumn(out_col, F.when(valid, ret).otherwise(F.lit(0.0)))
+    else:
+        out = df.withColumn(out_col, F.when(valid, ret))
+    out = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1)
+    if not zero_fill:
+        out = out.filter(F.col(out_col).isNotNull())
+    return out.drop("_rn")
+
+
+def simple_returns(
+    df: DataFrame, price_col: str = "close", out_col: str = "ret"
+) -> DataFrame:
+    """W3: (p_i − p_{i-1}) / p_{i-1}; 0.0 when p_{i-1} == 0."""
+    w = _series_window()
+    prev = F.lag(price_col).over(w)
+    out = df.withColumn(
+        out_col,
+        F.when(
+            prev.isNotNull() & (prev != 0), (F.col(price_col) - prev) / prev
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .drop("_rn")
+    )
+
+
+def sma(
+    df: DataFrame,
+    window_size: int,
+    price_col: str = "close",
+    out_col: str | None = None,
+) -> DataFrame:
+    """W4: trailing simple moving average; warm-up rows yield NULL.
+
+    The reference emits n−w+1 values and the API pads the first w−1
+    positions with None (`technical.py:193-243`, `app.py:384-390`);
+    NULL-on-warm-up reproduces the padded shape in one expression.
+
+    Scale note: Spark's bounded row frame re-sums per row (O(n·w) per
+    symbol vs the reference's O(n) sliding accumulator) but distributes
+    per symbol; if w is ever huge, the cumsum−lag(cumsum, w) difference
+    trick restores O(n) (SURVEY.md §4).
+    """
+    out_col = out_col or f"sma_{window_size}"
+    w = _series_window()
+    frame = w.rowsBetween(-(window_size - 1), 0)
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.row_number().over(w) >= window_size,
+            F.avg(price_col).over(frame),
+        ),
+    )
+
+
+def series_moments(df: DataFrame, value_col: str = "close") -> DataFrame:
+    """A1/A2: per-symbol mean and sample (n−1) standard deviation."""
+    return df.groupBy("symbol").agg(
+        F.avg(value_col).alias("mean"),
+        F.stddev_samp(value_col).alias("std_dev"),
+        F.count(value_col).alias("n"),
+    )
+
+
+def cumulative_return(df: DataFrame, price_col: str = "close") -> Column:
+    """Total log growth per symbol — convenience for reports."""
+    return F.log(F.max_by(price_col, "date") / F.min_by(price_col, "date"))

@@ -1,0 +1,110 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local test mode is ``local[N]`` (one JVM), but every knob here is chosen
+so the same plans run unchanged on a 1000-executor cluster:
+
+- AQE on (runtime partition coalescing, skew-join splitting, plan
+  re-optimization from shuffle statistics).
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster AQE coalescing makes the initial number less critical.
+- Arrow enabled for every pandas-UDF boundary.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (and are cluster-location independent).
+- ``nanosAsLong`` because the test `events` table carries parquet
+  TIMESTAMP(NANOS), which the vectorized Spark reader does not accept;
+  sources/readers.py converts the raw nanos to TimestampType(µs).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Python workers (local or cluster).
+
+    Pandas-UDF closures reference helpers in this package; cloudpickle
+    serializes those by module reference, so every Python worker must be
+    able to import `algoritmos_etl_spark` no matter what its cwd is.
+    Zipping the package and `addPyFile`-ing it is the same mechanism
+    `spark-submit --py-files` uses on a real cluster.
+    """
+    sc = spark.sparkContext
+    if sc is None or getattr(sc, "_algoritmos_etl_pyfile", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"algoritmos_etl_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "algoritmos_etl_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._algoritmos_etl_pyfile = True
+
+
+def get_spark(
+    app_name: str = "algoritmos_etl_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensure_package_on_workers(spark)
+    return spark
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to a session we didn't build.
+
+    The correctness driver hands us its own SparkSession; static configs
+    (driver memory) can't change, but the semantic ones (timezone, AQE,
+    Arrow, nanos decoding) are runtime-settable and required for oracle
+    parity.
+    """
+    for key, value in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - config locked by driver
+            pass
+    try:
+        ensure_package_on_workers(spark)
+    except Exception:  # pragma: no cover - e.g. Spark Connect session
+        pass
+    return spark

@@ -1,0 +1,40 @@
+import pytest
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.operators import cleaning
+
+
+def test_missing_value_summary(micro_bars):
+    out = {r["symbol"]: r for r in cleaning.missing_value_summary(micro_bars).collect()}
+    assert out[1]["rows_with_null"] == 0
+    assert out[2]["null_close"] == 2
+    assert out[2]["rows_with_null"] == 2
+    assert out[2]["n_rows"] == 5
+
+
+def test_detect_inconsistencies(micro_bars):
+    rows = cleaning.detect_inconsistencies(micro_bars).collect()
+    tagged = {(r["date"].isoformat(), r["anomaly"]) for r in rows if r["symbol"] == 2}
+    assert ("2024-01-03", "high_lt_low") in tagged
+    assert ("2024-01-04", "open_out_of_range") in tagged
+    assert ("2024-01-05", "close_out_of_range") in tagged
+    # null operands skip the predicate (reference data_cleaner.py:88-147)
+    assert not any(d == "2024-01-01" for d, _ in tagged)
+    # symbol 1 is fully consistent except low was synthesized below open/close
+    assert all(r["symbol"] == 2 for r in rows)
+
+
+def test_forward_fill_leading_null_stays(micro_bars):
+    filled = cleaning.forward_fill(micro_bars, "close").filter(F.col("symbol") == 2)
+    by_date = {r["date"].isoformat(): r["close"] for r in filled.collect()}
+    assert by_date["2024-01-01"] is None          # leading null stays
+    assert by_date["2024-01-03"] == 11.0          # filled from 01-02
+    assert by_date["2024-01-05"] == 13.0          # real value untouched
+
+
+def test_remove_invalid_and_drop_empty(micro_bars):
+    assert cleaning.remove_invalid_rows(micro_bars).filter(
+        F.col("close").isNull()
+    ).count() == 0
+    kept = cleaning.drop_empty_symbols(micro_bars, min_rows=10)
+    assert [r["symbol"] for r in kept.select("symbol").distinct().collect()] == [1]

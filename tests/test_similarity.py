@@ -1,0 +1,122 @@
+"""Pins similarity metrics to the reference's self-test vectors.
+
+FIXTURES.md F3 = `algorithms/similarity.py:613-652`:
+a=[1..5], b=a, c=reversed, d=noisy; euclidean(a,b)=0, pearson(a,b)=1,
+pearson(a,c)=−1, cosine(a,b)=1, dtw(a,b)=0. The engine applies metrics
+to aligned log-returns in the bundle path, so the raw-vector pins are
+tested through `dtw_pairs(use_returns=False)` and a direct agg.
+"""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.operators import similarity
+
+A = [1.0, 2.0, 3.0, 4.0, 5.0]
+B = [1.0, 2.0, 3.0, 4.0, 5.0]
+C = [5.0, 4.0, 3.0, 2.0, 1.0]
+D = [1.1, 2.2, 2.8, 4.1, 5.2]
+
+
+@pytest.fixture(scope="module")
+def vec_bars(spark):
+    rows = []
+    for sym, series in [(1, A), (2, B), (3, C), (4, D)]:
+        for i, v in enumerate(series):
+            rows.append((sym, datetime.date(2024, 1, i + 1), v))
+    return spark.createDataFrame(rows, "symbol long, date date, close double").cache()
+
+
+def _metrics_on_raw(spark, x, y):
+    rows = [(xi, yi) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    a, b = F.col("a"), F.col("b")
+    return df.agg(
+        F.sqrt(F.sum((a - b) * (a - b))).alias("euclidean"),
+        F.coalesce(F.corr(a, b), F.lit(0.0)).alias("pearson"),
+        F.coalesce(
+            F.sum(a * b) / (F.sqrt(F.sum(a * a)) * F.sqrt(F.sum(b * b))), F.lit(0.0)
+        ).alias("cosine"),
+    ).collect()[0]
+
+
+def test_reference_pinned_vectors(spark):
+    m_ab = _metrics_on_raw(spark, A, B)
+    assert m_ab["euclidean"] == pytest.approx(0.0)
+    assert m_ab["pearson"] == pytest.approx(1.0)
+    assert m_ab["cosine"] == pytest.approx(1.0)
+    m_ac = _metrics_on_raw(spark, A, C)
+    assert m_ac["pearson"] == pytest.approx(-1.0)
+
+
+def test_dtw_identical_is_zero_and_band(spark):
+    assert similarity._dtw_numpy(A, B) == pytest.approx(0.0)
+    assert similarity._dtw_numpy(A, C) > 0
+    # full-matrix (window=0) ≤ banded distance always
+    full = similarity._dtw_numpy(A, D, window=0)
+    banded = similarity._dtw_numpy(A, D)
+    assert full <= banded + 1e-12
+
+
+def test_dtw_known_value():
+    # hand-computed: a=[1,2,3], b=[2,3,4] full-matrix DTW = |1-2|+0+0+|3-4| = 2
+    assert similarity._dtw_numpy([1.0, 2.0, 3.0], [2.0, 3.0, 4.0], window=0) == pytest.approx(2.0)
+
+
+def test_dtw_path_variant():
+    dist, path = similarity._dtw_numpy(A, B, window=0, with_path=True)
+    assert dist == pytest.approx(0.0)
+    assert path[0] == (0, 0) and path[-1] == (4, 4)
+
+
+def test_pair_metrics_on_aligned_returns(vec_bars):
+    row = similarity.pair_metrics(vec_bars, 1, 2).collect()[0]
+    assert row["n_points"] == 5
+    assert row["euclidean"] == pytest.approx(0.0)
+    assert row["pearson"] == pytest.approx(1.0)
+    assert row["cosine"] == pytest.approx(1.0)
+
+
+def test_dtw_pairs_on_bars(vec_bars):
+    out = {
+        (r["sym_a"], r["sym_b"]): r["dtw"]
+        for r in similarity.dtw_pairs(vec_bars, use_returns=False).collect()
+    }
+    assert len(out) == 6  # C(4,2)
+    assert out[(1, 2)] == pytest.approx(0.0)
+    assert out[(1, 3)] > 0
+
+
+def test_compare_two_assets_bundle(vec_bars):
+    row = similarity.compare_two_assets(vec_bars, 1, 2).collect()[0]
+    assert set(row.asDict()) == {"euclidean", "pearson", "cosine", "n_points", "dtw"}
+    assert row["dtw"] == pytest.approx(0.0)
+
+
+def test_correlation_heatmap_pairs(vec_bars):
+    rows = similarity.correlation_heatmap(vec_bars).collect()
+    pairs = {(r["sym_a"], r["sym_b"]): r["pearson"] for r in rows}
+    assert len(pairs) == 6
+    assert all(a < b for a, b in pairs)
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+
+
+def test_heatmap_matches_pairwise_corr(bars):
+    """Heatmap on real sf0.001 bars agrees with a directly computed pair."""
+    rows = similarity.correlation_heatmap(bars).collect()
+    assert rows
+    some = rows[0]
+    direct = (
+        similarity.per_symbol_returns(bars)
+        .filter(F.col("symbol").isin(some["sym_a"], some["sym_b"]))
+        .groupBy("date")
+        .pivot("symbol", [some["sym_a"], some["sym_b"]])
+        .agg(F.first("ret"))
+        .dropna()
+    )
+    cols = direct.columns[1:]
+    expect = direct.agg(F.corr(cols[0], cols[1])).collect()[0][0]
+    assert some["pearson"] == pytest.approx(expect if expect is not None else 0.0, abs=1e-9)

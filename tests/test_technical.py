@@ -1,0 +1,67 @@
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.operators import technical
+
+# FIXTURES.md F5 — algorithms/technical.py:254
+PRICES = [100.0, 102.0, 101.0, 105.0, 103.0, 107.0, 110.0, 108.0]
+
+
+@pytest.fixture(scope="module")
+def f5(spark):
+    rows = [
+        (1, datetime.date(2024, 1, d + 1), p) for d, p in enumerate(PRICES)
+    ]
+    return spark.createDataFrame(rows, "symbol long, date date, close double").cache()
+
+
+def test_log_returns_zero_fill_matches_reference(f5):
+    out = technical.log_returns(f5, zero_fill=True).orderBy("date").collect()
+    expect = [math.log(PRICES[i] / PRICES[i - 1]) for i in range(1, len(PRICES))]
+    assert len(out) == len(PRICES) - 1
+    for row, e in zip(out, expect):
+        assert row["ret"] == pytest.approx(e, abs=1e-12)
+
+
+def test_log_returns_invalid_pair_semantics(spark):
+    # price <= 0 → W2 emits 0.0, W2b omits (technical.py:144-153 vs volatility.py:43-56)
+    rows = [
+        (1, datetime.date(2024, 1, 1), 10.0),
+        (1, datetime.date(2024, 1, 2), 0.0),
+        (1, datetime.date(2024, 1, 3), 12.0),
+        (1, datetime.date(2024, 1, 4), 13.0),
+    ]
+    df = spark.createDataFrame(rows, "symbol long, date date, close double")
+    zf = technical.log_returns(df, zero_fill=True).orderBy("date").collect()
+    assert [r["ret"] for r in zf] == [0.0, 0.0, pytest.approx(math.log(13 / 12))]
+    om = technical.log_returns(df, zero_fill=False).orderBy("date").collect()
+    assert [r["ret"] for r in om] == [pytest.approx(math.log(13 / 12))]
+
+
+def test_simple_returns(f5):
+    out = technical.simple_returns(f5).orderBy("date").collect()
+    expect = [(PRICES[i] - PRICES[i - 1]) / PRICES[i - 1] for i in range(1, len(PRICES))]
+    assert [r["ret"] for r in out] == [pytest.approx(e) for e in expect]
+
+
+@pytest.mark.parametrize("w", [3, 5])
+def test_sma_warmup_and_values(f5, w):
+    out = technical.sma(f5, w).orderBy("date").collect()
+    # first w-1 rows null (reference pads, technical.py:276: length n-w+1)
+    assert all(out[i][f"sma_{w}"] is None for i in range(w - 1))
+    non_null = [r[f"sma_{w}"] for r in out[w - 1:]]
+    assert len(non_null) == len(PRICES) - w + 1
+    for i, v in enumerate(non_null):
+        assert v == pytest.approx(sum(PRICES[i:i + w]) / w)
+
+
+def test_series_moments(f5):
+    row = technical.series_moments(f5).collect()[0]
+    n = len(PRICES)
+    mean = sum(PRICES) / n
+    var = sum((p - mean) ** 2 for p in PRICES) / (n - 1)
+    assert row["mean"] == pytest.approx(mean)
+    assert row["std_dev"] == pytest.approx(math.sqrt(var))
