@@ -1,0 +1,699 @@
+"""Driver-contract query registry: Spark builder + DuckDB oracle twins.
+
+Every implemented operator from SURVEY.md §2 gets a named entry:
+  name -> QuerySpec(build=fn(spark, sf_dir) -> DataFrame,
+                    oracle=ANSI SQL for DuckDB or None for
+                    non-SQL-expressible ops (rows-only check))
+
+Conventions that make the order-insensitive value-hash comparison
+deterministic (SURVEY.md §7.3):
+- every computed float column is round(x, 6) on BOTH sides; large
+  money-sums round(x, 2);
+- DuckDB integer aggregates are CAST to BIGINT (its sum() yields
+  HUGEINT, count() is already BIGINT) so types line up with Spark;
+- column names are aliased identically on both sides;
+- ties in top-k / rank are broken by a unique key.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .sources.readers import ORACLE_BARS_CTE, daily_bars, load_table
+from .operators import cleaning, patterns, relational, similarity, sorting, technical, volatility
+
+SQRT252 = math.sqrt(252.0)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(build=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_bars(load_table(spark, sf_dir, "events"))
+
+
+def r6(col):
+    return F.round(col, 6)
+
+
+# The events-with-synthetic-nulls view used by cleaning/fill queries:
+# `value` is nulled for click events — deterministic on both engines.
+NULLED_CTE = """
+nulled AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'click' THEN NULL ELSE value END AS value_n
+    FROM events
+)
+"""
+
+
+def _nulled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+    )
+
+
+# ---------------------------------------------------------------- S/M0: bars
+
+@register(
+    "bars_model",
+    f"WITH {ORACLE_BARS_CTE} SELECT symbol, date, open, high, low, close, CAST(volume AS BIGINT) AS volume FROM bars",
+    "S3/J-foundation: events → canonical per-symbol daily OHLCV bars (FIXTURES.md F7)",
+)
+def q_bars(spark, sf_dir):
+    return _bars(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- P: cleaning
+
+@register(
+    "cleaning_missing_summary",
+    f"""WITH {NULLED_CTE}
+    SELECT user_id AS symbol,
+           CAST(sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM nulled GROUP BY user_id""",
+    "P4 detect_missing_values (etl/data_cleaner.py:27-85) over synthetic nulls",
+)
+def q_missing(spark, sf_dir):
+    return (
+        _nulled(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("symbol"))
+        .agg(
+            F.sum(F.col("value_n").isNull().cast("long")).alias("null_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "cleaning_inconsistencies",
+    f"""WITH {ORACLE_BARS_CTE},
+    shifted AS (
+        SELECT symbol, date, open, high - 3.0 AS high, low, close FROM bars
+    ),
+    tagged AS (
+        SELECT symbol, date, 'high_lt_low' AS anomaly FROM shifted WHERE high < low
+        UNION ALL
+        SELECT symbol, date, 'close_out_of_range' FROM shifted WHERE close < low OR close > high
+        UNION ALL
+        SELECT symbol, date, 'open_out_of_range' FROM shifted WHERE open < low OR open > high
+    )
+    SELECT * FROM tagged""",
+    "P5 detect_inconsistencies (etl/data_cleaner.py:88-147); bars perturbed (high−3) to create violations",
+)
+def q_inconsistencies(spark, sf_dir):
+    shifted = _bars(spark, sf_dir).withColumn("high", F.col("high") - 3.0)
+    return cleaning.detect_inconsistencies(shifted).select("symbol", "date", "anomaly")
+
+
+@register(
+    "forward_fill",
+    f"""WITH {NULLED_CTE}
+    SELECT event_id, user_id,
+           last_value(value_n IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled
+    FROM nulled""",
+    "W1 forward fill (etl/data_cleaner.py:150-191): last prior non-null per user",
+)
+def q_ffill(spark, sf_dir):
+    filled = cleaning.forward_fill(
+        _nulled(spark, sf_dir),
+        value_col="value_n",
+        order_cols=("ts", "event_id"),
+        partition_col="user_id",
+        out_col="value_filled",
+    )
+    return filled.select("event_id", "user_id", "value_filled")
+
+
+@register(
+    "drop_invalid_rows",
+    f"WITH {NULLED_CTE} SELECT event_id, user_id, value_n FROM nulled WHERE value_n IS NOT NULL",
+    "P3 remove_invalid_rows (etl/data_cleaner.py:194-220)",
+)
+def q_drop_invalid(spark, sf_dir):
+    return cleaning.remove_invalid_rows(
+        _nulled(spark, sf_dir), critical_col="value_n"
+    ).select("event_id", "user_id", "value_n")
+
+
+# ---------------------------------------------------------------- J: alignment
+
+@register(
+    "master_calendar",
+    f"WITH {ORACLE_BARS_CTE} SELECT DISTINCT date FROM bars",
+    "J1 build_master_calendar (etl/data_unifier.py:14-70)",
+)
+def q_calendar(spark, sf_dir):
+    from .operators.alignment import master_calendar
+
+    return master_calendar(_bars(spark, sf_dir))
+
+
+@register(
+    "align_to_calendar",
+    f"""WITH {ORACLE_BARS_CTE},
+    cal AS (SELECT DISTINCT date FROM bars),
+    syms AS (SELECT DISTINCT symbol FROM bars)
+    SELECT s.symbol, c.date, b.close, (b.close IS NULL) AS is_missing
+    FROM cal c CROSS JOIN syms s
+    LEFT JOIN bars b ON b.symbol = s.symbol AND b.date = c.date""",
+    "J2 align_assets_to_calendar (etl/data_unifier.py:73-154): calendar ⟕ bars per symbol",
+)
+def q_align(spark, sf_dir):
+    from .operators.alignment import align_to_calendar
+
+    aligned = align_to_calendar(_bars(spark, sf_dir))
+    return aligned.select(
+        "symbol", "date", "close", F.col("close").isNull().alias("is_missing")
+    )
+
+
+@register(
+    "pivot_wide",
+    f"""WITH {ORACLE_BARS_CTE}
+    SELECT date,
+           max(CASE WHEN symbol = 0 THEN close END) AS close_0,
+           max(CASE WHEN symbol = 1 THEN close END) AS close_1,
+           max(CASE WHEN symbol = 2 THEN close END) AS close_2,
+           max(CASE WHEN symbol = 3 THEN close END) AS close_3
+    FROM bars GROUP BY date""",
+    "J3 build_master_dataset pivot-to-wide (etl/data_unifier.py:157-223), 4-symbol slice",
+)
+def q_pivot(spark, sf_dir):
+    bars = _bars(spark, sf_dir).filter(F.col("symbol").isin(0, 1, 2, 3))
+    wide = bars.groupBy("date").pivot("symbol", [0, 1, 2, 3]).agg(F.max("close"))
+    return wide.select(
+        "date",
+        *[F.col(str(s)).alias(f"close_{s}") for s in (0, 1, 2, 3)],
+    )
+
+
+# ---------------------------------------------------------------- W: windows
+
+_RET_ORACLE = f"""WITH {ORACLE_BARS_CTE},
+seq AS (
+    SELECT symbol, date, close,
+           lag(close) OVER w AS prev,
+           row_number() OVER w AS rn
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY date)
+)
+"""
+
+
+@register(
+    "log_returns_zero",
+    _RET_ORACLE
+    + """SELECT symbol, date,
+           round(CASE WHEN prev > 0 AND close > 0 THEN ln(close / prev) ELSE 0.0 END, 6) AS ret
+    FROM seq WHERE rn > 1""",
+    "W2 compute_returns 0.0-fill semantics (algorithms/technical.py:104-154)",
+)
+def q_ret_zero(spark, sf_dir):
+    out = technical.log_returns(_bars(spark, sf_dir), zero_fill=True)
+    return out.select("symbol", "date", r6(F.col("ret")).alias("ret"))
+
+
+@register(
+    "log_returns_omit",
+    _RET_ORACLE
+    + """SELECT symbol, date, round(ln(close / prev), 6) AS ret
+    FROM seq WHERE rn > 1 AND prev > 0 AND close > 0""",
+    "W2b compute_log_returns omit semantics (algorithms/volatility.py:30-56)",
+)
+def q_ret_omit(spark, sf_dir):
+    out = technical.log_returns(_bars(spark, sf_dir), zero_fill=False)
+    return out.select("symbol", "date", r6(F.col("ret")).alias("ret"))
+
+
+@register(
+    "simple_returns",
+    _RET_ORACLE
+    + """SELECT symbol, date,
+           round(CASE WHEN prev IS NOT NULL AND prev <> 0 THEN (close - prev) / prev ELSE 0.0 END, 6) AS ret
+    FROM seq WHERE rn > 1""",
+    "W3 simple returns (algorithms/technical.py:161-186)",
+)
+def q_ret_simple(spark, sf_dir):
+    out = technical.simple_returns(_bars(spark, sf_dir))
+    return out.select("symbol", "date", r6(F.col("ret")).alias("ret"))
+
+
+@register(
+    "sma_5",
+    f"""WITH {ORACLE_BARS_CTE},
+    seq AS (
+        SELECT symbol, date, close,
+               avg(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sma_raw,
+               row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+        FROM bars
+    )
+    SELECT symbol, date,
+           round(CASE WHEN rn >= 5 THEN sma_raw END, 6) AS sma_5
+    FROM seq""",
+    "W4 SMA with warm-up nulls (algorithms/technical.py:193-243, app.py:384-390)",
+)
+def q_sma(spark, sf_dir):
+    out = technical.sma(_bars(spark, sf_dir), 5)
+    return out.select("symbol", "date", r6(F.col("sma_5")).alias("sma_5"))
+
+
+@register(
+    "series_moments",
+    f"""WITH {ORACLE_BARS_CTE}
+    SELECT symbol, round(avg(close), 6) AS mean,
+           round(stddev_samp(close), 6) AS std_dev,
+           CAST(count(close) AS BIGINT) AS n
+    FROM bars GROUP BY symbol""",
+    "A1/A2 mean + sample stddev (algorithms/technical.py:27-97)",
+)
+def q_moments(spark, sf_dir):
+    out = technical.series_moments(_bars(spark, sf_dir))
+    return out.select(
+        "symbol", r6(F.col("mean")).alias("mean"), r6(F.col("std_dev")).alias("std_dev"), "n"
+    )
+
+
+# ---------------------------------------------------------------- volatility/risk
+
+_VOL_ORACLE = (
+    _RET_ORACLE
+    + f""",
+rets AS (
+    SELECT symbol, ln(close / prev) AS ret
+    FROM seq WHERE rn > 1 AND prev > 0 AND close > 0
+),
+vols AS (
+    SELECT symbol, stddev_samp(ret) * {SQRT252!r} AS volatility,
+           CAST(count(ret) AS BIGINT) AS n_returns
+    FROM rets GROUP BY symbol
+)
+"""
+)
+
+
+@register(
+    "volatility",
+    _VOL_ORACLE + "SELECT symbol, round(volatility, 6) AS volatility, n_returns FROM vols",
+    "A3 annualized historical volatility (algorithms/volatility.py:63-121)",
+)
+def q_vol(spark, sf_dir):
+    out = volatility.historical_volatility(_bars(spark, sf_dir))
+    return out.select(
+        "symbol", r6(F.col("volatility")).alias("volatility"), "n_returns"
+    )
+
+
+@register(
+    "risk_classification",
+    _VOL_ORACLE
+    + """,
+thresholds AS (
+    SELECT quantile_cont(volatility, 0.33) AS p_low,
+           quantile_cont(volatility, 0.66) AS p_high
+    FROM vols
+)
+SELECT v.symbol, round(v.volatility, 6) AS volatility,
+       CASE WHEN v.volatility <= t.p_low THEN 'Conservador'
+            WHEN v.volatility <= t.p_high THEN 'Moderado'
+            ELSE 'Agresivo' END AS risk_class,
+       CAST(row_number() OVER (ORDER BY v.volatility, v.symbol) AS BIGINT) AS rank,
+       round(t.p_low, 6) AS p_low, round(t.p_high, 6) AS p_high
+FROM vols v CROSS JOIN thresholds t""",
+    "X4/W7/W8/A10 risk pipeline: exact percentiles + CASE buckets + rank (algorithms/volatility.py:128-293)",
+)
+def q_risk(spark, sf_dir):
+    out = volatility.analyze_portfolio_risk(_bars(spark, sf_dir), min_prices=0)
+    return out.select(
+        "symbol",
+        r6(F.col("volatility")).alias("volatility"),
+        "risk_class",
+        F.col("rank").cast("long").alias("rank"),
+        r6(F.col("p_low")).alias("p_low"),
+        r6(F.col("p_high")).alias("p_high"),
+    )
+
+
+@register(
+    "risk_summary",
+    _VOL_ORACLE
+    + """,
+thresholds AS (
+    SELECT quantile_cont(volatility, 0.33) AS p_low,
+           quantile_cont(volatility, 0.66) AS p_high
+    FROM vols
+)
+SELECT CASE WHEN v.volatility <= t.p_low THEN 'Conservador'
+            WHEN v.volatility <= t.p_high THEN 'Moderado'
+            ELSE 'Agresivo' END AS risk_class,
+       CAST(count(*) AS BIGINT) AS n_assets
+FROM vols v CROSS JOIN thresholds t
+GROUP BY 1""",
+    "A11 risk-class histogram (algorithms/volatility.py:281-286)",
+)
+def q_risk_summary(spark, sf_dir):
+    classified = volatility.classify_risk(
+        volatility.historical_volatility(_bars(spark, sf_dir))
+    )
+    return volatility.risk_summary(classified)
+
+
+# ---------------------------------------------------------------- patterns
+
+_UPS_ORACLE = f"""WITH {ORACLE_BARS_CTE},
+flags AS (
+    SELECT symbol, date,
+           CASE WHEN close > lag(close) OVER w THEN 1 ELSE 0 END AS up,
+           CASE WHEN open > lag(high) OVER w THEN 1 ELSE 0 END AS gap,
+           row_number() OVER w AS rn
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY date)
+),
+seq AS (SELECT symbol, date, up, gap, rn - 1 AS pos FROM flags WHERE rn > 1)
+"""
+
+
+@register(
+    "streaks_global",
+    _UPS_ORACLE
+    + """,
+runs AS (
+    SELECT symbol, pos - row_number() OVER (PARTITION BY symbol ORDER BY pos) AS grp
+    FROM seq WHERE up = 1
+),
+lens AS (SELECT symbol, grp, CAST(count(*) AS BIGINT) AS streak_length FROM runs GROUP BY 1, 2)
+SELECT symbol, streak_length, CAST(count(*) AS BIGINT) AS frequency
+FROM lens GROUP BY 1, 2""",
+    "A13/W5-global: run-length histogram of consecutive up-days (algorithms/patterns.py:28-148, global variant)",
+)
+def q_streaks_global(spark, sf_dir):
+    return patterns.global_streak_histogram(_bars(spark, sf_dir))
+
+
+@register(
+    "streak_stats",
+    _UPS_ORACLE
+    + """,
+totals AS (
+    SELECT symbol, CAST(sum(up) AS BIGINT) AS total_ups,
+           CAST(greatest(count(*) - 4, 0) AS BIGINT) AS total_windows
+    FROM seq GROUP BY symbol
+),
+runs AS (
+    SELECT symbol, pos - row_number() OVER (PARTITION BY symbol ORDER BY pos) AS grp
+    FROM seq WHERE up = 1
+),
+lens AS (SELECT symbol, grp, count(*) AS len FROM runs GROUP BY 1, 2),
+mx AS (SELECT symbol, max(len) AS max_run FROM lens GROUP BY symbol)
+SELECT t.symbol, t.total_ups, t.total_windows,
+       CAST(CASE WHEN t.total_windows = 0 THEN 0
+                 ELSE coalesce(least(m.max_run, 5), 0) END AS INT) AS max_streak
+FROM totals t LEFT JOIN mx m ON t.symbol = m.symbol""",
+    "W5 scalar outputs at window=5 (algorithms/patterns.py:88-148)",
+)
+def q_streak_stats(spark, sf_dir):
+    out = patterns.streak_stats(_bars(spark, sf_dir), 5)
+    return out.select(
+        "symbol",
+        F.col("total_ups").cast("long").alias("total_ups"),
+        F.col("total_windows").cast("long").alias("total_windows"),
+        F.col("max_streak").cast("int").alias("max_streak"),
+    )
+
+
+@register(
+    "gap_up_windows",
+    _UPS_ORACLE
+    + """
+SELECT symbol, date, CAST(gaps_in_window AS BIGINT) AS gaps_in_window FROM (
+    SELECT symbol, date,
+           sum(gap) OVER (PARTITION BY symbol ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS gaps_in_window,
+           row_number() OVER (PARTITION BY symbol ORDER BY pos) AS wrn
+    FROM seq
+) WHERE wrn >= 5""",
+    "W6 sliding gap-up counts at window=5 (algorithms/patterns.py:155-264)",
+)
+def q_gap_windows(spark, sf_dir):
+    return patterns.gap_up_windows(_bars(spark, sf_dir), 5)
+
+
+@register(
+    "gap_stats",
+    _UPS_ORACLE
+    + """,
+totals AS (
+    SELECT symbol, CAST(sum(gap) AS BIGINT) AS total_gaps FROM seq GROUP BY symbol
+),
+winmax AS (
+    SELECT symbol, CAST(max(g) AS BIGINT) AS max_gaps_in_window FROM (
+        SELECT symbol,
+               sum(gap) OVER (PARTITION BY symbol ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS g,
+               row_number() OVER (PARTITION BY symbol ORDER BY pos) AS wrn
+        FROM seq
+    ) WHERE wrn >= 5 GROUP BY symbol
+)
+SELECT t.symbol, t.total_gaps, w.max_gaps_in_window
+FROM totals t LEFT JOIN winmax w ON t.symbol = w.symbol""",
+    "A6/W6 scalars: total gap-ups + max in any window (algorithms/patterns.py:220-264)",
+)
+def q_gap_stats(spark, sf_dir):
+    out = patterns.gap_stats(_bars(spark, sf_dir), 5)
+    return out.select(
+        "symbol",
+        F.col("total_gaps").cast("long").alias("total_gaps"),
+        F.col("max_gaps_in_window").cast("long").alias("max_gaps_in_window"),
+    )
+
+
+@register(
+    "streak_histogram_windowed",
+    None,  # overlapping truncated-run windows have no SQL idiom (SURVEY.md §7.3)
+    "W5 exact per-window truncated-run histogram at window=5 via applyInPandas (algorithms/patterns.py:106-141)",
+)
+def q_streaks_windowed(spark, sf_dir):
+    return patterns.windowed_streak_histogram(_bars(spark, sf_dir), 5)
+
+
+# ---------------------------------------------------------------- similarity
+
+@register(
+    "pair_metrics",
+    f"""WITH {ORACLE_BARS_CTE},
+    a AS (SELECT date, close AS ca FROM bars WHERE symbol = 0 AND close IS NOT NULL AND close > 0),
+    b AS (SELECT date, close AS cb FROM bars WHERE symbol = 1 AND close IS NOT NULL AND close > 0),
+    j AS (SELECT a.date, ca, cb FROM a JOIN b USING (date)),
+    r AS (
+        SELECT CASE WHEN lag(ca) OVER w > 0 AND ca > 0 THEN ln(ca / lag(ca) OVER w) ELSE 0.0 END AS ra,
+               CASE WHEN lag(cb) OVER w > 0 AND cb > 0 THEN ln(cb / lag(cb) OVER w) ELSE 0.0 END AS rb,
+               row_number() OVER w AS rn
+        FROM j WINDOW w AS (ORDER BY date)
+    ),
+    rr AS (SELECT ra, rb FROM r WHERE rn > 1)
+    SELECT round(sqrt(sum((ra - rb) * (ra - rb))), 6) AS euclidean,
+           round(coalesce(corr(ra, rb), 0.0), 6) AS pearson,
+           round(coalesce(sum(ra * rb) / (sqrt(sum(ra * ra)) * sqrt(sum(rb * rb))), 0.0), 6) AS cosine,
+           CAST(CASE WHEN count(*) > 0 THEN count(*) + 1 ELSE 0 END AS BIGINT) AS n_points
+    FROM rr""",
+    "X3 similarity bundle minus DTW for symbols (0,1): P7 align → W2 returns → A7/A8/A9 (algorithms/similarity.py:440-530)",
+)
+def q_pair_metrics(spark, sf_dir):
+    out = similarity.pair_metrics(_bars(spark, sf_dir), 0, 1)
+    return out.select(
+        r6(F.col("euclidean")).alias("euclidean"),
+        r6(F.col("pearson")).alias("pearson"),
+        r6(F.col("cosine")).alias("cosine"),
+        F.col("n_points").cast("long").alias("n_points"),
+    )
+
+
+@register(
+    "correlation_heatmap",
+    f"""WITH {ORACLE_BARS_CTE},
+    seq AS (
+        SELECT symbol, date, close,
+               lag(close) OVER w AS prev, row_number() OVER w AS rn
+        FROM bars WHERE close IS NOT NULL AND close > 0
+        WINDOW w AS (PARTITION BY symbol ORDER BY date)
+    ),
+    rets AS (
+        SELECT symbol, date,
+               CASE WHEN prev > 0 AND close > 0 THEN ln(close / prev) ELSE 0.0 END AS ret
+        FROM seq WHERE rn > 1
+    )
+    SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+           round(coalesce(corr(a.ret, b.ret), 0.0), 6) AS pearson,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM rets a JOIN rets b ON a.date = b.date AND a.symbol < b.symbol
+    GROUP BY a.symbol, b.symbol""",
+    "J5 all-pairs Pearson heatmap, upper triangle (app.py:322-353)",
+)
+def q_heatmap(spark, sf_dir):
+    out = similarity.correlation_heatmap(_bars(spark, sf_dir))
+    return out.select(
+        "sym_a", "sym_b", r6(F.col("pearson")).alias("pearson"), "n_points"
+    )
+
+
+@register(
+    "dtw_pairs",
+    None,  # dynamic-programming distance: not SQL-expressible; pinned by unit tests
+    "X1 banded DTW distance over all symbol pairs (algorithms/similarity.py:200-352)",
+)
+def q_dtw(spark, sf_dir):
+    out = similarity.dtw_pairs(_bars(spark, sf_dir))
+    return out.select("sym_a", "sym_b", r6(F.col("dtw")).alias("dtw"))
+
+
+# ---------------------------------------------------------------- sorts / top-k
+
+@register(
+    "top15_by_value",
+    """SELECT event_id, user_id, value FROM events
+    ORDER BY value DESC, event_id ASC LIMIT 15""",
+    "W9 top-K extraction (main.py:216-267) — TakeOrderedAndProject plan",
+)
+def q_topk(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return sorting.top_k_by(ev, "value", 15, tiebreak=["event_id"]).select(
+        "event_id", "user_id", "value"
+    )
+
+
+@register(
+    "multi_key_sort_rank",
+    f"""WITH {ORACLE_BARS_CTE}
+    SELECT symbol, date, close,
+           CAST(row_number() OVER (ORDER BY date, close, symbol) AS BIGINT) AS sort_rank
+    FROM bars""",
+    "O13 multi-criteria ordering (main.py:139-169) materialized as a rank for order verification (O16)",
+)
+def q_sort_rank(spark, sf_dir):
+    out = sorting.with_sort_rank(_bars(spark, sf_dir), ["date", "close", "symbol"])
+    return out.select(
+        "symbol", "date", "close", F.col("sort_rank").cast("long").alias("sort_rank")
+    )
+
+
+# ---------------------------------------------------------------- relational
+
+@register(
+    "pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus""",
+    "TPC-H Q1 shape: scan→filter→grouped 8-agg (the reference's §3.1 pipeline generalized)",
+)
+def q_pricing(spark, sf_dir):
+    return relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "revenue_by_nation",
+    """SELECT r_name, n_name,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name""",
+    "TPC-H Q5 shape: fact⋈fact⋈broadcast-dims grouped revenue",
+)
+def q_rev_nation(spark, sf_dir):
+    return relational.revenue_by_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    """SELECT c_custkey, c_name, revenue FROM (
+        SELECT c_custkey, c_name,
+               round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+    ) ORDER BY revenue DESC, c_custkey ASC LIMIT 10""",
+    "TPC-H Q3 flavor: per-customer revenue top-10",
+)
+def q_top_customers(spark, sf_dir):
+    return relational.top_customers_by_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register(
+    "order_priority_counts",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority""",
+    "TPC-H Q4 shape: EXISTS via left-semi join",
+)
+def q_order_priority(spark, sf_dir):
+    return relational.order_priority_counts(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "parts_per_size_bucket",
+    """SELECT CASE WHEN p_size <= 10 THEN 'small'
+                   WHEN p_size <= 30 THEN 'medium'
+                   ELSE 'large' END AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(avg(p_retailprice), 6) AS avg_price
+    FROM part GROUP BY 1""",
+    "W8-style CASE bucketing over a dimension",
+)
+def q_parts_bucket(spark, sf_dir):
+    return relational.parts_per_size_bucket(load_table(spark, sf_dir, "part"))

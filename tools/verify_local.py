@@ -1,0 +1,134 @@
+"""Local rehearsal of the driver's correctness gate.
+
+Runs every `queries()` entry at sf0.01 through Spark AND its
+`oracle_sql()` twin through DuckDB, then compares:
+  - row count
+  - schema (column names; order-insensitive)
+  - order-insensitive value hash (columns sorted by name, rows sorted,
+    floats normalized to 9 significant digits after the queries' own
+    rounding)
+
+Exit code 0 iff every oracle-backed query matches and every rows-only
+query executes. Usage:
+    python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon_value(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    return str(v)
+
+
+def table_digest(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted(
+        "|".join(canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in canon_rows:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+    from algoritmos_etl_spark.session import get_spark
+
+    spark = get_spark("verify-local", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures, passed, rows_only = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
+            print(f"[FAIL-spark] {name}: {e}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"[rows-only] {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"[FAIL-oracle] {name}: {e}")
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not problems:
+            hs = table_digest(scols, srows)
+            ho = table_digest(ocols, orows)
+            if hs != ho:
+                sset = {tuple(canon_value(v) for v in r) for r in srows}
+                oset = {tuple(canon_value(v) for v in r) for r in orows}
+                examples = list(sset ^ oset)[:4]
+                problems.append(f"hash mismatch; sym-diff {len(sset ^ oset)} e.g. {examples}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"[FAIL] {name}: {'; '.join(problems)}")
+        else:
+            passed.append(name)
+            print(f"[ok]   {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+
+    print(
+        f"\n{len(passed)} matched, {len(rows_only)} rows-only, {len(failures)} failed"
+        f" (sf_dir={sf_dir})"
+    )
+    for name, why in failures:
+        print(f"  FAIL {name}: {why[:400]}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
