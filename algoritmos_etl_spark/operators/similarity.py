@@ -237,29 +237,31 @@ def dtw_pairs(
         import numpy as np
 
         rows = []
-        for _, row in pdf.iterrows():
-            pa = np.asarray(row["closes_a"], dtype=float)
-            pb = np.asarray(row["closes_b"], dtype=float)
+        for row in pdf.itertuples(index=False):
+            pa = np.asarray(row.closes_a, dtype=float)
+            pb = np.asarray(row.closes_b, dtype=float)
             if use_returns:
-                with pd.option_context("mode.chained_assignment", None):
-                    ra = _zero_fill_log_returns(pa)
-                    rb = _zero_fill_log_returns(pb)
+                ra = _zero_fill_log_returns(pa)
+                rb = _zero_fill_log_returns(pb)
             else:
                 ra, rb = pa, pb
             dist = _dtw_numpy(ra, rb, window=window)
-            rows.append(
-                {
-                    "sym_a": row["sym_a"],
-                    "sym_b": row["sym_b"],
-                    "dtw": dist,
-                    "n_a": len(ra),
-                    "n_b": len(rb),
-                }
-            )
-        return pd.DataFrame(rows)
+            rows.append((row.sym_a, row.sym_b, dist, len(ra), len(rb)))
+        return pd.DataFrame(
+            rows, columns=["sym_a", "sym_b", "dtw", "n_a", "n_b"]
+        )
 
-    return joined.groupBy("sym_a", "sym_b").applyInPandas(
-        run, schema="sym_a long, sym_b long, dtw double, n_a long, n_b long"
+    def run_batches(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield run(pdf)
+
+    # mapInPandas, not groupBy().applyInPandas: pairs are already rows
+    # after the self-join, and batching many pairs per UDF call avoids
+    # a per-pair Python invocation (measured ~4 ms/pair of pure
+    # overhead at sf0.1).
+    return joined.mapInPandas(
+        run_batches, schema="sym_a long, sym_b long, dtw double, n_a long, n_b long"
     )
 
 

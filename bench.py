@@ -1,0 +1,99 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully materialized through the `noop` sink (forces every
+column/row through the plan — `count()` would let Catalyst prune the
+work). DTW runs on a 100-symbol slice: all-pairs DP over 1500 symbols
+is O(k²) pairs and belongs to a sampled/banded path at scale (the
+reference itself downsamples for DTW viz, app.py:246-265).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from algoritmos_etl_spark.driver_queries import REGISTRY  # noqa: E402
+from algoritmos_etl_spark.operators import similarity  # noqa: E402
+from algoritmos_etl_spark.session import get_spark  # noqa: E402
+from algoritmos_etl_spark.sources import daily_bars, load_table  # noqa: E402
+
+HEADLINE = [
+    "bars_model",
+    "forward_fill",
+    "log_returns_zero",
+    "sma_5",
+    "volatility",
+    "risk_classification",
+    "streaks_global",
+    "streak_histogram_windowed",
+    "gap_up_windows",
+    "correlation_heatmap",
+    "pair_metrics",
+    "top15_by_value",
+    "multi_key_sort_rank",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_by_revenue",
+    "order_priority_counts",
+]
+
+DTW_SYMBOL_CAP = 100
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("algoritmos-etl-bench", cpus=cpus)
+    spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].build
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # DTW on a capped symbol slice (see module docstring)
+    bars = daily_bars(load_table(spark, sf_dir, "events")).filter(
+        F.col("symbol") < DTW_SYMBOL_CAP
+    )
+    t0 = time.time()
+    materialize(similarity.dtw_pairs(bars))
+    timings[f"dtw_pairs_{DTW_SYMBOL_CAP}sym"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf_dir
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
