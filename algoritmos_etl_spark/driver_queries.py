@@ -697,3 +697,7 @@ def q_order_priority(spark, sf_dir):
 )
 def q_parts_bucket(spark, sf_dir):
     return relational.parts_per_size_bucket(load_table(spark, sf_dir, "part"))
+
+
+# Training-data-pipeline extensions register themselves on import.
+from . import driver_queries_ext  # noqa: E402,F401  (registration side effect)

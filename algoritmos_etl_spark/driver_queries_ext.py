@@ -1,0 +1,399 @@
+"""Driver-contract registry, part 2: training-data-pipeline extensions.
+
+Dedup (exact / shingle-Jaccard / MinHash-LSH / SimHash), text analysis
+(stats / language-ID / fingerprints), vector similarity search, and
+event-time windowing — each with a DuckDB oracle twin where SQL can
+express it (the md5-prefix hashing makes even MinHash/SimHash exactly
+reproducible in the oracle).
+
+Imported by driver_queries for registration side effects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .driver_queries import register, r6
+from .operators import dedup, text, vectors
+from .sources.readers import load_table
+
+# DuckDB fragments mirroring text.words_col / normalized_text / token_hash
+_W = "list_filter(string_split(trim(text), ' '), x -> x <> '')"
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_NORM_W = "list_filter(string_split(" + _NORM + ", ' '), x -> x <> '')"
+
+
+def _h(expr: str) -> str:
+    """DuckDB twin of text.token_hash: md5-prefix 60-bit integer."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- text
+
+@register(
+    "text_stats",
+    f"""WITH w AS (SELECT doc_id, {_W} AS ws, length(text) AS len_chars FROM documents)
+    SELECT doc_id,
+           CAST(len_chars AS BIGINT) AS len_chars,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           round(CASE WHEN len(ws) > 0
+                 THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+                 ELSE 0.0 END, 6) AS avg_word_len,
+           round(CASE WHEN len(ws) > 0
+                 THEN CAST(len(list_filter(ws, x -> list_contains({list(text.STOPWORDS)!r}, x))) AS DOUBLE) / len(ws)
+                 ELSE 0.0 END, 6) AS stopword_ratio,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+    FROM w""",
+    "Quality scoring: length / word counts / stopword ratio (M8 text analysis)",
+)
+def q_text_stats(spark, sf_dir):
+    out = text.text_stats(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("len_chars").cast("long").alias("len_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "avg_word_len",
+        "stopword_ratio",
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+    )
+
+
+def _oracle_marker_count(lang: str) -> str:
+    terms = []
+    for m in text.LANG_MARKERS[lang]:
+        needle = f" {m} "
+        terms.append(
+            f"CAST((length(p) - length(replace(p, '{needle}', ''))) / {len(needle)} AS BIGINT)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "lang_id",
+    f"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+    s AS (SELECT doc_id,
+                 {_oracle_marker_count('en')} AS c_en,
+                 {_oracle_marker_count('es')} AS c_es,
+                 {_oracle_marker_count('de')} AS c_de,
+                 {_oracle_marker_count('fr')} AS c_fr
+          FROM p)
+    SELECT doc_id,
+           CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+                WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                WHEN c_de >= c_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM s""",
+    "Marker-frequency language ID (n-gram heuristic, M8 text analysis)",
+)
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(list_distinct(list_filter(string_split(t, ' '), x -> x <> ''))) AS tok
+        FROM norm
+    ),
+    xh AS (SELECT doc_id, bit_xor({_h('tok')}) AS token_set_hash FROM toks GROUP BY doc_id)
+    SELECT n.doc_id, md5(n.t) AS fingerprint,
+           coalesce(x.token_set_hash, 0) AS token_set_hash
+    FROM norm n LEFT JOIN xh x ON n.doc_id = x.doc_id""",
+    "Document fingerprinting: normalized-md5 + token-set xor hash (M8)",
+)
+def q_fingerprints(spark, sf_dir):
+    return text.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- dedup
+
+@register(
+    "dedup_exact",
+    f"""SELECT md5({_NORM}) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1""",
+    "Exact dedup by normalized-text fingerprint hash-groupBy (M8)",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_SHINGLES = f"""
+words AS (SELECT doc_id, {_W} AS ws FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+    FROM words
+)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH {_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.2""",
+    "Near-dup by exact 3-shingle Jaccard via inverted-index candidates (M8)",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+
+
+_MINHASH = f"""
+toks AS (
+    SELECT doc_id, unnest(list_distinct({_W})) AS token FROM documents
+),
+sig AS (
+    SELECT doc_id, seed,
+           min({_h("CAST(seed AS VARCHAR) || ':' || token")}) AS h
+    FROM toks CROSS JOIN (SELECT unnest(range({dedup.MINHASH_HASHES})) AS seed)
+    GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // {dedup.MINHASH_HASHES // dedup.MINHASH_BANDS} AS band,
+           md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+    FROM sig GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH {_MINHASH},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cands c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM cands c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+          / (sa.n + sb.n - coalesce(i.n_inter, 0)) >= 0.2""",
+    "MinHash-LSH near-dup: 16 md5-seeded minhashes, 4 bands, Jaccard-verified candidates (M8)",
+)
+def q_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+_SIMHASH = f"""
+toks AS (
+    SELECT doc_id, unnest(list_distinct({_W})) AS token FROM documents
+),
+th AS (SELECT doc_id, {_h("'sim:' || token")} AS h FROM toks),
+votes AS (
+    SELECT doc_id, bit,
+           sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN (SELECT unnest(range({dedup.SIMHASH_BITS})) AS bit)
+    GROUP BY doc_id, bit
+),
+sh AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH {_SIMHASH},
+    chunks AS (
+        SELECT doc_id, simhash, chunk,
+               (simhash >> (chunk * {dedup.SIMHASH_BITS // dedup.SIMHASH_CHUNKS}))
+                   & {(1 << (dedup.SIMHASH_BITS // dedup.SIMHASH_CHUNKS)) - 1} AS chunk_val
+        FROM sh CROSS JOIN (SELECT unnest(range({dedup.SIMHASH_CHUNKS})) AS chunk)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b
+        FROM chunks a JOIN chunks b
+          ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""",
+    "SimHash near-dup: 32-bit sign-vote hash, 8-bit chunk banding, hamming ≤ 3 (M8)",
+)
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- vectors
+
+_DVEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@register(
+    "embedding_norms",
+    f"""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_sum(list_transform({_DVEC}, x -> x * x))), 6) AS l2_norm
+    FROM embeddings""",
+    "Per-vector L2 norms (vector profiling, M8 similarity search)",
+)
+def q_emb_norms(spark, sf_dir):
+    return vectors.embedding_norms(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_cosine_topk",
+    f"""WITH base AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN (0, 1, 2, 3, 4)),
+    pairs AS (
+        SELECT query_id, b.vec_id AS neighbor_id, qv, b.v AS nv
+        FROM q, base b WHERE b.vec_id <> query_id
+    ),
+    flat AS (SELECT query_id, neighbor_id, unnest(qv) AS x, unnest(nv) AS y FROM pairs),
+    dots AS (
+        SELECT query_id, neighbor_id,
+               sum(x * y) AS dot, sqrt(sum(x * x)) AS nx, sqrt(sum(y * y)) AS ny
+        FROM flat GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, dot / (nx * ny) AS cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY dot / (nx * ny) DESC, neighbor_id) AS rank
+        FROM dots
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10""",
+    "Brute-force cosine top-10 for query vectors 0-4 (ANN baseline, M8)",
+)
+def q_ann_topk(spark, sf_dir):
+    return vectors.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""WITH base AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+        FROM base a JOIN base b ON a.vec_id < b.vec_id
+    ),
+    flat AS (SELECT vec_a, vec_b, unnest(va) AS x, unnest(vb) AS y FROM pairs),
+    dots AS (
+        SELECT vec_a, vec_b,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosine
+        FROM flat GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+    FROM dots WHERE cosine >= 0.4""",
+    "Embedding-cosine near-dup pairs at τ=0.4 (M8 dedup)",
+)
+def q_emb_neardup(spark, sf_dir):
+    return vectors.cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # LSH recall is approximate by design; pinned by recall tests vs brute force
+    "LSH-bucketed ANN top-10 (random-hyperplane signs from md5 bits, M8 scale path)",
+)
+def q_ann_lsh(spark, sf_dir):
+    return vectors.lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10
+    )
+
+
+# ---------------------------------------------------------------- event-time
+
+@register(
+    "tumbling_hour_stats",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2""",
+    "Event-time tumbling 1h window agg (batch twin of the streaming path, M8)",
+)
+def q_tumbling(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r6(F.avg("value")).alias("avg_value"),
+    )
+
+
+@register(
+    "sessionization",
+    """WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts_us,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec
+    FROM sess GROUP BY user_id, session_id""",
+    "Sessionization: 30-min-gap sessions via lag + cumulative sum (M8 event-time)",
+)
+def q_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    ).withColumn("prev_us", F.lag("ts_us").over(
+        Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ))
+    marked = seq.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(wcum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("ts_us") - F.min("ts_us")) / 1_000_000).cast("long").alias("duration_sec"),
+    )

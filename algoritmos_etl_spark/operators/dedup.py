@@ -1,0 +1,244 @@
+"""Deduplication for training-data pipelines: exact, shingle-Jaccard,
+MinHash-LSH, SimHash.
+
+North-star extensions (SURVEY.md §7.2 M8) over the `documents` table.
+Scale shapes — the things that matter at 100 TB:
+
+- Exact dedup is one hash-groupBy on a fingerprint (never on raw text:
+  group keys should be small and fixed-width).
+- Candidate generation always goes through an inverted index / banding
+  join so the all-pairs O(n²) comparison never materializes; only
+  candidates sharing a shingle/band/chunk are verified.
+- All hashing is md5-prefix integers: deterministic, seedable,
+  engine-portable (the DuckDB oracle reproduces every stage exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalized_text, words_col
+
+MINHASH_HASHES = 16
+MINHASH_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8 bits per chunk → candidates within hamming ≤ 3
+
+
+def _tok_hash(prefix, tok) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", prefix, tok)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) distinct pairs — the inverted-index base."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("token")
+    )
+
+
+def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct k-word shingles."""
+    words = words_col(F.col("text"))
+    shingles = F.when(
+        F.size(words) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - k),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint.
+
+    One shuffle on a 32-char key. Output: fingerprint, canonical doc
+    (min id), group size.
+    """
+    fp = docs.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.2
+) -> DataFrame:
+    """Near-dup pairs by exact k-shingle Jaccard, candidates via a
+    shared-shingle inverted-index join (no all-pairs blowup).
+
+    |A∩B| from the shingle join; |A∪B| = |A|+|B|−|A∩B|.
+    """
+    sh = doc_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = MINHASH_HASHES) -> DataFrame:
+    """MinHash signature columns h0..h{n-1}: min over tokens of a
+    seeded md5-prefix hash. One token-explode pass, n min-aggregates
+    (all partial/map-side)."""
+    toks = doc_tokens(docs)
+    aggs = [
+        F.min(_tok_hash(F.lit(str(j)), F.col("token"))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(sigs: DataFrame, n_bands: int = MINHASH_BANDS) -> DataFrame:
+    """(doc_id, band, band_sig): md5 over each band's concatenated rows."""
+    n_hashes = len([c for c in sigs.columns if c.startswith("h")])
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_sig"),
+            )
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.band_sig")
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame, threshold: float = 0.2, k_shingle: int | None = None
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: signatures → banding join →
+    exact-Jaccard verification of candidates only.
+
+    Banding is the scale lever: docs land in the same bucket iff one
+    band matches, so the join fans out per-bucket, not per-corpus.
+    Verification recomputes exact token Jaccard on the candidate set.
+    """
+    bands = minhash_bands(minhash_signatures(docs))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    candidates = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    toks = doc_tokens(docs)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        candidates.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    return (
+        candidates.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: sign of the per-bit ±1 vote sum over token
+    hashes. Expressed as one explode over (token × bit) with a
+    conditional sum — heavy but fully JVM-side; at scale you bound it
+    by hashing only the top-weight tokens."""
+    toks = doc_tokens(docs)
+    h = _tok_hash(F.lit("sim"), F.col("token"))
+    votes = (
+        toks.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"), h.alias("h"))
+        .withColumn(
+            "vote",
+            # SQL shiftright accepts a column shift amount; the PySpark
+            # wrapper's numBits must be a literal int.
+            F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") >= 0, F.lit(1)).otherwise(F.lit(0)))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.col("bitval").cast("long") * F.pow(F.lit(2.0), F.col("bit")).cast("long")
+        ).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: chunk-banding candidates (a pair within
+    hamming ≤ 3 of a 32-bit hash must share one of 4 8-bit chunks),
+    then exact hamming verification via bit_count(xor)."""
+    sh = simhash(docs)
+    chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("chunk"),
+    ).withColumn(
+        "chunk_val",
+        F.expr(f"shiftright(simhash, chunk * {chunk_width})").bitwiseAND(
+            F.lit((1 << chunk_width) - 1)
+        ),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
