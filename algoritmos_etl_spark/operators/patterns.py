@@ -71,39 +71,99 @@ def global_streak_histogram(bars: DataFrame) -> DataFrame:
     )
 
 
+def _windowed_streak_hist_naive(arr, window_size: int) -> dict[int, int]:
+    """Direct simulation of the reference loop (`patterns.py:106-141`):
+    for every sliding window, count border-truncated maximal runs.
+    O(n·w) — kept as the semantics oracle for the analytic version."""
+    freq: dict[int, int] = {}
+    n = len(arr)
+    for start in range(0, n - window_size + 1):
+        run = 0
+        for val in arr[start : start + window_size]:
+            if val == 1:
+                run += 1
+            elif run:
+                freq[run] = freq.get(run, 0) + 1
+                run = 0
+        if run:
+            freq[run] = freq.get(run, 0) + 1
+    return freq
+
+
+def _windowed_streak_hist(arr, window_size: int) -> dict[int, int]:
+    """Exact W5 histogram in O(#runs + w) instead of O(n·w).
+
+    A window's runs are exactly the intersections of the window with
+    the GLOBAL maximal runs (elements adjacent to a run are 0, so each
+    intersection stays maximal inside the window). For a run [a, b)
+    of length L and window start s, the intersection length over the
+    valid starts s ∈ [a−w+1, b−1] ∩ [0, n−w] splits into four disjoint
+    start-ranges:
+      covered   (s ≤ a, s+w ≥ b): length L        — one scalar bin
+      covering  (s > a, s+w < b): length w        — one scalar bin
+      right-cut (s ≤ a, s+w < b): length s+w−a    — contiguous bin range
+      left-cut  (s > a, s+w ≥ b): length b−s      — contiguous bin range
+    Bin-range increments accumulate in a difference array, folded once.
+    Every bin update is O(1), so cost is independent of how many
+    windows overlap each run — the reference's overlapping-recount
+    semantics at linear cost.
+    """
+    import numpy as np
+
+    w = window_size
+    n = len(arr)
+    s_max = n - w
+    if s_max < 0:
+        return {}
+    padded = np.concatenate(([0], np.asarray(arr, dtype=np.int8), [0]))
+    d = np.diff(padded)
+    starts = np.nonzero(d == 1)[0]
+    ends = np.nonzero(d == -1)[0]  # exclusive
+    bins = np.zeros(w + 1, dtype=np.int64)
+    delta = np.zeros(w + 2, dtype=np.int64)
+    for a, b in zip(starts.tolist(), ends.tolist()):
+        length = b - a
+        if length <= w:  # covered: s ∈ [b−w, a]
+            lo, hi = max(b - w, 0), min(a, s_max)
+            if lo <= hi:
+                bins[length] += hi - lo + 1
+        lo, hi = max(a + 1, 0), min(b - w - 1, s_max)  # covering
+        if lo <= hi:
+            bins[w] += hi - lo + 1
+        lo, hi = max(a - w + 1, 0), min(b - w - 1, a, s_max)  # right-cut
+        if lo <= hi:
+            delta[lo + w - a] += 1
+            delta[hi + w - a + 1] -= 1
+        lo, hi = max(a + 1, b - w, 0), min(b - 1, s_max)  # left-cut
+        if lo <= hi:
+            delta[b - hi] += 1
+            delta[b - lo + 1] -= 1
+    bins[1 : w + 1] += np.cumsum(delta[1 : w + 1])
+    return {
+        int(length): int(c) for length, c in enumerate(bins) if length >= 1 and c > 0
+    }
+
+
 def windowed_streak_histogram(bars: DataFrame, window_size: int) -> DataFrame:
     """W5 exact semantics: truncated-run histogram over every window.
 
     For each symbol: slide a window of `window_size` over the ups array;
     in each window count maximal runs of 1s (border-truncated);
-    accumulate {run_length: frequency}. Python is unavoidable here
-    (overlapping, re-counted windows); it runs as one Arrow-batched
-    `applyInPandas` task per symbol — the time dimension per symbol is
-    bounded (~250 rows/year), so per-task cost stays flat no matter how
-    many symbols the cluster holds.
+    accumulate {run_length: frequency}. No SQL idiom exists for the
+    overlapping re-counted windows, so this runs as an Arrow-batched
+    `applyInPandas` per symbol — but with the analytic O(#runs + w)
+    histogram (see `_windowed_streak_hist`), not the O(n·w) simulation,
+    so per-task cost stays linear in each symbol's history length.
     """
     ups = up_flags(bars)
 
     def per_symbol(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pos")
-        arr = pdf["up"].fillna(0).astype(int).tolist()
-        sym = pdf["symbol"].iloc[0]
-        freq: dict[int, int] = {}
-        n = len(arr)
-        if n >= window_size:
-            for start in range(0, n - window_size + 1):
-                run = 0
-                for val in arr[start : start + window_size]:
-                    if val == 1:
-                        run += 1
-                    elif run:
-                        freq[run] = freq.get(run, 0) + 1
-                        run = 0
-                if run:
-                    freq[run] = freq.get(run, 0) + 1
+        arr = pdf["up"].fillna(0).astype(int).to_numpy()
+        freq = _windowed_streak_hist(arr, window_size)
         out = pd.DataFrame(
             {
-                "symbol": sym,
+                "symbol": pdf["symbol"].iloc[0],
                 "streak_length": list(freq.keys()),
                 "frequency": list(freq.values()),
             }

@@ -35,8 +35,35 @@ def with_sort_rank(df: DataFrame, keys: Sequence) -> DataFrame:
 
     Makes ordering checkable by an order-insensitive comparator (the
     driver hashes sorted rows): equal ranks ⟺ equal total order.
+
+    Scale shape: a bare `row_number() OVER (ORDER BY …)` drags every
+    row into ONE partition. Instead we partition by the leading key:
+    global_rank = (cumulative count of earlier leading-key groups)
+                + (local rank within the group by the remaining keys).
+    The only non-partitioned step is a running sum over DISTINCT
+    leading-key values — |dates|, not |rows| — which stays trivial at
+    any data scale; the per-group rank distributes normally.
     """
-    return df.withColumn("sort_rank", F.row_number().over(Window.orderBy(*keys)))
+    keys = list(keys)
+    if len(keys) < 2:
+        # No secondary key to rank within groups — a genuinely total
+        # single-key rank; keep the simple form for this small-data case.
+        return df.withColumn(
+            "sort_rank", F.row_number().over(Window.orderBy(*keys))
+        )
+    lead, rest = keys[0], keys[1:]
+    counts = df.groupBy(lead).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy(lead).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        lead,
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("long").alias("_off"),
+    )
+    w_local = Window.partitionBy(lead).orderBy(*rest)
+    return (
+        df.join(F.broadcast(offsets), lead)
+        .withColumn("sort_rank", F.row_number().over(w_local) + F.col("_off"))
+        .drop("_off")
+    )
 
 
 def top_k_by(

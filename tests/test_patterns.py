@@ -114,3 +114,23 @@ def test_streak_stats_window_larger_than_series(micro_bars):
     ).collect()[0]
     assert row["total_windows"] == 0
     assert row["max_streak"] == 0
+
+
+# ---- analytic O(runs+w) histogram ≡ naive O(n·w) simulation ----
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(
+    arr=st.lists(st.integers(min_value=0, max_value=1), min_size=0, max_size=120),
+    w=st.integers(min_value=1, max_value=130),
+)
+@settings(max_examples=400, deadline=None)
+def test_analytic_hist_matches_naive(arr, w):
+    assert patterns._windowed_streak_hist(arr, w) == \
+        patterns._windowed_streak_hist_naive(arr, w)
+
+
+def test_analytic_hist_reference_fixture():
+    assert patterns._windowed_streak_hist(UPS, WINDOW) == \
+        _reference_windowed_hist(UPS, WINDOW)
