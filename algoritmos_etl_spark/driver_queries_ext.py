@@ -397,3 +397,182 @@ def q_sessions(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         ((F.max("ts_us") - F.min("ts_us")) / 1_000_000).cast("long").alias("duration_sec"),
     )
+
+
+@register(
+    "sliding_window_stats",
+    """WITH starts AS (
+        SELECT value,
+               unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
+        FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 2 HOUR AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM starts GROUP BY 1""",
+    "Sliding 2h/1h event-time windows (batch twin of streaming.sliding_stats)",
+)
+def q_sliding(spark, sf_dir):
+    from .streaming import sliding_stats
+
+    return sliding_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "session_window_stats",
+    """WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        -- session_window semantics: window is [start, last_ts + gap), so an
+        -- event at exactly prev+gap opens a NEW session (>=, not >)
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts_us) AS start_us,
+           max(ts_us) + 1800000000 AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id""",
+    "Per-user session windows via F.session_window (batch twin of streaming.session_stats)",
+)
+def q_session_window(spark, sf_dir):
+    from .streaming import session_stats
+
+    out = session_stats(load_table(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )
+
+
+@register(
+    "running_streaks",
+    """WITH seq AS (
+        SELECT user_id, event_id, value, ts,
+               lag(value) OVER w AS prev_value
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_value IS NOT NULL AND value > prev_value THEN 1 ELSE 0 END AS up
+        FROM seq
+    ),
+    grouped AS (
+        SELECT user_id, event_id, ts, up,
+               row_number() OVER w
+               - sum(up) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM flagged WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(CASE WHEN up = 1
+                THEN row_number() OVER (PARTITION BY user_id, grp ORDER BY ts, event_id) - 1
+                ELSE 0 END AS INT) AS streak
+    FROM grouped""",
+    "Per-event running up-streak (batch twin of the stateful streaming operator)",
+)
+def q_running_streaks(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    up = (F.col("value") > F.lag("value").over(w)).cast("int")
+    flagged = ev.withColumn("up", F.coalesce(up, F.lit(0)))
+    flagged = flagged.withColumn("rn", F.row_number().over(w)).withColumn(
+        "grp",
+        F.col("rn")
+        - F.sum("up").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    streak_w = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("up") == 1, F.row_number().over(streak_w) - 1)
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("streak"),
+    )
+
+
+# ---------------------------------------------------------------- multimodal
+
+# DuckDB twin of multimodal.attach_payload: the payload's lowercase hex
+# encoding as a string (oracle never needs actual bytes — every checksum
+# is md5-of-lowercase-hex by module convention).
+_PAYLOAD = """
+payload AS (
+    SELECT doc_id,
+           substr(md5(text || ':0') || md5(text || ':1') || md5(text || ':2') || md5(text || ':3'),
+                  1, CAST(32 * (doc_id % 4 + 1) AS INT)) AS hexp,
+           (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS modality,
+           CAST(doc_id % 64 + 16 AS INT) AS width,
+           CAST(doc_id % 48 + 16 AS INT) AS height,
+           CAST(doc_id % 4 + 1 AS INT) AS n_frames
+    FROM documents
+)
+"""
+
+
+@register(
+    "multimodal_payload_stats",
+    f"""WITH {_PAYLOAD}
+    SELECT doc_id,
+           CAST(length(hexp) / 2 AS INT) AS n_bytes,
+           md5(hexp) AS checksum,
+           modality, width, height, n_frames
+    FROM payload""",
+    "Binary payload integrity stats (no decode): octet_length + checksum + typed metadata",
+)
+def q_payload_stats(spark, sf_dir):
+    from .operators import multimodal
+
+    return multimodal.payload_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_decode",
+    f"""WITH {_PAYLOAD}
+    SELECT doc_id, modality,
+           round(CAST(list_sum(list_transform(range(0, CAST(length(hexp) / 2 AS INT)),
+                 i -> CAST(('0x' || substr(hexp, CAST(i * 2 + 1 AS INT), 2)) AS INT))) AS DOUBLE)
+                 / (length(hexp) / 2), 6) AS byte_mean,
+           CAST(('0x' || substr(md5(hexp), 1, 4)) AS INT) AS dominant
+    FROM payload""",
+    "Arrow-batched mapInPandas decode + feature extraction (deterministic fake codec)",
+)
+def q_multimodal_decode(spark, sf_dir):
+    from .operators import multimodal
+
+    return multimodal.decode_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_frames",
+    f"""WITH {_PAYLOAD},
+    frames AS (
+        SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx, hexp
+        FROM payload
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substr(hexp, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_md5
+    FROM frames""",
+    "Video-style frame sampling: every 2nd 16-byte frame exploded via mapInPandas",
+)
+def q_multimodal_frames(spark, sf_dir):
+    from .operators import multimodal
+
+    return multimodal.sample_frames(load_table(spark, sf_dir, "documents"), stride=2)

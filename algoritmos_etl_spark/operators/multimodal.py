@@ -1,0 +1,176 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode / feature-extract / frame-sample plumbing.
+
+North-star extension (driver brief): at 100 TB a training-data pipeline
+carries images/audio/video as opaque `binary` columns beside typed
+metadata, decoded only inside Arrow-batched Python (`mapInPandas`) —
+never row-at-a-time, never on the driver.
+
+The container ships no image/audio codecs, so the DECODE step is a
+deterministic fake (md5-derived bytes/features) or a clearly-marked
+`NotImplementedError` stub — but every Spark-side piece is real and
+tested: binary column handling, metadata structs, Arrow binary batches
+through `mapInPandas`, explode-shaped frame output, batch-size bounding.
+
+Because the fake payloads and features derive only from md5, the DuckDB
+oracle reproduces them bit-for-bit — even the Python-side mapInPandas
+outputs are hash-checked, not just row-counted. Checksum convention:
+`md5(lower(hex(bytes)))` everywhere — DuckDB's md5 only takes VARCHAR,
+so hashing the lowercase hex encoding keeps all three engines (Spark
+JVM, Python hashlib, DuckDB) bit-identical.
+
+Scale notes:
+- Payload bytes stay in Arrow buffers end-to-end; per-batch memory is
+  bounded by `spark.sql.execution.arrow.maxRecordsPerBatch` — size it
+  so batch_rows × max_payload fits the executor (e.g. 10 MB images →
+  a few hundred rows per batch).
+- Frame sampling explodes rows; do it AFTER filters/projections so the
+  explosion never feeds a shuffle it doesn't have to.
+- Real decoders (`pillow`, `torchaudio`, `av`) slot into the same
+  `mapInPandas` signature — swap `_fake_decode_features` for a real one
+  and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # real decoders are optional; the container has none
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+FRAME_BYTES = 16  # one md5 block per fake "frame"
+MAX_FRAMES = 4
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Deterministic fake payload + metadata per document.
+
+    payload = unhex(md5(text:0) ∥ … ∥ md5(text:k−1)), k = 1+(doc_id mod 4)
+    — an opaque binary column of 16·k bytes. Metadata is a typed struct
+    (modality, width, height, n_frames); all md5-derived, all JVM-side.
+    """
+    k = (F.col("doc_id") % MAX_FRAMES + 1).cast("int")
+    hex_full = F.concat(
+        *[F.md5(F.concat_ws(":", F.col("text"), F.lit(str(i)))) for i in range(MAX_FRAMES)]
+    )
+    payload = F.unhex(F.substring(hex_full, 1, F.lit(32) * k))
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        modality.alias("modality"),
+        (F.col("doc_id") % 64 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 48 + 16).cast("int").alias("height"),
+        k.alias("n_frames"),
+    )
+    return docs.select("doc_id", payload.alias("payload"), meta.alias("meta"))
+
+
+def payload_stats(docs: DataFrame) -> DataFrame:
+    """Byte length + checksum + metadata projection — pure JVM columns.
+
+    The first thing a multimodal pipeline runs: cheap integrity stats
+    that never decode anything.
+    """
+    with_p = attach_payload(docs)
+    return with_p.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5(F.lower(F.hex("payload"))).alias("checksum"),
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+def _fake_decode_features(payload: bytes) -> tuple[float, int]:
+    """Deterministic stand-in for a codec: byte-mean 'intensity' and a
+    16-bit md5-derived 'dominant channel'. Replace with a real decoder
+    (same signature) when codecs are available."""
+    mean_byte = sum(payload) / len(payload) if payload else 0.0
+    digest = hashlib.md5(payload.hex().encode()).hexdigest()
+    return round(mean_byte, 6), int(digest[:4], 16)
+
+
+def decode_features(docs: DataFrame) -> DataFrame:
+    """Arrow-batched decode + feature extraction via `mapInPandas`.
+
+    The real pattern at scale: payload bytes arrive in Arrow buffers,
+    Python touches each batch once, output is a narrow feature frame.
+    If a real codec is wanted, see `decode_image_real` (stubbed).
+    """
+    with_p = attach_payload(docs)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "byte_mean": [f[0] for f in feats],
+                    "dominant": [f[1] for f in feats],
+                }
+            )
+
+    return with_p.mapInPandas(
+        decode, schema="doc_id bigint, modality string, byte_mean double, dominant int"
+    )
+
+
+def decode_image_real(docs: DataFrame) -> DataFrame:
+    """Real image decode — NOT AVAILABLE in this environment.
+
+    STUB: the container ships no codec libraries. With `pillow`
+    installed this body becomes `Image.open(io.BytesIO(p))` inside the
+    same `mapInPandas` shape as `decode_features`.
+    """
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires pillow; this environment has no codecs — "
+            "use decode_features (deterministic fake) for plumbing tests"
+        )
+    raise NotImplementedError("real decode path not wired yet")  # pragma: no cover
+
+
+def sample_frames(docs: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling for video-like payloads: every `stride`-th 16-byte
+    frame, exploded to (doc_id, frame_idx, frame_md5).
+
+    Python slices bytes inside `mapInPandas`; the explosion happens in
+    Python too, so only sampled frames ever become rows.
+    """
+    with_p = attach_payload(docs)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                for frame_idx in range(0, int(meta["n_frames"]), stride):
+                    frame = payload[
+                        frame_idx * FRAME_BYTES : (frame_idx + 1) * FRAME_BYTES
+                    ]
+                    ids.append(doc_id)
+                    idxs.append(frame_idx)
+                    hashes.append(hashlib.md5(frame.hex().encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes}
+            )
+
+    return with_p.mapInPandas(
+        sample, schema="doc_id bigint, frame_idx int, frame_md5 string"
+    )

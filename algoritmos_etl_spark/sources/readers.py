@@ -54,9 +54,10 @@ def with_event_time(events: DataFrame) -> DataFrame:
     comparisons line up exactly.
     """
     if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # `ts div 1000`, NOT `ts / 1000`: `/` is double division and
+        # epoch-nanos (~1.7e18) exceed double's 53-bit mantissa, so the
+        # float path lands up to ±1 µs off. DIV is exact long division.
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return events
 
 

@@ -1,0 +1,210 @@
+"""Structured Streaming surface: event-time windows, sessions, and a
+custom stateful operator.
+
+The reference is strictly batch (SURVEY.md §2.10) — its sliding windows
+(W4-W6) slide over a date axis, not arrival time. This module offers the
+same window *semantics* over an unbounded `events` stream, the north-star
+extension the reference never needed at 1759 rows but a 100 TB pipeline
+does:
+
+- tumbling / sliding event-time aggregation with watermarks (late data
+  is merged until the watermark passes, then the window finalizes),
+- session windows (30-min inactivity gap — same sessions the batch
+  lag+cumsum query produces),
+- a custom stateful operator (per-user running up-streak, the streaming
+  incarnation of W5's binarize step) via `applyInPandasWithState`.
+
+Every transformation here works UNCHANGED in batch mode too — `F.window`
+/ `F.session_window` are plain grouping expressions. Tests exploit that:
+the streaming result (file source, availableNow trigger, memory sink)
+must equal the batch result on the same files. That is Structured
+Streaming's core guarantee (incremental view maintenance of a batch
+query), and it pins our streaming plans to the oracle-checked batch
+twins in driver_queries_ext.
+
+Scale notes: watermark state lives in the state store, partitioned by
+group key — per-key state is O(open windows), unbounded keys spread over
+executors. `availableNow` gives reproducible backfills; the same code
+then tails a live source in production. Late-data policy: drop only
+beyond the watermark delay (here 2 h), chosen >> the generator's jitter.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.readers import with_event_time
+
+# Raw parquet schema of the events table; ts arrives as TIMESTAMP(NANOS)
+# which we ingest as long ns (nanosAsLong) and repair to µs timestamps.
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as an unbounded stream via the file source.
+
+    The file source is the reproducible-test incarnation; swap
+    `.format("kafka")` at the edge for a live feed — every downstream
+    transformation is source-agnostic.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return with_event_time(raw)
+
+
+def tumbling_stats(
+    events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows per event_type: count + mean value."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def sliding_stats(
+    events: DataFrame,
+    duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows: each event feeds
+    duration/slide windows; Spark expands the assignment internally —
+    no self-union needed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user sessions: windows merge while events arrive within
+    `gap`. Produces the same sessions as the batch lag+cumsum query
+    (driver_queries_ext `sessionization`), but incrementally."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------- stateful
+
+_STREAK_STATE_SCHEMA = "last_value double, streak int"
+_STREAK_OUT_SCHEMA = "user_id bigint, event_id bigint, streak int"
+
+
+def _streak_fn(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Per-user running up-streak (W5 binarize, streaming form).
+
+    State = (last seen value, current streak length). Each micro-batch
+    extends the streak for values strictly above the previous one —
+    identical to the batch `up_flags` recurrence, maintained
+    incrementally across batches.
+    """
+    if state.exists:
+        last_value, streak = state.get
+    else:
+        last_value, streak = None, 0
+    out_users, out_events, out_streaks = [], [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for row in pdf.itertuples(index=False):
+            if last_value is not None and row.value > last_value:
+                streak += 1
+            else:
+                streak = 0
+            last_value = float(row.value)
+            out_users.append(row.user_id)
+            out_events.append(row.event_id)
+            out_streaks.append(streak)
+    state.update((last_value, streak))
+    yield pd.DataFrame(
+        {"user_id": out_users, "event_id": out_events, "streak": out_streaks}
+    )
+
+
+def streaming_running_streaks(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState`.
+
+    Arrow-batched, state-store-backed; grouped by user so state shards
+    across executors with the shuffle. (Batch twin: a `lag` window +
+    run-length recurrence — pinned in tests.)
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _streak_fn,
+        outputStructType=_STREAK_OUT_SCHEMA,
+        stateStructType=_STREAK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Drain a streaming DataFrame with an availableNow trigger into an
+    in-memory table; returns the materialized result as a batch frame.
+
+    `availableNow` processes everything currently in the source then
+    stops — the reproducible backfill trigger; `complete`/`append` mode
+    is chosen by Spark from the plan shape.
+    """
+    mode = "complete" if _has_aggregate(stream_df) else "append"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,116 @@
+"""Structured Streaming parity tests.
+
+Structured Streaming's contract is incremental execution of a batch
+query — so each streaming op, drained with an availableNow trigger into
+a memory sink, must produce EXACTLY the rows of its batch twin run on
+the same files. That pins the streaming plans to the same semantics the
+DuckDB oracle checks for the batch queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.sources.readers import load_table
+from algoritmos_etl_spark.streaming import (
+    read_event_stream,
+    run_to_memory_sink,
+    session_stats,
+    sliding_stats,
+    streaming_running_streaks,
+    tumbling_stats,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_table(spark, SF_DIR, "events").cache()
+
+
+def _rows(df, *order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+def test_tumbling_parity(spark, batch_events):
+    streamed = run_to_memory_sink(
+        tumbling_stats(read_event_stream(spark, SF_DIR)), "t_tumbling"
+    )
+    batch = tumbling_stats(batch_events)
+    assert _rows(streamed, "window_start", "event_type") == _rows(
+        batch, "window_start", "event_type"
+    )
+
+
+def test_sliding_parity_and_overlap(spark, batch_events):
+    streamed = run_to_memory_sink(
+        sliding_stats(read_event_stream(spark, SF_DIR)), "t_sliding"
+    )
+    batch = sliding_stats(batch_events)
+    assert _rows(streamed, "window_start") == _rows(batch, "window_start")
+    # every event lands in duration/slide = 2 windows
+    n_events = batch_events.count()
+    assert streamed.agg(F.sum("n_events")).first()[0] == 2 * n_events
+
+
+def test_session_parity_and_batch_twin(spark, batch_events):
+    streamed = run_to_memory_sink(
+        session_stats(read_event_stream(spark, SF_DIR)), "t_sessions"
+    )
+    batch = session_stats(batch_events)
+    assert _rows(streamed, "user_id", "session_start") == _rows(
+        batch, "user_id", "session_start"
+    )
+    # session count matches the lag+cumsum formulation. session_window
+    # semantics: an event at EXACTLY last_ts+gap starts a new session
+    # (window is [start, last+gap)), hence >= on exact microseconds.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = batch_events.withColumn(
+        "new_session",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            >= 1800 * 1_000_000
+        ).cast("int"),
+    ).fillna({"new_session": 1})
+    lagged = (
+        marked.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+        .orderBy("user_id")
+        .collect()
+    )
+    streamed_counts = (
+        streamed.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [tuple(r) for r in lagged] == [tuple(r) for r in streamed_counts]
+
+
+def test_stateful_running_streaks(spark, batch_events):
+    streamed = run_to_memory_sink(
+        streaming_running_streaks(read_event_stream(spark, SF_DIR)),
+        "t_streaks",
+    )
+    # batch twin: per-user running streak via lag + run-length recurrence
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    up = (F.col("value") > F.lag("value").over(w)).cast("int")
+    flagged = batch_events.withColumn("up", F.coalesce(up, F.lit(0)))
+    grp_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = flagged.withColumn("rn", F.row_number().over(grp_w)).withColumn(
+        "grp", F.col("rn") - F.sum("up").over(
+            grp_w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    streak_w = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    batch = flagged.withColumn(
+        "streak",
+        F.when(F.col("up") == 1, F.row_number().over(streak_w) - 1).otherwise(0),
+    ).select("user_id", "event_id", "streak")
+    assert _rows(streamed, "user_id", "event_id") == _rows(
+        batch, "user_id", "event_id"
+    )
