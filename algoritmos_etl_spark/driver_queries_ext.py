@@ -156,8 +156,9 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 _MINHASH = f"""
+{_SHINGLES.strip().rstrip()},
 toks AS (
-    SELECT doc_id, unnest(list_distinct({_W})) AS token FROM documents
+    SELECT doc_id, shingle AS token FROM sh
 ),
 sig AS (
     SELECT doc_id, seed,
@@ -576,3 +577,18 @@ def q_multimodal_frames(spark, sf_dir):
     from .operators import multimodal
 
     return multimodal.sample_frames(load_table(spark, sf_dir, "documents"), stride=2)
+
+
+# ---------------------------------------------------------------- X2 / pipeline
+
+@register(
+    "dtw_path_pair",
+    None,  # DP backtrack: not SQL-expressible; pinned by unit tests vs the distance
+    "X2 full-matrix DTW with warping path for one pair (algorithms/similarity.py:536-608)",
+)
+def q_dtw_path(spark, sf_dir):
+    from .operators import similarity
+    from .sources.readers import daily_bars
+
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    return similarity.dtw_path(bars, 0, 1)

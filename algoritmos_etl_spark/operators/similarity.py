@@ -281,3 +281,53 @@ def compare_two_assets(bars: DataFrame, sym_a, sym_b, window: int | None = None)
     metrics = pair_metrics(bars, sym_a, sym_b)
     dtw = dtw_pairs(bars, pairs=[(sym_a, sym_b)], window=window).select("dtw")
     return metrics.crossJoin(dtw)
+
+
+def dtw_path(
+    bars: DataFrame, sym_a, sym_b, use_returns: bool = True
+) -> DataFrame:
+    """X2: full-matrix DTW with the optimal warping path
+    (`algorithms/similarity.py:536-608`). One exploded row per path
+    step (i, j) — viz-oriented, single-pair only (the full O(n·m)
+    matrix is the cost of backtracking; the reference likewise only
+    runs it on downsampled series, `app.py:246-265`)."""
+    valid = bars.filter(
+        F.col("symbol").isin([sym_a, sym_b]) & _valid_price("close")
+    )
+    series = (
+        valid.groupBy("symbol")
+        .agg(F.array_sort(F.collect_list(F.struct("date", "close"))).alias("s"))
+        .select("symbol", F.col("s.close").alias("closes"))
+    )
+    a = series.filter(F.col("symbol") == sym_a).select(
+        F.col("symbol").alias("sym_a"), F.col("closes").alias("closes_a")
+    )
+    b = series.filter(F.col("symbol") == sym_b).select(
+        F.col("symbol").alias("sym_b"), F.col("closes").alias("closes_b")
+    )
+    joined = a.crossJoin(b)
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                pa = np.asarray(row.closes_a, dtype=float)
+                pb = np.asarray(row.closes_b, dtype=float)
+                if use_returns:
+                    pa, pb = _zero_fill_log_returns(pa), _zero_fill_log_returns(pb)
+                dist, path = _dtw_numpy(pa, pb, window=0, with_path=True)
+                yield pd.DataFrame(
+                    {
+                        "sym_a": row.sym_a,
+                        "sym_b": row.sym_b,
+                        "dtw": dist,
+                        "step": range(len(path)),
+                        "i": [p[0] for p in path],
+                        "j": [p[1] for p in path],
+                    }
+                )
+
+    return joined.mapInPandas(
+        run, schema="sym_a long, sym_b long, dtw double, step int, i int, j int"
+    )

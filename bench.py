@@ -44,6 +44,23 @@ HEADLINE = [
     "revenue_by_nation",
     "top_customers_by_revenue",
     "order_priority_counts",
+    # training-data-pipeline extensions
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprints",
+    "multimodal_decode",
+    "multimodal_frames",
+    "ann_cosine_topk",
+    # event-time / streaming batch twins
+    "tumbling_hour_stats",
+    "sliding_window_stats",
+    "session_window_stats",
+    "sessionization",
+    "running_streaks",
 ]
 
 DTW_SYMBOL_CAP = 100

@@ -1,0 +1,58 @@
+"""Dedup operator tests: exact groups, LSH recall vs the exact-Jaccard
+baseline, SimHash locality."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.operators import dedup
+from algoritmos_etl_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def test_exact_dedup_partitions_corpus(docs):
+    groups = dedup.exact_dedup(docs)
+    assert groups.agg(F.sum("n_docs")).first()[0] == docs.count()
+    # keep_doc_id must be a member of the corpus
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert all(r.keep_doc_id in ids for r in groups.collect())
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH candidates must recover (almost) all exact shingle-Jaccard
+    pairs — banding trades recall for candidate sparsity; at 16 hashes /
+    4 bands and tau=0.2 recall should be high on this corpus."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.2).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.2).collect()
+    }
+    assert lsh <= exact or not exact, "verification must kill false positives"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_simhash_is_locality_sensitive(spark, docs):
+    """Identical texts get identical simhash; the hamming distance to a
+    lightly-perturbed copy is small, to an unrelated doc typically large."""
+    sample = docs.orderBy("doc_id").limit(1).collect()[0]
+    perturbed = sample.text + " extra"
+    tri = spark.createDataFrame(
+        [(1, sample.text), (2, sample.text), (3, perturbed)],
+        "doc_id long, text string",
+    )
+    h = {r.doc_id: r.simhash for r in dedup.simhash(tri).collect()}
+    assert h[1] == h[2]
+    assert bin(h[1] ^ h[3]).count("1") <= 8

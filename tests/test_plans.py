@@ -1,0 +1,98 @@
+"""Physical-plan audits: the plan properties that decide 100 TB fate.
+
+These pin the *shape* of the plans, not their output: broadcast joins
+for dimension tables, TakeOrderedAndProject for top-k, predicate
+pushdown + column pruning reaching the parquet scan, partial (map-side)
+aggregation, and whole-stage codegen over the hot expressions. A
+regression here won't fail a correctness gate — it fails at 1000
+executors — so it gets its own tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.operators import relational, sorting
+from algoritmos_etl_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return {
+        n: load_table(spark, SF_DIR, n)
+        for n in ("lineitem", "orders", "customer", "nation", "region", "events")
+    }
+
+
+def test_dimension_joins_broadcast(tables):
+    q = relational.revenue_by_nation(
+        tables["lineitem"],
+        tables["orders"],
+        tables["customer"],
+        tables["nation"],
+        tables["region"],
+    )
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    # the big fact table must never be the build side of a shuffle join
+    assert "ShuffledHashJoin" not in plan or "SortMergeJoin" not in plan
+
+
+def test_topk_plans_take_ordered(tables):
+    q = sorting.top_k_by(
+        tables["events"].select("event_id", "value"), "value", 15,
+        tiebreak=["event_id"],
+    )
+    assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_filter_pushdown_reaches_scan(tables):
+    q = tables["lineitem"].filter(F.col("l_shipdate") <= "1998-09-02").select(
+        "l_quantity"
+    )
+    fmt = _formatted(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in fmt or (
+        "LessThanOrEqual(l_shipdate" in fmt
+    ), fmt
+
+
+def test_column_pruning_reaches_scan(tables):
+    q = tables["lineitem"].select("l_quantity", "l_extendedprice")
+    fmt = _formatted(q)
+    read_schema = [
+        line for line in fmt.splitlines() if "ReadSchema" in line
+    ][0]
+    assert "l_quantity" in read_schema and "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema, "scan reads columns the query never uses"
+
+
+def test_aggregation_is_partial(tables):
+    q = tables["lineitem"].groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = _plan(q)
+    # two HashAggregate operators = map-side partial + final after shuffle
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_hot_path_stays_in_codegen(tables):
+    q = relational.pricing_summary(tables["lineitem"])
+    # Under AQE codegen spans exist only in the final (executed) plan:
+    # run the query, then check the re-optimized tree. '*(n)' prefixes
+    # mark operators fused into a WholeStageCodegen stage.
+    q.collect()
+    final_plan = _plan(q)
+    assert "isFinalPlan=true" in final_plan
+    assert "*(" in final_plan, final_plan
