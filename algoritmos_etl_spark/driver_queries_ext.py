@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from .driver_queries import register, r6
 from .operators import dedup, text, vectors
-from .sources.readers import load_table
+from .sources.readers import ORACLE_BARS_CTE, load_table
 
 # DuckDB fragments mirroring text.words_col / normalized_text / token_hash
 _W = "list_filter(string_split(trim(text), ' '), x -> x <> '')"
@@ -592,3 +592,93 @@ def q_dtw_path(spark, sf_dir):
 
     bars = daily_bars(load_table(spark, sf_dir, "events"))
     return similarity.dtw_path(bars, 0, 1)
+
+
+def _oracle_plane_dot(plane_id: int) -> str:
+    """DuckDB twin of vectors._plane_dot: md5-derived ±1 hyperplane
+    components, sequential left-fold dot (list_reduce ≡ F.aggregate's
+    fold order, bit-identical float path)."""
+    comp = (
+        "CASE WHEN CAST(('0x' || substr(md5('plane:" + str(plane_id) + ":' "
+        "|| CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+    return (
+        f"list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * ({comp})), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _oracle_lsh_tables(n_tables: int = 4, planes_per_table: int = 4) -> str:
+    """DuckDB twin of vectors.lsh_table_buckets: UNION ALL of per-table
+    (vec_id, tbl, sig) selects."""
+    selects = []
+    for t in range(n_tables):
+        bits = [
+            f"(CASE WHEN {_oracle_plane_dot(t * planes_per_table + p)} >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(planes_per_table)
+        ]
+        selects.append(
+            f"SELECT vec_id, v, {t} AS tbl, {' + '.join(bits)} AS sig FROM base"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "lsh_neardup_pairs",
+    f"""WITH base AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+    bucketed AS ({_oracle_lsh_tables()}),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bucketed a JOIN bucketed b
+          ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT c.vec_a, c.vec_b, ba.v AS va, bb.v AS vb
+        FROM cands c
+        JOIN base ba ON ba.vec_id = c.vec_a
+        JOIN base bb ON bb.vec_id = c.vec_b
+    ),
+    flat AS (SELECT vec_a, vec_b, unnest(va) AS x, unnest(vb) AS y FROM pairs),
+    dots AS (
+        SELECT vec_a, vec_b,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosine
+        FROM flat GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+    FROM dots WHERE cosine >= 0.4""",
+    "Multi-table-LSH-blocked near-dup pairs at τ=0.4 (scale path; exact verification)",
+)
+def q_lsh_neardup(spark, sf_dir):
+    return vectors.lsh_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "wide_roundtrip",
+    f"""WITH {ORACLE_BARS_CTE}
+    SELECT symbol, date, open, high, low, close, CAST(volume AS BIGINT) AS volume
+    FROM bars WHERE symbol IN (0, 1, 2, 3)""",
+    "J3 inverse: pivot-to-wide then melt-to-long round-trips the bars model (S3/S4 parity)",
+)
+def q_wide_roundtrip(spark, sf_dir):
+    from .operators import alignment
+    from .sources.readers import daily_bars
+
+    bars = daily_bars(load_table(spark, sf_dir, "events")).filter(
+        F.col("symbol").isin(0, 1, 2, 3)
+    )
+    symbols = ["0", "1", "2", "3"]
+    wide = alignment.to_wide(bars, symbols=symbols)
+    long_again = alignment.wide_to_long(wide)
+    return long_again.select(
+        F.col("symbol").cast("long").alias("symbol"),
+        "date",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("volume").cast("long").alias("volume"),
+    ).filter(F.col("close").isNotNull() | F.col("volume").isNotNull())

@@ -57,3 +57,31 @@ def to_wide(
         .agg(*[F.first(f).alias(f) for f in fields])
     )
     return pivoted
+
+
+def wide_to_long(
+    wide: DataFrame,
+    fields: Sequence[str] = ("open", "high", "low", "close", "volume"),
+) -> DataFrame:
+    """Inverse of `to_wide`: melt `{symbol}_{field}` columns back to the
+    long model (S3 parity — re-ingesting the reference's wide CSV).
+
+    One projection + explode of per-symbol structs: row count multiplies
+    by k in the explode, but no shuffle and no Python. Symbols are
+    discovered from the header exactly like the reference's `_Close`
+    suffix scan (`app.py:80-85`).
+    """
+    symbols = sorted(
+        {c[: -len("_close")] for c in wide.columns if c.endswith("_close")}
+    )
+    structs = [
+        F.struct(
+            F.lit(s).alias("symbol"),
+            *[F.col(f"{s}_{f}").alias(f) for f in fields],
+        )
+        for s in symbols
+    ]
+    exploded = wide.select(
+        "date", F.explode(F.array(*structs)).alias("r")
+    )
+    return exploded.select("date", "r.*")

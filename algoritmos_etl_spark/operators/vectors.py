@@ -136,23 +136,32 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = LSH_PLANES) -> DataFrame:
 
 def lsh_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 10,
-    n_planes: int = LSH_PLANES
+    n_tables: int = 4, planes_per_table: int = 4
 ) -> DataFrame:
-    """ANN top-k: rank only candidates in the query's LSH bucket.
+    """ANN top-k: rank only candidates sharing a multi-table LSH bucket
+    with the query.
 
-    Trades recall for a candidate set ~corpus/2^planes per query —
-    the standard IVF/LSH shape for embedding search at scale. Recall
-    vs `cosine_topk` is pinned by tests.
+    Per-query candidates ≈ T·corpus/2^b instead of the whole corpus —
+    the standard LSH shape for embedding search at scale (one table of
+    many planes collapses recall; see `lsh_table_buckets`). Recall vs
+    `cosine_topk` is pinned by tests.
     """
-    bucketed = lsh_buckets(embeddings, n_planes)
+    bucketed = lsh_table_buckets(embeddings, n_tables, planes_per_table)
     queries = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("dvec").alias("qvec"),
-        F.col("bucket").alias("qbucket"),
+        F.col("tbl").alias("qtbl"),
+        F.col("sig").alias("qsig"),
     )
-    cands = bucketed.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    cands = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qvec", "vec_id", "dvec")
+        .distinct()  # a pair may collide in several tables
     )
     cos = _dot(F.col("qvec"), F.col("dvec")) / (
         _norm(F.col("qvec")) * _norm(F.col("dvec"))
@@ -182,4 +191,91 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
         "vec_id",
         F.size("dvec").alias("dim"),
         F.round(_norm(F.col("dvec")), 6).alias("l2_norm"),
+    )
+
+
+def _plane_dot(vec: Column, plane_id: int) -> Column:
+    """v · plane_{id}, the plane's ±1 components md5-derived per index."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.transform(
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda i: _plane_component(F.lit(str(plane_id)), i),
+            ),
+            lambda x, c: x * c,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_table_buckets(
+    embeddings: DataFrame, n_tables: int = 4, planes_per_table: int = 4
+) -> DataFrame:
+    """Multi-table hyperplane LSH: (vec_id, table, sig) entries.
+
+    One table of many planes is over-selective for moderate cosine
+    thresholds (recall p^planes decays fast); T independent tables of
+    fewer planes recover recall 1−(1−p^b)^T while each table's buckets
+    stay small. Plane t·b+p seeds the same md5 family as `lsh_buckets`.
+    """
+    base = with_dvec(embeddings)
+    entries = []
+    for t in range(n_tables):
+        bits = [
+            F.when(
+                _plane_dot(F.col("dvec"), t * planes_per_table + p) >= 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(planes_per_table)
+        ]
+        sig = sum(bits[1:], bits[0])
+        entries.append(
+            F.struct(F.lit(t).alias("tbl"), sig.cast("int").alias("sig"))
+        )
+    return base.select(
+        "vec_id", "dvec", F.explode(F.array(*entries)).alias("e")
+    ).select("vec_id", "dvec", F.col("e.tbl").alias("tbl"), F.col("e.sig").alias("sig"))
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 4,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """Multi-table-LSH-blocked near-duplicate pairs — the 100 TB path
+    for `cosine_neardup_pairs`.
+
+    Candidates must share (table, signature) in at least one of the T
+    tables (per-table join fans out per bucket, ~corpus/2^b each), then
+    exact cosine verifies. Precision is 1.0 by construction; recall vs
+    the all-pairs baseline is pinned by tests.
+    """
+    bucketed = lsh_table_buckets(embeddings, n_tables, planes_per_table)
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("dvec").alias("va"), "tbl", "sig"
+    )
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "tbl", "sig")
+    cand_ids = (
+        a.select("vec_a", "tbl", "sig")
+        .join(b, ["tbl", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    vecs = with_dvec(embeddings).select("vec_id", "dvec")
+    pairs = cand_ids.join(
+        vecs.select(F.col("vec_id").alias("vec_a"), F.col("dvec").alias("va")),
+        "vec_a",
+    ).join(
+        vecs.select(F.col("vec_id").alias("vec_b"), F.col("dvec").alias("vb")),
+        "vec_b",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
