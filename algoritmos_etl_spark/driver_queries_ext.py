@@ -682,3 +682,90 @@ def q_wide_roundtrip(spark, sf_dir):
         "close",
         F.col("volume").cast("long").alias("volume"),
     ).filter(F.col("close").isNotNull() | F.col("volume").isNotNull())
+
+
+# ---------------------------------------------------------------- scalars (§2.8)
+
+@register(
+    "date_parts_cents",
+    f"""WITH {ORACLE_BARS_CTE}
+    SELECT symbol, date,
+           CAST(year(date) AS INT) AS year,
+           CAST(month(date) AS INT) AS month,
+           CAST(day(date) AS INT) AS day,
+           CAST(round(close * 100, 0) AS BIGINT) AS close_cents,
+           CAST(epoch(CAST(date AS TIMESTAMP)) AS BIGINT) AS unix_ts
+    FROM bars WHERE symbol < 10""",
+    "F1/F2/F4 scalar parity: date components, unix ts, cents sort keys",
+)
+def q_date_parts(spark, sf_dir):
+    from .functions import cents, date_parts, date_to_unix
+    from .sources.readers import daily_bars
+
+    bars = daily_bars(load_table(spark, sf_dir, "events")).filter(
+        F.col("symbol") < 10
+    )
+    out = date_parts(bars)
+    return out.select(
+        "symbol",
+        "date",
+        "year",
+        "month",
+        "day",
+        cents(F.col("close")).alias("close_cents"),
+        date_to_unix(F.col("date")).alias("unix_ts"),
+    )
+
+
+@register(
+    "regression_pair",
+    f"""WITH {ORACLE_BARS_CTE},
+    a AS (SELECT date, close AS ca FROM bars WHERE symbol = 0),
+    b AS (SELECT date, close AS cb FROM bars WHERE symbol = 1),
+    j AS (SELECT ca, cb FROM a JOIN b USING (date))
+    SELECT round(regr_slope(cb, ca), 6) AS slope,
+           round(regr_intercept(cb, ca), 6) AS intercept,
+           round(regr_r2(cb, ca), 6) AS r2,
+           CAST(regr_count(cb, ca) AS BIGINT) AS n
+    FROM j""",
+    "F8 regression slope/intercept/r2 between two symbols' closes (regr_* builtins)",
+)
+def q_regression(spark, sf_dir):
+    from .functions import regression_line
+    from .operators.similarity import aligned_pairs
+    from .sources.readers import daily_bars
+
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    pairs = aligned_pairs(bars, 0, 1)
+    out = regression_line(pairs, y="close_b", x="close_a")
+    return out.select(
+        r6(F.col("slope")).alias("slope"),
+        r6(F.col("intercept")).alias("intercept"),
+        r6(F.col("r2")).alias("r2"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------- skew
+
+@register(
+    "skew_salted_join",
+    """SELECT o.o_orderkey, o.o_custkey, c.c_name,
+           round(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey % 7 = 0""",
+    "Salted equi-join (skew mitigation): output must be bit-identical to the plain join",
+)
+def q_salted_join(spark, sf_dir):
+    from .operators import skew
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    out = skew.salted_join(orders, customer, on="o_custkey", n_salts=8)
+    return out.select("o_orderkey", "o_custkey", "c_name", "o_totalprice")

@@ -1,0 +1,84 @@
+"""Scalar function surface (SURVEY.md §2.8, F1-F10).
+
+The reference's scalar helpers map almost one-to-one onto built-in
+`pyspark.sql.functions` — this module pins the exact semantics each
+call site relies on, so the parity is explicit and testable rather than
+implied:
+
+- F1 date ↔ unix ts         (`etl/data_fetcher.py:37-53`)
+- F2 date components        (`main.py:163-166`)
+- F4 float→cents ints       (`algorithms/sorting.py:331-337, 805-816`)
+- F8 regression slope/intcpt (`static/js/similarity.js:220-231`)
+- F9 arccos angle display   (`static/js/similarity.js:326`)
+
+F3 (`log/sqrt/abs/round`) is used inline throughout the operators; F5/F6
+(string suffix schema discovery, null-ish string predicates) are
+obsolete by design — the long schema and real SQL NULLs remove the
+problems they solved; F7 (pad lists) is ingestion-only; F10 (JSON
+navigation) lives at the source edge (`spark.read.json` schema-on-read).
+
+Everything here is JVM-side expression work — these helpers never leave
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def date_to_unix(date: Column) -> Column:
+    """F1: date → unix seconds (UTC midnight, matching the reference's
+    `datetime.timestamp()` on UTC-naive dates)."""
+    return F.unix_timestamp(date.cast("timestamp"))
+
+
+def unix_to_date(ts_seconds: Column) -> Column:
+    """F1 inverse: unix seconds → DateType (UTC session timezone)."""
+    return F.to_date(F.timestamp_seconds(ts_seconds))
+
+
+def date_parts(df: DataFrame, date_col: str = "date") -> DataFrame:
+    """F2: year/month/day extraction (the reference slices the ISO
+    string; DateType makes these native)."""
+    d = F.col(date_col)
+    return df.withColumns(
+        {
+            "year": F.year(d),
+            "month": F.month(d),
+            "day": F.dayofmonth(d),
+        }
+    )
+
+
+def cents(price: Column) -> Column:
+    """F4: float price → integer cents (`int(round(v*100))` in the
+    reference). Divergence pinned here: Python's round() banker-rounds
+    exact .5 cents while `F.round` rounds half-up (as DuckDB does);
+    the reference only uses cents as sort keys, where any consistent
+    total order is equivalent — so we standardize on half-up."""
+    return F.round(price * 100, 0).cast("long")
+
+
+def angle_degrees(cosine: Column) -> Column:
+    """F9: cosine similarity → angle in degrees (clamped to [-1, 1]
+    first — float noise above 1.0 would NaN the acos)."""
+    clamped = F.least(F.greatest(cosine, F.lit(-1.0)), F.lit(1.0))
+    return F.degrees(F.acos(clamped))
+
+
+def regression_line(
+    df: DataFrame, y: str, x: str, group: list[str] | None = None
+) -> DataFrame:
+    """F8: least-squares slope/intercept per group — the scatter-plot
+    regression the reference computes client-side in JS. Built-in
+    `regr_slope`/`regr_intercept` (Spark 3.4+), one aggregation pass."""
+    aggs = [
+        F.regr_slope(F.col(y), F.col(x)).alias("slope"),
+        F.regr_intercept(F.col(y), F.col(x)).alias("intercept"),
+        F.regr_r2(F.col(y), F.col(x)).alias("r2"),
+        F.regr_count(F.col(y), F.col(x)).alias("n"),
+    ]
+    if group:
+        return df.groupBy(*group).agg(*aggs)
+    return df.agg(*aggs)

@@ -73,8 +73,13 @@ def ngram_jaccard_pairs(
     shared-shingle inverted-index join (no all-pairs blowup).
 
     |A∩B| from the shingle join; |A∪B| = |A|+|B|−|A∩B|.
+
+    The shingle relation feeds three plan branches (sizes + both join
+    sides); Catalyst does not CSE across self-join branches, so we
+    persist it once — at scale this is the inverted index you would
+    materialize anyway.
     """
-    sh = doc_shingles(docs, k)
+    sh = doc_shingles(docs, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -154,7 +159,14 @@ def minhash_lsh_dedup(
     (the quantity MinHash estimates).
     """
     k = k_shingle if k_shingle is not None else 3
-    bands = minhash_bands(minhash_signatures(docs, k_shingle=k))
+    # the shingle index feeds the signature pass AND the verification
+    # join (3 branches) — persist it once, like ngram_jaccard_pairs
+    sh = doc_shingles(docs, k).persist()
+    aggs = [
+        F.min(_tok_hash(F.lit(str(j)), F.col("shingle"))).alias(f"h{j}")
+        for j in range(MINHASH_HASHES)
+    ]
+    bands = minhash_bands(sh.groupBy("doc_id").agg(*aggs))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     candidates = (
@@ -163,7 +175,7 @@ def minhash_lsh_dedup(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    toks = doc_shingles(docs, k).withColumnRenamed("shingle", "token")
+    toks = sh.withColumnRenamed("shingle", "token")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
