@@ -1,3 +1,8 @@
+from .json_source import (  # noqa: F401
+    assert_min_success,
+    parse_chart_payloads,
+    read_chart_payloads,
+)
 from .readers import (  # noqa: F401
     TABLE_NAMES,
     daily_bars,
