@@ -40,7 +40,14 @@ def run_etl(
     valid = cleaning.remove_invalid_rows(filled)
     aligned = alignment.align_to_calendar(valid)
 
-    aligned.write.mode("overwrite").parquet(f"{out_dir}/master_long.parquet")
+    # Hive-partition the master by year: date-range queries then prune
+    # whole directories at planning time (PartitionFilters in the scan,
+    # pinned by tests/test_plans.py). Year is the right granularity —
+    # low cardinality, aligned with the dominant predicate shape; daily
+    # partitions would mean millions of tiny files at 100 TB.
+    aligned.withColumn("year", F.year("date")).repartition("year").write.mode(
+        "overwrite"
+    ).partitionBy("year").parquet(f"{out_dir}/master_long.parquet")
 
     n_symbols = valid.select("symbol").distinct().count()
     if write_wide_csv:

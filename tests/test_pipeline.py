@@ -29,6 +29,14 @@ def test_run_etl_end_to_end(spark, tmp_path):
     assert wide.count() == report["n_dates"]
     assert len(wide.columns) == 1 + 5 * 5  # date + 5 fields x 5 symbols
 
+    # year-partitioned layout: a year filter must prune at planning time
+    some_year = master.select(F.min("year")).first()[0]
+    pruned = master.filter(F.col("year") == some_year)
+    fmt = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(year" in fmt, fmt
+
 
 def test_dtw_path_consistency(spark):
     bars = daily_bars(load_table(spark, SF_DIR, "events")).cache()
