@@ -1,0 +1,104 @@
+"""Edge-case hardening: single-row symbols, windows larger than the
+series, all-null inputs, empty frames, disjoint pairs.
+
+These are the inputs that crash hand-rolled engines (the reference
+guards them ad hoc: min-length P9, zero-variance Pearson→0.0,
+zero-norm cosine→0.0). Every operator must degrade to empty/null
+results, never throw."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.operators import (
+    cleaning,
+    dedup,
+    patterns,
+    similarity,
+    technical,
+    text,
+    volatility,
+)
+
+
+@pytest.fixture(scope="module")
+def edge_bars(spark):
+    rows = [
+        # symbol 1: single row
+        (1, "2024-01-01", 10.0, 11.0, 9.0, 10.5, 100),
+        # symbol 2: all-null OHLCV
+        (2, "2024-01-01", None, None, None, None, None),
+        (2, "2024-01-02", None, None, None, None, None),
+        # symbol 3: two rows, disjoint dates from symbol 1
+        (3, "2024-02-01", 5.0, 6.0, 4.0, 5.5, 50),
+        (3, "2024-02-02", 5.5, 6.5, 4.5, 6.0, 60),
+    ]
+    return (
+        spark.createDataFrame(
+            rows,
+            "symbol long, date string, open double, high double, low double, "
+            "close double, volume long",
+        )
+        .withColumn("date", F.to_date("date"))
+        .cache()
+    )
+
+
+def test_forward_fill_leading_nulls_stay_null(edge_bars):
+    out = {(r.symbol, str(r.date)): r for r in cleaning.forward_fill(edge_bars).collect()}
+    assert out[(2, "2024-01-01")].close is None
+    assert out[(2, "2024-01-02")].close is None  # nothing prior to fill from
+
+
+def test_returns_single_row_symbol_empty(edge_bars):
+    rets = technical.log_returns(edge_bars.filter(F.col("symbol") == 1), zero_fill=True)
+    assert rets.count() == 0  # one price → no return rows
+
+
+def test_sma_window_larger_than_series(edge_bars):
+    out = technical.sma(edge_bars.filter(F.col("symbol") == 3), window_size=10)
+    rows = out.collect()
+    # warm-up rows: SMA must be null until a full window exists
+    assert all(r.sma_10 is None for r in rows)
+
+
+def test_volatility_single_row_and_all_null(edge_bars):
+    vols = volatility.historical_volatility(edge_bars)
+    got = {r.symbol: r.volatility for r in vols.collect()}
+    # symbol 1: zero returns → stddev null/absent; symbol 2: no valid prices
+    assert got.get(1) is None or 1 not in got
+    assert got.get(2) is None or 2 not in got
+
+
+def test_pair_metrics_disjoint_dates(edge_bars):
+    row = similarity.pair_metrics(edge_bars, 1, 3).first()
+    assert row.n_points == 0
+    assert row.pearson == 0.0 and row.cosine == 0.0  # reference degeneracy values
+
+
+def test_windowed_streak_histogram_window_too_big(edge_bars):
+    out = patterns.windowed_streak_histogram(edge_bars, window_size=50)
+    assert out.count() == 0
+
+
+def test_dtw_single_point_series(edge_bars):
+    out = similarity.dtw_pairs(edge_bars, pairs=[(1, 3)], use_returns=False).first()
+    assert out is not None and out.dtw >= 0.0
+
+
+def test_empty_documents(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert text.text_stats(empty).count() == 0
+    assert dedup.exact_dedup(empty).count() == 0
+    assert dedup.minhash_lsh_dedup(empty).count() == 0
+    assert dedup.simhash_neardup_pairs(empty).count() == 0
+
+
+def test_whitespace_only_document(spark):
+    docs = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    row = text.text_stats(docs).first()
+    assert row.n_words == 0 and row.avg_word_len == 0.0
+    lang = text.lang_id(docs).first()
+    assert lang.pred_lang == "und"
