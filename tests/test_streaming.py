@@ -114,3 +114,51 @@ def test_stateful_running_streaks(spark, batch_events):
     assert _rows(streamed, "user_id", "event_id") == _rows(
         batch, "user_id", "event_id"
     )
+
+
+def test_stateful_state_survives_micro_batches(spark, batch_events, tmp_path):
+    """Split events into 3 time-sliced files and force one file per
+    micro-batch: per-user streak state must carry across batches and
+    reproduce the single-batch (= batch-twin) result exactly."""
+    from pyspark.sql.functions import ntile
+    from pyspark.sql import Window
+
+    out = tmp_path / "sliced"
+    # 3 contiguous time slices; write in chronological order so the
+    # file source (ordered by modification time) replays them in order
+    sliced = batch_events.withColumn(
+        "slice", ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    import time as _time
+
+    for s in (1, 2, 3):
+        (
+            sliced.filter(F.col("slice") == s)
+            .drop("slice")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(out / f"slice={s}"))
+        )
+        _time.sleep(1.1)  # distinct mtimes → deterministic replay order
+
+    # slices were written from the repaired (µs) events, so ts is a
+    # proper timestamp already — no nanos repair on re-read
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(str(out))
+    )
+    streamed = run_to_memory_sink(
+        streaming_running_streaks(stream), "t_streaks_sliced", timeout_sec=180
+    )
+    single = run_to_memory_sink(
+        streaming_running_streaks(read_event_stream(spark, SF_DIR)),
+        "t_streaks_single",
+    )
+    assert _rows(streamed, "user_id", "event_id") == _rows(
+        single, "user_id", "event_id"
+    )
