@@ -769,3 +769,43 @@ def q_salted_join(spark, sf_dir):
     )
     out = skew.salted_join(orders, customer, on="o_custkey", n_salts=8)
     return out.select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+
+
+@register(
+    "neardup_clusters",
+    f"""WITH RECURSIVE {_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.2
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION SELECT doc_b, doc_a FROM prs
+    ),
+    reach AS (
+        SELECT src AS doc_id, src AS r FROM edges
+        UNION
+        SELECT reach.doc_id, edges.dst
+        FROM reach JOIN edges ON reach.r = edges.src
+    )
+    SELECT doc_id,
+           min(r) AS cluster_id,
+           doc_id = min(r) AS is_canonical
+    FROM reach GROUP BY doc_id""",
+    "Near-dup cluster resolution: connected components via min-label propagation "
+    "(oracle: recursive-CTE reachability)",
+)
+def q_neardup_clusters(spark, sf_dir):
+    prs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+    return dedup.neardup_clusters(prs)

@@ -269,3 +269,76 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def neardup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Collapse near-dup pairs into clusters: connected components by
+    iterative min-label propagation (the GraphFrames/Pregel idiom in
+    plain DataFrame ops).
+
+    Each node starts labeled with itself; every round each node takes
+    the min label among itself and its neighbors; convergence in
+    O(component diameter) rounds — near-dup clusters are small and
+    dense, so a handful. Every round is one join + one groupBy (both
+    shuffle on node id); `localCheckpoint` truncates the lineage so
+    plans do not grow with iterations. Output: (doc_id, cluster_id,
+    is_canonical) — cluster_id is the min doc_id of the component, the
+    canonical survivor a downstream pipeline keeps.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping (path halving): label ← label(label). Combined
+        # with the neighbor-min step this converges in O(log diameter)
+        # rounds instead of O(diameter) — each round here costs two
+        # joins + a checkpoint, so round count dominates wall clock.
+        jump = stepped.select(
+            F.col("doc_id").alias("jdoc"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            stepped.join(jump, stepped.label == jump.jdoc, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("jlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )

@@ -98,35 +98,52 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> Data
     )
 
 
-def _plane_component(p: Column | int, i: Column) -> Column:
-    """Deterministic ±1 hyperplane component from an md5 bit."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit("plane"), p, i)), 1, 15), 16, 10
-    ).cast("long")
-    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _plane_literal(plane_id: int, dim: int) -> list[float]:
+    """The same ±1 components computed ONCE driver-side.
+
+    The plane is a constant per (plane, index) — evaluating md5 inside
+    a per-row lambda recomputed it corpus × dim × planes times
+    (measured 5M md5 calls = 67 s at sf0.1). hashlib reproduces the
+    engine hash exactly: md5 of 'plane:{p}:{i}', first 15 hex chars,
+    low bit → sign."""
+    import hashlib
+
+    comps = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"plane:{plane_id}:{i}".encode()).hexdigest()[:15], 16)
+        comps.append(1.0 if h & 1 else -1.0)
+    return comps
 
 
-def lsh_buckets(embeddings: DataFrame, n_planes: int = LSH_PLANES) -> DataFrame:
+def _infer_dim(embeddings: DataFrame, col: str = "embedding") -> int:
+    """Vector dimensionality from one row (embeddings are fixed-width)."""
+    return embeddings.select(F.size(col).alias("d")).first().d
+
+
+def _literal_plane_dot(vec: Column, plane_id: int, dim: int) -> Column:
+    """v · plane as a fold against a LITERAL component array — same
+    left-fold float path as before, zero per-row hashing."""
+    comps = F.array(*[F.lit(c) for c in _plane_literal(plane_id, dim)])
+    return F.aggregate(
+        F.zip_with(vec, comps, lambda x, c: x * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame, n_planes: int = LSH_PLANES, dim: int | None = None
+) -> DataFrame:
     """Random-hyperplane LSH bucket per vector: bit p = sign(v·plane_p).
 
-    All expression-level: for each plane, fold the vector against
-    md5-derived ±1 components; pack sign bits into one integer bucket.
+    All expression-level: fold the vector against driver-precomputed
+    ±1 literal components; pack sign bits into one integer bucket.
     """
     base = with_dvec(embeddings)
+    dim = dim or _infer_dim(embeddings)
     bits = []
     for p in range(n_planes):
-        dot_p = F.aggregate(
-            F.zip_with(
-                F.col("dvec"),
-                F.transform(
-                    F.sequence(F.lit(0), F.size("dvec") - 1),
-                    lambda i: _plane_component(F.lit(str(p)), i),
-                ),
-                lambda x, c: x * c,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot_p = _literal_plane_dot(F.col("dvec"), p, dim)
         bits.append(F.when(dot_p >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     bucket = bits[0]
     for b in bits[1:]:
@@ -194,24 +211,9 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _plane_dot(vec: Column, plane_id: int) -> Column:
-    """v · plane_{id}, the plane's ±1 components md5-derived per index."""
-    return F.aggregate(
-        F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda i: _plane_component(F.lit(str(plane_id)), i),
-            ),
-            lambda x, c: x * c,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def lsh_table_buckets(
-    embeddings: DataFrame, n_tables: int = 4, planes_per_table: int = 4
+    embeddings: DataFrame, n_tables: int = 4, planes_per_table: int = 4,
+    dim: int | None = None
 ) -> DataFrame:
     """Multi-table hyperplane LSH: (vec_id, table, sig) entries.
 
@@ -221,11 +223,14 @@ def lsh_table_buckets(
     stay small. Plane t·b+p seeds the same md5 family as `lsh_buckets`.
     """
     base = with_dvec(embeddings)
+    dim = dim or _infer_dim(embeddings)
     entries = []
     for t in range(n_tables):
         bits = [
             F.when(
-                _plane_dot(F.col("dvec"), t * planes_per_table + p) >= 0,
+                _literal_plane_dot(
+                    F.col("dvec"), t * planes_per_table + p, dim
+                ) >= 0,
                 F.lit(1 << p),
             ).otherwise(F.lit(0))
             for p in range(planes_per_table)

@@ -56,3 +56,26 @@ def test_simhash_is_locality_sensitive(spark, docs):
     h = {r.doc_id: r.simhash for r in dedup.simhash(tri).collect()}
     assert h[1] == h[2]
     assert bin(h[1] ^ h[3]).count("1") <= 8
+
+
+def test_neardup_clusters_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (4, 5, 0.7)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    out = {r.doc_id: r for r in dedup.neardup_clusters(pairs).collect()}
+    assert {d: r.cluster_id for d, r in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 4, 5: 4,
+    }
+    assert {d for d, r in out.items() if r.is_canonical} == {1, 4}
+
+
+def test_neardup_clusters_long_chain_converges(spark):
+    # a 12-node path graph needs several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 0.5) for i in range(1, 12)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    out = dedup.neardup_clusters(pairs).collect()
+    assert all(r.cluster_id == 1 for r in out)
+    assert sum(r.is_canonical for r in out) == 1
