@@ -809,3 +809,32 @@ def q_neardup_clusters(spark, sf_dir):
         load_table(spark, sf_dir, "documents"), k=3, threshold=0.2
     )
     return dedup.neardup_clusters(prs)
+
+
+@register(
+    "candlestick_tail",
+    f"""WITH {ORACLE_BARS_CTE},
+    m AS (SELECT symbol, max(date) AS max_date FROM bars GROUP BY symbol)
+    SELECT b.symbol, b.date, b.open, b.high, b.low, b.close,
+           CAST(b.volume AS BIGINT) AS volume
+    FROM bars b JOIN m USING (symbol)
+    WHERE b.date >= m.max_date - INTERVAL 7 DAY""",
+    "P8 tail-N slice (candlestick endpoint, app.py:379-381): last week per symbol "
+    "via a per-partition max — predicate stays relational, no per-symbol collect",
+)
+def q_candlestick_tail(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .sources.readers import daily_bars
+
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("symbol")
+    return (
+        bars.withColumn("_max", F.max("date").over(w))
+        .filter(F.col("date") >= F.date_sub(F.col("_max"), 7))
+        .drop("_max")
+        .select(
+            "symbol", "date", "open", "high", "low", "close",
+            F.col("volume").cast("long").alias("volume"),
+        )
+    )

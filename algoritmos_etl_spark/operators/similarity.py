@@ -52,7 +52,10 @@ def aligned_pairs(bars: DataFrame, sym_a, sym_b) -> DataFrame:
 
 
 def aligned_returns(pairs: DataFrame) -> DataFrame:
-    """0.0-fill (W2) log returns over the aligned two-column sequence."""
+    """0.0-fill (W2) log returns over the aligned two-column sequence.
+
+    Global window is safe HERE: the input is ONE symbol pair's aligned
+    dates (one row per trading day), bounded at any data scale."""
     w = Window.orderBy("date")
     out = pairs
     for side in ("a", "b"):

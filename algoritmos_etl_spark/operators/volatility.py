@@ -54,6 +54,8 @@ def classify_risk(vol_df: DataFrame, p_low: float = 0.33, p_high: float = 0.66) 
         F.percentile("volatility", F.lit(p_low)).alias("p_low"),
         F.percentile("volatility", F.lit(p_high)).alias("p_high"),
     )
+    # global window is safe HERE: vol_df is one row per symbol (an
+    # aggregate), thousands of rows at any data scale — not the raw data
     rank_w = Window.orderBy(F.col("volatility").asc(), F.col("symbol").asc())
     return (
         vol_df.crossJoin(F.broadcast(thresholds))

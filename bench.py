@@ -55,6 +55,13 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_frames",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "lsh_neardup_pairs",
+    "neardup_clusters",
+    "skew_salted_join",
+    "wide_roundtrip",
+    "date_parts_cents",
+    "regression_pair",
     # event-time / streaming batch twins
     "tumbling_hour_stats",
     "sliding_window_stats",
