@@ -154,12 +154,20 @@ def windowed_streak_histogram(bars: DataFrame, window_size: int) -> DataFrame:
     `applyInPandas` per symbol — but with the analytic O(#runs + w)
     histogram (see `_windowed_streak_hist`), not the O(n·w) simulation,
     so per-task cost stays linear in each symbol's history length.
+
+    The binarize step happens inside the same grouped task (NumPy diff
+    over the date-sorted closes) rather than as a prior WindowExec pass:
+    the groupBy already clusters by symbol, so a lag-window before it
+    would only add a sort + expression pass over the full table.
     """
-    ups = up_flags(bars)
+    import numpy as np
 
     def per_symbol(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pos")
-        arr = pdf["up"].fillna(0).astype(int).to_numpy()
+        pdf = pdf.sort_values("date")
+        closes = pdf["close"].to_numpy(dtype=float)
+        # up[i] = close[i] > close[i-1]; NaN comparisons are False,
+        # matching the lag-window's null→0 semantics
+        arr = np.greater(closes[1:], closes[:-1]).astype(np.int8)
         freq = _windowed_streak_hist(arr, window_size)
         out = pd.DataFrame(
             {
@@ -172,7 +180,7 @@ def windowed_streak_histogram(bars: DataFrame, window_size: int) -> DataFrame:
             {"symbol": "int64", "streak_length": "int32", "frequency": "int64"}
         )
 
-    return ups.groupBy("symbol").applyInPandas(
+    return bars.select("symbol", "date", "close").groupBy("symbol").applyInPandas(
         per_symbol, schema="symbol long, streak_length int, frequency long"
     )
 
