@@ -162,3 +162,62 @@ def test_stateful_state_survives_micro_batches(spark, batch_events, tmp_path):
     assert _rows(streamed, "user_id", "event_id") == _rows(
         single, "user_id", "event_id"
     )
+
+
+def test_checkpoint_restart_recovers_state_exactly_once(spark, batch_events, tmp_path):
+    """Two separate availableNow runs over a growing source directory,
+    sharing one checkpoint: run 2 must process ONLY the new file (no
+    duplicates) and the stateful streaks must CONTINUE from recovered
+    state — Structured Streaming's exactly-once + state-recovery
+    contract, which is what makes the operator restartable mid-backfill
+    on a real cluster."""
+    from pyspark.sql import Window
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    halves = batch_events.withColumn(
+        "half", F.ntile(2).over(Window.orderBy("ts", "event_id"))
+    )
+
+    def write_half(h):
+        halves.filter(F.col("half") == h).drop("half").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"h{h}"))
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string"
+            )
+            .option("recursiveFileLookup", True)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_running_streaks(stream)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_half(1)
+    run_stream()
+    n_after_first = spark.read.parquet(str(sink)).count()
+    write_half(2)
+    run_stream()
+
+    out = spark.read.parquet(str(sink))
+    assert n_after_first < out.count() == batch_events.count()
+    # no event processed twice
+    assert out.select("event_id").distinct().count() == out.count()
+    # streaks equal the single-run batch twin: state was recovered, not reset
+    single = run_to_memory_sink(
+        streaming_running_streaks(read_event_stream(spark, SF_DIR)),
+        "t_streaks_ckpt_ref",
+    )
+    assert _rows(out, "user_id", "event_id") == _rows(single, "user_id", "event_id")
