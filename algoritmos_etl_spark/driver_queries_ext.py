@@ -838,3 +838,36 @@ def q_candlestick_tail(spark, sf_dir):
             F.col("volume").cast("long").alias("volume"),
         )
     )
+
+
+# ---------------------------------------------------------------- profiling
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+
+
+def _oracle_profile() -> str:
+    selects = []
+    for c in _PROFILE_COLS:
+        selects.append(
+            f"""SELECT '{c}' AS column,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_value,
+                   CAST(max({c}) AS VARCHAR) AS max_value
+            FROM orders"""
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "table_profile",
+    _oracle_profile(),
+    "Exact per-column table profile (nulls/distinct/range) in one aggregation pass",
+)
+def q_table_profile(spark, sf_dir):
+    from .operators import profiling
+
+    return profiling.profile_table(
+        load_table(spark, sf_dir, "orders"), columns=list(_PROFILE_COLS)
+    )

@@ -1,0 +1,97 @@
+"""Table profiling: per-column stats, exact and sketch-based.
+
+The first query a training-data pipeline runs against a new 100 TB
+table: null rates, cardinalities, ranges, quantiles. Two tiers:
+
+- `profile_table(df)` — EXACT per-column stats in ONE aggregation pass
+  (no per-column jobs): null count, distinct count, min/max. Exact
+  distinct is a shuffle per column at scale — use for tests/oracle
+  parity and bounded columns.
+- `approx_profile(df)` — the scale tier: HyperLogLog++ distinct
+  (`approx_count_distinct`, ~2% default error), t-digest quantiles
+  (`approx_percentile`), both single-pass mergeable sketches. This is
+  what you run on the full corpus; tests pin the sketch error against
+  the exact tier.
+
+Output is long format (one row per column) so the profile of a
+1000-column table is still a skinny result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Exact per-column profile: (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value) — min/max stringified so heterogeneous column
+    types fit one result schema.
+
+    One wide aggregation → Spark computes every column's stats in a
+    single pass over the data (count_distinct adds an Expand, still one
+    scan)."""
+    cols = columns or df.columns
+    aggs: list = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n_rows").alias("n_rows"),
+            F.col(f"_nulls_{c}").alias("n_nulls"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_value"),
+            F.col(f"_max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def approx_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    numeric_quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Sketch tier: HLL++ distinct counts for every column and t-digest
+    quantiles for numeric ones. Single pass, mergeable, constant memory
+    per column — the 100 TB shape."""
+    cols = columns or df.columns
+    numeric = {
+        name
+        for name, dtype in df.dtypes
+        if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or dtype.startswith("decimal")
+    }
+    aggs: list = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs.append(
+            F.approx_count_distinct(F.col(c), rsd=rsd).alias(f"_and_{c}")
+        )
+        if c in numeric:
+            aggs.append(
+                F.percentile_approx(
+                    F.col(c), list(numeric_quantiles), 10000
+                ).alias(f"_q_{c}")
+            )
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n_rows").alias("n_rows"),
+            F.col(f"_and_{c}").alias("approx_distinct"),
+            (
+                F.col(f"_q_{c}")
+                if c in numeric
+                else F.lit(None).cast("array<double>")
+            ).alias("quantiles"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")

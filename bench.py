@@ -62,6 +62,8 @@ HEADLINE = [
     "wide_roundtrip",
     "date_parts_cents",
     "regression_pair",
+    "candlestick_tail",
+    "table_profile",
     # event-time / streaming batch twins
     "tumbling_hour_stats",
     "sliding_window_stats",
