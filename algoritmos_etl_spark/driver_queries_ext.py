@@ -871,3 +871,42 @@ def q_table_profile(spark, sf_dir):
     return profiling.profile_table(
         load_table(spark, sf_dir, "orders"), columns=list(_PROFILE_COLS)
     )
+
+
+# ---------------------------------------------------------------- as-of join
+
+@register(
+    "asof_join_bars",
+    f"""WITH {ORACLE_BARS_CTE},
+    ev AS (
+        SELECT event_id, user_id, CAST(ts AS DATE) AS event_date
+        FROM events WHERE event_id % 10 = 0
+    )
+    SELECT e.event_id, e.user_id,
+           b.date AS asof_date, b.close AS asof_close
+    FROM ev e ASOF LEFT JOIN bars b
+      ON e.user_id = b.symbol AND e.event_date >= b.date""",
+    "As-of (point-in-time) join: latest bar at-or-before each event, union+ffill idiom "
+    "(oracle: DuckDB native ASOF JOIN)",
+)
+def q_asof_join(spark, sf_dir):
+    from .operators import asof
+    from .sources.readers import daily_bars
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", F.to_date("ts").alias("event_date"))
+    )
+    bars = daily_bars(load_table(spark, sf_dir, "events")).select(
+        F.col("symbol").alias("user_id"), "date", "close"
+    )
+    out = asof.asof_join(
+        events, bars, by="user_id", left_time="event_date",
+        right_time="date", value_cols=["close"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_time").alias("asof_date"),
+        F.col("asof_close"),
+    )

@@ -64,6 +64,7 @@ HEADLINE = [
     "regression_pair",
     "candlestick_tail",
     "table_profile",
+    "asof_join_bars",
     # event-time / streaming batch twins
     "tumbling_hour_stats",
     "sliding_window_stats",
