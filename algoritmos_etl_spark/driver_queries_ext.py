@@ -910,3 +910,37 @@ def q_asof_join(spark, sf_dir):
         F.col("asof_time").alias("asof_date"),
         F.col("asof_close"),
     )
+
+
+# ---------------------------------------------------------------- sampling
+
+@register(
+    "train_test_split",
+    f"""WITH b AS (
+        SELECT doc_id,
+               {_h("'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'valid'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM b GROUP BY 1""",
+    "Deterministic hash-bucket train/valid/test split: stable under reruns, "
+    "engines, and corpus growth (leakage-safe)",
+)
+def q_split(spark, sf_dir):
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.with_split(docs, key="doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -65,6 +65,7 @@ HEADLINE = [
     "candlestick_tail",
     "table_profile",
     "asof_join_bars",
+    "train_test_split",
     # event-time / streaming batch twins
     "tumbling_hour_stats",
     "sliding_window_stats",

@@ -1,0 +1,43 @@
+"""Deterministic split tests: stability, disjointness, proportions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.operators import sampling
+from algoritmos_etl_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_split_stable_and_exhaustive(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    s1 = {r.doc_id: r.split for r in sampling.with_split(docs, "doc_id").collect()}
+    s2 = {r.doc_id: r.split for r in sampling.with_split(docs, "doc_id").collect()}
+    assert s1 == s2                       # rerun-stable
+    assert set(s1.values()) <= {"train", "valid", "test"}
+    n = len(s1)
+    train = sum(1 for v in s1.values() if v == "train")
+    assert 0.7 < train / n < 0.9          # ~0.8 by hash uniformity
+
+
+def test_split_survives_corpus_growth(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    full = {r.doc_id: r.split for r in sampling.with_split(docs, "doc_id").collect()}
+    half = {
+        r.doc_id: r.split
+        for r in sampling.with_split(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id"
+        ).collect()
+    }
+    # a doc's split never changes when other docs appear/disappear
+    assert all(full[d] == s for d, s in half.items())
+
+
+def test_deterministic_sample_fraction(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    sampled = sampling.deterministic_sample(docs, "doc_id", 0.3)
+    k = sampled.count()
+    assert 0.2 < k / n < 0.4
+    assert sampled.exceptAll(sampling.deterministic_sample(docs, "doc_id", 0.3)).isEmpty()
