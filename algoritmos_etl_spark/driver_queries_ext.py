@@ -944,3 +944,55 @@ def q_split(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------- range join
+
+@register(
+    "interval_join_sessions",
+    """WITH seq AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts_us,
+               CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    ),
+    intervals AS (
+        SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 1800000000 AS end_us
+        FROM sess GROUP BY user_id, session_id
+    ),
+    ev AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+    SELECT e.event_id, e.user_id, i.start_us, i.end_us
+    FROM ev e JOIN intervals i
+      ON e.user_id = i.user_id AND e.t >= i.start_us AND e.t < i.end_us""",
+    "Bucketized interval join: events into their session [start, end) windows "
+    "(grid-bucket candidates, exact range refine — no per-key cross product)",
+)
+def q_interval_join(spark, sf_dir):
+    from .operators import ranges
+    from .streaming import session_stats
+
+    events = load_table(spark, sf_dir, "events")
+    intervals = session_stats(events).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+    )
+    points = events.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    out = ranges.interval_join(
+        points, intervals, by="user_id", point_time="t",
+        start="start_us", end="end_us",
+        bucket_width=1_800_000_000,  # 30 min in µs ≈ typical session span
+    )
+    return out.select("event_id", "user_id", "start_us", "end_us")

@@ -66,6 +66,7 @@ HEADLINE = [
     "table_profile",
     "asof_join_bars",
     "train_test_split",
+    "interval_join_sessions",
     # event-time / streaming batch twins
     "tumbling_hour_stats",
     "sliding_window_stats",
