@@ -996,3 +996,49 @@ def q_interval_join(spark, sf_dir):
         bucket_width=1_800_000_000,  # 30 min in µs ≈ typical session span
     )
     return out.select("event_id", "user_id", "start_us", "end_us")
+
+
+# ---------------------------------------------------------------- data quality
+
+@register(
+    "keep_latest_event",
+    """WITH ranked AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type, event_id, ts_us
+    FROM ranked WHERE rn = 1""",
+    "CDC-style keep-latest dedup per (user, event_type) — deterministic window "
+    "form, not dropDuplicates",
+)
+def q_keep_latest(spark, sf_dir):
+    from .operators import cleaning
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cleaning.keep_latest(
+        ev, key_cols=["user_id", "event_type"], order_col="ts",
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@register(
+    "fk_violations_orders",
+    """SELECT o.o_orderkey, o.o_custkey
+    FROM orders o ANTI JOIN (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) c
+      ON o.o_custkey = c.c_custkey""",
+    "Referential-integrity check: orders referencing a missing customer (anti join); "
+    "parent artificially thinned to every 3rd key so violations exist",
+)
+def q_fk_violations(spark, sf_dir):
+    from .operators import cleaning
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    thinned = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 == 0
+    )
+    return cleaning.fk_violations(orders, thinned, "o_custkey", "c_custkey")

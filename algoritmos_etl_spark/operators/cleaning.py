@@ -122,3 +122,41 @@ def drop_empty_symbols(df: DataFrame, min_rows: int = 1) -> DataFrame:
         .select("symbol")
     )
     return df.join(F.broadcast(keep), "symbol", "left_semi")
+
+
+def keep_latest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """CDC-style dedup: one surviving row per key — the one with the
+    greatest `order_col` (ties broken by `tiebreak` descending).
+
+    The window row_number form, NOT `dropDuplicates` (which keeps an
+    arbitrary row — nondeterministic under retries/partitioning, a
+    silent reproducibility bug at scale). One shuffle on the key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def fk_violations(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Referential-integrity check: child rows whose key has no parent
+    (left ANTI join — the data-quality gate every ingest runs). NULL
+    keys are violations too (they reference nothing)."""
+    return child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )

@@ -67,6 +67,8 @@ HEADLINE = [
     "asof_join_bars",
     "train_test_split",
     "interval_join_sessions",
+    "keep_latest_event",
+    "fk_violations_orders",
     # event-time / streaming batch twins
     "tumbling_hour_stats",
     "sliding_window_stats",

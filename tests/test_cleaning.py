@@ -38,3 +38,28 @@ def test_remove_invalid_and_drop_empty(micro_bars):
     ).count() == 0
     kept = cleaning.drop_empty_symbols(micro_bars, min_rows=10)
     assert [r["symbol"] for r in kept.select("symbol").distinct().collect()] == [1]
+
+
+def test_keep_latest_deterministic(spark):
+    from algoritmos_etl_spark.operators.cleaning import keep_latest
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "a", 20, 2), (1, "a", 20, 3), (2, "a", 5, 4)],
+        "k long, t string, version long, id long",
+    )
+    out = {(r.k, r.t): r for r in keep_latest(
+        df, key_cols=["k", "t"], order_col="version", tiebreak=["id"]
+    ).collect()}
+    assert out[(1, "a")].id == 3  # max version, tie broken by max id
+    assert out[(2, "a")].id == 4
+
+
+def test_fk_violations_includes_null_keys(spark):
+    from algoritmos_etl_spark.operators.cleaning import fk_violations
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,)], "pk long")
+    bad = {r.id for r in fk_violations(child, parent, "fk", "pk").collect()}
+    assert bad == {2, 3}
