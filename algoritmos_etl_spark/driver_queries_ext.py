@@ -334,7 +334,7 @@ def q_ann_lsh(spark, sf_dir):
     "tumbling_hour_stats",
     """SELECT date_trunc('hour', ts) AS window_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(avg(value), 6) AS avg_value
+           CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avg_value
     FROM events GROUP BY 1, 2""",
     "Event-time tumbling 1h window agg (batch twin of the streaming path, M8)",
 )
@@ -344,7 +344,10 @@ def q_tumbling(spark, sf_dir):
         F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        r6(F.avg("value")).alias("avg_value"),
+        (
+            F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
     )
 
 
@@ -411,7 +414,7 @@ def q_sessions(spark, sf_dir):
     SELECT window_start,
            window_start + INTERVAL 2 HOUR AS window_end,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(avg(value), 6) AS avg_value
+           CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avg_value
     FROM starts GROUP BY 1""",
     "Sliding 2h/1h event-time windows (batch twin of streaming.sliding_stats)",
 )

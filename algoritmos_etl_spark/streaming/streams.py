@@ -73,7 +73,16 @@ def tumbling_stats(
         .groupBy(F.window("ts", duration).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # decimal-exact sum -> ONE double conversion -> divide, and NO
+            # in-query rounding: float partial-agg order differs per engine
+            # (half-ULP flips a rounded 6th decimal), and even on identical
+            # doubles Spark's BigDecimal round and DuckDB's numeric round
+            # disagree at shortest-repr ..5 boundaries. Identical doubles
+            # canonicalize identically downstream; rounding is display-edge.
+            (
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -98,7 +107,16 @@ def sliding_stats(
         .groupBy(F.window("ts", duration, slide).alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # decimal-exact sum -> ONE double conversion -> divide, and NO
+            # in-query rounding: float partial-agg order differs per engine
+            # (half-ULP flips a rounded 6th decimal), and even on identical
+            # doubles Spark's BigDecimal round and DuckDB's numeric round
+            # disagree at shortest-repr ..5 boundaries. Identical doubles
+            # canonicalize identically downstream; rounding is display-edge.
+            (
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
