@@ -314,7 +314,7 @@ rets AS (
     FROM seq WHERE rn > 1 AND prev > 0 AND close > 0
 ),
 vols AS (
-    SELECT symbol, stddev_samp(ret) * {SQRT252!r} AS volatility,
+    SELECT symbol, coalesce(stddev_samp(ret), 0.0) * {SQRT252!r} AS volatility,
            CAST(count(ret) AS BIGINT) AS n_returns
     FROM rets GROUP BY symbol
 )
@@ -522,7 +522,7 @@ def q_streaks_windowed(spark, sf_dir):
     SELECT round(sqrt(sum((ra - rb) * (ra - rb))), 6) AS euclidean,
            round(coalesce(corr(ra, rb), 0.0), 6) AS pearson,
            round(coalesce(sum(ra * rb) / (sqrt(sum(ra * ra)) * sqrt(sum(rb * rb))), 0.0), 6) AS cosine,
-           CAST(CASE WHEN count(*) > 0 THEN count(*) + 1 ELSE 0 END AS BIGINT) AS n_points
+           CAST(count(*) AS BIGINT) AS n_points
     FROM rr""",
     "X3 similarity bundle minus DTW for symbols (0,1): P7 align → W2 returns → A7/A8/A9 (algorithms/similarity.py:440-530)",
 )

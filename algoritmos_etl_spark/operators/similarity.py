@@ -74,8 +74,9 @@ def aligned_returns(pairs: DataFrame) -> DataFrame:
 def pair_metrics(bars: DataFrame, sym_a, sym_b) -> DataFrame:
     """X3 minus DTW: one row {euclidean, pearson, cosine, n_points}.
 
-    `n_points` counts aligned price pairs (reference `similarity.py:528`);
-    the metric aggregates run over the n_points−1 aligned returns.
+    `n_points` counts aligned RETURNS — len(returns_a) in the reference
+    (`similarity.py:528`), i.e. aligned price pairs − 1 — the same
+    population every metric aggregate runs over.
     Pearson degenerates to 0.0 on zero variance (`similarity.py:188-190`),
     cosine to 0.0 on a zero norm (`similarity.py:425-428`).
     """
@@ -89,9 +90,7 @@ def pair_metrics(bars: DataFrame, sym_a, sym_b) -> DataFrame:
             / (F.sqrt(F.sum(a * a)) * F.sqrt(F.sum(b * b))),
             F.lit(0.0),
         ).alias("cosine"),
-        F.when(F.count(F.lit(1)) > 0, F.count(F.lit(1)) + 1)
-        .otherwise(F.lit(0))
-        .alias("n_points"),
+        F.count(F.lit(1)).alias("n_points"),
     )
 
 
@@ -152,7 +151,9 @@ def _dtw_numpy(a, b, window=None, with_path: bool = False):
 
     n, m = len(a), len(b)
     if n == 0 or m == 0:
-        return (float("inf"), []) if with_path else float("inf")
+        # reference dtw_distance returns 0.0 on an empty series (a
+        # symbol with <2 valid closes has an empty returns vector)
+        return (0.0, []) if with_path else 0.0
     if window is None:
         w = max(10, max(n, m) // 4)
     elif window == 0:

@@ -58,7 +58,20 @@ def salted_join(
 
     Cost model: replicates the SMALL side n_salts×. Use when the small
     side is too big to broadcast but far smaller than the skewed side.
+
+    Only inner/left (and the semi/anti variants, which emit no
+    small-side rows) preserve unsalted-join semantics: under
+    right/full, an unmatched small-side row would surface once per
+    salt replica, so those modes are rejected.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): only inner/left/semi/anti joins "
+            "match the unsalted join exactly (right/full would replicate "
+            "unmatched small-side rows once per salt)"
+        )
     if salt_by is None:
         salt_by = F.hash(*[F.col(c) for c in big.columns])
     salted_big = big.withColumn("_salt", F.pmod(salt_by, F.lit(n_salts)))

@@ -52,17 +52,22 @@ def with_sort_rank(df: DataFrame, keys: Sequence) -> DataFrame:
             "sort_rank", F.row_number().over(Window.orderBy(*keys))
         )
     lead, rest = keys[0], keys[1:]
-    counts = df.groupBy(lead).agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy(lead).rowsBetween(Window.unboundedPreceding, -1)
+    lead_col = F.col(lead) if isinstance(lead, str) else lead
+    counts = df.groupBy(lead_col.alias("_lead")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_off = Window.orderBy("_lead").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        lead,
+        "_lead",
         F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("long").alias("_off"),
     )
-    w_local = Window.partitionBy(lead).orderBy(*rest)
+    w_local = Window.partitionBy(lead_col).orderBy(*rest)
     return (
-        df.join(F.broadcast(offsets), lead)
+        # eqNullSafe: a NULL leading key must still meet its offsets row
+        # (plain equi-join silently drops those rows)
+        df.join(F.broadcast(offsets), lead_col.eqNullSafe(F.col("_lead")))
         .withColumn("sort_rank", F.row_number().over(w_local) + F.col("_off"))
-        .drop("_off")
+        .drop("_lead", "_off")
     )
 
 

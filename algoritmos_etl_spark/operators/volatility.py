@@ -33,9 +33,15 @@ CONSERVATIVE, MODERATE, AGGRESSIVE = "Conservador", "Moderado", "Agresivo"
 def historical_volatility(
     df: DataFrame, annualize: bool = True, trading_days: int = TRADING_DAYS
 ) -> DataFrame:
-    """A3: stddev_samp of omit-semantics log returns, ×√252 if annualized."""
+    """A3: stddev_samp of omit-semantics log returns, ×√252 if annualized.
+
+    <2 valid returns ⇒ stddev_samp is NULL; the reference reports 0.0
+    there (→ Conservador), so coalesce — otherwise NULL falls through
+    every classification CASE branch to 'Agresivo' and sorts
+    nulls-first in the rank window.
+    """
     rets = log_returns(df, zero_fill=False)
-    vol = F.stddev_samp("ret")
+    vol = F.coalesce(F.stddev_samp("ret"), F.lit(0.0))
     if annualize:
         vol = vol * math.sqrt(trading_days)
     return rets.groupBy("symbol").agg(

@@ -70,6 +70,22 @@ def test_volatility_single_row_and_all_null(edge_bars):
     # symbol 1: zero returns → stddev null/absent; symbol 2: no valid prices
     assert got.get(1) is None or 1 not in got
     assert got.get(2) is None or 2 not in got
+    # symbol 3: exactly 1 return → reference reports 0.0, never NULL
+    assert got[3] == 0.0
+
+
+def test_volatility_lt2_returns_classified_conservative(edge_bars):
+    out = volatility.analyze_portfolio_risk(edge_bars, min_prices=0)
+    by_sym = {r.symbol: r for r in out.collect()}
+    # 0.0 volatility lands in the lowest bucket, not the NULL-fallthrough one
+    assert by_sym[3].risk_class == volatility.CONSERVATIVE
+
+
+def test_dtw_empty_series_is_zero():
+    # reference dtw_distance returns 0.0 on empty input, not inf
+    assert similarity._dtw_numpy([], [1.0, 2.0]) == 0.0
+    dist, path = similarity._dtw_numpy([], [], window=0, with_path=True)
+    assert dist == 0.0 and path == []
 
 
 def test_pair_metrics_disjoint_dates(edge_bars):

@@ -60,6 +60,20 @@ def test_topk_plans_take_ordered(tables):
     assert "TakeOrderedAndProject" in _plan(q)
 
 
+def test_sort_rank_keeps_null_leading_keys(spark):
+    # NULL leading keys must survive the offsets join (eqNullSafe) and
+    # rank first (Spark asc = NULLS FIRST), matching a plain orderBy.
+    rows = [(None, 2), (None, 1), ("a", 9), ("a", 3), ("b", 5)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = sorting.with_sort_rank(df, ["k", "v"]).collect()
+    assert len(out) == len(rows), "rows with NULL leading key were dropped"
+    ranked = sorted(out, key=lambda r: r.sort_rank)
+    assert [(r.k, r.v) for r in ranked] == [
+        (None, 1), (None, 2), ("a", 3), ("a", 9), ("b", 5)
+    ]
+    assert [r.sort_rank for r in ranked] == [1, 2, 3, 4, 5]
+
+
 def test_filter_pushdown_reaches_scan(tables):
     q = tables["lineitem"].filter(F.col("l_shipdate") <= "1998-09-02").select(
         "l_quantity"

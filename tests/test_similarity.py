@@ -74,7 +74,7 @@ def test_dtw_path_variant():
 
 def test_pair_metrics_on_aligned_returns(vec_bars):
     row = similarity.pair_metrics(vec_bars, 1, 2).collect()[0]
-    assert row["n_points"] == 5
+    assert row["n_points"] == 4  # reference: len(returns) = aligned prices − 1
     assert row["euclidean"] == pytest.approx(0.0)
     assert row["pearson"] == pytest.approx(1.0)
     assert row["cosine"] == pytest.approx(1.0)

@@ -46,6 +46,15 @@ def test_salted_join_left_outer(spark):
     assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
 
 
+def test_salted_join_rejects_right_full(spark):
+    import pytest
+
+    big, dim = _skewed(spark)
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            skew.salted_join(big, dim, on="k", how=how)
+
+
 def test_heavy_hitters_finds_hot_key(spark):
     big, _ = _skewed(spark)
     hh = skew.heavy_hitters(big, "k", min_share=0.5).collect()
