@@ -207,21 +207,30 @@ def q_minhash(spark, sf_dir):
     )
 
 
+_SIMHASH_CHUNK_BITS = dedup.SIMHASH_BITS // dedup.SIMHASH_CHUNKS
+
+# Per-chunk seeded hashes ('sim{c}:tok') and per-chunk packed values —
+# hamming is the SUM of per-chunk bit_count(xor), never a packed 64-bit
+# value, so neither engine touches the sign bit.
 _SIMHASH = f"""
 toks AS (
     SELECT doc_id, unnest(list_distinct({_W})) AS token FROM documents
 ),
-th AS (SELECT doc_id, {_h("'sim:' || token")} AS h FROM toks),
-votes AS (
-    SELECT doc_id, bit,
-           sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-    FROM th CROSS JOIN (SELECT unnest(range({dedup.SIMHASH_BITS})) AS bit)
-    GROUP BY doc_id, bit
+th AS (
+    SELECT doc_id, chunk,
+           {_h("'sim' || CAST(chunk AS VARCHAR) || ':' || token")} AS h
+    FROM toks CROSS JOIN (SELECT unnest(range({dedup.SIMHASH_CHUNKS})) AS chunk)
 ),
-sh AS (
-    SELECT doc_id,
-           CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
+votes AS (
+    SELECT doc_id, chunk, bit,
+           sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN (SELECT unnest(range({_SIMHASH_CHUNK_BITS})) AS bit)
+    GROUP BY doc_id, chunk, bit
+),
+chunks AS (
+    SELECT doc_id, chunk,
+           CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS chunk_val
+    FROM votes GROUP BY doc_id, chunk
 )
 """
 
@@ -229,21 +238,22 @@ sh AS (
 @register(
     "dedup_simhash",
     f"""WITH {_SIMHASH},
-    chunks AS (
-        SELECT doc_id, simhash, chunk,
-               (simhash >> (chunk * {dedup.SIMHASH_BITS // dedup.SIMHASH_CHUNKS}))
-                   & {(1 << (dedup.SIMHASH_BITS // dedup.SIMHASH_CHUNKS)) - 1} AS chunk_val
-        FROM sh CROSS JOIN (SELECT unnest(range({dedup.SIMHASH_CHUNKS})) AS chunk)
-    ),
     cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.simhash AS sim_a, b.simhash AS sim_b
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM chunks a JOIN chunks b
           ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+        SELECT c.doc_a, c.doc_b,
+               sum(bit_count(xor(ca.chunk_val, cb.chunk_val))) AS hamming
+        FROM cand c
+        JOIN chunks ca ON ca.doc_id = c.doc_a
+        JOIN chunks cb ON cb.doc_id = c.doc_b AND cb.chunk = ca.chunk
+        GROUP BY 1, 2
     )
-    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3""",
-    "SimHash near-dup: 32-bit sign-vote hash, 8-bit chunk banding, hamming ≤ 3 (M8)",
+    SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+    FROM ham WHERE hamming <= 3""",
+    "SimHash near-dup: 64-bit sign-vote hash, 16-bit chunk banding, hamming ≤ 3 (M8)",
 )
 def q_simhash(spark, sf_dir):
     return dedup.simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))

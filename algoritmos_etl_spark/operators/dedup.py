@@ -22,8 +22,12 @@ from .text import normalized_text, words_col
 
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4  # 4 rows per band
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4  # 8 bits per chunk → candidates within hamming ≤ 3
+# 64-bit SimHash in 4×16-bit chunks: 65,536 bucket values per chunk, so
+# the banding self-join fans out per-bucket at ~n/65536 — the 32-bit /
+# 8-bit-chunk variant had only 256 bucket values and its candidate join
+# degenerated to O(n²/256) per chunk at corpus scale.
+SIMHASH_BITS = 64
+SIMHASH_CHUNKS = 4  # 16 bits per chunk → candidates within hamming ≤ 3
 
 
 def _tok_hash(prefix, tok) -> F.Column:
@@ -204,70 +208,136 @@ def minhash_lsh_dedup(
     )
 
 
-def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+def simhash(
+    docs: DataFrame, bits: int = SIMHASH_BITS, chunks: int = SIMHASH_CHUNKS
+) -> DataFrame:
     """Per-doc SimHash: sign of the per-bit ±1 vote sum over token
-    hashes.
+    hashes. Output: doc_id, chunk values c0..c{chunks-1} (each
+    `bits/chunks` wide) and the packed `simhash` long.
 
     One row per (doc, token) with `bits` conditional-sum aggregates —
     NOT an explode over (token × bit): the vote for bit b is a pure
     function of the token hash, so each bit is its own map-side partial
     aggregate and the shuffled row count stays |tokens|, not
-    |tokens|·bits (measured 6× faster at sf0.1)."""
+    |tokens|·bits (measured 6× faster at sf0.1).
+
+    Each chunk draws its bits from its own seeded hash (`sim{c}:tok`),
+    so 64 independent bits come from 4×60-bit md5 prefixes. Chunk
+    values are packed per-chunk and the full hash assembled with column
+    shifts — a 64-bit literal would overflow, and two's-complement
+    addition of disjoint bit ranges is carry-free, so the packed value
+    is exact even when bit 63 lands set (negative long).
+    """
+    chunk_bits = bits // chunks
     toks = doc_tokens(docs)
-    h = _tok_hash(F.lit("sim"), F.col("token"))
+    hashed = toks.select(
+        "doc_id",
+        *[
+            _tok_hash(F.lit(f"sim{c}"), F.col("token")).alias(f"h{c}")
+            for c in range(chunks)
+        ],
+    )
     vote_aggs = [
         F.sum(
-            F.when(F.expr(f"shiftright(h, {b})").bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(bits)
+            F.when(
+                F.expr(f"shiftright(h{c}, {b})").bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s_{c}_{b}")
+        for c in range(chunks)
+        for b in range(chunk_bits)
     ]
-    votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(*vote_aggs)
-    packed = sum(
-        (
-            F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-            for b in range(bits)
+    votes = hashed.groupBy("doc_id").agg(*vote_aggs)
+    chunk_cols = []
+    for c in range(chunks):
+        packed_chunk = sum(
+            (
+                F.when(F.col(f"s_{c}_{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+                for b in range(chunk_bits)
+            ),
+            F.lit(0),
+        )
+        chunk_cols.append(packed_chunk.cast("long").alias(f"c{c}"))
+    out = votes.select("doc_id", *chunk_cols)
+    full = F.col("c0").cast("long")
+    for c in range(1, chunks):
+        full = full + F.shiftleft(F.col(f"c{c}"), c * chunk_bits)
+    return out.withColumn("simhash", full)
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """SimHash near-dup pairs: chunk-banding candidates (a pair within
+    hamming ≤ chunks−1 must share at least one chunk — pigeonhole), then
+    exact hamming verification as the sum of per-chunk bit_count(xor).
+
+    Verification works on the chunk arrays, never the packed 64-bit
+    value, so no sign-extension or literal-overflow handling is needed
+    in either engine (the DuckDB oracle mirrors the same chunk-sum)."""
+    sh = simhash(docs, bits=bits, chunks=chunks)
+    carr = F.array(*[F.col(f"c{c}") for c in range(chunks)])
+    exploded = (
+        sh.select("doc_id", carr.alias("carr"))
+        .select(
+            "doc_id",
+            "carr",
+            F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("chunk"),
+        )
+        .withColumn("chunk_val", F.element_at("carr", F.col("chunk") + 1))
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("carr").alias("carr_a"), "chunk", "chunk_val"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("carr").alias("carr_b"), "chunk", "chunk_val"
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("carr_a"),
+            F.col("carr_b"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
         ),
         F.lit(0),
-    )
-    return votes.select("doc_id", packed.cast("long").alias("simhash"))
-
-
-def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: chunk-banding candidates (a pair within
-    hamming ≤ 3 of a 32-bit hash must share one of 4 8-bit chunks),
-    then exact hamming verification via bit_count(xor)."""
-    sh = simhash(docs)
-    chunk_width = SIMHASH_BITS // SIMHASH_CHUNKS
-    chunks = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("chunk"),
-    ).withColumn(
-        "chunk_val",
-        F.expr(f"shiftright(simhash, chunk * {chunk_width})").bitwiseAND(
-            F.lit((1 << chunk_width) - 1)
-        ),
-    )
-    a = chunks.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "chunk_val"
-    )
-    b = chunks.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk", "chunk_val"
+        lambda acc, x: acc + x,
     )
     return (
         a.join(b, ["chunk", "chunk_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .select("doc_a", "doc_b", "carr_a", "carr_b")
         .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(
-                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
-            ),
-        )
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def simhash_candidate_count(
+    docs: DataFrame, bits: int = SIMHASH_BITS, chunks: int = SIMHASH_CHUNKS
+) -> int:
+    """Distinct candidate pairs the chunk-banding join generates BEFORE
+    hamming verification — the quantity that explodes when chunks are
+    too narrow (the scale diagnostic the 64-bit widening is pinned by)."""
+    sh = simhash(docs, bits=bits, chunks=chunks)
+    carr = F.array(*[F.col(f"c{c}") for c in range(chunks)])
+    exploded = (
+        sh.select("doc_id", carr.alias("carr"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("chunk"),
+            F.element_at("carr", F.col("chunk") + 1).alias("chunk_val"),
+        )
+    )
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "chunk", "chunk_val")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "chunk", "chunk_val")
+    return (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
     )
 
 

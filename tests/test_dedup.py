@@ -55,7 +55,50 @@ def test_simhash_is_locality_sensitive(spark, docs):
     )
     h = {r.doc_id: r.simhash for r in dedup.simhash(tri).collect()}
     assert h[1] == h[2]
-    assert bin(h[1] ^ h[3]).count("1") <= 8
+    # mask to 64 bits: the packed long may be negative (bit 63 set)
+    assert bin((h[1] ^ h[3]) & (2**64 - 1)).count("1") <= 16
+
+
+def test_simhash_packed_matches_chunks(spark, docs):
+    rows = dedup.simhash(docs.limit(20)).collect()
+    for r in rows:
+        packed = (r.c0 | (r.c1 << 16) | (r.c2 << 32) | (r.c3 << 48)) & (2**64 - 1)
+        assert r.simhash & (2**64 - 1) == packed
+        assert all(0 <= c < 2**16 for c in (r.c0, r.c1, r.c2, r.c3))
+
+
+def test_simhash_widening_shrinks_candidates(spark):
+    """The point of 64-bit/16-bit-chunk banding: UNRELATED docs must
+    almost never share a chunk. On n docs with disjoint vocabularies,
+    expected random collisions are ~4·C(n,2)/2^chunk_bits — ~1,200 for
+    8-bit chunks at n=400 but ~5 for 16-bit chunks. A ≥50× shrink is
+    pinned on a corpus with NO true near-dups (on the real test corpus
+    true duplicate clusters dominate both counts and mask the effect)."""
+    n, toks_per_doc = 400, 40
+    rows = [
+        (i, " ".join(f"tok{i}x{j}" for j in range(toks_per_doc)))
+        for i in range(n)
+    ]
+    rand_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wide = dedup.simhash_candidate_count(rand_docs, bits=64, chunks=4)
+    narrow = dedup.simhash_candidate_count(rand_docs, bits=32, chunks=4)
+    assert narrow >= 50 * max(wide, 1), f"narrow={narrow}, wide={wide}"
+    # and no unrelated pair should survive hamming verification
+    assert dedup.simhash_neardup_pairs(rand_docs).count() == 0
+
+
+def test_simhash_widening_on_real_corpus(spark):
+    """On the real 500-doc corpus (dense true-duplicate clusters) the
+    widening must still strictly shrink candidates and sharpen the
+    hamming≤3 output — 64 bits separate 'similar' from 'same template'
+    far better than 32."""
+    docs500 = load_table(spark, "/root/testdata/sf0.01", "documents").cache()
+    wide = dedup.simhash_candidate_count(docs500, bits=64, chunks=4)
+    narrow = dedup.simhash_candidate_count(docs500, bits=32, chunks=4)
+    assert wide < narrow
+    out64 = dedup.simhash_neardup_pairs(docs500).count()
+    out32 = dedup.simhash_neardup_pairs(docs500, bits=32, chunks=4).count()
+    assert out64 < out32  # 32-bit hamming≤3 is saturated by template noise
 
 
 def test_neardup_clusters_components(spark):
