@@ -305,7 +305,7 @@ def q_ann_topk(spark, sf_dir):
 
 
 @register(
-    "embedding_neardup_pairs",
+    "embedding_neardup_baseline",
     f"""WITH base AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
     pairs AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
@@ -319,22 +319,13 @@ def q_ann_topk(spark, sf_dir):
     )
     SELECT vec_a, vec_b, round(cosine, 6) AS cosine
     FROM dots WHERE cosine >= 0.4""",
-    "Embedding-cosine near-dup pairs at τ=0.4 (M8 dedup)",
+    "Embedding-cosine near-dup pairs at τ=0.4, all-pairs cross join — correctness "
+    "baseline for LSH recall tests ONLY; the registered scale path is "
+    "embedding_neardup_pairs (LSH-blocked)",
 )
-def q_emb_neardup(spark, sf_dir):
+def q_emb_neardup_baseline(spark, sf_dir):
     return vectors.cosine_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
-    )
-
-
-@register(
-    "ann_lsh_topk",
-    None,  # LSH recall is approximate by design; pinned by recall tests vs brute force
-    "LSH-bucketed ANN top-10 (random-hyperplane signs from md5 bits, M8 scale path)",
-)
-def q_ann_lsh(spark, sf_dir):
-    return vectors.lsh_topk(
-        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10
     )
 
 
@@ -622,7 +613,10 @@ def _oracle_plane_dot(plane_id: int) -> str:
     )
 
 
-def _oracle_lsh_tables(n_tables: int = 4, planes_per_table: int = 4) -> str:
+def _oracle_lsh_tables(
+    n_tables: int = vectors.LSH_TABLES,
+    planes_per_table: int = vectors.LSH_PLANES_PER_TABLE,
+) -> str:
     """DuckDB twin of vectors.lsh_table_buckets: UNION ALL of per-table
     (vec_id, tbl, sig) selects."""
     selects = []
@@ -639,7 +633,7 @@ def _oracle_lsh_tables(n_tables: int = 4, planes_per_table: int = 4) -> str:
 
 
 @register(
-    "lsh_neardup_pairs",
+    "embedding_neardup_pairs",
     f"""WITH base AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
     bucketed AS ({_oracle_lsh_tables()}),
     cands AS (
@@ -661,11 +655,46 @@ def _oracle_lsh_tables(n_tables: int = 4, planes_per_table: int = 4) -> str:
     )
     SELECT vec_a, vec_b, round(cosine, 6) AS cosine
     FROM dots WHERE cosine >= 0.4""",
-    "Multi-table-LSH-blocked near-dup pairs at τ=0.4 (scale path; exact verification)",
+    "Embedding near-dup pairs at τ=0.4 — the REGISTERED path is multi-table-LSH "
+    "blocking (16 tables × 8 planes, exact-cosine verification); the all-pairs "
+    "cross join lives on as embedding_neardup_baseline",
 )
-def q_lsh_neardup(spark, sf_dir):
+def q_emb_neardup(spark, sf_dir):
     return vectors.lsh_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    f"""WITH base AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+    bucketed AS ({_oracle_lsh_tables()}),
+    q AS (SELECT vec_id AS query_id, v AS qv, tbl, sig FROM bucketed WHERE vec_id IN (0, 1, 2, 3, 4)),
+    cands AS (
+        SELECT DISTINCT q.query_id, q.qv, b.vec_id, b.v
+        FROM q JOIN bucketed b
+          ON b.tbl = q.tbl AND b.sig = q.sig AND b.vec_id <> q.query_id
+    ),
+    flat AS (SELECT query_id, vec_id AS neighbor_id, unnest(qv) AS x, unnest(v) AS y FROM cands),
+    dots AS (
+        SELECT query_id, neighbor_id,
+               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosine
+        FROM flat GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM dots
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10""",
+    "LSH-bucketed ANN top-10 (random-hyperplane signs from md5 bits, M8 scale "
+    "path) — oracle rebuilds the md5-derived plane signs, so even the "
+    "approximate candidate set is engine-reproducible",
+)
+def q_ann_lsh(spark, sf_dir):
+    return vectors.lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10
     )
 
 

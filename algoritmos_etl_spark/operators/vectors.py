@@ -22,6 +22,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 LSH_PLANES = 8
+# Multi-table widths for the scale path: 8 planes/table = 256 bucket
+# values per table (4 planes = 16 values meant each bucket held n/16 of
+# the corpus — the candidate join degenerated at scale); 16 tables
+# buy recall back (1 − (1 − p^8)^16). The recall/candidate-count curve
+# at these widths is pinned by tests vs the brute-force baseline.
+LSH_TABLES = 16
+LSH_PLANES_PER_TABLE = 8
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -153,7 +160,7 @@ def lsh_buckets(
 
 def lsh_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 10,
-    n_tables: int = 4, planes_per_table: int = 4
+    n_tables: int = LSH_TABLES, planes_per_table: int = LSH_PLANES_PER_TABLE
 ) -> DataFrame:
     """ANN top-k: rank only candidates sharing a multi-table LSH bucket
     with the query.
@@ -212,8 +219,8 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
 
 
 def lsh_table_buckets(
-    embeddings: DataFrame, n_tables: int = 4, planes_per_table: int = 4,
-    dim: int | None = None
+    embeddings: DataFrame, n_tables: int = LSH_TABLES,
+    planes_per_table: int = LSH_PLANES_PER_TABLE, dim: int | None = None
 ) -> DataFrame:
     """Multi-table hyperplane LSH: (vec_id, table, sig) entries.
 
@@ -244,11 +251,31 @@ def lsh_table_buckets(
     ).select("vec_id", "dvec", F.col("e.tbl").alias("tbl"), F.col("e.sig").alias("sig"))
 
 
+def lsh_candidate_count(
+    embeddings: DataFrame, n_tables: int = LSH_TABLES,
+    planes_per_table: int = LSH_PLANES_PER_TABLE,
+) -> int:
+    """Distinct candidate pairs the multi-table banding join generates
+    BEFORE exact-cosine verification — the quantity that explodes when
+    signatures are too narrow (the scale diagnostic the widening is
+    pinned by; compare against C(n,2) for the all-pairs baseline)."""
+    bucketed = lsh_table_buckets(embeddings, n_tables, planes_per_table)
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "tbl", "sig")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "tbl", "sig")
+    return (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+        .count()
+    )
+
+
 def lsh_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    n_tables: int = 4,
-    planes_per_table: int = 4,
+    n_tables: int = LSH_TABLES,
+    planes_per_table: int = LSH_PLANES_PER_TABLE,
 ) -> DataFrame:
     """Multi-table-LSH-blocked near-duplicate pairs — the 100 TB path
     for `cosine_neardup_pairs`.

@@ -50,6 +50,18 @@ def test_lsh_topk_recall_vs_bruteforce(emb):
     assert recall >= 0.2, f"single-bucket ANN recall collapsed: {recall}"
 
 
+def _analytic_recall(cosines, n_tables, planes):
+    """Expected banding recall from the true pairs' own cosines:
+    p(c) = 1 − acos(c)/π per plane, 1 − (1 − p^b)^T overall."""
+    if not cosines:
+        return 1.0
+    total = 0.0
+    for c in cosines:
+        p = 1 - math.acos(min(c, 1.0)) / math.pi
+        total += 1 - (1 - p**planes) ** n_tables
+    return total / len(cosines)
+
+
 def test_lsh_neardup_recall_and_precision(emb):
     exact = {
         (r.vec_a, r.vec_b): r.cosine
@@ -63,12 +75,43 @@ def test_lsh_neardup_recall_and_precision(emb):
     for pair, cos in lsh.items():
         assert pair in exact and cos == pytest.approx(exact[pair])
     if exact:
-        # analytic recall for tau=0.4: p = 1 - acos(0.4)/pi ~ 0.62,
-        # 1-(1-p^4)^4 ~ 0.49; assert a loose floor
         recall = len(lsh) / len(exact)
-        p = 1 - math.acos(0.4) / math.pi
-        floor = (1 - (1 - p**4) ** 4) * 0.5
+        floor = 0.5 * _analytic_recall(
+            exact.values(), vectors.LSH_TABLES, vectors.LSH_PLANES_PER_TABLE
+        )
         assert recall >= floor, f"recall {recall} below floor {floor}"
+
+
+def test_lsh_width_tradeoff_curve(emb):
+    """Pins the recall/candidate-count curve at the narrow (4×4) and
+    wide (16×8) operating points: widening must cut the candidate set
+    hard (16-value signatures held ~n/16 of the corpus per bucket),
+    and empirical recall must track the analytic banding formula at
+    BOTH widths — that is the evidence the hash family is healthy and
+    the trade-off is the theoretical one, not an implementation bug."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in vectors.cosine_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    n = emb.count()
+    all_pairs = n * (n - 1) // 2
+    for n_tables, planes in [(4, 4), (16, 8)]:
+        cand = vectors.lsh_candidate_count(emb, n_tables, planes)
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in vectors.lsh_neardup_pairs(emb, 0.4, n_tables, planes).collect()
+        }
+        recall = len(got & set(exact)) / len(exact)
+        analytic = _analytic_recall(exact.values(), n_tables, planes)
+        assert 0.5 * analytic <= recall <= min(1.5 * analytic, 1.0), (
+            f"T={n_tables} b={planes}: recall {recall} vs analytic {analytic}"
+        )
+        if (n_tables, planes) == (4, 4):
+            cand_narrow = cand
+        else:
+            # the widening's whole point: far fewer candidate pairs
+            assert cand * 2 <= cand_narrow, (cand, cand_narrow)
+            assert cand <= all_pairs // 10
 
 
 def test_multi_table_buckets_shape(emb):
