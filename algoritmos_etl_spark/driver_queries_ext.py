@@ -132,26 +132,45 @@ sh AS (
 """
 
 
+_SHINGLE_DF_CAP = 100
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""WITH {_SHINGLES},
+    kept AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_SHINGLE_DF_CAP}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a
+        JOIN kept k ON a.shingle = k.shingle
+        JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cands c
+        JOIN sh ta ON ta.doc_id = c.doc_a
+        JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
         GROUP BY 1, 2
     )
-    SELECT i.doc_a, i.doc_b,
-           round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.2""",
-    "Near-dup by exact 3-shingle Jaccard via inverted-index candidates (M8)",
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM cands c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+          / (sa.n + sb.n - coalesce(i.n_inter, 0)) >= 0.2""",
+    "Near-dup by exact 3-shingle Jaccard: df-capped inverted-index candidates "
+    "(viral shingles dropped from the self-join), full-set verification (M8)",
 )
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), k=3, threshold=0.2
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.2,
+        max_shingle_df=_SHINGLE_DF_CAP,
     )
 
 
@@ -177,9 +196,17 @@ bands AS (
 @register(
     "dedup_minhash_lsh",
     f"""WITH {_MINHASH},
+    small AS (
+        SELECT band, band_sig FROM bands
+        GROUP BY band, band_sig HAVING count(*) <= {_SHINGLE_DF_CAP}
+    ),
+    kept_bands AS (
+        SELECT b.doc_id, b.band, b.band_sig
+        FROM bands b JOIN small s ON b.band = s.band AND b.band_sig = s.band_sig
+    ),
     cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM kept_bands a JOIN kept_bands b
           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
@@ -199,11 +226,13 @@ bands AS (
     JOIN sizes sb ON sb.doc_id = c.doc_b
     WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
           / (sa.n + sb.n - coalesce(i.n_inter, 0)) >= 0.2""",
-    "MinHash-LSH near-dup: 16 md5-seeded minhashes, 4 bands, Jaccard-verified candidates (M8)",
+    "MinHash-LSH near-dup: 16 md5-seeded minhashes, 4 bands, bucket-size cap, "
+    "Jaccard-verified candidates (M8)",
 )
 def q_minhash(spark, sf_dir):
     return dedup.minhash_lsh_dedup(
-        load_table(spark, sf_dir, "documents"), threshold=0.2
+        load_table(spark, sf_dir, "documents"), threshold=0.2,
+        max_bucket_size=_SHINGLE_DF_CAP,
     )
 
 

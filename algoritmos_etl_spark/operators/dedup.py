@@ -70,39 +70,111 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_index(docs: DataFrame, k: int) -> DataFrame:
+    """The materialized (doc_id, shingle) inverted index.
+
+    The relation feeds several plan branches (sizes + both join sides);
+    Catalyst does not CSE across self-join branches, so materialize it
+    once. `localCheckpoint` instead of `persist`: the blocks live only
+    as long as the returned DataFrame is referenced (ContextCleaner
+    frees them on GC), where a bare persist() leaks cache entries for
+    the session's lifetime unless every caller remembers to unpersist.
+    """
+    return doc_shingles(docs, k).localCheckpoint(eager=False)
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.2
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact k-shingle Jaccard, candidates via a
     shared-shingle inverted-index join (no all-pairs blowup).
 
     |A∩B| from the shingle join; |A∪B| = |A|+|B|−|A∩B|.
 
-    The shingle relation feeds three plan branches (sizes + both join
-    sides); Catalyst does not CSE across self-join branches, so we
-    persist it once — at scale this is the inverted index you would
-    materialize anyway.
+    `max_shingle_df` caps the inverted index's document frequency for
+    CANDIDATE generation: a shingle shared by m docs fans the self-join
+    out to m² rows, so one viral boilerplate phrase at corpus scale
+    pins the stage. Shingles with df > cap are dropped from the join;
+    Jaccard is then verified over the FULL shingle sets of the
+    surviving candidate pairs, so reported values stay exact — only a
+    pair whose every shared shingle is viral can be missed.
     """
-    sh = doc_shingles(docs, k).persist()
+    sh = _shingle_index(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
+    if max_shingle_df is None:
+        joinable = sh
+    else:
+        dfc = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(dfc, "shingle")
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
+    candidates = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_jaccard(candidates, sh, threshold)
+
+
+def ngram_candidate_count(
+    docs: DataFrame, k: int = 3, max_shingle_df: int | None = None
+) -> int:
+    """Distinct candidate pairs the (optionally df-capped) inverted
+    index join generates — the quantity a viral shingle blows up."""
+    sh = _shingle_index(docs, k)
+    if max_shingle_df is not None:
+        dfc = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(dfc, "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .count()
+    )
+
+
+def _verify_jaccard(
+    candidates: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle Jaccard over candidate pairs, using the FULL
+    shingle sets (independent of any candidate-stage df-cap)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ta = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(ta, "doc_a")
+        .join(tb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
+        candidates.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
                 6,
             ),
         )
@@ -152,7 +224,10 @@ def minhash_bands(sigs: DataFrame, n_bands: int = MINHASH_BANDS) -> DataFrame:
 
 
 def minhash_lsh_dedup(
-    docs: DataFrame, threshold: float = 0.2, k_shingle: int | None = None
+    docs: DataFrame,
+    threshold: float = 0.2,
+    k_shingle: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures → banding join →
     exact-Jaccard verification of candidates only.
@@ -161,16 +236,29 @@ def minhash_lsh_dedup(
     band matches, so the join fans out per-bucket, not per-corpus.
     Verification recomputes exact shingle Jaccard on the candidate set
     (the quantity MinHash estimates).
-    """
+
+    `max_bucket_size` is the banding analogue of a shingle df-cap: a
+    (band, signature) bucket holding m docs yields m² candidate rows,
+    and a boilerplate-heavy corpus concentrates mass in a few buckets.
+    Buckets larger than the cap are dropped from candidate generation
+    (their pairs are overwhelmingly caught in other bands)."""
     k = k_shingle if k_shingle is not None else 3
     # the shingle index feeds the signature pass AND the verification
-    # join (3 branches) — persist it once, like ngram_jaccard_pairs
-    sh = doc_shingles(docs, k).persist()
+    # join (3 branches) — one materialization, GC-scoped
+    sh = _shingle_index(docs, k)
     aggs = [
         F.min(_tok_hash(F.lit(str(j)), F.col("shingle"))).alias(f"h{j}")
         for j in range(MINHASH_HASHES)
     ]
     bands = minhash_bands(sh.groupBy("doc_id").agg(*aggs))
+    if max_bucket_size is not None:
+        small = (
+            bands.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "band_sig")
+        )
+        bands = bands.join(small, ["band", "band_sig"])
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     candidates = (
@@ -179,33 +267,7 @@ def minhash_lsh_dedup(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    toks = sh.withColumnRenamed("shingle", "token")
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
-    inter = (
-        candidates.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b"))
-    return (
-        candidates.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.coalesce(F.col("n_inter"), F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_jaccard(candidates, sh, threshold)
 
 
 def simhash(

@@ -101,6 +101,56 @@ def test_simhash_widening_on_real_corpus(spark):
     assert out64 < out32  # 32-bit hamming≤3 is saturated by template noise
 
 
+def test_viral_shingle_df_cap_bounds_candidates(spark):
+    """One boilerplate phrase shared by every doc must not fan the
+    inverted-index join out to all pairs: with a df-cap the candidate
+    count collapses, while verified Jaccard values for the pairs that
+    DO survive are computed over full shingle sets (identical with and
+    without the cap)."""
+    n = 100
+    boiler = "all rights reserved by the site"
+    rows = [
+        (i, f"unique{i}a text{i}b body{i}c words{i}d here{i}e " + boiler)
+        for i in range(n)
+    ]
+    # one genuine near-dup pair sharing almost all text
+    rows.append((n, "the quick brown fox jumps over the lazy dog today " + boiler))
+    rows.append((n + 1, "the quick brown fox jumps over the lazy dog now " + boiler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_candidate_count(docs, k=3)
+    capped = dedup.ngram_candidate_count(docs, k=3, max_shingle_df=50)
+    assert uncapped >= (n * (n - 1)) // 2  # viral shingles → all pairs
+    assert capped < n  # cap kills the boilerplate fan-out
+    pairs_nocap = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    pairs_cap = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.2, max_shingle_df=50
+        ).collect()
+    }
+    assert (n, n + 1) in pairs_cap
+    assert pairs_cap[(n, n + 1)] == pairs_nocap[(n, n + 1)]
+
+
+def test_minhash_bucket_cap_preserves_neardups(spark, docs):
+    """On the real corpus no bucket is near the cap, so the capped
+    pipeline must return exactly the uncapped rows."""
+    nocap = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.2).collect()
+    }
+    cap = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_dedup(
+            docs, threshold=0.2, max_bucket_size=100
+        ).collect()
+    }
+    assert cap == nocap and cap
+
+
 def test_neardup_clusters_components(spark):
     pairs = spark.createDataFrame(
         [(1, 2, 0.9), (2, 3, 0.8), (4, 5, 0.7)],
