@@ -208,6 +208,7 @@ def dtw_pairs(
     pairs: list[tuple] | None = None,
     window: int | None = None,
     use_returns: bool = True,
+    min_abs_corr: float | None = None,
 ) -> DataFrame:
     """X1 at scale: DTW distance for symbol pairs (all unordered pairs
     by default).
@@ -216,6 +217,13 @@ def dtw_pairs(
     array row per symbol → self-join on `sym_a < sym_b` (tiny, broadcast)
     → `applyInPandas` DP per pair. Each task handles one pair; the DP
     arrays are one trading-day series each, so executor memory is flat.
+
+    `min_abs_corr` is the documented scale path for all-pairs DTW: the
+    k² pair count is the real cost at corpus scale, so prefilter pairs
+    by |Pearson| ≥ τ (one cheap JVM-side aggregation over the same
+    date-join the heatmap uses) and run the O(n·w) DP only on the
+    survivors. Correlated series are exactly the low-DTW candidates —
+    recall of the prefilter is pinned by tests.
     """
     valid = bars.filter(_valid_price("close"))
     series = (
@@ -236,6 +244,11 @@ def dtw_pairs(
             lo, hi = sorted((pa, pb))
             cond = cond | ((F.col("sym_a") == lo) & (F.col("sym_b") == hi))
         joined = joined.filter(cond)
+    if min_abs_corr is not None:
+        allowed = correlation_heatmap(bars).filter(
+            F.abs(F.col("pearson")) >= min_abs_corr
+        ).select("sym_a", "sym_b")
+        joined = joined.join(allowed, ["sym_a", "sym_b"], "left_semi")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -288,13 +301,20 @@ def compare_two_assets(bars: DataFrame, sym_a, sym_b, window: int | None = None)
 
 
 def dtw_path(
-    bars: DataFrame, sym_a, sym_b, use_returns: bool = True
+    bars: DataFrame, sym_a, sym_b, use_returns: bool = True,
+    target_points: int | None = 80, path_points: int | None = 60,
 ) -> DataFrame:
     """X2: full-matrix DTW with the optimal warping path
     (`algorithms/similarity.py:536-608`). One exploded row per path
-    step (i, j) — viz-oriented, single-pair only (the full O(n·m)
-    matrix is the cost of backtracking; the reference likewise only
-    runs it on downsampled series, `app.py:246-265`)."""
+    step (i, j) — viz-oriented, single-pair only.
+
+    Reference parity (`app.py:246-265`): each returns vector is stride-
+    downsampled to ~`target_points` (step = max(1, len//target)) BEFORE
+    the full-matrix DP, and the backtracked path is thinned to
+    ~`path_points` (step = max(1, len(path)//path_points)) — the full
+    O(n·m) matrix is the cost of backtracking, so the reference never
+    runs it on raw-length series and neither do we. Pass None for
+    either to disable (exact full-resolution path)."""
     valid = bars.filter(
         F.col("symbol").isin([sym_a, sym_b]) & _valid_price("close")
     )
@@ -320,7 +340,13 @@ def dtw_path(
                 pb = np.asarray(row.closes_b, dtype=float)
                 if use_returns:
                     pa, pb = _zero_fill_log_returns(pa), _zero_fill_log_returns(pb)
+                if target_points:
+                    # reference sample_list: lst[::step], per-series step
+                    pa = pa[:: max(1, len(pa) // target_points)]
+                    pb = pb[:: max(1, len(pb) // target_points)]
                 dist, path = _dtw_numpy(pa, pb, window=0, with_path=True)
+                if path_points:
+                    path = path[:: max(1, len(path) // path_points)]
                 yield pd.DataFrame(
                     {
                         "sym_a": row.sym_a,

@@ -40,7 +40,10 @@ def test_run_etl_end_to_end(spark, tmp_path):
 
 def test_dtw_path_consistency(spark):
     bars = daily_bars(load_table(spark, SF_DIR, "events")).cache()
-    path_df = similarity.dtw_path(bars, 0, 1).cache()
+    # downsampling off: this test pins the raw DP/backtrack invariants
+    path_df = similarity.dtw_path(
+        bars, 0, 1, target_points=None, path_points=None
+    ).cache()
     rows = path_df.orderBy("step").collect()
     assert rows, "path must be non-empty"
     # path endpoints: (0,0) .. (n-1, m-1), monotone non-decreasing steps

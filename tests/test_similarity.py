@@ -72,6 +72,53 @@ def test_dtw_path_variant():
     assert path[0] == (0, 0) and path[-1] == (4, 4)
 
 
+def test_dtw_path_downsamples_like_reference(spark):
+    """Reference parity (app.py:246-265): series stride-sampled to
+    ~80 points before the full matrix, path thinned to ~60 steps."""
+    import datetime
+
+    base = datetime.date(2020, 1, 1)
+    rows = []
+    for sym in (1, 2):
+        for i in range(401):  # 400 returns
+            px = 100.0 + (i % 7) + (0.5 if sym == 2 else 0.0)
+            rows.append((sym, base + datetime.timedelta(days=i), px))
+    bars = spark.createDataFrame(rows, "symbol long, date date, close double")
+    out = similarity.dtw_path(bars, 1, 2).collect()
+    # stride = max(1, 400//80) = 5 → 80 sampled points per side
+    assert max(r.i for r in out) <= 80 and max(r.j for r in out) <= 80
+    # path thinned to ~60 steps (path length ≤ 2·80, step ≥ 2 → ≤ ~81)
+    assert len(out) <= 90
+    full = similarity.dtw_path(
+        bars, 1, 2, target_points=None, path_points=None
+    ).count()
+    assert full > len(out)  # downsampling actually reduced the work
+
+
+def test_dtw_pairs_corr_prefilter_recall(vec_bars):
+    """The correlation prefilter must keep exactly the high-|corr|
+    pairs and their DTW values unchanged — correlated series are the
+    low-DTW candidates, so pruning by |pearson| is recall-safe for
+    near-duplicate hunting."""
+    full = {
+        (r.sym_a, r.sym_b): r.dtw
+        for r in similarity.dtw_pairs(vec_bars, use_returns=False).collect()
+    }
+    kept = {
+        (r.sym_a, r.sym_b): r.dtw
+        for r in similarity.dtw_pairs(
+            vec_bars, use_returns=False, min_abs_corr=0.99
+        ).collect()
+    }
+    # A=B identical: the |corr|=1 duplicate pair survives
+    assert (1, 2) in kept
+    assert kept.keys() < full.keys()  # strictly pruned
+    for pair, d in kept.items():
+        assert d == pytest.approx(full[pair])
+    # the zero-distance (true duplicate) pair is retained
+    assert kept[(1, 2)] == pytest.approx(0.0)
+
+
 def test_pair_metrics_on_aligned_returns(vec_bars):
     row = similarity.pair_metrics(vec_bars, 1, 2).collect()[0]
     assert row["n_points"] == 4  # reference: len(returns) = aligned prices − 1
@@ -102,6 +149,20 @@ def test_correlation_heatmap_pairs(vec_bars):
     assert len(pairs) == 6
     assert all(a < b for a, b in pairs)
     assert pairs[(1, 2)] == pytest.approx(1.0)
+
+
+def test_aligned_pairs_bounded_for_global_window(bars):
+    """aligned_returns uses an UN-partitioned Window.orderBy(date) —
+    safe only because its input is one symbol pair's aligned dates
+    (≤ one row per trading day at any corpus scale). Pin the invariant
+    the safety argument rests on: no duplicate dates ever reach it."""
+    aligned = similarity.aligned_pairs(bars, 0, 1)
+    dup_dates = (
+        aligned.groupBy("date").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_dates == 0
+    # and the row count is bounded by the calendar, not the corpus
+    assert aligned.count() <= bars.select("date").distinct().count()
 
 
 def test_heatmap_matches_pairwise_corr(bars):
