@@ -497,8 +497,36 @@ def q_gap_stats(spark, sf_dir):
 
 @register(
     "streak_histogram_windowed",
-    None,  # overlapping truncated-run windows have no SQL idiom (SURVEY.md §7.3)
-    "W5 exact per-window truncated-run histogram at window=5 via applyInPandas (algorithms/patterns.py:106-141)",
+    # No DISTRIBUTED SQL idiom exists for the overlapping re-counted
+    # windows (SURVEY.md §7.3) — but at oracle scale DuckDB can brute-
+    # force them: per symbol build the ups bit-string, take every
+    # window-sized substring, split on '0', histogram the run lengths.
+    _UPS_ORACLE
+    + """,
+    strs AS (
+        SELECT symbol,
+               string_agg(CAST(up AS VARCHAR), '' ORDER BY pos) AS bits,
+               count(*) AS n
+        FROM seq GROUP BY symbol
+    ),
+    wins AS (
+        SELECT symbol, bits,
+               unnest(range(0, greatest(n - 5 + 1, 0))) AS st
+        FROM strs
+    ),
+    runs AS (
+        SELECT symbol,
+               unnest(list_filter(
+                   string_split(substr(bits, CAST(st + 1 AS INT), 5), '0'),
+                   x -> x <> '')) AS run
+        FROM wins
+    )
+    SELECT symbol, CAST(length(run) AS INT) AS streak_length,
+           CAST(count(*) AS BIGINT) AS frequency
+    FROM runs GROUP BY 1, 2""",
+    "W5 exact per-window truncated-run histogram at window=5 via applyInPandas "
+    "with the analytic O(#runs+w) algorithm (algorithms/patterns.py:106-141); "
+    "oracle simulates every window directly",
 )
 def q_streaks_windowed(spark, sf_dir):
     return patterns.windowed_streak_histogram(_bars(spark, sf_dir), 5)
