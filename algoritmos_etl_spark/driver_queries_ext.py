@@ -1017,6 +1017,31 @@ def q_split(spark, sf_dir):
     )
 
 
+@register(
+    "stride_downsample",
+    f"""WITH {ORACLE_BARS_CTE},
+    seq AS (
+        SELECT symbol, date, close,
+               row_number() OVER (PARTITION BY symbol ORDER BY date) - 1 AS pos,
+               count(*) OVER (PARTITION BY symbol) AS n
+        FROM bars
+    )
+    SELECT symbol, date, close
+    FROM seq WHERE pos % greatest(1, n // 10) = 0""",
+    "O15 stride downsampling (app.py:215-229): every step-th row per series, "
+    "step = max(1, len // max_points); chart-thinning as a window + modulo filter",
+)
+def q_stride_downsample(spark, sf_dir):
+    from .operators import sampling
+    from .sources.readers import daily_bars
+
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    out = sampling.stride_sample(
+        bars, partition_col="symbol", order_cols=["date"], max_points=10
+    )
+    return out.select("symbol", "date", "close")
+
+
 # ---------------------------------------------------------------- range join
 
 @register(

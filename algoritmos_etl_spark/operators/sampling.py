@@ -55,3 +55,32 @@ def deterministic_sample(
     every run, on every engine, at any partitioning."""
     thresh = int(fraction * SPLIT_BUCKETS)
     return df.filter(split_bucket(F.col(key), salt) < thresh)
+
+
+def stride_sample(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[str],
+    max_points: int = 200,
+) -> DataFrame:
+    """O15 stride downsampling (reference `app.py:215-229`): keep every
+    step-th row per series, step = max(1, len // max_points) — the
+    chart-thinning idiom `sample_list(lst, step)` as a relational op.
+
+    One window pass per series: position and series length come from
+    the same partition window, the modulo filter is a pure projection.
+    Row 0 of every series is always kept (like `lst[::step]`).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(partition_col).orderBy(*order_cols)
+    cnt_w = Window.partitionBy(partition_col)
+    step = F.greatest(
+        F.lit(1), F.floor(F.count(F.lit(1)).over(cnt_w) / F.lit(max_points))
+    )
+    return (
+        df.withColumn("_pos", F.row_number().over(w) - 1)
+        .withColumn("_step", step)
+        .filter(F.col("_pos") % F.col("_step") == 0)
+        .drop("_pos", "_step")
+    )

@@ -34,6 +34,30 @@ def test_split_survives_corpus_growth(spark):
     assert all(full[d] == s for d, s in half.items())
 
 
+def test_stride_sample_matches_slice_semantics(spark):
+    """O15: per-series output must equal Python's lst[::step] with
+    step = max(1, len // max_points) — row 0 kept, positions multiple
+    of step."""
+    import datetime
+
+    rows = [
+        (sym, datetime.date(2024, 1, 1) + datetime.timedelta(days=i), float(i))
+        for sym in (1, 2)
+        for i in range(25 if sym == 1 else 7)
+    ]
+    df = spark.createDataFrame(rows, "symbol long, date date, close double")
+    out = sampling.stride_sample(
+        df, partition_col="symbol", order_cols=["date"], max_points=10
+    ).collect()
+    by_sym = {}
+    for r in out:
+        by_sym.setdefault(r.symbol, []).append(r.close)
+    # symbol 1: 25 rows, step=2 → positions 0,2,...,24 (13 rows)
+    assert sorted(by_sym[1]) == [float(i) for i in range(0, 25, 2)]
+    # symbol 2: 7 rows, step=1 → untouched
+    assert sorted(by_sym[2]) == [float(i) for i in range(7)]
+
+
 def test_deterministic_sample_fraction(spark):
     docs = load_table(spark, SF_DIR, "documents")
     n = docs.count()
