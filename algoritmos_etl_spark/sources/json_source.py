@@ -83,3 +83,82 @@ def assert_min_success(bars: DataFrame, min_symbols: int) -> DataFrame:
             f"only {n} symbols parsed successfully (require ≥ {min_symbols})"
         )
     return bars
+
+
+# ---------------------------------------------------------------------------
+# S1 live-fetch semantics (driver-side, engine-independent)
+# ---------------------------------------------------------------------------
+# The reference's fetch loop (`etl/data_fetcher.py:104-121, 256-320`)
+# is a DRIVER concern — at scale you fetch once, land raw payloads, and
+# parse with the cluster (the functions above). These utilities preserve
+# its exact acquisition semantics with the transport injected, so the
+# policy is testable without a network and reusable against any source:
+#   - retry ONLY timeout-class failures, fixed delay, bounded attempts
+#     (other errors re-raise immediately — reference :110-121);
+#   - a fixed inter-request sleep as the rate limit (:282, :314);
+#   - per-symbol failures tolerated, job fails only below `min_success`
+#     parsed symbols (:286-320 — the S2 policy's acquisition half).
+
+
+def fetch_with_retry(
+    fetch,
+    url: str,
+    max_attempts: int = 3,
+    retry_delay: float = 2.0,
+    sleep=None,
+):
+    """Run `fetch(url)` up to `max_attempts` times, retrying ONLY
+    timeout-class errors after `retry_delay` seconds; any other error
+    propagates immediately (reference `etl/data_fetcher.py:104-121`)."""
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    last_err: Exception | None = None
+    for attempt in range(max_attempts):
+        try:
+            return fetch(url)
+        except Exception as e:  # noqa: BLE001 — transport errors are opaque
+            last_err = e
+            msg = str(e).lower()
+            is_timeout = "timed out" in msg or "timeout" in msg
+            if is_timeout and attempt < max_attempts - 1:
+                do_sleep(retry_delay)
+                continue
+            raise
+    raise last_err  # unreachable; keeps type-checkers honest
+
+
+def fetch_multiple(
+    fetch,
+    symbol_urls: dict,
+    min_success: int = 20,
+    delay_seconds: float = 0.3,
+    max_attempts: int = 3,
+    retry_delay: float = 2.0,
+    sleep=None,
+):
+    """S2 acquisition loop: fetch every symbol's payload, tolerating
+    per-symbol failures, sleeping `delay_seconds` between requests
+    (rate limit), and failing the whole batch only when fewer than
+    `min_success` symbols succeeded. Returns {symbol: payload} for the
+    successes (reference `etl/data_fetcher.py:286-320`)."""
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    payloads, errors = {}, {}
+    for symbol, url in symbol_urls.items():
+        try:
+            payloads[symbol] = fetch_with_retry(
+                fetch, url, max_attempts=max_attempts,
+                retry_delay=retry_delay, sleep=do_sleep,
+            )
+        except Exception as e:  # noqa: BLE001
+            errors[symbol] = e
+        do_sleep(delay_seconds)
+    if len(payloads) < min_success:
+        raise ValueError(
+            f"only {len(payloads)}/{len(symbol_urls)} symbols fetched "
+            f"successfully (require ≥ {min_success}); "
+            f"failures: {sorted(errors)}"
+        )
+    return payloads

@@ -56,8 +56,9 @@ HEADLINE = [
     "multimodal_frames",
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "lsh_neardup_pairs",
+    "embedding_neardup_pairs",
     "neardup_clusters",
+    "stride_downsample",
     "skew_salted_join",
     "wide_roundtrip",
     "date_parts_cents",

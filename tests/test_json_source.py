@@ -80,3 +80,66 @@ def test_min_success_policy(spark, payload_dir):
     assert_min_success(bars, 2)
     with pytest.raises(ValueError, match="only 2 symbols"):
         assert_min_success(bars, 3)
+
+
+# ---------------------------------------------------------------- S1 fetch policy
+
+
+class _FlakyFetch:
+    """Injectable transport: scripted failures, then success."""
+
+    def __init__(self, failures_by_url):
+        self.failures = dict(failures_by_url)
+        self.calls = []
+
+    def __call__(self, url):
+        self.calls.append(url)
+        errs = self.failures.get(url, [])
+        if errs:
+            raise errs.pop(0)
+        return f"payload:{url}"
+
+
+def test_fetch_retries_only_timeouts():
+    from algoritmos_etl_spark.sources.json_source import fetch_with_retry
+
+    sleeps = []
+    f = _FlakyFetch({"u": [TimeoutError("timed out"), TimeoutError("timeout")]})
+    out = fetch_with_retry(f, "u", max_attempts=3, retry_delay=2.0,
+                           sleep=sleeps.append)
+    assert out == "payload:u"
+    assert f.calls == ["u", "u", "u"]
+    assert sleeps == [2.0, 2.0]  # fixed backoff, reference parity
+
+
+def test_fetch_non_timeout_fails_fast():
+    from algoritmos_etl_spark.sources.json_source import fetch_with_retry
+
+    f = _FlakyFetch({"u": [RuntimeError("HTTP error 404")]})
+    with pytest.raises(RuntimeError):
+        fetch_with_retry(f, "u", sleep=lambda s: None)
+    assert len(f.calls) == 1  # no retry on non-timeout errors
+
+
+def test_fetch_exhausts_attempts():
+    from algoritmos_etl_spark.sources.json_source import fetch_with_retry
+
+    f = _FlakyFetch({"u": [TimeoutError("timed out")] * 5})
+    with pytest.raises(TimeoutError):
+        fetch_with_retry(f, "u", max_attempts=3, sleep=lambda s: None)
+    assert len(f.calls) == 3
+
+
+def test_fetch_multiple_min_success_and_rate_limit():
+    from algoritmos_etl_spark.sources.json_source import fetch_multiple
+
+    sleeps = []
+    urls = {s: f"u{s}" for s in range(5)}
+    f = _FlakyFetch({"u0": [RuntimeError("HTTP error 500")]})
+    got = fetch_multiple(f, urls, min_success=4, delay_seconds=0.3,
+                         sleep=sleeps.append)
+    assert sorted(got) == [1, 2, 3, 4]  # symbol 0 failed, tolerated
+    assert sleeps.count(0.3) == 5       # rate-limit pause after every symbol
+    f2 = _FlakyFetch({u: [RuntimeError("HTTP error 500")] for u in urls.values()})
+    with pytest.raises(ValueError, match="min_success|require"):
+        fetch_multiple(f2, urls, min_success=1, sleep=lambda s: None)
