@@ -627,38 +627,45 @@ def q_dtw_path(spark, sf_dir):
     return similarity.dtw_path(bars, 0, 1)
 
 
-def _oracle_plane_dot(plane_id: int) -> str:
-    """DuckDB twin of vectors._plane_dot: md5-derived ±1 hyperplane
-    components, sequential left-fold dot (list_reduce ≡ F.aggregate's
-    fold order, bit-identical float path)."""
-    comp = (
-        "CASE WHEN CAST(('0x' || substr(md5('plane:" + str(plane_id) + ":' "
-        "|| CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1 "
-        "THEN 1.0 ELSE -1.0 END"
-    )
-    return (
-        f"list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * ({comp})), "
-        "(acc, x) -> acc + x)"
-    )
-
-
 def _oracle_lsh_tables(
     n_tables: int = vectors.LSH_TABLES,
     planes_per_table: int = vectors.LSH_PLANES_PER_TABLE,
 ) -> str:
-    """DuckDB twin of vectors.lsh_table_buckets: UNION ALL of per-table
-    (vec_id, tbl, sig) selects."""
-    selects = []
-    for t in range(n_tables):
-        bits = [
-            f"(CASE WHEN {_oracle_plane_dot(t * planes_per_table + p)} >= 0 "
-            f"THEN {1 << p} ELSE 0 END)"
-            for p in range(planes_per_table)
-        ]
-        selects.append(
-            f"SELECT vec_id, v, {t} AS tbl, {' + '.join(bits)} AS sig FROM base"
-        )
-    return " UNION ALL ".join(selects)
+    """DuckDB twin of vectors.lsh_table_buckets: the same integer-
+    quantized plane dots (floor(val·1e9) is binary-exact on both
+    engines; the ±1 components rebuild from the identical md5 family),
+    as flat CTEs — usable as `bucketed` via `SELECT ... FROM ({this})`.
+    """
+    n_planes = n_tables * planes_per_table
+    return f"""
+    WITH flat AS (
+        SELECT vec_id,
+               unnest(range(len(v))) AS idx,
+               CAST(floor(unnest(v) * 1e9) AS BIGINT) AS q
+        FROM base
+    ),
+    comps AS (
+        SELECT p.plane, i.idx,
+               CASE WHEN CAST(('0x' || substr(md5('plane:' || CAST(p.plane AS VARCHAR)
+                    || ':' || CAST(i.idx AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
+                    THEN 1 ELSE -1 END AS comp
+        FROM (SELECT unnest(range({n_planes})) AS plane) p
+        CROSS JOIN (SELECT DISTINCT idx FROM flat) i
+    ),
+    dots AS (
+        SELECT f.vec_id, c.plane, sum(f.q * c.comp) AS dot
+        FROM flat f JOIN comps c ON f.idx = c.idx
+        GROUP BY 1, 2
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(plane // {planes_per_table} AS INT) AS tbl,
+               CAST(sum(CASE WHEN dot >= 0
+                    THEN (1 << (plane % {planes_per_table})) ELSE 0 END) AS INT) AS sig
+        FROM dots GROUP BY 1, 2
+    )
+    SELECT b.vec_id, b.v, s.tbl, s.sig
+    FROM base b JOIN sigs s ON b.vec_id = s.vec_id"""
 
 
 @register(
