@@ -593,6 +593,36 @@ def q_heatmap(spark, sf_dir):
 
 
 @register(
+    "correlation_heatmap_blocked",
+    f"""WITH {ORACLE_BARS_CTE},
+    seq AS (
+        SELECT symbol, date, close,
+               lag(close) OVER w AS prev, row_number() OVER w AS rn
+        FROM bars WHERE close IS NOT NULL AND close > 0
+        WINDOW w AS (PARTITION BY symbol ORDER BY date)
+    ),
+    rets AS (
+        SELECT symbol, date,
+               CASE WHEN prev > 0 AND close > 0 THEN ln(close / prev) ELSE 0.0 END AS ret
+        FROM seq WHERE rn > 1
+    )
+    SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+           round(coalesce(corr(a.ret, b.ret), 0.0), 4) AS pearson,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM rets a JOIN rets b ON a.date = b.date AND a.symbol < b.symbol
+    GROUP BY a.symbol, b.symbol""",
+    "J5 scale path: blocked-matrix pairwise correlation (B(B+1)/2 BLAS tasks, no "
+    "shuffled pair rows) — same co-traded-days semantics as correlation_heatmap; "
+    "pinned at 4 decimals (one-pass matrix stats vs streaming corr agree ~1e-9)",
+)
+def q_heatmap_blocked(spark, sf_dir):
+    out = similarity.correlation_heatmap_blocked(_bars(spark, sf_dir))
+    return out.select(
+        "sym_a", "sym_b", F.round(F.col("pearson"), 4).alias("pearson"), "n_points"
+    )
+
+
+@register(
     "dtw_pairs",
     None,  # dynamic-programming distance: not SQL-expressible; pinned by unit tests
     "X1 banded DTW distance over all symbol pairs (algorithms/similarity.py:200-352)",

@@ -139,6 +139,117 @@ def correlation_heatmap(bars: DataFrame) -> DataFrame:
     )
 
 
+def correlation_heatmap_blocked(bars: DataFrame, n_blocks: int = 8) -> DataFrame:
+    """J5 at scale: the SAME pairwise-correlation semantics as
+    `correlation_heatmap` (per-pair stats over co-traded return days
+    only), computed as blocked matrix products instead of a date-join.
+
+    The relational heatmap shuffles O(pairs × shared-days) rows — at
+    10× symbols that is 100× pairs and it dominates the whole bench
+    suite. Here each of B symbol blocks packs its returns into a dense
+    (k_b × D) matrix + presence mask (D = calendar days, bounded);
+    every block PAIR is one Arrow task computing the six per-pair
+    sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) as NumPy/BLAS
+    matmuls of masked matrices — O(k² · D) FLOPs with no shuffled pair
+    rows at all. Work distributes over B(B+1)/2 independent tasks.
+
+    The calendar (not the data) is collected to index matrix columns —
+    the same bounded-driver-list edge as the wide-CSV header. Float
+    caveat: the one-pass formula here and the two-pass streaming `corr`
+    agree to ~1e-9 on return-scale data; callers comparing across
+    engines should round (the registered query pins 4 decimals).
+    """
+    import numpy as np
+
+    rets = per_symbol_returns(bars)
+    dates = [r.date for r in rets.select("date").distinct().orderBy("date").collect()]
+    idx = {d: i for i, d in enumerate(dates)}
+    n_days = len(dates)
+    if n_days == 0:
+        return rets.sparkSession.createDataFrame(
+            [], "sym_a long, sym_b long, pearson double, n_points long"
+        )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        syms = np.sort(pdf["symbol"].unique())
+        srow = {s: i for i, s in enumerate(syms)}
+        x = np.zeros((len(syms), n_days))
+        m = np.zeros((len(syms), n_days))
+        rows = pdf["symbol"].map(srow).to_numpy()
+        cols = pdf["date"].map(idx).to_numpy()
+        x[rows, cols] = pdf["ret"].to_numpy()
+        m[rows, cols] = 1.0
+        return pd.DataFrame(
+            {
+                "block": [int(pdf["block"].iloc[0])],
+                "syms": [syms.tolist()],
+                "x": [x.ravel().tolist()],
+                "m": [m.ravel().tolist()],
+            }
+        )
+
+    blocks = (
+        rets.withColumn("block", F.pmod(F.col("symbol"), F.lit(n_blocks)))
+        .groupBy("block")
+        .applyInPandas(
+            pack,
+            schema="block int, syms array<long>, x array<double>, m array<double>",
+        )
+    )
+    a = blocks.select(
+        F.col("block").alias("ba"), F.col("syms").alias("sa"),
+        F.col("x").alias("xa"), F.col("m").alias("ma"),
+    )
+    b = blocks.select(
+        F.col("block").alias("bb"), F.col("syms").alias("sb"),
+        F.col("x").alias("xb"), F.col("m").alias("mb"),
+    )
+    joined = a.join(b, F.col("ba") <= F.col("bb"))
+
+    def corr_blocks(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                sa = np.asarray(row.sa)
+                sb = np.asarray(row.sb)
+                xa = np.asarray(row.xa).reshape(len(sa), n_days)
+                ma = np.asarray(row.ma).reshape(len(sa), n_days)
+                xb = np.asarray(row.xb).reshape(len(sb), n_days)
+                mb = np.asarray(row.mb).reshape(len(sb), n_days)
+                n = ma @ mb.T
+                sx = xa @ mb.T
+                sy = ma @ xb.T
+                sxy = xa @ xb.T
+                sxx = (xa * xa) @ mb.T
+                syy = ma @ (xb * xb).T
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cov = sxy - sx * sy / np.where(n > 0, n, 1)
+                    vx = sxx - sx * sx / np.where(n > 0, n, 1)
+                    vy = syy - sy * sy / np.where(n > 0, n, 1)
+                    denom = np.sqrt(vx * vy)
+                    corr = np.where(denom > 0, cov / np.where(denom > 0, denom, 1), 0.0)
+                ia, jb = np.nonzero(n > 0)
+                if row.ba == row.bb:
+                    keep = sa[ia] < sb[jb]
+                else:
+                    keep = np.ones(len(ia), dtype=bool)
+                ia, jb = ia[keep], jb[keep]
+                lo = np.minimum(sa[ia], sb[jb])
+                hi = np.maximum(sa[ia], sb[jb])
+                yield pd.DataFrame(
+                    {
+                        "sym_a": lo,
+                        "sym_b": hi,
+                        "pearson": np.nan_to_num(corr[ia, jb]),
+                        "n_points": n[ia, jb].astype(np.int64),
+                    }
+                )
+
+    return joined.mapInPandas(
+        corr_blocks,
+        schema="sym_a long, sym_b long, pearson double, n_points long",
+    )
+
+
 def _dtw_numpy(a, b, window=None, with_path: bool = False):
     """Banded DTW distance (reference `similarity.py:200-352`).
 

@@ -37,6 +37,7 @@ HEADLINE = [
     "streak_histogram_windowed",
     "gap_up_windows",
     "correlation_heatmap",
+    "correlation_heatmap_blocked",
     "pair_metrics",
     "top15_by_value",
     "multi_key_sort_rank",

@@ -165,6 +165,24 @@ def test_aligned_pairs_bounded_for_global_window(bars):
     assert aligned.count() <= bars.select("date").distinct().count()
 
 
+def test_blocked_heatmap_matches_relational(bars):
+    """The blocked-matrix heatmap must reproduce the date-join heatmap
+    exactly: same pair set, same n_points, pearson to 1e-6."""
+    rel = {
+        (r.sym_a, r.sym_b): (r.pearson, r.n_points)
+        for r in similarity.correlation_heatmap(bars).collect()
+    }
+    blk = {
+        (r.sym_a, r.sym_b): (r.pearson, r.n_points)
+        for r in similarity.correlation_heatmap_blocked(bars, n_blocks=4).collect()
+    }
+    assert blk.keys() == rel.keys()
+    for pair, (p_rel, n_rel) in rel.items():
+        p_blk, n_blk = blk[pair]
+        assert n_blk == n_rel, pair
+        assert p_blk == pytest.approx(p_rel, abs=1e-6), pair
+
+
 def test_heatmap_matches_pairwise_corr(bars):
     """Heatmap on real sf0.001 bars agrees with a directly computed pair."""
     rows = similarity.correlation_heatmap(bars).collect()
