@@ -734,6 +734,112 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def _oracle_ivf(
+    n_centroids: int = 16, nprobe: int = 4, k: int = 10,
+    query_ids: str = "0, 1, 2, 3, 4",
+) -> str:
+    """DuckDB twin of vectors.ivf_topk (iters=1).
+
+    Everything the argmaxes see is an integer-exact sum of
+    floor(val·1e6) quantized components (< 2^53 ⇒ also exact as a
+    double), so seed assignment, the Lloyd-step centroids
+    (floor(mean)), probe ranking, and the final cosine top-k are all
+    bit-identical across engines — the approximate index itself is
+    oracle-reproducible, like the LSH twin above.
+    """
+    cos = "CAST(d.dot AS DOUBLE)/(sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(n.c2 AS DOUBLE)))"
+
+    def argmax(dots_cte: str, norm_cte: str) -> str:
+        return (
+            "SELECT vec_id, centroid_id FROM ("
+            "SELECT d.vec_id, d.centroid_id, "
+            f"row_number() OVER (PARTITION BY d.vec_id ORDER BY {cos} DESC, "
+            "d.centroid_id) AS rn "
+            f"FROM {dots_cte} d JOIN vnorm v USING (vec_id) "
+            f"JOIN {norm_cte} n USING (centroid_id)"
+            ") WHERE rn = 1"
+        )
+
+    return f"""WITH base AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+    flat AS (
+        SELECT vec_id, unnest(range(len(v))) AS idx,
+               CAST(floor(unnest(v) * {float(vectors.IVF_SCALE)}) AS BIGINT) AS q
+        FROM base
+    ),
+    vnorm AS (SELECT vec_id, sum(q*q) AS n2 FROM flat GROUP BY 1),
+    seed AS (
+        SELECT f.vec_id AS centroid_id, f.idx, f.q AS c
+        FROM flat f JOIN (SELECT vec_id FROM base ORDER BY vec_id LIMIT {n_centroids}) s USING (vec_id)
+    ),
+    s_cnorm AS (SELECT centroid_id, sum(c*c) AS c2 FROM seed GROUP BY 1),
+    s_dots AS (
+        SELECT f.vec_id, s.centroid_id, sum(f.q * s.c) AS dot
+        FROM flat f JOIN seed s ON f.idx = s.idx GROUP BY 1, 2
+    ),
+    s_assign AS ({argmax("s_dots", "s_cnorm")}),
+    cents AS (
+        SELECT a.centroid_id, f.idx,
+               CAST(floor(CAST(sum(f.q) AS DOUBLE)/count(*)) AS BIGINT) AS c
+        FROM flat f JOIN s_assign a USING (vec_id) GROUP BY 1, 2
+    ),
+    cnorm AS (SELECT centroid_id, sum(c*c) AS c2 FROM cents GROUP BY 1),
+    dots AS (
+        SELECT f.vec_id, s.centroid_id, sum(f.q * s.c) AS dot
+        FROM flat f JOIN cents s ON f.idx = s.idx GROUP BY 1, 2
+    ),
+    assign AS ({argmax("dots", "cnorm")}),
+    probes AS (
+        SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT d.vec_id, d.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                       ORDER BY CAST(d.dot AS DOUBLE)/(sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(n.c2 AS DOUBLE))) DESC,
+                                d.centroid_id) AS rn
+            FROM dots d JOIN vnorm v USING (vec_id) JOIN cnorm n USING (centroid_id)
+            WHERE d.vec_id IN ({query_ids})
+        ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assign a USING (centroid_id)
+        WHERE a.vec_id <> p.query_id
+    ),
+    pdots AS (
+        SELECT c.query_id, c.vec_id, sum(fq.q * fv.q) AS dot
+        FROM cand c
+        JOIN flat fq ON fq.vec_id = c.query_id
+        JOIN flat fv ON fv.vec_id = c.vec_id AND fv.idx = fq.idx
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT p.query_id, p.vec_id AS neighbor_id,
+               CAST(p.dot AS DOUBLE)/(sqrt(CAST(nq.n2 AS DOUBLE))*sqrt(CAST(nv.n2 AS DOUBLE))) AS cosine,
+               row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY CAST(p.dot AS DOUBLE)/(sqrt(CAST(nq.n2 AS DOUBLE))*sqrt(CAST(nv.n2 AS DOUBLE))) DESC,
+                            p.vec_id) AS rank
+        FROM pdots p JOIN vnorm nq ON nq.vec_id = p.query_id JOIN vnorm nv ON nv.vec_id = p.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}"""
+
+
+@register(
+    "ann_ivf_topk",
+    _oracle_ivf(),
+    "IVF ANN top-10: deterministic k-means coarse quantizer (first-16 seeds, one "
+    "integer-exact Lloyd step), nprobe=4 cluster probe, exact cosine rerank of "
+    "members only — the inverted-file scale path beside LSH (M8); at ingest the "
+    "corpus is written partitioned by centroid so a probe is a pruned scan",
+)
+def q_ann_ivf(spark, sf_dir):
+    return vectors.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        [0, 1, 2, 3, 4],
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+    )
+
+
 @register(
     "wide_roundtrip",
     f"""WITH {ORACLE_BARS_CTE}

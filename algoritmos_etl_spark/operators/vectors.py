@@ -281,6 +281,180 @@ def lsh_table_buckets(
     return base.join(sigs, "vec_id").select("vec_id", "dvec", "tbl", "sig")
 
 
+IVF_SCALE = 1_000_000  # component quantization for integer-exact dots
+
+
+def _quantized_flat(df: DataFrame, id_col: str, vec_col: str = "dvec") -> DataFrame:
+    """(id, idx, q) with q = floor(val * 1e6) — the IVF math runs on
+    integers so every dot/norm is an order-independent exact sum.
+
+    Components are ≤ O(1) ⇒ |q| < 2^21; dots sum ≤ dim·2^42 < 2^53, so
+    the integer is also exact as a double and the downstream
+    cosine = dot / (sqrt(na)·sqrt(nb)) is a deterministic IEEE754 value
+    on every engine (the same rationale as `lsh_table_buckets`).
+    """
+    return df.select(
+        F.col(id_col), F.posexplode(vec_col).alias("idx", "val")
+    ).select(id_col, "idx", F.floor(F.col("val") * F.lit(float(IVF_SCALE))).alias("q"))
+
+
+def _int_cosine(dot: Column, na2: Column, nb2: Column) -> Column:
+    """cosine from integer-exact dot and squared norms."""
+    return dot.cast("double") / (
+        F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 1
+) -> DataFrame:
+    """IVF coarse quantizer: (centroid_id, idx, c) integer components.
+
+    Deterministic k-means: seeds are the first `n_centroids` vectors by
+    id (standard first-points init, reproducible on any engine), then
+    `iters` Lloyd steps — assign every vector to its max-cosine seed,
+    recompute each centroid as floor(mean) of its members' quantized
+    components. Each step is one broadcast join (centroids are tiny)
+    plus two hash aggregations; the corpus never shuffles on anything
+    but (vec_id, centroid) partial aggs. Ties break to the lowest
+    centroid id; empty clusters simply drop out. Cluster count on a
+    real corpus ~ sqrt(n) keeps both the train join and the probe
+    fan-out balanced.
+    """
+    base = with_dvec(embeddings)
+    flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    vec_norms = flat.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
+    seeds = base.select("vec_id").orderBy("vec_id").limit(n_centroids)
+    cents = (
+        flat.join(F.broadcast(seeds), "vec_id")
+        .select(F.col("vec_id").alias("centroid_id"), "idx", F.col("q").alias("c"))
+    )
+    for _ in range(iters):
+        assign = _ivf_assign(flat, vec_norms, cents)
+        cents = (
+            flat.join(assign, "vec_id")
+            .groupBy("centroid_id", "idx")
+            .agg(
+                F.floor(
+                    F.sum("q").cast("double") / F.count(F.lit(1))
+                ).alias("c")
+            )
+        )
+    return cents
+
+
+def _ivf_assign(
+    flat: DataFrame, vec_norms: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """(vec_id, centroid_id): max-cosine centroid, ties → lowest id."""
+    cent_norms = cents.groupBy("centroid_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+    dots = (
+        flat.join(F.broadcast(cents), "idx")
+        .groupBy("vec_id", "centroid_id")
+        .agg(F.sum(F.col("q") * F.col("c")).alias("dot"))
+    )
+    scored = dots.join(F.broadcast(cent_norms), "centroid_id").join(
+        vec_norms, "vec_id"
+    )
+    cos = _int_cosine(F.col("dot"), F.col("n2"), F.col("c2"))
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("centroid_id"), F.struct(cos.alias("cos"), (-F.col("centroid_id")).alias("nid"))
+        ).alias("centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 1,
+) -> DataFrame:
+    """IVF ANN top-k: probe the `nprobe` nearest clusters, exact-rank
+    only their members — the inverted-file scale path beside LSH.
+
+    Per query the exact-cosine work drops from n to ~n·nprobe/C. At
+    100 TB the assignment is computed once at ingest (write the corpus
+    bucketed/partitioned by centroid_id so a probe is a partition-pruned
+    scan); queries broadcast. All cosines are computed from 1e-6
+    quantized components (exact integers ⇒ deterministic doubles), so
+    ranking and output are bit-identical in the SQL oracle — within
+    2e-6 of the float cosine, irrelevant for neighbor ranking.
+    """
+    base = with_dvec(embeddings)
+    flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    vec_norms = flat.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2")
+    ).localCheckpoint(eager=False)
+    cents = ivf_train(embeddings, n_centroids, iters).localCheckpoint(eager=False)
+    assign = _ivf_assign(flat, vec_norms, cents)
+    cent_norms = cents.groupBy("centroid_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+
+    qflat = flat.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "idx", F.col("q").alias("qq")
+    )
+    qnorms = vec_norms.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("n2").alias("qn2")
+    )
+    qdots = (
+        qflat.join(F.broadcast(cents), "idx")
+        .groupBy("query_id", "centroid_id")
+        .agg(F.sum(F.col("qq") * F.col("c")).alias("dot"))
+        .join(F.broadcast(cent_norms), "centroid_id")
+        .join(F.broadcast(qnorms), "query_id")
+    )
+    qcos = _int_cosine(F.col("dot"), F.col("qn2"), F.col("c2"))
+    wprobe = Window.partitionBy("query_id").orderBy(
+        qcos.desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qdots.withColumn("prank", F.row_number().over(wprobe))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+    # members of probed clusters, self excluded; queries/probes are tiny
+    cand = (
+        assign.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    pair_dots = (
+        cand.join(flat, "vec_id")
+        .join(F.broadcast(qflat), ["query_id", "idx"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("q") * F.col("qq")).alias("dot"))
+    )
+    scored = (
+        pair_dots.join(vec_norms, "vec_id")
+        .join(F.broadcast(qnorms), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _int_cosine(F.col("dot"), F.col("qn2"), F.col("n2")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def lsh_candidate_count(
     embeddings: DataFrame, n_tables: int = LSH_TABLES,
     planes_per_table: int = LSH_PLANES_PER_TABLE,

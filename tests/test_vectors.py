@@ -123,3 +123,59 @@ def test_multi_table_buckets_shape(emb):
         F.count_distinct("tbl").alias("t"),
     ).first()
     assert rng.t == 4 and 0 <= rng.lo and rng.hi <= 15
+
+
+def test_ivf_topk_recall_vs_bruteforce(emb):
+    k = 10
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in vectors.cosine_topk(emb, [0, 1, 2, 3, 4], k=k).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in vectors.ivf_topk(
+            emb, [0, 1, 2, 3, 4], k=k, n_centroids=8, nprobe=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # measured 0.94 at these widths on this corpus; 0.6 is the floor
+    assert recall >= 0.6, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(emb):
+    """nprobe = n_centroids probes every cluster — the candidate set is
+    the whole corpus, so the result must equal the exact baseline."""
+    k = 10
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in vectors.cosine_topk(emb, [0, 1, 2], k=k).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in vectors.ivf_topk(
+            emb, [0, 1, 2], k=k, n_centroids=8, nprobe=8
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_assignment_partitions_corpus(emb):
+    """Every vector lands in exactly one cluster, and no cluster
+    degenerates to the whole corpus (the probe would be a full scan)."""
+    from algoritmos_etl_spark.operators.vectors import (
+        _ivf_assign, _quantized_flat, ivf_train, with_dvec,
+    )
+
+    n = emb.count()
+    base = with_dvec(emb)
+    flat = _quantized_flat(base, "vec_id")
+    vec_norms = flat.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2")
+    )
+    cents = ivf_train(emb, n_centroids=8, iters=1)
+    assign = _ivf_assign(flat, vec_norms, cents)
+    assert assign.count() == n
+    sizes = [r.c for r in assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("c")).collect()]
+    assert sum(sizes) == n
+    assert max(sizes) < n, "IVF assignment degenerated to one cluster"
