@@ -107,6 +107,25 @@ def q_fingerprints(spark, sf_dir):
     return text.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "token_counts",
+    f"""SELECT doc_id,
+           CAST(len({_W}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{text.TOKEN_ALPHA}')) AS BIGINT) AS n_alpha_tokens,
+           CAST(len(regexp_extract_all(text, '{text.TOKEN_DIGIT}')) AS BIGINT) AS n_digit_tokens,
+           CAST(len(regexp_extract_all(text, '{text.TOKEN_OTHER}')) AS BIGINT) AS n_symbol_tokens,
+           CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '{text.TOKEN_ALPHA}'),
+                    t -> CAST(ceil(length(t) / {float(text.SUBWORD_CHARS)}) AS BIGINT))), 0)
+                + len(regexp_extract_all(text, '{text.TOKEN_DIGIT}'))
+                + len(regexp_extract_all(text, '{text.TOKEN_OTHER}')) AS BIGINT) AS n_tokens_est
+    FROM documents""",
+    "Token counting: whitespace tokens + regex pre-tokenizer runs + BPE-ish "
+    "ceil(len/4) subword estimate for corpus token budgeting (M8 text analysis)",
+)
+def q_token_counts(spark, sf_dir):
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------- dedup
 
 @register(
@@ -233,6 +252,91 @@ def q_minhash(spark, sf_dir):
     return dedup.minhash_lsh_dedup(
         load_table(spark, sf_dir, "documents"), threshold=0.2,
         max_bucket_size=_SHINGLE_DF_CAP,
+    )
+
+
+@register(
+    "corpus_curation",
+    f"""WITH wq AS (SELECT doc_id, {_W} AS ws FROM documents),
+    stats AS (
+        SELECT doc_id, len(ws) AS n_words,
+               round(CASE WHEN len(ws) > 0
+                     THEN CAST(len(list_filter(ws, x -> list_contains({list(text.STOPWORDS)!r}, x))) AS DOUBLE) / len(ws)
+                     ELSE 0.0 END, 6) AS stopword_ratio
+        FROM wq
+    ),
+    p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+    lraw AS (SELECT doc_id,
+                 {_oracle_marker_count('en')} AS c_en,
+                 {_oracle_marker_count('es')} AS c_es,
+                 {_oracle_marker_count('de')} AS c_de,
+                 {_oracle_marker_count('fr')} AS c_fr
+          FROM p),
+    langs AS (
+        SELECT doc_id,
+               CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+                    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                    WHEN c_de >= c_fr THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM lraw
+    ),
+    fdocs AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN stats USING (doc_id) JOIN langs USING (doc_id)
+        WHERE pred_lang = 'en' AND n_words >= 20
+          AND stopword_ratio >= 0.02 AND stopword_ratio <= 0.25
+    ),
+    {_MINHASH.replace("FROM documents", "FROM fdocs").strip().lstrip()},
+    small AS (
+        SELECT band, band_sig FROM bands
+        GROUP BY band, band_sig HAVING count(*) <= {_SHINGLE_DF_CAP}
+    ),
+    kept_bands AS (
+        SELECT b.doc_id, b.band, b.band_sig
+        FROM bands b JOIN small s ON b.band = s.band AND b.band_sig = s.band_sig
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept_bands a JOIN kept_bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cands c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+        GROUP BY 1, 2
+    ),
+    drops AS (
+        SELECT DISTINCT c.doc_b AS doc_id
+        FROM cands c
+        JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.2
+    )
+    SELECT f.doc_id, CAST(s.n_words AS BIGINT) AS n_words,
+           s.stopword_ratio, l.pred_lang
+    FROM fdocs f
+    JOIN stats s ON s.doc_id = f.doc_id
+    JOIN langs l ON l.doc_id = f.doc_id
+    LEFT JOIN drops dr ON dr.doc_id = f.doc_id
+    WHERE dr.doc_id IS NULL""",
+    "End-to-end corpus curation: quality gate (word count + stopword band) ∧ "
+    "language gate, then MinHash-LSH near-dup greedy pair-drop among survivors "
+    "— the composed training-data pipeline (M8)",
+)
+def q_corpus_curation(spark, sf_dir):
+    from .plans.curation import curate_corpus
+
+    out = curate_corpus(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "stopword_ratio",
+        "pred_lang",
     )
 
 

@@ -117,6 +117,46 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return s.select("doc_id", pred.alias("pred_lang"))
 
 
+# Regex pre-tokenizer classes (GPT-2-style category split, simplified
+# to explicit character classes so the Java and RE2 regex dialects
+# agree byte-for-byte): alpha runs, digit runs, symbol runs.
+TOKEN_ALPHA = "[A-Za-z]+"
+TOKEN_DIGIT = "[0-9]+"
+TOKEN_OTHER = "[^A-Za-z0-9 ]+"
+SUBWORD_CHARS = 4  # BPE-ish budget: one subword token per ~4 chars
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex estimate.
+
+    The regex pass counts pre-tokenizer category runs (alpha / digit /
+    other); the subword estimate charges each alpha run ceil(len/4)
+    tokens (digit/symbol runs count 1 each) — the standard quick proxy
+    for budgeting an LLM training corpus without shipping a tokenizer
+    model. One projection pass, no shuffle, JVM-side regex only.
+    """
+    alpha = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_ALPHA), F.lit(0))
+    subword = F.aggregate(
+        alpha,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(SUBWORD_CHARS)),
+    )
+    n_digit = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_DIGIT), F.lit(0))
+    ).cast("long")
+    n_other = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_OTHER), F.lit(0))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(alpha).cast("long").alias("n_alpha_tokens"),
+        n_digit.alias("n_digit_tokens"),
+        n_other.alias("n_symbol_tokens"),
+        (subword + n_digit + n_other).alias("n_tokens_est"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: exact (md5 of normalized text) and
     order-insensitive content hash (xor of distinct-token hashes —

@@ -1,0 +1,66 @@
+"""End-to-end training-corpus curation: quality gate → language gate →
+near-dup drop.
+
+The composition a 100 TB text-pipeline user actually runs (quality
+scoring, language ID, MinHash-LSH dedup are each registered operators;
+this plan wires them in the standard order). Filtering FIRST shrinks
+the corpus the dedup stage shingles/hashes — the expensive stage runs
+on survivors only. The drop policy is greedy pair-drop (keep the lower
+doc_id of every verified near-dup pair); `dedup.neardup_clusters`
+provides the transitive keep-one-per-cluster variant when cluster
+resolution is worth an iterative job.
+
+Every stage is a registered operator with its own oracle; the composed
+plan has one too (`corpus_curation` in driver_queries_ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+
+MIN_WORDS = 20
+MIN_STOPWORD_RATIO = 0.02
+MAX_STOPWORD_RATIO = 0.25
+KEEP_LANG = "en"
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_words: int = MIN_WORDS,
+    min_stopword_ratio: float = MIN_STOPWORD_RATIO,
+    max_stopword_ratio: float = MAX_STOPWORD_RATIO,
+    keep_lang: str = KEEP_LANG,
+    neardup_threshold: float = 0.2,
+    max_bucket_size: int | None = 100,
+) -> DataFrame:
+    """Surviving documents with their quality features.
+
+    quality gate (word count + stopword-ratio band) ∧ language gate
+    (marker-frequency ID), then MinHash-LSH near-dup pairs among the
+    survivors; the higher doc_id of each verified pair is dropped via
+    a left-anti join (no shuffle beyond the dedup stages themselves —
+    stats/lang are projection-only).
+    """
+    stats = text.text_stats(docs)
+    langs = text.lang_id(docs)
+    quality = (
+        stats.join(langs, "doc_id")
+        .filter(
+            (F.col("pred_lang") == keep_lang)
+            & (F.col("n_words") >= min_words)
+            & (F.col("stopword_ratio") >= min_stopword_ratio)
+            & (F.col("stopword_ratio") <= max_stopword_ratio)
+        )
+    )
+    fdocs = docs.join(quality.select("doc_id"), "doc_id")
+    pairs = dedup.minhash_lsh_dedup(
+        fdocs, threshold=neardup_threshold, max_bucket_size=max_bucket_size
+    )
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        quality.join(drops, "doc_id", "left_anti")
+        .select("doc_id", "n_words", "stopword_ratio", "pred_lang")
+    )

@@ -57,7 +57,10 @@ HEADLINE = [
     "multimodal_frames",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_neardup_pairs",
+    "token_counts",
+    "corpus_curation",
     "neardup_clusters",
     "stride_downsample",
     "skew_salted_join",

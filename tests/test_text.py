@@ -1,0 +1,80 @@
+"""Text-analysis operator tests: token counting semantics and the
+composed corpus-curation plan's invariants."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.operators import text
+from algoritmos_etl_spark.plans.curation import curate_corpus
+from algoritmos_etl_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+def test_token_counts_hand_checked(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world, 42 tests!"), (1, ""), (2, "internationalization")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.token_counts(df).collect()}
+    r = rows[0]
+    # alpha runs: hello world tests; digit runs: 42; symbol runs: "," "!"
+    assert (r.n_ws_tokens, r.n_alpha_tokens, r.n_digit_tokens, r.n_symbol_tokens) == (
+        4, 3, 1, 2,
+    )
+    # subwords: ceil(5/4)+ceil(5/4)+ceil(5/4)=6, +1 digit +2 symbols
+    assert r.n_tokens_est == 9
+    assert rows[1].n_tokens_est == 0 and rows[1].n_ws_tokens == 0
+    assert rows[2].n_tokens_est == math.ceil(len("internationalization") / 4)
+
+
+def test_token_counts_on_corpus(docs):
+    out = text.token_counts(docs)
+    n = docs.count()
+    assert out.count() == n
+    bad = out.filter(
+        (F.col("n_alpha_tokens") < F.col("n_ws_tokens"))  # runs split ws tokens
+        | (F.col("n_tokens_est") < F.col("n_alpha_tokens"))
+    ).count()
+    assert bad == 0
+
+
+def test_curation_is_a_subset_with_gates_applied(docs):
+    out = curate_corpus(docs).cache()
+    n_out = out.count()
+    assert 0 < n_out < docs.count()
+    # every survivor passes the declared gates
+    viol = out.filter(
+        (F.col("pred_lang") != "en")
+        | (F.col("n_words") < 20)
+        | (F.col("stopword_ratio") < 0.02)
+        | (F.col("stopword_ratio") > 0.25)
+    ).count()
+    assert viol == 0
+    # survivors are real corpus docs
+    orphan = out.join(docs, "doc_id", "left_anti").count()
+    assert orphan == 0
+
+
+def test_curation_drops_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away in the morning sun with a friend of mine it is a good day to be alive and well"
+    rows = [(0, base), (1, base + " extra token"), (2, "unrelated " * 25 + "the a of it is in and to the a of it is in and to")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r.doc_id
+        for r in curate_corpus(
+            df, min_words=5, max_stopword_ratio=1.0, max_bucket_size=None
+        ).collect()
+    }
+    # docs 0 and 1 are near-dups: greedy pair-drop keeps the lower id
+    assert 0 in kept and 1 not in kept
