@@ -126,6 +126,58 @@ def q_token_counts(spark, sf_dir):
     return text.token_counts(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "repetition_stats",
+    f"""WITH words AS (SELECT doc_id, {_W} AS ws FROM documents),
+    base AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
+             FROM words),
+    grams AS (
+        SELECT doc_id, 2 AS n,
+               unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                      i -> ws[i] || ' ' || ws[i+1])) AS gram
+        FROM words
+        UNION ALL
+        SELECT doc_id, 3 AS n,
+               unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+        FROM words
+    ),
+    counts AS (SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+    per_n AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 2 THEN cnt END) AS top_2,
+               sum(CASE WHEN n = 2 AND cnt > 1 THEN cnt END) AS dup_2,
+               sum(CASE WHEN n = 2 THEN cnt END) AS tot_2,
+               max(CASE WHEN n = 3 THEN cnt END) AS top_3,
+               sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END) AS dup_3,
+               sum(CASE WHEN n = 3 THEN cnt END) AS tot_3
+        FROM counts GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+           round(CASE WHEN b.n_words > 0
+                 THEN CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words
+                 ELSE 0.0 END, 6) AS dup_word_frac,
+           round(CASE WHEN coalesce(p.tot_2, 0) > 0
+                 THEN CAST(coalesce(p.top_2, 0) AS DOUBLE) / p.tot_2
+                 ELSE 0.0 END, 6) AS top_2gram_frac,
+           round(CASE WHEN coalesce(p.tot_2, 0) > 0
+                 THEN CAST(coalesce(p.dup_2, 0) AS DOUBLE) / p.tot_2
+                 ELSE 0.0 END, 6) AS dup_2gram_frac,
+           round(CASE WHEN coalesce(p.tot_3, 0) > 0
+                 THEN CAST(coalesce(p.top_3, 0) AS DOUBLE) / p.tot_3
+                 ELSE 0.0 END, 6) AS top_3gram_frac,
+           round(CASE WHEN coalesce(p.tot_3, 0) > 0
+                 THEN CAST(coalesce(p.dup_3, 0) AS DOUBLE) / p.tot_3
+                 ELSE 0.0 END, 6) AS dup_3gram_frac
+    FROM base b LEFT JOIN per_n p ON b.doc_id = p.doc_id""",
+    "Gopher-style repetition quality signals: duplicate-word fraction plus "
+    "top/duplicate bigram+trigram occurrence fractions (M8 corpus curation)",
+)
+def q_repetition_stats(spark, sf_dir):
+    out = text.repetition_stats(load_table(spark, sf_dir, "documents"))
+    return out.withColumn("n_words", F.col("n_words").cast("long"))
+
+
 # ---------------------------------------------------------------- dedup
 
 @register(

@@ -157,6 +157,99 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (empty array when the doc
+    has fewer than n words). slice+zip_with keeps it JVM-side."""
+    gram_count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    gram = F.slice(words, 1, gram_count)
+    for off in range(1, n):
+        nxt = F.slice(words, off + 1, gram_count)
+        gram = F.zip_with(gram, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return gram
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    For n in {2, 3}: `top_{n}gram_frac` is the share of n-gram
+    occurrences taken by the single most frequent n-gram;
+    `dup_{n}gram_frac` is the share of occurrences whose n-gram occurs
+    more than once. `dup_word_frac` = 1 − distinct/total words. All
+    fractions are occurrence-based (the char-weighted Gopher variant
+    differs only by a length weight); high values flag boilerplate and
+    looped text a curation pipeline drops before training.
+
+    Scale shape: explode n-grams to rows and count by (doc, n, gram) —
+    one shuffle keyed by doc_id+gram, never a per-document quadratic
+    array scan (a 10k-word doc would cost O(distinct·len) per row with
+    nested higher-order filters). Docs too short for any n-gram keep a
+    row with zero fractions via the left join.
+    """
+    words = words_col(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        _word_ngrams(words, 2).alias("g2"),
+        _word_ngrams(words, 3).alias("g3"),
+    )
+    exploded = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(F.col("g2"), lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))),
+                F.transform(F.col("g3"), lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram"))),
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(0.0), 6
+        )
+
+    per_n = counts.groupBy("doc_id").agg(
+        *[
+            agg
+            for n in (2, 3)
+            for agg in (
+                F.max(F.when(F.col("n") == n, F.col("cnt"))).alias(f"top_{n}"),
+                F.sum(
+                    F.when((F.col("n") == n) & (F.col("cnt") > 1), F.col("cnt"))
+                ).alias(f"dup_{n}"),
+                F.sum(F.when(F.col("n") == n, F.col("cnt"))).alias(f"tot_{n}"),
+            )
+        ]
+    )
+    joined = base.select("doc_id", "n_words", "n_distinct").join(
+        per_n, "doc_id", "left"
+    )
+    return joined.select(
+        "doc_id",
+        "n_words",
+        _frac(
+            (F.col("n_words") - F.col("n_distinct")).cast("double"), F.col("n_words")
+        ).alias("dup_word_frac"),
+        *[
+            col
+            for n in (2, 3)
+            for col in (
+                _frac(
+                    F.coalesce(F.col(f"top_{n}"), F.lit(0)).cast("double"),
+                    F.coalesce(F.col(f"tot_{n}"), F.lit(0)),
+                ).alias(f"top_{n}gram_frac"),
+                _frac(
+                    F.coalesce(F.col(f"dup_{n}"), F.lit(0)).cast("double"),
+                    F.coalesce(F.col(f"tot_{n}"), F.lit(0)),
+                ).alias(f"dup_{n}gram_frac"),
+            )
+        ],
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: exact (md5 of normalized text) and
     order-insensitive content hash (xor of distinct-token hashes —

@@ -60,6 +60,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "embedding_neardup_pairs",
     "token_counts",
+    "repetition_stats",
     "corpus_curation",
     "neardup_clusters",
     "stride_downsample",

@@ -78,3 +78,29 @@ def test_curation_drops_near_duplicates(spark):
     }
     # docs 0 and 1 are near-dups: greedy pair-drop keeps the lower id
     assert 0 in kept and 1 not in kept
+
+
+def test_repetition_stats_flags_looped_text(spark):
+    rows = [
+        (0, "spam ham " * 10),              # one bigram loop
+        (1, "a b c d e f g h i j"),          # all distinct
+        (2, "one"),                          # too short for any n-gram
+        (3, ""),                             # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # looped doc: "spam ham" occurs 10/19 bigrams; every bigram occurrence
+    # belongs to a gram seen >1 time
+    assert out[0].dup_word_frac == round(18 / 20, 6)
+    assert out[0].top_2gram_frac == round(10 / 19, 6)
+    assert out[0].dup_2gram_frac == 1.0
+    assert out[0].dup_3gram_frac == 1.0
+    # distinct doc: no repetition anywhere
+    assert out[1].dup_word_frac == 0.0
+    assert out[1].top_2gram_frac == round(1 / 9, 6)
+    assert out[1].dup_2gram_frac == 0.0
+    # short/empty docs keep a row with zero fractions
+    for d in (2, 3):
+        assert out[d].top_2gram_frac == 0.0
+        assert out[d].dup_3gram_frac == 0.0
