@@ -1287,6 +1287,43 @@ def q_split(spark, sf_dir):
 
 
 @register(
+    "balanced_corpus_sample",
+    f"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+    s AS (SELECT doc_id,
+                 {_oracle_marker_count('en')} AS c_en,
+                 {_oracle_marker_count('es')} AS c_es,
+                 {_oracle_marker_count('de')} AS c_de,
+                 {_oracle_marker_count('fr')} AS c_fr
+          FROM p),
+    lang AS (
+        SELECT doc_id,
+               CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+                    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                    WHEN c_de >= c_fr THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM s),
+    thr AS (
+        SELECT pred_lang,
+               least(10000, CAST(floor(100 * 10000.0 / count(*)) AS BIGINT)) AS thr
+        FROM lang GROUP BY pred_lang)
+    SELECT l.doc_id, l.pred_lang
+    FROM lang l JOIN thr t ON l.pred_lang = t.pred_lang
+    WHERE {_h("'strata:' || CAST(l.doc_id AS VARCHAR)")} % 10000 < t.thr""",
+    "Corpus rebalancing: deterministic per-language downsample toward ~100 "
+    "docs per stratum (hash-threshold survivors, broadcast strata table)",
+)
+def q_balanced_corpus_sample(spark, sf_dir):
+    from .operators import sampling
+
+    lang = text.lang_id(load_table(spark, sf_dir, "documents"))
+    kept = sampling.balanced_sample(
+        lang, key="doc_id", strata_col="pred_lang", target_per_stratum=100
+    )
+    return kept.select("doc_id", "pred_lang")
+
+
+@register(
     "stride_downsample",
     f"""WITH {ORACLE_BARS_CTE},
     seq AS (

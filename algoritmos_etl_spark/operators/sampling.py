@@ -57,6 +57,60 @@ def deterministic_sample(
     return df.filter(split_bucket(F.col(key), salt) < thresh)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows (e.g. 100% of
+    rare languages, 10% of English). Pure projection — the fraction map
+    compiles to a CASE over `strata_col`; no shuffle, no join."""
+    b = split_bucket(F.col(key), salt)
+    thr: Column = F.lit(int(default_fraction * SPLIT_BUCKETS))
+    expr = F.lit(None).cast("int")
+    for stratum, frac in fractions.items():
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * SPLIT_BUCKETS))
+        ).otherwise(expr)
+    return df.filter(b < F.coalesce(expr, thr))
+
+
+def balanced_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    target_per_stratum: int,
+    salt: str = "strata",
+) -> DataFrame:
+    """Downsample every stratum toward ~`target_per_stratum` rows —
+    the corpus-rebalancing step of a training pipeline (cap the
+    dominant language/source, keep the tail whole).
+
+    Per-stratum keep-fraction = min(1, target/count), applied as a hash
+    -bucket threshold so the choice of survivors is deterministic and
+    growth-stable within a stratum's existing rows. Scale shape: the
+    strata table (one row per stratum) comes from one partial-agg pass
+    and broadcasts back onto the big side — the corpus itself is never
+    shuffled. Expected kept rows per stratum ≈ target (hash-uniform,
+    not exact-N; an exact-N variant would need a per-stratum top-k by
+    hash, a heavier sort — the approximate form is the 100 TB default).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    thr = F.least(
+        F.lit(SPLIT_BUCKETS).cast("long"),
+        F.floor(F.lit(target_per_stratum * SPLIT_BUCKETS) / F.col("_n")),
+    ).alias("_thr")
+    strata = counts.select(strata_col, thr)
+    return (
+        df.join(F.broadcast(strata), strata_col)
+        .filter(split_bucket(F.col(key), salt) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def stride_sample(
     df: DataFrame,
     partition_col: str,

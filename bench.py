@@ -63,6 +63,7 @@ HEADLINE = [
     "repetition_stats",
     "corpus_curation",
     "neardup_clusters",
+    "balanced_corpus_sample",
     "stride_downsample",
     "skew_salted_join",
     "wide_roundtrip",

@@ -65,3 +65,37 @@ def test_deterministic_sample_fraction(spark):
     k = sampled.count()
     assert 0.2 < k / n < 0.4
     assert sampled.exceptAll(sampling.deterministic_sample(docs, "doc_id", 0.3)).isEmpty()
+
+
+def test_stratified_sample_per_stratum_fractions(spark):
+    rows = [(i, "en" if i % 2 == 0 else "rare") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_sample(
+        df, key="doc_id", strata_col="lang", fractions={"en": 0.1, "rare": 1.0}
+    )
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang["rare"] == 1000            # kept whole
+    assert 50 < by_lang.get("en", 0) < 200    # ~10% of 1000
+    # unknown strata default to dropped
+    extra = spark.createDataFrame([(99999, "xx")], "doc_id long, lang string")
+    assert sampling.stratified_sample(
+        extra, key="doc_id", strata_col="lang", fractions={"en": 0.1}
+    ).isEmpty()
+
+
+def test_balanced_sample_caps_dominant_stratum(spark):
+    rows = [(i, "en" if i < 1800 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.balanced_sample(
+        df, key="doc_id", strata_col="lang", target_per_stratum=100
+    )
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # dominant stratum capped near the target; small stratum (200 rows,
+    # thr=least(10000, floor(100*10000/200))=5000) keeps ~half
+    assert 50 <= by_lang["en"] <= 180
+    assert 60 <= by_lang["de"] <= 140
+    # deterministic: same survivors on a rerun
+    again = sampling.balanced_sample(
+        df, key="doc_id", strata_col="lang", target_per_stratum=100
+    )
+    assert out.exceptAll(again).isEmpty()
