@@ -35,14 +35,17 @@ def curate_corpus(
     keep_lang: str = KEEP_LANG,
     neardup_threshold: float = 0.2,
     max_bucket_size: int | None = 100,
+    max_dup_3gram_frac: float | None = None,
 ) -> DataFrame:
     """Surviving documents with their quality features.
 
     quality gate (word count + stopword-ratio band) ∧ language gate
-    (marker-frequency ID), then MinHash-LSH near-dup pairs among the
-    survivors; the higher doc_id of each verified pair is dropped via
-    a left-anti join (no shuffle beyond the dedup stages themselves —
-    stats/lang are projection-only).
+    (marker-frequency ID) ∧ optional repetition gate (Gopher-style
+    duplicate-trigram fraction, `max_dup_3gram_frac`), then MinHash-LSH
+    near-dup pairs among the survivors; the higher doc_id of each
+    verified pair is dropped via a left-anti join. Stats/lang are
+    projection-only; the repetition gate adds one n-gram count shuffle
+    over pre-dedup survivors — still upstream of the expensive stage.
     """
     stats = text.text_stats(docs)
     langs = text.lang_id(docs)
@@ -55,6 +58,11 @@ def curate_corpus(
             & (F.col("stopword_ratio") <= max_stopword_ratio)
         )
     )
+    if max_dup_3gram_frac is not None:
+        rep = text.repetition_stats(docs).filter(
+            F.col("dup_3gram_frac") <= max_dup_3gram_frac
+        )
+        quality = quality.join(rep.select("doc_id"), "doc_id")
     fdocs = docs.join(quality.select("doc_id"), "doc_id")
     pairs = dedup.minhash_lsh_dedup(
         fdocs, threshold=neardup_threshold, max_bucket_size=max_bucket_size

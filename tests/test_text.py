@@ -104,3 +104,23 @@ def test_repetition_stats_flags_looped_text(spark):
     for d in (2, 3):
         assert out[d].top_2gram_frac == 0.0
         assert out[d].dup_3gram_frac == 0.0
+
+
+def test_curation_repetition_gate(spark):
+    clean = "the quick brown fox jumps over a lazy dog and then it runs far away in the morning to see a friend of mine"
+    looped = ("the spam of ham is a thing " * 8).strip()
+    df = spark.createDataFrame(
+        [(0, clean), (1, looped)], "doc_id long, text string"
+    )
+    # gate off: both survive the quality stages (en, long enough)
+    base = curate_corpus(
+        df, min_words=5, min_stopword_ratio=0.0, max_stopword_ratio=1.0,
+        max_bucket_size=None,
+    )
+    assert {r.doc_id for r in base.collect()} == {0, 1}
+    # gate on: the looped doc's dup_3gram_frac ≈ 1 trips the gate
+    gated = curate_corpus(
+        df, min_words=5, min_stopword_ratio=0.0, max_stopword_ratio=1.0,
+        max_bucket_size=None, max_dup_3gram_frac=0.5,
+    )
+    assert {r.doc_id for r in gated.collect()} == {0}
