@@ -362,6 +362,9 @@ def simhash_neardup_pairs(
     in either engine (the DuckDB oracle mirrors the same chunk-sum)."""
     sh = simhash(docs, bits=bits, chunks=chunks)
     carr = F.array(*[F.col(f"c{c}") for c in range(chunks)])
+    # feeds BOTH self-join sides — materialize once or the whole
+    # token-hash vote-aggregate pipeline executes twice (no CSE across
+    # self-join branches)
     exploded = (
         sh.select("doc_id", carr.alias("carr"))
         .select(
@@ -370,6 +373,7 @@ def simhash_neardup_pairs(
             F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("chunk"),
         )
         .withColumn("chunk_val", F.element_at("carr", F.col("chunk") + 1))
+        .localCheckpoint(eager=False)
     )
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), F.col("carr").alias("carr_a"), "chunk", "chunk_val"
@@ -441,7 +445,12 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     # edges joins into EVERY propagation round — materialize once, or
     # each round re-executes the upstream pair pipeline (the full
     # near-dup candidate+verify plan when fed from ngram_jaccard_pairs:
-    # measured 70 s → 16 s at sf0.1 for the registered clusters query)
+    # measured 70 s → 16 s at sf0.1 for the registered clusters query).
+    # The incoming pairs plan must ALSO be materialized before the
+    # union: Catalyst does not CSE across union branches, so an
+    # uncheckpointed `pairs` runs its whole candidate+verify pipeline
+    # twice (measured 35 s → 15 s for the edges materialization).
+    pairs = pairs.localCheckpoint(eager=False)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
