@@ -103,7 +103,8 @@ def ngram_jaccard_pairs(
     pair whose every shared shingle is viral can be missed.
     """
     sh = _shingle_index(docs, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    viral = None
     if max_shingle_df is None:
         joinable = sh
     else:
@@ -119,13 +120,83 @@ def ngram_jaccard_pairs(
         joinable = sh.join(F.broadcast(viral), "shingle", "left_anti")
     a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
-    candidates = (
+    # the inverted-index join's match rows ARE the non-viral
+    # intersection — aggregate them instead of distinct-then-rejoin.
+    # The old shape (distinct candidates → re-join both full shingle
+    # sets) shuffled |candidates|·|avg shingles| rows (59M at sf0.1 for
+    # 256 surviving pairs); this one aggregates the join output it
+    # already has.
+    n_nv = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_nv"))
     )
-    return _verify_jaccard(candidates, sh, threshold)
+    cand = n_nv.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+        "doc_b",
+    )
+    if viral is None:
+        inter = F.col("n_nv")
+        scored = cand
+    else:
+        # full-set Jaccard must add back shared VIRAL shingles. Cheap
+        # upper bound first: inter ≤ n_nv + min(#viral in a, #viral in
+        # b) — prunes nearly every candidate before the correction
+        # join (only ~near-dups survive a 0.2 threshold), then exact
+        # correction joins the tiny viral posting list on the tiny
+        # surviving pair set.
+        viral_sh = sh.join(F.broadcast(viral), "shingle")
+        nvc = viral_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_v"))
+        ub_inter = F.col("n_nv") + F.least(F.col("nva"), F.col("nvb"))
+        pruned = (
+            cand.join(
+                F.broadcast(
+                    nvc.select(F.col("doc_id").alias("doc_a"), F.col("n_v").alias("_va"))
+                ),
+                "doc_a",
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    nvc.select(F.col("doc_id").alias("doc_b"), F.col("n_v").alias("_vb"))
+                ),
+                "doc_b",
+                "left",
+            )
+            .withColumn("nva", F.coalesce(F.col("_va"), F.lit(0)))
+            .withColumn("nvb", F.coalesce(F.col("_vb"), F.lit(0)))
+            .filter(
+                ub_inter / (F.col("n_a") + F.col("n_b") - ub_inter) >= threshold
+            )
+            .drop("_va", "_vb", "nva", "nvb")
+            # feeds the correction join AND the final projection — two
+            # consumers, materialize once (tiny after the prune)
+            .localCheckpoint(eager=False)
+        )
+        iv = (
+            pruned.select("doc_a", "doc_b")
+            .join(viral_sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+            .join(
+                viral_sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                ["doc_b", "shingle"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_iv"))
+        )
+        scored = pruned.join(iv, ["doc_a", "doc_b"], "left")
+        inter = F.col("n_nv") + F.coalesce(F.col("n_iv"), F.lit(0))
+    return (
+        scored.withColumn(
+            "jaccard",
+            F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def ngram_candidate_count(
