@@ -245,21 +245,37 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+_MH_ROWS_PER_BAND = dedup.MINHASH_HASHES // dedup.MINHASH_BANDS
+_MH_SIG_COLS = ",\n           ".join(
+    f"min(({dedup.MINHASH_A[j]} * h + {dedup.MINHASH_B[j]}) % {dedup.MINHASH_PRIME})"
+    f" AS h{j}"
+    for j in range(dedup.MINHASH_HASHES)
+)
+_MH_BAND_ARMS = "\n    UNION ALL\n".join(
+    "    SELECT doc_id, {b} AS band, md5({concat}) AS band_sig FROM sig".format(
+        b=b,
+        concat=" || ',' || ".join(
+            f"CAST(h{b * _MH_ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(_MH_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(dedup.MINHASH_BANDS)
+)
 _MINHASH = f"""
 {_SHINGLES.strip().rstrip()},
 toks AS (
     SELECT doc_id, shingle AS token FROM sh
 ),
+basehash AS (
+    SELECT doc_id, {_h("token")} % {dedup.MINHASH_PRIME} AS h FROM toks
+),
 sig AS (
-    SELECT doc_id, seed,
-           min({_h("CAST(seed AS VARCHAR) || ':' || token")}) AS h
-    FROM toks CROSS JOIN (SELECT unnest(range({dedup.MINHASH_HASHES})) AS seed)
-    GROUP BY doc_id, seed
+    SELECT doc_id,
+           {_MH_SIG_COLS}
+    FROM basehash GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, seed // {dedup.MINHASH_HASHES // dedup.MINHASH_BANDS} AS band,
-           md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed)) AS band_sig
-    FROM sig GROUP BY 1, 2
+{_MH_BAND_ARMS}
 )
 """
 

@@ -22,6 +22,28 @@ from .text import normalized_text, words_col
 
 MINHASH_HASHES = 16
 MINHASH_BANDS = 4  # 4 rows per band
+
+# One md5 per shingle, then 16 affine permutations (a_j·h + b_j) mod p —
+# the classic universal-hash MinHash family. p = 2^31 − 1 keeps every
+# product under 2^62, so the arithmetic is exact signed-64-bit in BOTH
+# engines (DuckDB raises on BIGINT overflow rather than wrapping). The
+# per-permutation md5 variant cost 16 md5 evaluations per shingle row —
+# the dominant term of the whole pipeline at scale (42M md5s on the 10x
+# corpus). Constants derive from md5 in Python at import, so the oracle
+# embeds identical literals.
+MINHASH_PRIME = 2_147_483_647
+
+
+def _mh_const(tag: str, j: int, mod: int, lo: int = 0) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{tag}:{j}".encode()).hexdigest()[:15], 16) % mod + lo
+
+
+MINHASH_A = tuple(
+    _mh_const("mha", j, MINHASH_PRIME - 1, 1) for j in range(MINHASH_HASHES)
+)
+MINHASH_B = tuple(_mh_const("mhb", j, MINHASH_PRIME) for j in range(MINHASH_HASHES))
 # 64-bit SimHash in 4×16-bit chunks: 65,536 bucket values per chunk, so
 # the banding self-join fans out per-bucket at ~n/65536 — the 32-bit /
 # 8-bit-chunk variant had only 256 bucket values and its candidate join
@@ -284,11 +306,27 @@ def minhash_signatures(
     LSH buckets stay sparse — the property the whole scheme relies on
     at scale."""
     sh = doc_shingles(docs, k_shingle)
-    aggs = [
-        F.min(_tok_hash(F.lit(str(j)), F.col("shingle"))).alias(f"h{j}")
+    return _with_base_hash(sh).groupBy("doc_id").agg(*_minhash_aggs(n_hashes))
+
+
+def _with_base_hash(sh: DataFrame) -> DataFrame:
+    """One md5-prefix hash per shingle row, reduced mod p."""
+    return sh.withColumn(
+        "_h", F.pmod(_tok_hash(F.lit("mh"), F.col("shingle")), F.lit(MINHASH_PRIME))
+    )
+
+
+def _minhash_aggs(n_hashes: int = MINHASH_HASHES) -> list:
+    """Min-aggregates of the affine permutation family over `_h`."""
+    return [
+        F.min(
+            F.pmod(
+                F.lit(MINHASH_A[j]) * F.col("_h") + F.lit(MINHASH_B[j]),
+                F.lit(MINHASH_PRIME),
+            )
+        ).alias(f"h{j}")
         for j in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_bands(sigs: DataFrame, n_bands: int = MINHASH_BANDS) -> DataFrame:
@@ -332,16 +370,12 @@ def minhash_lsh_dedup(
     # the shingle index feeds the signature pass AND the verification
     # join (3 branches) — one materialization, GC-scoped
     sh = _shingle_index(docs, k)
-    aggs = [
-        F.min(_tok_hash(F.lit(str(j)), F.col("shingle"))).alias(f"h{j}")
-        for j in range(MINHASH_HASHES)
-    ]
     # bands feeds the bucket-size filter AND both join sides (3 plan
     # branches) — materialize once so the 16 min-aggregates over the
     # shingle explode run a single time
-    bands = minhash_bands(sh.groupBy("doc_id").agg(*aggs)).localCheckpoint(
-        eager=False
-    )
+    bands = minhash_bands(
+        _with_base_hash(sh).groupBy("doc_id").agg(*_minhash_aggs())
+    ).localCheckpoint(eager=False)
     if max_bucket_size is not None:
         # over-cap buckets are the rare pathology → broadcast anti-join
         big = (
