@@ -200,6 +200,27 @@ def streaming_running_streaks(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exact streaming dedup for at-least-once delivery: re-deliveries
+    of a key arriving within the watermark are dropped
+    (`dropDuplicatesWithinWatermark`); key state older than the
+    watermark is evicted, so state stays bounded by the watermark's
+    event-time span — the property that makes EXACT dedup feasible on
+    an unbounded stream (plain `dropDuplicates` on a stream accretes
+    state forever). Batch twin: `dropDuplicates(keys)` over the same
+    files — parity pinned in tests with injected duplicate deliveries
+    across micro-batches.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, timeout_sec: int = 120
 ) -> DataFrame:

@@ -221,3 +221,38 @@ def test_checkpoint_restart_recovers_state_exactly_once(spark, batch_events, tmp
         "t_streaks_ckpt_ref",
     )
     assert _rows(out, "user_id", "event_id") == _rows(single, "user_id", "event_id")
+
+
+def test_streaming_dedup_drops_redeliveries(spark, batch_events, tmp_path):
+    """At-least-once delivery: re-deliver a sample of events in a later
+    file; dropDuplicatesWithinWatermark must drop every re-delivery that
+    arrives inside the watermark, reproducing the batch distinct."""
+    from algoritmos_etl_spark.streaming import streaming_dedup
+    import time as _time
+
+    src = tmp_path / "redelivered"
+    first = batch_events
+    dups = batch_events.sample(0.3, seed=7)
+    first.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    _time.sleep(1.1)
+    dups.coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)  # re-deliveries in a LATER micro-batch
+        .option("recursiveFileLookup", True)
+        .parquet(str(src))
+    )
+    # watermark wider than the data's time span: no state eviction, so
+    # every re-delivery is inside the dedup horizon
+    streamed = run_to_memory_sink(
+        streaming_dedup(stream, watermark="3650 days"), "t_dedup"
+    )
+    assert streamed.count() == batch_events.count()
+    assert streamed.select("event_id").distinct().count() == streamed.count()
+    assert _rows(streamed.select("event_id", "user_id"), "event_id") == _rows(
+        batch_events.select("event_id", "user_id"), "event_id"
+    )
