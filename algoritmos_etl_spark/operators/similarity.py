@@ -114,22 +114,36 @@ def per_symbol_returns(bars: DataFrame) -> DataFrame:
     )
 
 
-def correlation_heatmap(bars: DataFrame) -> DataFrame:
+def correlation_heatmap(bars: DataFrame, salt_buckets: int = 1) -> DataFrame:
     """J5: Pearson correlation for every unordered symbol pair (a < b).
 
     Upper triangle only — the reference's symmetry optimization
     (`app.py:344-346`) kept as a query-shape choice; mirror at the edge
     if a full matrix is needed. Returns are joined on date so only
     co-traded days feed each pair's correlation.
+
+    The date join's key cardinality is the number of TRADING DAYS, so
+    the join parallelizes into at most #dates expansion tasks. On real
+    corpora (years → thousands of days) that exceeds any executor
+    count and no salting is needed — but when cores >> days (wide
+    cluster, short window), set `salt_buckets` ≈ cores/days: the
+    a-side carries pmod(sym_a, G), the b-side replicates once per
+    bucket (|returns| × G rows — trivial next to the join output) and
+    every date splits into G balanced tasks. Default 1 (off): salting
+    replicates b-side sort cost, a measured net loss whenever the date
+    count already covers the cores (local[32] on the 30-day corpus:
+    596 s unsalted vs 820 s salted at 10x).
     """
     rets = per_symbol_returns(bars)
     a = rets.select(
         F.col("symbol").alias("sym_a"), "date", F.col("ret").alias("ret_a")
-    )
+    ).withColumn("_g", F.pmod(F.col("sym_a"), F.lit(salt_buckets)))
     b = rets.select(
         F.col("symbol").alias("sym_b"), "date", F.col("ret").alias("ret_b")
+    ).withColumn(
+        "_g", F.explode(F.array(*[F.lit(g) for g in range(salt_buckets)]))
     )
-    joined = a.join(b, "date").filter(F.col("sym_a") < F.col("sym_b"))
+    joined = a.join(b, ["date", "_g"]).filter(F.col("sym_a") < F.col("sym_b"))
     return (
         joined.groupBy("sym_a", "sym_b")
         .agg(

@@ -199,3 +199,12 @@ def test_heatmap_matches_pairwise_corr(bars):
     cols = direct.columns[1:]
     expect = direct.agg(F.corr(cols[0], cols[1])).collect()[0][0]
     assert some["pearson"] == pytest.approx(expect if expect is not None else 0.0, abs=1e-9)
+
+
+def test_heatmap_salted_equals_unsalted(bars):
+    """salt_buckets only re-partitions the pair expansion — the result
+    set must be identical to the unsalted join."""
+    base = similarity.correlation_heatmap(bars)
+    salted = similarity.correlation_heatmap(bars, salt_buckets=5)
+    assert base.exceptAll(salted).isEmpty()
+    assert salted.exceptAll(base).isEmpty()
