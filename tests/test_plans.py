@@ -110,3 +110,29 @@ def test_hot_path_stays_in_codegen(tables):
     final_plan = _plan(q)
     assert "isFinalPlan=true" in final_plan
     assert "*(" in final_plan, final_plan
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed on the same key join WITHOUT a shuffle: the
+    bucketed scan is the distribution. This is the pay-the-shuffle-once
+    layout for recurring big-to-big joins at scale."""
+    from algoritmos_etl_spark.sources.bucketed import read_table, write_bucketed
+    from algoritmos_etl_spark.sources.readers import load_table
+    from algoritmos_etl_spark.operators import text
+
+    # spark.sql.warehouse.dir is static — tables land in the session's
+    # default warehouse; dropped below (dir is gitignored)
+    docs = load_table(spark, SF_DIR, "documents")
+    write_bucketed(docs, "b_docs", ["doc_id"], n_buckets=8)
+    write_bucketed(text.text_stats(docs), "b_stats", ["doc_id"], n_buckets=8)
+
+    joined = read_table(spark, "b_docs").join(
+        read_table(spark, "b_stats").hint("merge"), "doc_id"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and it is the same result as the plain join
+    plain = docs.join(text.text_stats(docs), "doc_id")
+    assert joined.count() == plain.count()
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_stats")
