@@ -410,17 +410,25 @@ def q_corpus_curation(spark, sf_dir):
 
 _SIMHASH_CHUNK_BITS = dedup.SIMHASH_BITS // dedup.SIMHASH_CHUNKS
 
-# Per-chunk seeded hashes ('sim{c}:tok') and per-chunk packed values —
-# hamming is the SUM of per-chunk bit_count(xor), never a packed 64-bit
-# value, so neither engine touches the sign bit.
+# One base hash per token + per-chunk affine permutations (identical
+# literals to dedup.SIMHASH_A/B) — hamming is the SUM of per-chunk
+# bit_count(xor), never a packed 64-bit value, so neither engine
+# touches the sign bit.
+_SIMHASH_CHUNK_H = " ".join(
+    f"WHEN chunk = {c} THEN ({dedup.SIMHASH_A[c]} * h + {dedup.SIMHASH_B[c]})"
+    f" % {dedup.MINHASH_PRIME}"
+    for c in range(dedup.SIMHASH_CHUNKS)
+)
 _SIMHASH = f"""
 toks AS (
     SELECT doc_id, unnest(list_distinct({_W})) AS token FROM documents
 ),
+tb AS (
+    SELECT doc_id, {_h("'sh:' || token")} % {dedup.MINHASH_PRIME} AS h FROM toks
+),
 th AS (
-    SELECT doc_id, chunk,
-           {_h("'sim' || CAST(chunk AS VARCHAR) || ':' || token")} AS h
-    FROM toks CROSS JOIN (SELECT unnest(range({dedup.SIMHASH_CHUNKS})) AS chunk)
+    SELECT doc_id, chunk, CASE {_SIMHASH_CHUNK_H} END AS h
+    FROM tb CROSS JOIN (SELECT unnest(range({dedup.SIMHASH_CHUNKS})) AS chunk)
 ),
 votes AS (
     SELECT doc_id, chunk, bit,

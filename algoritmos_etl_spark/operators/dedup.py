@@ -44,6 +44,11 @@ MINHASH_A = tuple(
     _mh_const("mha", j, MINHASH_PRIME - 1, 1) for j in range(MINHASH_HASHES)
 )
 MINHASH_B = tuple(_mh_const("mhb", j, MINHASH_PRIME) for j in range(MINHASH_HASHES))
+
+# SimHash gets the same treatment: one md5 per token, then one affine
+# permutation PER CHUNK supplies that chunk's 16 vote bits.
+SIMHASH_A = tuple(_mh_const("sha", c, MINHASH_PRIME - 1, 1) for c in range(8))
+SIMHASH_B = tuple(_mh_const("shb", c, MINHASH_PRIME) for c in range(8))
 # 64-bit SimHash in 4×16-bit chunks: 65,536 bucket values per chunk, so
 # the banding self-join fans out per-bucket at ~n/65536 — the 32-bit /
 # 8-bit-chunk variant had only 256 bucket values and its candidate join
@@ -409,19 +414,26 @@ def simhash(
     aggregate and the shuffled row count stays |tokens|, not
     |tokens|·bits (measured 6× faster at sf0.1).
 
-    Each chunk draws its bits from its own seeded hash (`sim{c}:tok`),
-    so 64 independent bits come from 4×60-bit md5 prefixes. Chunk
-    values are packed per-chunk and the full hash assembled with column
-    shifts — a 64-bit literal would overflow, and two's-complement
-    addition of disjoint bit ranges is carry-free, so the packed value
-    is exact even when bit 63 lands set (negative long).
+    Each chunk draws its 16 bits from its own affine permutation
+    (SIMHASH_A/B mod 2^31−1) of ONE md5-prefix base hash per token —
+    one md5 instead of `chunks` md5s per token row, the same
+    universal-hash family as MinHash (constants are import-time
+    literals, so the oracle reproduces every bit). Chunk values are
+    packed per-chunk and the full hash assembled with column shifts —
+    a 64-bit literal would overflow, and two's-complement addition of
+    disjoint bit ranges is carry-free, so the packed value is exact
+    even when bit 63 lands set (negative long).
     """
     chunk_bits = bits // chunks
     toks = doc_tokens(docs)
+    base = F.pmod(_tok_hash(F.lit("sh"), F.col("token")), F.lit(MINHASH_PRIME))
     hashed = toks.select(
         "doc_id",
         *[
-            _tok_hash(F.lit(f"sim{c}"), F.col("token")).alias(f"h{c}")
+            F.pmod(
+                F.lit(SIMHASH_A[c]) * base + F.lit(SIMHASH_B[c]),
+                F.lit(MINHASH_PRIME),
+            ).alias(f"h{c}")
             for c in range(chunks)
         ],
     )
