@@ -134,28 +134,6 @@ def q_inconsistencies(spark, sf_dir):
 
 
 @register(
-    "forward_fill",
-    f"""WITH {NULLED_CTE}
-    SELECT event_id, user_id,
-           last_value(value_n IGNORE NULLS) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS value_filled
-    FROM nulled""",
-    "W1 forward fill (etl/data_cleaner.py:150-191): last prior non-null per user",
-)
-def q_ffill(spark, sf_dir):
-    filled = cleaning.forward_fill(
-        _nulled(spark, sf_dir),
-        value_col="value_n",
-        order_cols=("ts", "event_id"),
-        partition_col="user_id",
-        out_col="value_filled",
-    )
-    return filled.select("event_id", "user_id", "value_filled")
-
-
-@register(
     "drop_invalid_rows",
     f"WITH {NULLED_CTE} SELECT event_id, user_id, value_n FROM nulled WHERE value_n IS NOT NULL",
     "P3 remove_invalid_rows (etl/data_cleaner.py:194-220)",
@@ -169,52 +147,40 @@ def q_drop_invalid(spark, sf_dir):
 # ---------------------------------------------------------------- J: alignment
 
 @register(
-    "master_calendar",
-    f"WITH {ORACLE_BARS_CTE} SELECT DISTINCT date FROM bars",
-    "J1 build_master_calendar (etl/data_unifier.py:14-70)",
-)
-def q_calendar(spark, sf_dir):
-    from .operators.alignment import master_calendar
-
-    return master_calendar(_bars(spark, sf_dir))
-
-
-@register(
     "align_to_calendar",
     f"""WITH {ORACLE_BARS_CTE},
     cal AS (SELECT DISTINCT date FROM bars),
-    syms AS (SELECT DISTINCT symbol FROM bars)
-    SELECT s.symbol, c.date, b.close, (b.close IS NULL) AS is_missing
-    FROM cal c CROSS JOIN syms s
-    LEFT JOIN bars b ON b.symbol = s.symbol AND b.date = c.date""",
-    "J2 align_assets_to_calendar (etl/data_unifier.py:73-154): calendar ⟕ bars per symbol",
+    syms AS (SELECT DISTINCT symbol FROM bars),
+    aligned AS (
+        SELECT s.symbol, c.date, b.close, (b.close IS NULL) AS is_missing
+        FROM cal c CROSS JOIN syms s
+        LEFT JOIN bars b ON b.symbol = s.symbol AND b.date = c.date
+    )
+    SELECT symbol, date, close, is_missing,
+           last_value(close IGNORE NULLS) OVER (
+               PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS close_ffill
+    FROM aligned""",
+    "J1+J2+W1 fused: union-distinct master calendar (etl/data_unifier.py:14-70), "
+    "calendar ⟕ bars per symbol (etl/data_unifier.py:73-154), and forward fill "
+    "of the introduced gaps (etl/data_cleaner.py:150-191) in one pipeline",
 )
 def q_align(spark, sf_dir):
     from .operators.alignment import align_to_calendar
 
     aligned = align_to_calendar(_bars(spark, sf_dir))
-    return aligned.select(
-        "symbol", "date", "close", F.col("close").isNull().alias("is_missing")
+    filled = cleaning.forward_fill(
+        aligned,
+        value_col="close",
+        order_cols=("date",),
+        partition_col="symbol",
+        out_col="close_ffill",
     )
-
-
-@register(
-    "pivot_wide",
-    f"""WITH {ORACLE_BARS_CTE}
-    SELECT date,
-           max(CASE WHEN symbol = 0 THEN close END) AS close_0,
-           max(CASE WHEN symbol = 1 THEN close END) AS close_1,
-           max(CASE WHEN symbol = 2 THEN close END) AS close_2,
-           max(CASE WHEN symbol = 3 THEN close END) AS close_3
-    FROM bars GROUP BY date""",
-    "J3 build_master_dataset pivot-to-wide (etl/data_unifier.py:157-223), 4-symbol slice",
-)
-def q_pivot(spark, sf_dir):
-    bars = _bars(spark, sf_dir).filter(F.col("symbol").isin(0, 1, 2, 3))
-    wide = bars.groupBy("date").pivot("symbol", [0, 1, 2, 3]).agg(F.max("close"))
-    return wide.select(
-        "date",
-        *[F.col(str(s)).alias(f"close_{s}") for s in (0, 1, 2, 3)],
+    return filled.select(
+        "symbol", "date", "close",
+        F.col("close").isNull().alias("is_missing"),
+        "close_ffill",
     )
 
 
@@ -232,75 +198,97 @@ seq AS (
 
 
 @register(
-    "log_returns_zero",
+    "returns_model",
     _RET_ORACLE
     + """SELECT symbol, date,
-           round(CASE WHEN prev > 0 AND close > 0 THEN ln(close / prev) ELSE 0.0 END, 6) AS ret
+           round(CASE WHEN prev > 0 AND close > 0 THEN ln(close / prev) ELSE 0.0 END, 6) AS ret_zero,
+           round(CASE WHEN prev > 0 AND close > 0 THEN ln(close / prev) END, 6) AS ret_omit,
+           round(CASE WHEN prev IS NOT NULL AND prev <> 0 THEN (close - prev) / prev ELSE 0.0 END, 6) AS ret_simple
     FROM seq WHERE rn > 1""",
-    "W2 compute_returns 0.0-fill semantics (algorithms/technical.py:104-154)",
+    "W2/W2b/W3 in one window pass: 0.0-fill log returns "
+    "(algorithms/technical.py:104-154), omit-semantics log returns as a "
+    "nullable column (algorithms/volatility.py:30-56), simple returns "
+    "(algorithms/technical.py:161-186)",
 )
-def q_ret_zero(spark, sf_dir):
-    out = technical.log_returns(_bars(spark, sf_dir), zero_fill=True)
-    return out.select("symbol", "date", r6(F.col("ret")).alias("ret"))
+def q_returns(spark, sf_dir):
+    out = technical.returns_bundle(_bars(spark, sf_dir))
+    return out.select(
+        "symbol",
+        "date",
+        r6(F.col("ret_zero")).alias("ret_zero"),
+        r6(F.col("ret_omit")).alias("ret_omit"),
+        r6(F.col("ret_simple")).alias("ret_simple"),
+    )
 
 
 @register(
-    "log_returns_omit",
-    _RET_ORACLE
-    + """SELECT symbol, date, round(ln(close / prev), 6) AS ret
-    FROM seq WHERE rn > 1 AND prev > 0 AND close > 0""",
-    "W2b compute_log_returns omit semantics (algorithms/volatility.py:30-56)",
-)
-def q_ret_omit(spark, sf_dir):
-    out = technical.log_returns(_bars(spark, sf_dir), zero_fill=False)
-    return out.select("symbol", "date", r6(F.col("ret")).alias("ret"))
-
-
-@register(
-    "simple_returns",
-    _RET_ORACLE
-    + """SELECT symbol, date,
-           round(CASE WHEN prev IS NOT NULL AND prev <> 0 THEN (close - prev) / prev ELSE 0.0 END, 6) AS ret
-    FROM seq WHERE rn > 1""",
-    "W3 simple returns (algorithms/technical.py:161-186)",
-)
-def q_ret_simple(spark, sf_dir):
-    out = technical.simple_returns(_bars(spark, sf_dir))
-    return out.select("symbol", "date", r6(F.col("ret")).alias("ret"))
-
-
-@register(
-    "sma_5",
+    "rolling_features",
     f"""WITH {ORACLE_BARS_CTE},
-    seq AS (
+    flagged AS (
         SELECT symbol, date, close,
-               avg(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sma_raw,
+               CASE WHEN open > lag(high) OVER (PARTITION BY symbol ORDER BY date) THEN 1 ELSE 0 END AS gap,
                row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
         FROM bars
+    ),
+    seq AS (
+        SELECT symbol, date, rn,
+               avg(close) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sma_raw,
+               sum(gap) OVER (PARTITION BY symbol ORDER BY date ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS gaps_raw
+        FROM flagged
     )
     SELECT symbol, date,
-           round(CASE WHEN rn >= 5 THEN sma_raw END, 6) AS sma_5
+           round(CASE WHEN rn >= 5 THEN sma_raw END, 6) AS sma_5,
+           CAST(CASE WHEN rn >= 6 THEN gaps_raw END AS BIGINT) AS gaps_in_window
     FROM seq""",
-    "W4 SMA with warm-up nulls (algorithms/technical.py:193-243, app.py:384-390)",
+    "W4 + W6 fused: SMA with warm-up nulls (algorithms/technical.py:193-243, "
+    "app.py:384-390) and sliding gap-up counts (algorithms/patterns.py:155-264) "
+    "from one WindowExec",
 )
-def q_sma(spark, sf_dir):
-    out = technical.sma(_bars(spark, sf_dir), 5)
-    return out.select("symbol", "date", r6(F.col("sma_5")).alias("sma_5"))
+def q_rolling(spark, sf_dir):
+    out = technical.rolling_features(_bars(spark, sf_dir), 5)
+    return out.select(
+        "symbol", "date", r6(F.col("sma_5")).alias("sma_5"), "gaps_in_window"
+    )
 
 
 @register(
-    "series_moments",
-    f"""WITH {ORACLE_BARS_CTE}
-    SELECT symbol, round(avg(close), 6) AS mean,
-           round(stddev_samp(close), 6) AS std_dev,
-           CAST(count(close) AS BIGINT) AS n
-    FROM bars GROUP BY symbol""",
-    "A1/A2 mean + sample stddev (algorithms/technical.py:27-97)",
+    "series_stats",
+    _RET_ORACLE
+    + f""",
+    rets AS (
+        SELECT symbol, ln(close / prev) AS ret
+        FROM seq WHERE rn > 1 AND prev > 0 AND close > 0
+    ),
+    vols AS (
+        SELECT symbol, coalesce(stddev_samp(ret), 0.0) * {SQRT252!r} AS volatility,
+               CAST(count(ret) AS BIGINT) AS n_returns
+        FROM rets GROUP BY symbol
+    ),
+    moments AS (
+        SELECT symbol, round(avg(close), 6) AS mean,
+               round(stddev_samp(close), 6) AS std_dev,
+               round(min(close), 6) AS min_close,
+               round(max(close), 6) AS max_close,
+               CAST(count(close) AS BIGINT) AS n
+        FROM bars GROUP BY symbol
+    )
+    SELECT m.symbol, m.mean, m.std_dev, m.min_close, m.max_close, m.n,
+           round(v.volatility, 6) AS volatility, v.n_returns
+    FROM moments m JOIN vols v ON m.symbol = v.symbol""",
+    "A1/A2/A12 close moments (algorithms/technical.py:27-97) + A3 annualized "
+    "volatility (algorithms/volatility.py:63-121) fused into one shuffle",
 )
-def q_moments(spark, sf_dir):
-    out = technical.series_moments(_bars(spark, sf_dir))
+def q_series_stats(spark, sf_dir):
+    out = technical.series_stats(_bars(spark, sf_dir))
     return out.select(
-        "symbol", r6(F.col("mean")).alias("mean"), r6(F.col("std_dev")).alias("std_dev"), "n"
+        "symbol",
+        r6(F.col("mean")).alias("mean"),
+        r6(F.col("std_dev")).alias("std_dev"),
+        r6(F.col("min_close")).alias("min_close"),
+        r6(F.col("max_close")).alias("max_close"),
+        "n",
+        r6(F.col("volatility")).alias("volatility"),
+        "n_returns",
     )
 
 
@@ -320,18 +308,6 @@ vols AS (
 )
 """
 )
-
-
-@register(
-    "volatility",
-    _VOL_ORACLE + "SELECT symbol, round(volatility, 6) AS volatility, n_returns FROM vols",
-    "A3 annualized historical volatility (algorithms/volatility.py:63-121)",
-)
-def q_vol(spark, sf_dir):
-    out = volatility.historical_volatility(_bars(spark, sf_dir))
-    return out.select(
-        "symbol", r6(F.col("volatility")).alias("volatility"), "n_returns"
-    )
 
 
 @register(
@@ -404,29 +380,13 @@ seq AS (SELECT symbol, date, up, gap, rn - 1 AS pos FROM flags WHERE rn > 1)
 
 
 @register(
-    "streaks_global",
-    _UPS_ORACLE
-    + """,
-runs AS (
-    SELECT symbol, pos - row_number() OVER (PARTITION BY symbol ORDER BY pos) AS grp
-    FROM seq WHERE up = 1
-),
-lens AS (SELECT symbol, grp, CAST(count(*) AS BIGINT) AS streak_length FROM runs GROUP BY 1, 2)
-SELECT symbol, streak_length, CAST(count(*) AS BIGINT) AS frequency
-FROM lens GROUP BY 1, 2""",
-    "A13/W5-global: run-length histogram of consecutive up-days (algorithms/patterns.py:28-148, global variant)",
-)
-def q_streaks_global(spark, sf_dir):
-    return patterns.global_streak_histogram(_bars(spark, sf_dir))
-
-
-@register(
-    "streak_stats",
+    "pattern_stats",
     _UPS_ORACLE
     + """,
 totals AS (
     SELECT symbol, CAST(sum(up) AS BIGINT) AS total_ups,
-           CAST(greatest(count(*) - 4, 0) AS BIGINT) AS total_windows
+           CAST(greatest(count(*) - 4, 0) AS BIGINT) AS total_windows,
+           CAST(sum(gap) AS BIGINT) AS total_gaps
     FROM seq GROUP BY symbol
 ),
 runs AS (
@@ -434,46 +394,7 @@ runs AS (
     FROM seq WHERE up = 1
 ),
 lens AS (SELECT symbol, grp, count(*) AS len FROM runs GROUP BY 1, 2),
-mx AS (SELECT symbol, max(len) AS max_run FROM lens GROUP BY symbol)
-SELECT t.symbol, t.total_ups, t.total_windows,
-       CAST(CASE WHEN t.total_windows = 0 THEN 0
-                 ELSE coalesce(least(m.max_run, 5), 0) END AS INT) AS max_streak
-FROM totals t LEFT JOIN mx m ON t.symbol = m.symbol""",
-    "W5 scalar outputs at window=5 (algorithms/patterns.py:88-148)",
-)
-def q_streak_stats(spark, sf_dir):
-    out = patterns.streak_stats(_bars(spark, sf_dir), 5)
-    return out.select(
-        "symbol",
-        F.col("total_ups").cast("long").alias("total_ups"),
-        F.col("total_windows").cast("long").alias("total_windows"),
-        F.col("max_streak").cast("int").alias("max_streak"),
-    )
-
-
-@register(
-    "gap_up_windows",
-    _UPS_ORACLE
-    + """
-SELECT symbol, date, CAST(gaps_in_window AS BIGINT) AS gaps_in_window FROM (
-    SELECT symbol, date,
-           sum(gap) OVER (PARTITION BY symbol ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS gaps_in_window,
-           row_number() OVER (PARTITION BY symbol ORDER BY pos) AS wrn
-    FROM seq
-) WHERE wrn >= 5""",
-    "W6 sliding gap-up counts at window=5 (algorithms/patterns.py:155-264)",
-)
-def q_gap_windows(spark, sf_dir):
-    return patterns.gap_up_windows(_bars(spark, sf_dir), 5)
-
-
-@register(
-    "gap_stats",
-    _UPS_ORACLE
-    + """,
-totals AS (
-    SELECT symbol, CAST(sum(gap) AS BIGINT) AS total_gaps FROM seq GROUP BY symbol
-),
+mx AS (SELECT symbol, max(len) AS max_run FROM lens GROUP BY symbol),
 winmax AS (
     SELECT symbol, CAST(max(g) AS BIGINT) AS max_gaps_in_window FROM (
         SELECT symbol,
@@ -482,54 +403,96 @@ winmax AS (
         FROM seq
     ) WHERE wrn >= 5 GROUP BY symbol
 )
-SELECT t.symbol, t.total_gaps, w.max_gaps_in_window
-FROM totals t LEFT JOIN winmax w ON t.symbol = w.symbol""",
-    "A6/W6 scalars: total gap-ups + max in any window (algorithms/patterns.py:220-264)",
+SELECT t.symbol, t.total_ups, t.total_windows,
+       CAST(CASE WHEN t.total_windows = 0 THEN 0
+                 ELSE coalesce(least(m.max_run, 5), 0) END AS INT) AS max_streak,
+       t.total_gaps, w.max_gaps_in_window
+FROM totals t
+LEFT JOIN mx m ON t.symbol = m.symbol
+LEFT JOIN winmax w ON t.symbol = w.symbol""",
+    "W5 + A5/A6 scalar bundle at window=5: up-streak totals/max "
+    "(algorithms/patterns.py:88-148) joined with gap-up totals/window max "
+    "(algorithms/patterns.py:220-264), per symbol",
 )
-def q_gap_stats(spark, sf_dir):
-    out = patterns.gap_stats(_bars(spark, sf_dir), 5)
-    return out.select(
+def q_pattern_stats(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    streaks = patterns.streak_stats(bars, 5).select(
+        "symbol",
+        F.col("total_ups").cast("long").alias("total_ups"),
+        F.col("total_windows").cast("long").alias("total_windows"),
+        F.col("max_streak").cast("int").alias("max_streak"),
+    )
+    gaps = patterns.gap_stats(bars, 5).select(
         "symbol",
         F.col("total_gaps").cast("long").alias("total_gaps"),
         F.col("max_gaps_in_window").cast("long").alias("max_gaps_in_window"),
     )
+    return streaks.join(gaps, "symbol", "left")
 
 
 @register(
-    "streak_histogram_windowed",
-    # No DISTRIBUTED SQL idiom exists for the overlapping re-counted
-    # windows (SURVEY.md §7.3) — but at oracle scale DuckDB can brute-
-    # force them: per symbol build the ups bit-string, take every
-    # window-sized substring, split on '0', histogram the run lengths.
+    "streak_histograms",
+    # The windowed variant has no DISTRIBUTED SQL idiom (overlapping
+    # re-counted windows, SURVEY.md §7.3) — but at oracle scale DuckDB
+    # can brute-force it: per symbol build the ups bit-string, take
+    # every window-sized substring, split on '0', histogram the runs.
     _UPS_ORACLE
     + """,
-    strs AS (
-        SELECT symbol,
-               string_agg(CAST(up AS VARCHAR), '' ORDER BY pos) AS bits,
-               count(*) AS n
-        FROM seq GROUP BY symbol
-    ),
-    wins AS (
-        SELECT symbol, bits,
-               unnest(range(0, greatest(n - 5 + 1, 0))) AS st
-        FROM strs
-    ),
-    runs AS (
-        SELECT symbol,
-               unnest(list_filter(
-                   string_split(substr(bits, CAST(st + 1 AS INT), 5), '0'),
-                   x -> x <> '')) AS run
-        FROM wins
-    )
-    SELECT symbol, CAST(length(run) AS INT) AS streak_length,
+runs AS (
+    SELECT symbol, pos - row_number() OVER (PARTITION BY symbol ORDER BY pos) AS grp
+    FROM seq WHERE up = 1
+),
+lens AS (SELECT symbol, grp, CAST(count(*) AS BIGINT) AS streak_length FROM runs GROUP BY 1, 2),
+ghist AS (
+    SELECT symbol, streak_length, CAST(count(*) AS BIGINT) AS frequency
+    FROM lens GROUP BY 1, 2
+),
+strs AS (
+    SELECT symbol,
+           string_agg(CAST(up AS VARCHAR), '' ORDER BY pos) AS bits,
+           count(*) AS n
+    FROM seq GROUP BY symbol
+),
+wins AS (
+    SELECT symbol, bits,
+           unnest(range(0, greatest(n - 5 + 1, 0))) AS st
+    FROM strs
+),
+wruns AS (
+    SELECT symbol,
+           unnest(list_filter(
+               string_split(substr(bits, CAST(st + 1 AS INT), 5), '0'),
+               x -> x <> '')) AS run
+    FROM wins
+),
+win AS (
+    SELECT symbol, CAST(length(run) AS BIGINT) AS streak_length,
            CAST(count(*) AS BIGINT) AS frequency
-    FROM runs GROUP BY 1, 2""",
-    "W5 exact per-window truncated-run histogram at window=5 via applyInPandas "
-    "with the analytic O(#runs+w) algorithm (algorithms/patterns.py:106-141); "
-    "oracle simulates every window directly",
+    FROM wruns GROUP BY 1, 2
 )
-def q_streaks_windowed(spark, sf_dir):
-    return patterns.windowed_streak_histogram(_bars(spark, sf_dir), 5)
+SELECT 'global' AS kind, symbol, streak_length, frequency FROM ghist
+UNION ALL
+SELECT 'window_5' AS kind, symbol, streak_length, frequency FROM win""",
+    "A13/W5 both histogram variants: global run-length histogram "
+    "(algorithms/patterns.py:28-148) UNION the exact per-window truncated-run "
+    "histogram at window=5 via applyInPandas with the analytic O(#runs+w) "
+    "algorithm (algorithms/patterns.py:106-141); oracle simulates every window",
+)
+def q_streak_histograms(spark, sf_dir):
+    bars = _bars(spark, sf_dir)
+    glob = patterns.global_streak_histogram(bars).select(
+        F.lit("global").alias("kind"),
+        "symbol",
+        F.col("streak_length").cast("long").alias("streak_length"),
+        F.col("frequency").cast("long").alias("frequency"),
+    )
+    win = patterns.windowed_streak_histogram(bars, 5).select(
+        F.lit("window_5").alias("kind"),
+        "symbol",
+        F.col("streak_length").cast("long").alias("streak_length"),
+        F.col("frequency").cast("long").alias("frequency"),
+    )
+    return glob.unionByName(win)
 
 
 # ---------------------------------------------------------------- similarity
@@ -546,21 +509,55 @@ def q_streaks_windowed(spark, sf_dir):
                row_number() OVER w AS rn
         FROM j WINDOW w AS (ORDER BY date)
     ),
-    rr AS (SELECT ra, rb FROM r WHERE rn > 1)
-    SELECT round(sqrt(sum((ra - rb) * (ra - rb))), 6) AS euclidean,
-           round(coalesce(corr(ra, rb), 0.0), 6) AS pearson,
-           round(coalesce(sum(ra * rb) / (sqrt(sum(ra * ra)) * sqrt(sum(rb * rb))), 0.0), 6) AS cosine,
-           CAST(count(*) AS BIGINT) AS n_points
-    FROM rr""",
-    "X3 similarity bundle minus DTW for symbols (0,1): P7 align → W2 returns → A7/A8/A9 (algorithms/similarity.py:440-530)",
+    rr AS (SELECT ra, rb FROM r WHERE rn > 1),
+    sim AS (
+        SELECT round(sqrt(sum((ra - rb) * (ra - rb))), 6) AS euclidean,
+               round(coalesce(corr(ra, rb), 0.0), 6) AS pearson,
+               round(coalesce(sum(ra * rb) / (sqrt(sum(ra * ra)) * sqrt(sum(rb * rb))), 0.0), 6) AS cosine,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM rr
+    ),
+    ra_all AS (SELECT date, close AS ca FROM bars WHERE symbol = 0),
+    rb_all AS (SELECT date, close AS cb FROM bars WHERE symbol = 1),
+    jr AS (SELECT ca, cb FROM ra_all JOIN rb_all USING (date)),
+    reg AS (
+        SELECT round(regr_slope(cb, ca), 6) AS slope,
+               round(regr_intercept(cb, ca), 6) AS intercept,
+               round(regr_r2(cb, ca), 6) AS r2,
+               CAST(regr_count(cb, ca) AS BIGINT) AS n_reg
+        FROM jr
+    )
+    SELECT s.euclidean, s.pearson, s.cosine,
+           round(acos(s.cosine), 4) AS angle_rad,
+           s.n_points, g.slope, g.intercept, g.r2, g.n_reg
+    FROM sim s CROSS JOIN reg g""",
+    "X3 similarity bundle minus DTW for symbols (0,1): P7 align → W2 returns → "
+    "A7/A8/A9 (algorithms/similarity.py:440-530), plus F9 acos angle of the "
+    "return vectors and F8 regression slope/intercept/r2 on the aligned closes "
+    "(regr_* builtins) — the reference's full pair-comparison surface in one row",
 )
 def q_pair_metrics(spark, sf_dir):
-    out = similarity.pair_metrics(_bars(spark, sf_dir), 0, 1)
-    return out.select(
+    from .functions import regression_line
+
+    bars = _bars(spark, sf_dir)
+    sim = similarity.pair_metrics(bars, 0, 1).select(
         r6(F.col("euclidean")).alias("euclidean"),
         r6(F.col("pearson")).alias("pearson"),
         r6(F.col("cosine")).alias("cosine"),
         F.col("n_points").cast("long").alias("n_points"),
+    )
+    sim = sim.withColumn("angle_rad", F.round(F.acos(F.col("cosine")), 4))
+    reg = regression_line(
+        similarity.aligned_pairs(bars, 0, 1), y="close_b", x="close_a"
+    ).select(
+        r6(F.col("slope")).alias("slope"),
+        r6(F.col("intercept")).alias("intercept"),
+        r6(F.col("r2")).alias("r2"),
+        F.col("n").cast("long").alias("n_reg"),
+    )
+    return sim.crossJoin(reg).select(
+        "euclidean", "pearson", "cosine", "angle_rad", "n_points",
+        "slope", "intercept", "r2", "n_reg",
     )
 
 
@@ -579,43 +576,17 @@ def q_pair_metrics(spark, sf_dir):
         FROM seq WHERE rn > 1
     )
     SELECT a.symbol AS sym_a, b.symbol AS sym_b,
-           round(coalesce(corr(a.ret, b.ret), 0.0), 6) AS pearson,
-           CAST(count(*) AS BIGINT) AS n_points
-    FROM rets a JOIN rets b ON a.date = b.date AND a.symbol < b.symbol
-    GROUP BY a.symbol, b.symbol""",
-    "J5 all-pairs Pearson heatmap, upper triangle (app.py:322-353)",
-)
-def q_heatmap(spark, sf_dir):
-    out = similarity.correlation_heatmap(_bars(spark, sf_dir))
-    return out.select(
-        "sym_a", "sym_b", r6(F.col("pearson")).alias("pearson"), "n_points"
-    )
-
-
-@register(
-    "correlation_heatmap_blocked",
-    f"""WITH {ORACLE_BARS_CTE},
-    seq AS (
-        SELECT symbol, date, close,
-               lag(close) OVER w AS prev, row_number() OVER w AS rn
-        FROM bars WHERE close IS NOT NULL AND close > 0
-        WINDOW w AS (PARTITION BY symbol ORDER BY date)
-    ),
-    rets AS (
-        SELECT symbol, date,
-               CASE WHEN prev > 0 AND close > 0 THEN ln(close / prev) ELSE 0.0 END AS ret
-        FROM seq WHERE rn > 1
-    )
-    SELECT a.symbol AS sym_a, b.symbol AS sym_b,
            round(coalesce(corr(a.ret, b.ret), 0.0), 4) AS pearson,
            CAST(count(*) AS BIGINT) AS n_points
     FROM rets a JOIN rets b ON a.date = b.date AND a.symbol < b.symbol
     GROUP BY a.symbol, b.symbol""",
-    "J5 scale path: blocked-matrix pairwise correlation (B(B+1)/2 BLAS tasks, no "
-    "shuffled pair rows) — same co-traded-days semantics as correlation_heatmap; "
-    "pinned at 4 decimals (one-pass matrix stats vs streaming corr agree ~1e-9)",
+    "J5 all-pairs Pearson heatmap, upper triangle (app.py:322-353). The "
+    "REGISTERED path is the blocked-matrix plan (B(B+1)/2 BLAS tasks, no "
+    "shuffled pair rows) — the date-join row-explosion variant lives on as "
+    "similarity.correlation_heatmap with a test pinning their equality; "
+    "pinned at 4 decimals (one-pass matrix stats vs streaming corr ~1e-9)",
 )
-def q_heatmap_blocked(spark, sf_dir):
+def q_heatmap(spark, sf_dir):
     out = similarity.correlation_heatmap_blocked(_bars(spark, sf_dir))
     return out.select(
         "sym_a", "sym_b", F.round(F.col("pearson"), 4).alias("pearson"), "n_points"

@@ -112,6 +112,102 @@ def series_moments(df: DataFrame, value_col: str = "close") -> DataFrame:
     )
 
 
+def returns_bundle(df: DataFrame, price_col: str = "close") -> DataFrame:
+    """W2/W2b/W3 in ONE window pass: per-symbol rows (first row dropped,
+    reference returns length n−1) with all three return semantics as
+    columns — `ret_zero` (0.0-fill, `technical.py:144-153`), `ret_omit`
+    (NULL on invalid pairs, `volatility.py:43-56`), `ret_simple`
+    ((p−prev)/prev, `technical.py:161-186`).
+
+    One shuffle on symbol, one WindowExec, three projections — strictly
+    cheaper at scale than three separate scans."""
+    w = _series_window()
+    cur = F.col(price_col)
+    # lag/row_number are materialized BEFORE the rn>1 filter — re-deriving
+    # lag after the filter would see the truncated frame and null out the
+    # first surviving row's predecessor.
+    prev = F.col("_prev")
+    valid = prev.isNotNull() & cur.isNotNull() & (prev > 0) & (cur > 0)
+    logret = F.log(cur / prev)
+    return (
+        df.withColumn("_prev", F.lag(price_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .withColumn("ret_zero", F.when(valid, logret).otherwise(F.lit(0.0)))
+        .withColumn("ret_omit", F.when(valid, logret))
+        .withColumn(
+            "ret_simple",
+            F.when(
+                prev.isNotNull() & (prev != 0), (cur - prev) / prev
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_prev", "_rn")
+    )
+
+
+def series_stats(df: DataFrame, price_col: str = "close") -> DataFrame:
+    """A1/A2/A12 + A3 in ONE aggregation: per-symbol close moments
+    (mean, sample stddev, min, max, n) and annualized volatility over
+    omit-semantics log returns (`algorithms/volatility.py:63-121`).
+
+    The window lag and both aggregate families share a single shuffle
+    on symbol — the fused plan the optimizer can't derive from two
+    separate queries."""
+    import math
+
+    w = _series_window()
+    prev = F.lag(price_col).over(w)
+    cur = F.col(price_col)
+    valid = prev.isNotNull() & cur.isNotNull() & (prev > 0) & (cur > 0)
+    ret = F.when(valid, F.log(cur / prev))
+    return (
+        df.withColumn("_ret", ret)
+        .groupBy("symbol")
+        .agg(
+            F.avg(price_col).alias("mean"),
+            F.stddev_samp(price_col).alias("std_dev"),
+            F.min(price_col).alias("min_close"),
+            F.max(price_col).alias("max_close"),
+            F.count(price_col).alias("n"),
+            (
+                F.coalesce(F.stddev_samp("_ret"), F.lit(0.0))
+                * math.sqrt(252.0)
+            ).alias("volatility"),
+            F.count("_ret").alias("n_returns"),
+        )
+    )
+
+
+def rolling_features(df: DataFrame, window_size: int = 5) -> DataFrame:
+    """W4 + W6 fused: per-(symbol, date) trailing SMA (NULL warm-up,
+    `technical.py:193-243`) and the sliding gap-up count (`patterns.py:
+    155-264`) in one WindowExec over one shuffle on symbol.
+
+    `gaps_in_window` is NULL until the first full window of gap flags
+    exists (flags start at row 2, so rows 1..window_size are warm-up),
+    matching the reference's n−w+1-length output."""
+    w = _series_window()
+    frame = w.rowsBetween(-(window_size - 1), 0)
+    rn = F.row_number().over(w)
+    gap = F.when(F.col("open") > F.lag("high").over(w), 1).otherwise(0)
+    return (
+        df.withColumn("_rn", rn)
+        .withColumn("_gap", gap)
+        .withColumn(
+            f"sma_{window_size}",
+            F.when(F.col("_rn") >= window_size, F.avg("close").over(frame)),
+        )
+        .withColumn(
+            "gaps_in_window",
+            F.when(
+                F.col("_rn") >= window_size + 1,
+                F.sum("_gap").over(frame).cast("long"),
+            ),
+        )
+        .drop("_rn", "_gap")
+    )
+
+
 def cumulative_return(df: DataFrame, price_col: str = "close") -> Column:
     """Total log growth per symbol — convenience for reports."""
     return F.log(F.max_by(price_col, "date") / F.min_by(price_col, "date"))
