@@ -28,36 +28,6 @@ def _h(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-# ---------------------------------------------------------------- text
-
-@register(
-    "text_stats",
-    f"""WITH w AS (SELECT doc_id, {_W} AS ws, length(text) AS len_chars FROM documents)
-    SELECT doc_id,
-           CAST(len_chars AS BIGINT) AS len_chars,
-           CAST(len(ws) AS BIGINT) AS n_words,
-           round(CASE WHEN len(ws) > 0
-                 THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
-                 ELSE 0.0 END, 6) AS avg_word_len,
-           round(CASE WHEN len(ws) > 0
-                 THEN CAST(len(list_filter(ws, x -> list_contains({list(text.STOPWORDS)!r}, x))) AS DOUBLE) / len(ws)
-                 ELSE 0.0 END, 6) AS stopword_ratio,
-           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
-    FROM w""",
-    "Quality scoring: length / word counts / stopword ratio (M8 text analysis)",
-)
-def q_text_stats(spark, sf_dir):
-    out = text.text_stats(load_table(spark, sf_dir, "documents"))
-    return out.select(
-        "doc_id",
-        F.col("len_chars").cast("long").alias("len_chars"),
-        F.col("n_words").cast("long").alias("n_words"),
-        "avg_word_len",
-        "stopword_ratio",
-        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
-    )
-
-
 def _oracle_marker_count(lang: str) -> str:
     terms = []
     for m in text.LANG_MARKERS[lang]:
@@ -68,79 +38,64 @@ def _oracle_marker_count(lang: str) -> str:
     return " + ".join(terms)
 
 
+# ---------------------------------------------------------------- text
+
 @register(
-    "lang_id",
-    f"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
-    s AS (SELECT doc_id,
+    "text_stats",
+    f"""WITH w AS (SELECT doc_id, {_W} AS ws, length(text) AS len_chars FROM documents),
+    stats AS (
+        SELECT doc_id,
+               CAST(len_chars AS BIGINT) AS len_chars,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               round(CASE WHEN len(ws) > 0
+                     THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+                     ELSE 0.0 END, 6) AS avg_word_len,
+               round(CASE WHEN len(ws) > 0
+                     THEN CAST(len(list_filter(ws, x -> list_contains({list(text.STOPWORDS)!r}, x))) AS DOUBLE) / len(ws)
+                     ELSE 0.0 END, 6) AS stopword_ratio,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+        FROM w
+    ),
+    p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+    ls AS (SELECT doc_id,
                  {_oracle_marker_count('en')} AS c_en,
                  {_oracle_marker_count('es')} AS c_es,
                  {_oracle_marker_count('de')} AS c_de,
                  {_oracle_marker_count('fr')} AS c_fr
-          FROM p)
-    SELECT doc_id,
-           CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
-                WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
-                WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
-                WHEN c_de >= c_fr THEN 'de'
-                ELSE 'fr' END AS pred_lang
-    FROM s""",
-    "Marker-frequency language ID (n-gram heuristic, M8 text analysis)",
-)
-def q_lang_id(spark, sf_dir):
-    return text.lang_id(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "doc_fingerprints",
-    f"""WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
-    toks AS (
-        SELECT doc_id, unnest(list_distinct(list_filter(string_split(t, ' '), x -> x <> ''))) AS tok
-        FROM norm
+          FROM p),
+    lang AS (
+        SELECT doc_id,
+               CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0 THEN 'und'
+                    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                    WHEN c_de >= c_fr THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM ls
     ),
-    xh AS (SELECT doc_id, bit_xor({_h('tok')}) AS token_set_hash FROM toks GROUP BY doc_id)
-    SELECT n.doc_id, md5(n.t) AS fingerprint,
-           coalesce(x.token_set_hash, 0) AS token_set_hash
-    FROM norm n LEFT JOIN xh x ON n.doc_id = x.doc_id""",
-    "Document fingerprinting: normalized-md5 + token-set xor hash (M8)",
-)
-def q_fingerprints(spark, sf_dir):
-    return text.fingerprints(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "token_counts",
-    f"""SELECT doc_id,
-           CAST(len({_W}) AS BIGINT) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(text, '{text.TOKEN_ALPHA}')) AS BIGINT) AS n_alpha_tokens,
-           CAST(len(regexp_extract_all(text, '{text.TOKEN_DIGIT}')) AS BIGINT) AS n_digit_tokens,
-           CAST(len(regexp_extract_all(text, '{text.TOKEN_OTHER}')) AS BIGINT) AS n_symbol_tokens,
-           CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '{text.TOKEN_ALPHA}'),
-                    t -> CAST(ceil(length(t) / {float(text.SUBWORD_CHARS)}) AS BIGINT))), 0)
-                + len(regexp_extract_all(text, '{text.TOKEN_DIGIT}'))
-                + len(regexp_extract_all(text, '{text.TOKEN_OTHER}')) AS BIGINT) AS n_tokens_est
-    FROM documents""",
-    "Token counting: whitespace tokens + regex pre-tokenizer runs + BPE-ish "
-    "ceil(len/4) subword estimate for corpus token budgeting (M8 text analysis)",
-)
-def q_token_counts(spark, sf_dir):
-    return text.token_counts(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "repetition_stats",
-    f"""WITH words AS (SELECT doc_id, {_W} AS ws FROM documents),
-    base AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
-             FROM words),
+    toks AS (
+        SELECT doc_id,
+               CAST(len({_W}) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{text.TOKEN_ALPHA}')) AS BIGINT) AS n_alpha_tokens,
+               CAST(len(regexp_extract_all(text, '{text.TOKEN_DIGIT}')) AS BIGINT) AS n_digit_tokens,
+               CAST(len(regexp_extract_all(text, '{text.TOKEN_OTHER}')) AS BIGINT) AS n_symbol_tokens,
+               CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '{text.TOKEN_ALPHA}'),
+                        t -> CAST(ceil(length(t) / {float(text.SUBWORD_CHARS)}) AS BIGINT))), 0)
+                    + len(regexp_extract_all(text, '{text.TOKEN_DIGIT}'))
+                    + len(regexp_extract_all(text, '{text.TOKEN_OTHER}')) AS BIGINT) AS n_tokens_est
+        FROM documents
+    ),
+    rbase AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
+              FROM w),
     grams AS (
         SELECT doc_id, 2 AS n,
                unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
                       i -> ws[i] || ' ' || ws[i+1])) AS gram
-        FROM words
+        FROM w
         UNION ALL
         SELECT doc_id, 3 AS n,
                unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
-        FROM words
+        FROM w
     ),
     counts AS (SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3),
     per_n AS (
@@ -152,44 +107,89 @@ def q_token_counts(spark, sf_dir):
                sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END) AS dup_3,
                sum(CASE WHEN n = 3 THEN cnt END) AS tot_3
         FROM counts GROUP BY doc_id
+    ),
+    reps AS (
+        SELECT b.doc_id,
+               round(CASE WHEN b.n_words > 0
+                     THEN CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words
+                     ELSE 0.0 END, 6) AS dup_word_frac,
+               round(CASE WHEN coalesce(p.tot_2, 0) > 0
+                     THEN CAST(coalesce(p.top_2, 0) AS DOUBLE) / p.tot_2
+                     ELSE 0.0 END, 6) AS top_2gram_frac,
+               round(CASE WHEN coalesce(p.tot_2, 0) > 0
+                     THEN CAST(coalesce(p.dup_2, 0) AS DOUBLE) / p.tot_2
+                     ELSE 0.0 END, 6) AS dup_2gram_frac,
+               round(CASE WHEN coalesce(p.tot_3, 0) > 0
+                     THEN CAST(coalesce(p.top_3, 0) AS DOUBLE) / p.tot_3
+                     ELSE 0.0 END, 6) AS top_3gram_frac,
+               round(CASE WHEN coalesce(p.tot_3, 0) > 0
+                     THEN CAST(coalesce(p.dup_3, 0) AS DOUBLE) / p.tot_3
+                     ELSE 0.0 END, 6) AS dup_3gram_frac
+        FROM rbase b LEFT JOIN per_n p ON b.doc_id = p.doc_id
     )
-    SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
-           round(CASE WHEN b.n_words > 0
-                 THEN CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words
-                 ELSE 0.0 END, 6) AS dup_word_frac,
-           round(CASE WHEN coalesce(p.tot_2, 0) > 0
-                 THEN CAST(coalesce(p.top_2, 0) AS DOUBLE) / p.tot_2
-                 ELSE 0.0 END, 6) AS top_2gram_frac,
-           round(CASE WHEN coalesce(p.tot_2, 0) > 0
-                 THEN CAST(coalesce(p.dup_2, 0) AS DOUBLE) / p.tot_2
-                 ELSE 0.0 END, 6) AS dup_2gram_frac,
-           round(CASE WHEN coalesce(p.tot_3, 0) > 0
-                 THEN CAST(coalesce(p.top_3, 0) AS DOUBLE) / p.tot_3
-                 ELSE 0.0 END, 6) AS top_3gram_frac,
-           round(CASE WHEN coalesce(p.tot_3, 0) > 0
-                 THEN CAST(coalesce(p.dup_3, 0) AS DOUBLE) / p.tot_3
-                 ELSE 0.0 END, 6) AS dup_3gram_frac
-    FROM base b LEFT JOIN per_n p ON b.doc_id = p.doc_id""",
-    "Gopher-style repetition quality signals: duplicate-word fraction plus "
-    "top/duplicate bigram+trigram occurrence fractions (M8 corpus curation)",
+    SELECT s.doc_id, s.len_chars, s.n_words, s.avg_word_len, s.stopword_ratio,
+           s.n_distinct_words, l.pred_lang,
+           t.n_ws_tokens, t.n_alpha_tokens, t.n_digit_tokens, t.n_symbol_tokens,
+           t.n_tokens_est,
+           r.dup_word_frac, r.top_2gram_frac, r.dup_2gram_frac,
+           r.top_3gram_frac, r.dup_3gram_frac
+    FROM stats s
+    JOIN lang l ON l.doc_id = s.doc_id
+    JOIN toks t ON t.doc_id = s.doc_id
+    JOIN reps r ON r.doc_id = s.doc_id""",
+    "The per-document curation signal bundle (M8 text analysis): quality "
+    "scoring (length/word/stopword), marker-frequency language ID, "
+    "whitespace+regex+BPE-ish token counting, and Gopher-style repetition "
+    "fractions — one documents scan for the projection signals, one "
+    "n-gram shuffle for repetition",
 )
-def q_repetition_stats(spark, sf_dir):
-    out = text.repetition_stats(load_table(spark, sf_dir, "documents"))
-    return out.withColumn("n_words", F.col("n_words").cast("long"))
+def q_text_stats(spark, sf_dir):
+    out = text.text_quality(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("len_chars").cast("long").alias("len_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "avg_word_len",
+        "stopword_ratio",
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        "pred_lang",
+        "n_ws_tokens",
+        "n_alpha_tokens",
+        "n_digit_tokens",
+        "n_symbol_tokens",
+        "n_tokens_est",
+        "dup_word_frac",
+        "top_2gram_frac",
+        "dup_2gram_frac",
+        "top_3gram_frac",
+        "dup_3gram_frac",
+    )
 
-
-# ---------------------------------------------------------------- dedup
 
 @register(
-    "dedup_exact",
-    f"""SELECT md5({_NORM}) AS fingerprint,
-           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
-           CAST(count(*) AS BIGINT) AS n_docs
-    FROM documents GROUP BY 1""",
-    "Exact dedup by normalized-text fingerprint hash-groupBy (M8)",
+    "doc_fingerprints",
+    f"""WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(list_distinct(list_filter(string_split(t, ' '), x -> x <> ''))) AS tok
+        FROM norm
+    ),
+    xh AS (SELECT doc_id, bit_xor({_h('tok')}) AS token_set_hash FROM toks GROUP BY doc_id),
+    fp AS (
+        SELECT n.doc_id, md5(n.t) AS fingerprint,
+               coalesce(x.token_set_hash, 0) AS token_set_hash
+        FROM norm n LEFT JOIN xh x ON n.doc_id = x.doc_id
+    )
+    SELECT doc_id, fingerprint, token_set_hash,
+           CAST(count(*) OVER w AS BIGINT) AS n_dups,
+           CAST(min(doc_id) OVER w AS BIGINT) AS keep_doc_id,
+           doc_id = min(doc_id) OVER w AS is_canonical
+    FROM fp WINDOW w AS (PARTITION BY fingerprint)""",
+    "Document fingerprinting (normalized-md5 + token-set xor hash) fused with "
+    "exact-dedup resolution: duplicate-group size, kept doc_id, canonical flag "
+    "— one window over fingerprint instead of a groupBy+join (M8)",
 )
-def q_dedup_exact(spark, sf_dir):
-    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+def q_fingerprints(spark, sf_dir):
+    return text.fingerprints_with_dedup(load_table(spark, sf_dir, "documents"))
 
 
 _SHINGLES = f"""
@@ -513,44 +513,44 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
-@register(
-    "embedding_neardup_baseline",
-    f"""WITH base AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
-    pairs AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
-        FROM base a JOIN base b ON a.vec_id < b.vec_id
-    ),
-    flat AS (SELECT vec_a, vec_b, unnest(va) AS x, unnest(vb) AS y FROM pairs),
-    dots AS (
-        SELECT vec_a, vec_b,
-               sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cosine
-        FROM flat GROUP BY 1, 2
-    )
-    SELECT vec_a, vec_b, round(cosine, 6) AS cosine
-    FROM dots WHERE cosine >= 0.4""",
-    "Embedding-cosine near-dup pairs at τ=0.4, all-pairs cross join — correctness "
-    "baseline for LSH recall tests ONLY; the registered scale path is "
-    "embedding_neardup_pairs (LSH-blocked)",
-)
-def q_emb_neardup_baseline(spark, sf_dir):
-    return vectors.cosine_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
-    )
-
-
 # ---------------------------------------------------------------- event-time
 
 @register(
-    "tumbling_hour_stats",
-    """SELECT date_trunc('hour', ts) AS window_start, event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avg_value
-    FROM events GROUP BY 1, 2""",
-    "Event-time tumbling 1h window agg (batch twin of the streaming path, M8)",
+    "time_window_stats",
+    """WITH tumbling AS (
+        SELECT 'tumbling_1h' AS kind,
+               date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avg_value
+        FROM events GROUP BY 2, 4
+    ),
+    starts AS (
+        SELECT value,
+               unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
+        FROM events
+    ),
+    sliding AS (
+        SELECT 'sliding_2h_1h' AS kind,
+               window_start,
+               window_start + INTERVAL 2 HOUR AS window_end,
+               CAST(NULL AS VARCHAR) AS event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avg_value
+        FROM starts GROUP BY 2
+    )
+    SELECT * FROM tumbling UNION ALL SELECT * FROM sliding""",
+    "Event-time windowed aggregation, tumbling 1h (per event_type) UNION "
+    "sliding 2h/1h — batch twins of the streaming paths; DECIMAL(30,10) "
+    "partial sums keep the float average reproducible at any parallelism (M8)",
 )
-def q_tumbling(spark, sf_dir):
+def q_time_windows(spark, sf_dir):
+    from .streaming import sliding_stats
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(
+    tumbling = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -558,84 +558,27 @@ def q_tumbling(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_value"),
+    ).select(
+        F.lit("tumbling_1h").alias("kind"),
+        "window_start",
+        (F.col("window_start") + F.expr("INTERVAL 1 HOUR")).alias("window_end"),
+        "event_type",
+        "n_events",
+        "avg_value",
     )
+    sliding = sliding_stats(ev).select(
+        F.lit("sliding_2h_1h").alias("kind"),
+        "window_start",
+        "window_end",
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        "avg_value",
+    )
+    return tumbling.unionByName(sliding)
 
 
 @register(
     "sessionization",
-    """WITH seq AS (
-        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        FROM events
-    ),
-    marked AS (
-        SELECT user_id, event_id, ts_us,
-               CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
-        FROM seq
-    ),
-    sess AS (
-        SELECT user_id, event_id, ts_us,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        FROM marked
-    )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec
-    FROM sess GROUP BY user_id, session_id""",
-    "Sessionization: 30-min-gap sessions via lag + cumulative sum (M8 event-time)",
-)
-def q_sessions(spark, sf_dir):
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wcum = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    seq = ev.select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
-    ).withColumn("prev_us", F.lag("ts_us").over(
-        Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    ))
-    marked = seq.withColumn(
-        "new_session",
-        F.when(
-            F.col("prev_us").isNull()
-            | (F.col("ts_us") - F.col("prev_us") > 1_800_000_000),
-            1,
-        ).otherwise(0),
-    )
-    sess = marked.withColumn("session_id", F.sum("new_session").over(wcum))
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        ((F.max("ts_us") - F.min("ts_us")) / 1_000_000).cast("long").alias("duration_sec"),
-    )
-
-
-@register(
-    "sliding_window_stats",
-    """WITH starts AS (
-        SELECT value,
-               unnest([date_trunc('hour', ts),
-                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
-        FROM events
-    )
-    SELECT window_start,
-           window_start + INTERVAL 2 HOUR AS window_end,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avg_value
-    FROM starts GROUP BY 1""",
-    "Sliding 2h/1h event-time windows (batch twin of streaming.sliding_stats)",
-)
-def q_sliding(spark, sf_dir):
-    from .streaming import sliding_stats
-
-    return sliding_stats(load_table(spark, sf_dir, "events"))
-
-
-@register(
-    "session_window_stats",
     """WITH seq AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
@@ -657,19 +600,27 @@ def q_sliding(spark, sf_dir):
     SELECT user_id,
            min(ts_us) AS start_us,
            max(ts_us) + 1800000000 AS end_us,
-           CAST(count(*) AS BIGINT) AS n_events
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec
     FROM sess GROUP BY user_id, session_id""",
-    "Per-user session windows via F.session_window (batch twin of streaming.session_stats)",
+    "Sessionization via F.session_window (30-min gap): per-session window "
+    "bounds, event count, and duration — batch twin of streaming.session_stats; "
+    "the lag+cumsum formulation is the oracle's equivalent spelling (M8)",
 )
-def q_session_window(spark, sf_dir):
+def q_sessions(spark, sf_dir):
     from .streaming import session_stats
 
     out = session_stats(load_table(spark, sf_dir, "events"))
+    start_us = F.unix_micros(F.col("session_start").cast("timestamp"))
+    end_us = F.unix_micros(F.col("session_end").cast("timestamp"))
     return out.select(
         "user_id",
-        F.unix_micros("session_start").alias("start_us"),
-        F.unix_micros("session_end").alias("end_us"),
+        start_us.alias("start_us"),
+        end_us.alias("end_us"),
         "n_events",
+        ((end_us - F.lit(1_800_000_000) - start_us) / 1_000_000)
+        .cast("long")
+        .alias("duration_sec"),
     )
 
 
@@ -742,36 +693,24 @@ payload AS (
 
 
 @register(
-    "multimodal_payload_stats",
-    f"""WITH {_PAYLOAD}
-    SELECT doc_id,
-           CAST(length(hexp) / 2 AS INT) AS n_bytes,
-           md5(hexp) AS checksum,
-           modality, width, height, n_frames
-    FROM payload""",
-    "Binary payload integrity stats (no decode): octet_length + checksum + typed metadata",
-)
-def q_payload_stats(spark, sf_dir):
-    from .operators import multimodal
-
-    return multimodal.payload_stats(load_table(spark, sf_dir, "documents"))
-
-
-@register(
     "multimodal_decode",
     f"""WITH {_PAYLOAD}
-    SELECT doc_id, modality,
+    SELECT doc_id, modality, width, height, n_frames,
+           CAST(length(hexp) / 2 AS INT) AS n_bytes,
+           md5(hexp) AS checksum,
            round(CAST(list_sum(list_transform(range(0, CAST(length(hexp) / 2 AS INT)),
                  i -> CAST(('0x' || substr(hexp, CAST(i * 2 + 1 AS INT), 2)) AS INT))) AS DOUBLE)
                  / (length(hexp) / 2), 6) AS byte_mean,
            CAST(('0x' || substr(md5(hexp), 1, 4)) AS INT) AS dominant
     FROM payload""",
-    "Arrow-batched mapInPandas decode + feature extraction (deterministic fake codec)",
+    "Binary payload integrity stats (JVM-side octet_length + checksum + typed "
+    "metadata) fused with the Arrow-batched mapInPandas decode + feature "
+    "extraction (deterministic fake codec) — one pass over the payloads",
 )
 def q_multimodal_decode(spark, sf_dir):
     from .operators import multimodal
 
-    return multimodal.decode_features(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_with_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -1048,68 +987,6 @@ def q_wide_roundtrip(spark, sf_dir):
     ).filter(F.col("close").isNotNull() | F.col("volume").isNotNull())
 
 
-# ---------------------------------------------------------------- scalars (§2.8)
-
-@register(
-    "date_parts_cents",
-    f"""WITH {ORACLE_BARS_CTE}
-    SELECT symbol, date,
-           CAST(year(date) AS INT) AS year,
-           CAST(month(date) AS INT) AS month,
-           CAST(day(date) AS INT) AS day,
-           CAST(round(close * 100, 0) AS BIGINT) AS close_cents,
-           CAST(epoch(CAST(date AS TIMESTAMP)) AS BIGINT) AS unix_ts
-    FROM bars WHERE symbol < 10""",
-    "F1/F2/F4 scalar parity: date components, unix ts, cents sort keys",
-)
-def q_date_parts(spark, sf_dir):
-    from .functions import cents, date_parts, date_to_unix
-    from .sources.readers import daily_bars
-
-    bars = daily_bars(load_table(spark, sf_dir, "events")).filter(
-        F.col("symbol") < 10
-    )
-    out = date_parts(bars)
-    return out.select(
-        "symbol",
-        "date",
-        "year",
-        "month",
-        "day",
-        cents(F.col("close")).alias("close_cents"),
-        date_to_unix(F.col("date")).alias("unix_ts"),
-    )
-
-
-@register(
-    "regression_pair",
-    f"""WITH {ORACLE_BARS_CTE},
-    a AS (SELECT date, close AS ca FROM bars WHERE symbol = 0),
-    b AS (SELECT date, close AS cb FROM bars WHERE symbol = 1),
-    j AS (SELECT ca, cb FROM a JOIN b USING (date))
-    SELECT round(regr_slope(cb, ca), 6) AS slope,
-           round(regr_intercept(cb, ca), 6) AS intercept,
-           round(regr_r2(cb, ca), 6) AS r2,
-           CAST(regr_count(cb, ca) AS BIGINT) AS n
-    FROM j""",
-    "F8 regression slope/intercept/r2 between two symbols' closes (regr_* builtins)",
-)
-def q_regression(spark, sf_dir):
-    from .functions import regression_line
-    from .operators.similarity import aligned_pairs
-    from .sources.readers import daily_bars
-
-    bars = daily_bars(load_table(spark, sf_dir, "events"))
-    pairs = aligned_pairs(bars, 0, 1)
-    out = regression_line(pairs, y="close_b", x="close_a")
-    return out.select(
-        r6(F.col("slope")).alias("slope"),
-        r6(F.col("intercept")).alias("intercept"),
-        r6(F.col("r2")).alias("r2"),
-        F.col("n").cast("long").alias("n"),
-    )
-
-
 # ---------------------------------------------------------------- skew
 
 @register(
@@ -1180,27 +1057,38 @@ def q_neardup_clusters(spark, sf_dir):
     f"""WITH {ORACLE_BARS_CTE},
     m AS (SELECT symbol, max(date) AS max_date FROM bars GROUP BY symbol)
     SELECT b.symbol, b.date, b.open, b.high, b.low, b.close,
-           CAST(b.volume AS BIGINT) AS volume
+           CAST(b.volume AS BIGINT) AS volume,
+           CAST(year(b.date) AS INT) AS year,
+           CAST(month(b.date) AS INT) AS month,
+           CAST(day(b.date) AS INT) AS day,
+           CAST(round(b.close * 100, 0) AS BIGINT) AS close_cents,
+           CAST(epoch(CAST(b.date AS TIMESTAMP)) AS BIGINT) AS unix_ts
     FROM bars b JOIN m USING (symbol)
     WHERE b.date >= m.max_date - INTERVAL 7 DAY""",
     "P8 tail-N slice (candlestick endpoint, app.py:379-381): last week per symbol "
-    "via a per-partition max — predicate stays relational, no per-symbol collect",
+    "via a per-partition max — predicate stays relational, no per-symbol collect. "
+    "Carries the F1/F2/F4 scalar surface (date components, unix ts, cents sort "
+    "keys) on the sliced rows",
 )
 def q_candlestick_tail(spark, sf_dir):
     from pyspark.sql import Window
 
+    from .functions import cents, date_parts, date_to_unix
     from .sources.readers import daily_bars
 
     bars = daily_bars(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("symbol")
-    return (
+    tail = (
         bars.withColumn("_max", F.max("date").over(w))
         .filter(F.col("date") >= F.date_sub(F.col("_max"), 7))
         .drop("_max")
-        .select(
-            "symbol", "date", "open", "high", "low", "close",
-            F.col("volume").cast("long").alias("volume"),
-        )
+    )
+    return date_parts(tail).select(
+        "symbol", "date", "open", "high", "low", "close",
+        F.col("volume").cast("long").alias("volume"),
+        "year", "month", "day",
+        cents(F.col("close")).alias("close_cents"),
+        date_to_unix(F.col("date")).alias("unix_ts"),
     )
 
 
@@ -1279,39 +1167,7 @@ def q_asof_join(spark, sf_dir):
 # ---------------------------------------------------------------- sampling
 
 @register(
-    "train_test_split",
-    f"""WITH b AS (
-        SELECT doc_id,
-               {_h("'split:' || CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
-        FROM documents
-    )
-    SELECT CASE WHEN bucket < 8000 THEN 'train'
-                WHEN bucket < 9000 THEN 'valid'
-                ELSE 'test' END AS split,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(min(doc_id) AS BIGINT) AS min_doc,
-           CAST(max(doc_id) AS BIGINT) AS max_doc
-    FROM b GROUP BY 1""",
-    "Deterministic hash-bucket train/valid/test split: stable under reruns, "
-    "engines, and corpus growth (leakage-safe)",
-)
-def q_split(spark, sf_dir):
-    from .operators import sampling
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        sampling.with_split(docs, key="doc_id")
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
-        )
-    )
-
-
-@register(
-    "balanced_corpus_sample",
+    "corpus_sampling",
     f"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
     s AS (SELECT doc_id,
                  {_oracle_marker_count('en')} AS c_en,
@@ -1330,21 +1186,43 @@ def q_split(spark, sf_dir):
     thr AS (
         SELECT pred_lang,
                least(10000, CAST(floor(100 * 10000.0 / count(*)) AS BIGINT)) AS thr
-        FROM lang GROUP BY pred_lang)
-    SELECT l.doc_id, l.pred_lang
-    FROM lang l JOIN thr t ON l.pred_lang = t.pred_lang
-    WHERE {_h("'strata:' || CAST(l.doc_id AS VARCHAR)")} % 10000 < t.thr""",
-    "Corpus rebalancing: deterministic per-language downsample toward ~100 "
-    "docs per stratum (hash-threshold survivors, broadcast strata table)",
+        FROM lang GROUP BY pred_lang),
+    kept AS (
+        SELECT l.doc_id, l.pred_lang
+        FROM lang l JOIN thr t ON l.pred_lang = t.pred_lang
+        WHERE {_h("'strata:' || CAST(l.doc_id AS VARCHAR)")} % 10000 < t.thr
+    ),
+    tagged AS (
+        SELECT doc_id, pred_lang,
+               CASE WHEN {_h("'split:' || CAST(doc_id AS VARCHAR)")} % 10000 < 8000 THEN 'train'
+                    WHEN {_h("'split:' || CAST(doc_id AS VARCHAR)")} % 10000 < 9000 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM kept
+    )
+    SELECT split, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM tagged GROUP BY 1, 2""",
+    "Corpus sampling pipeline: deterministic per-language rebalancing toward "
+    "~100 docs per stratum (hash-threshold survivors, broadcast strata table) "
+    "composed with the leakage-safe hash-bucket train/valid/test split — "
+    "per (split, language) survivor counts with min/max doc_id pinning "
+    "determinism across engines, reruns, and corpus growth",
 )
-def q_balanced_corpus_sample(spark, sf_dir):
+def q_corpus_sampling(spark, sf_dir):
     from .operators import sampling
 
     lang = text.lang_id(load_table(spark, sf_dir, "documents"))
     kept = sampling.balanced_sample(
         lang, key="doc_id", strata_col="pred_lang", target_per_stratum=100
     )
-    return kept.select("doc_id", "pred_lang")
+    tagged = sampling.with_split(kept, key="doc_id")
+    return tagged.groupBy("split", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
 
 
 @register(
@@ -1410,11 +1288,11 @@ def q_interval_join(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     intervals = session_stats(events).select(
         "user_id",
-        F.unix_micros("session_start").alias("start_us"),
-        F.unix_micros("session_end").alias("end_us"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
     )
     points = events.select(
-        "event_id", "user_id", F.unix_micros("ts").alias("t")
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
     )
     out = ranges.interval_join(
         points, intervals, by="user_id", point_time="t",
@@ -1448,7 +1326,7 @@ def q_keep_latest(spark, sf_dir):
         tiebreak=["event_id"],
     )
     return out.select(
-        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+        "user_id", "event_type", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
     )
 
 

@@ -130,6 +130,43 @@ def decode_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def decode_with_stats(docs: DataFrame) -> DataFrame:
+    """Integrity stats + decode features in one pass: byte length and
+    checksum stay JVM-side expressions (computed before the Arrow
+    boundary and carried through), Python adds only the decoded
+    features per batch — the fused form of `payload_stats` +
+    `decode_features`."""
+    with_p = attach_payload(docs).withColumn(
+        "n_bytes", F.octet_length("payload")
+    ).withColumn("checksum", F.md5(F.lower(F.hex("payload"))))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "width": [m["width"] for m in pdf["meta"]],
+                    "height": [m["height"] for m in pdf["meta"]],
+                    "n_frames": [m["n_frames"] for m in pdf["meta"]],
+                    "n_bytes": pdf["n_bytes"],
+                    "checksum": pdf["checksum"],
+                    "byte_mean": [f[0] for f in feats],
+                    "dominant": [f[1] for f in feats],
+                }
+            )
+
+    return with_p.mapInPandas(
+        decode,
+        schema=(
+            "doc_id bigint, modality string, width int, height int, "
+            "n_frames int, n_bytes int, checksum string, "
+            "byte_mean double, dominant int"
+        ),
+    )
+
+
 def decode_image_real(docs: DataFrame) -> DataFrame:
     """Real image decode — NOT AVAILABLE in this environment.
 

@@ -250,6 +250,76 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def text_quality(docs: DataFrame) -> DataFrame:
+    """The full per-document curation signal bundle in one pass:
+    quality stats (`text_stats`), predicted language (`lang_id`),
+    token counts (`token_counts`), and Gopher-style repetition
+    fractions (`repetition_stats`).
+
+    The stats / language / token columns are pure projections and fuse
+    into ONE scan with no shuffle; only the n-gram repetition counts
+    need their explode→count shuffle, joined back on doc_id. At corpus
+    scale this halves the number of `documents` scans a curation
+    pipeline needs vs running the four signals separately."""
+    words = words_col(F.col("text"))
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    total_word_chars = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+
+    lowered = F.lower(F.col("text"))
+    scores = {
+        lang: sum(
+            (_marker_count(lowered, m) for m in markers), F.lit(0).cast("long")
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    en, es, de, fr = (scores[lang] for lang in ("en", "es", "de", "fr"))
+    pred = (
+        F.when((en == 0) & (es == 0) & (de == 0) & (fr == 0), F.lit("und"))
+        .when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+        .when((es >= de) & (es >= fr), F.lit("es"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+    alpha = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_ALPHA), F.lit(0))
+    subword = F.aggregate(
+        alpha,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(SUBWORD_CHARS)),
+    )
+    n_digit = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_DIGIT), F.lit(0))
+    ).cast("long")
+    n_other = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_OTHER), F.lit(0))
+    ).cast("long")
+
+    cheap = docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        n_words.alias("n_words"),
+        F.round(
+            F.when(n_words > 0, total_word_chars.cast("double") / n_words)
+            .otherwise(0.0),
+            6,
+        ).alias("avg_word_len"),
+        F.round(
+            F.when(n_words > 0, stop_hits.cast("double") / n_words).otherwise(0.0),
+            6,
+        ).alias("stopword_ratio"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        pred.alias("pred_lang"),
+        F.size(words).cast("long").alias("n_ws_tokens"),
+        F.size(alpha).cast("long").alias("n_alpha_tokens"),
+        n_digit.alias("n_digit_tokens"),
+        n_other.alias("n_symbol_tokens"),
+        (subword + n_digit + n_other).alias("n_tokens_est"),
+    )
+    reps = repetition_stats(docs).drop("n_words")
+    return cheap.join(reps, "doc_id", "left")
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: exact (md5 of normalized text) and
     order-insensitive content hash (xor of distinct-token hashes —
@@ -267,4 +337,24 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fingerprint"),
         set_hash.alias("token_set_hash"),
+    )
+
+
+def fingerprints_with_dedup(docs: DataFrame) -> DataFrame:
+    """Fingerprints + exact-dedup resolution in one shuffle: per doc,
+    the md5/set-hash fingerprints plus the duplicate-group size, the
+    kept (minimum) doc_id for its fingerprint group, and whether this
+    row is the canonical survivor — a window over fingerprint instead
+    of the groupBy+join an exact-dedup pass would otherwise add."""
+    from pyspark.sql import Window
+
+    fp = fingerprints(docs)
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        "token_set_hash",
+        F.count(F.lit(1)).over(w).alias("n_dups"),
+        F.min("doc_id").over(w).alias("keep_doc_id"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
     )

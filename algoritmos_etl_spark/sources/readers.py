@@ -53,11 +53,17 @@ def with_event_time(events: DataFrame) -> DataFrame:
     Arrow truncate ns to µs when surfacing Python datetimes, so oracle
     comparisons line up exactly.
     """
-    if dict(events.dtypes).get("ts") == "bigint":
+    ts_type = dict(events.dtypes).get("ts")
+    if ts_type == "bigint":
         # `ts div 1000`, NOT `ts / 1000`: `/` is double division and
         # epoch-nanos (~1.7e18) exceed double's 53-bit mantissa, so the
         # float path lands up to ±1 µs off. DIV is exact long division.
         events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Streaming watermarks demand TIMESTAMP (LTZ). The session is
+        # pinned to UTC, so interpreting the NTZ wall clock in session
+        # time is a micros-exact relabel, not a conversion.
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events
 
 

@@ -41,23 +41,26 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..sources.readers import with_event_time
 
-# Raw parquet schema of the events table; ts arrives as TIMESTAMP(NANOS)
-# which we ingest as long ns (nanosAsLong) and repair to µs timestamps.
-EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events` as an unbounded stream via the file source.
 
     The file source is the reproducible-test incarnation; swap
     `.format("kafka")` at the edge for a live feed — every downstream
     transformation is source-agnostic.
+
+    The stream schema is taken from the batch footer (one planning-time
+    metadata read, no data scan) so the `ts` physical type — bigint
+    nanos under `nanosAsLong` in one testdata generation, native
+    timestamp µs in another — always matches what the file actually
+    stores; `with_event_time` then repairs raw nanos when present.
     """
+    batch_schema = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )

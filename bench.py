@@ -27,61 +27,56 @@ from algoritmos_etl_spark.session import get_spark  # noqa: E402
 from algoritmos_etl_spark.sources import daily_bars, load_table  # noqa: E402
 
 HEADLINE = [
+    # every registered driver query, in registry order (48 of 50; the
+    # two rows-only DTW entries run below on a capped symbol slice)
     "bars_model",
-    "forward_fill",
-    "log_returns_zero",
-    "sma_5",
-    "volatility",
+    "cleaning_missing_summary",
+    "cleaning_inconsistencies",
+    "drop_invalid_rows",
+    "align_to_calendar",
+    "returns_model",
+    "rolling_features",
+    "series_stats",
     "risk_classification",
-    "streaks_global",
-    "streak_histogram_windowed",
-    "gap_up_windows",
-    "correlation_heatmap",
-    "correlation_heatmap_blocked",
+    "risk_summary",
+    "pattern_stats",
+    "streak_histograms",
     "pair_metrics",
+    "correlation_heatmap",
     "top15_by_value",
     "multi_key_sort_rank",
     "pricing_summary",
     "revenue_by_nation",
     "top_customers_by_revenue",
     "order_priority_counts",
-    # training-data-pipeline extensions
-    "dedup_exact",
+    "parts_per_size_bucket",
+    "text_stats",
+    "doc_fingerprints",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "corpus_curation",
     "dedup_simhash",
-    "text_stats",
-    "lang_id",
-    "doc_fingerprints",
+    "embedding_norms",
+    "ann_cosine_topk",
+    "time_window_stats",
+    "sessionization",
+    "running_streaks",
     "multimodal_decode",
     "multimodal_frames",
-    "ann_cosine_topk",
+    "embedding_neardup_pairs",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "embedding_neardup_pairs",
-    "token_counts",
-    "repetition_stats",
-    "corpus_curation",
-    "neardup_clusters",
-    "balanced_corpus_sample",
-    "stride_downsample",
-    "skew_salted_join",
     "wide_roundtrip",
-    "date_parts_cents",
-    "regression_pair",
+    "skew_salted_join",
+    "neardup_clusters",
     "candlestick_tail",
     "table_profile",
     "asof_join_bars",
-    "train_test_split",
+    "corpus_sampling",
+    "stride_downsample",
     "interval_join_sessions",
     "keep_latest_event",
     "fk_violations_orders",
-    # event-time / streaming batch twins
-    "tumbling_hour_stats",
-    "sliding_window_stats",
-    "session_window_stats",
-    "sessionization",
-    "running_streaks",
 ]
 
 DTW_SYMBOL_CAP = 100
