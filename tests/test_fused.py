@@ -1,0 +1,130 @@
+"""Fused multi-signal operators ≡ their single-semantic builders.
+
+The 50-entry driver registry fuses same-grain query variants into
+multi-column queries (SURVEY.md §8); these tests pin each fused form to
+the composition of the original builders, so the consolidation can never
+silently drift from the per-operator semantics.
+"""
+
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.operators import multimodal, technical, text
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_returns_bundle_matches_single_builders(bars):
+    bundle = technical.returns_bundle(bars).select(
+        "symbol", "date", "ret_zero", "ret_omit", "ret_simple"
+    )
+    zero = technical.log_returns(bars, zero_fill=True).select(
+        "symbol", "date", F.col("ret").alias("ret_zero")
+    )
+    simple = technical.simple_returns(bars).select(
+        "symbol", "date", F.col("ret").alias("ret_simple")
+    )
+    joined = zero.join(simple, ["symbol", "date"])
+    assert _rows(
+        bundle.select("symbol", "date", "ret_zero", "ret_simple"),
+        "symbol", "date",
+    ) == _rows(joined, "symbol", "date")
+    # omit column: NULL exactly where the omit builder drops the row
+    omit = technical.log_returns(bars, zero_fill=False).select(
+        "symbol", "date", F.col("ret").alias("ret_omit")
+    )
+    bundle_omit = bundle.filter(F.col("ret_omit").isNotNull()).select(
+        "symbol", "date", "ret_omit"
+    )
+    assert _rows(bundle_omit, "symbol", "date") == _rows(omit, "symbol", "date")
+
+
+def test_series_stats_matches_moments_plus_volatility(bars):
+    from algoritmos_etl_spark.operators import volatility
+
+    fused = technical.series_stats(bars)
+    moments = technical.series_moments(bars)
+    vols = volatility.historical_volatility(bars)
+    ref = moments.join(vols, "symbol")
+    got = _rows(
+        fused.select("symbol", "mean", "std_dev", "n", "volatility", "n_returns"),
+        "symbol",
+    )
+    want = _rows(
+        ref.select("symbol", "mean", "std_dev", "n", "volatility", "n_returns"),
+        "symbol",
+    )
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[3] == w[3] and g[5] == w[5]
+        for gi, wi in zip(g[1:3] + g[4:5], w[1:3] + w[4:5]):
+            assert abs(gi - wi) < 1e-9
+    # min/max are new columns; sanity: min <= mean <= max
+    for r in fused.collect():
+        assert r["min_close"] <= r["mean"] <= r["max_close"]
+
+
+def test_rolling_features_matches_sma_and_gap_windows(bars):
+    from algoritmos_etl_spark.operators import patterns
+
+    fused = technical.rolling_features(bars, 5)
+    sma = technical.sma(bars, 5).select("symbol", "date", "sma_5")
+    assert _rows(
+        fused.select("symbol", "date", "sma_5"), "symbol", "date"
+    ) == _rows(sma, "symbol", "date")
+    gaps = patterns.gap_up_windows(bars, 5).select(
+        "symbol", "date", F.col("gaps_in_window").cast("long").alias("g")
+    )
+    fused_gaps = fused.filter(F.col("gaps_in_window").isNotNull()).select(
+        "symbol", "date", F.col("gaps_in_window").alias("g")
+    )
+    assert _rows(fused_gaps, "symbol", "date") == _rows(gaps, "symbol", "date")
+
+
+def test_text_quality_matches_single_signals(tables):
+    docs = tables["documents"].limit(80).cache()
+    fused = text.text_quality(docs)
+    stats = text.text_stats(docs)
+    lang = text.lang_id(docs)
+    toks = text.token_counts(docs)
+    reps = text.repetition_stats(docs).drop("n_words")
+    ref = stats.join(lang, "doc_id").join(toks, "doc_id").join(reps, "doc_id")
+    cols = [c for c in ref.columns]
+    assert sorted(fused.columns) == sorted(cols)
+    assert _rows(fused.select(*cols), "doc_id") == _rows(ref.select(*cols), "doc_id")
+
+
+def test_fingerprints_with_dedup_matches_exact_dedup(tables, spark):
+    docs = tables["documents"].limit(120)
+    # force duplicates: union the same docs twice under distinct ids
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").unionByName(dup)
+    out = text.fingerprints_with_dedup(corpus)
+    # every fingerprint group: n_dups == 2, canonical is the min doc_id
+    assert out.count() == 240
+    assert out.filter(F.col("n_dups") != 2).count() == 0
+    canon = out.filter("is_canonical")
+    assert canon.count() == 120
+    assert canon.filter(F.col("doc_id") != F.col("keep_doc_id")).count() == 0
+    from algoritmos_etl_spark.operators import dedup
+
+    groups = dedup.exact_dedup(corpus)
+    ref = {(r["fingerprint"], r["keep_doc_id"], r["n_docs"]) for r in groups.collect()}
+    got = {
+        (r["fingerprint"], r["keep_doc_id"], r["n_dups"])
+        for r in out.select("fingerprint", "keep_doc_id", "n_dups").distinct().collect()
+    }
+    assert got == ref
+
+
+def test_decode_with_stats_matches_components(tables):
+    docs = tables["documents"].limit(60)
+    fused = multimodal.decode_with_stats(docs)
+    stats = multimodal.payload_stats(docs)
+    feats = multimodal.decode_features(docs).select("doc_id", "byte_mean", "dominant")
+    ref = stats.join(feats, "doc_id")
+    cols = [
+        "doc_id", "modality", "width", "height", "n_frames",
+        "n_bytes", "checksum", "byte_mean", "dominant",
+    ]
+    assert _rows(fused.select(*cols), "doc_id") == _rows(ref.select(*cols), "doc_id")
