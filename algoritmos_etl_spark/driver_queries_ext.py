@@ -1015,10 +1015,21 @@ def q_salted_join(spark, sf_dir):
 @register(
     "neardup_clusters",
     f"""WITH RECURSIVE {_SHINGLES},
+    kept AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_SHINGLE_DF_CAP}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a
+        JOIN kept k ON a.shingle = k.shingle
+        JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cands c
+        JOIN sh ta ON ta.doc_id = c.doc_a
+        JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
         GROUP BY 1, 2
     ),
     prs AS (
@@ -1043,11 +1054,14 @@ def q_salted_join(spark, sf_dir):
            doc_id = min(r) AS is_canonical
     FROM reach GROUP BY doc_id""",
     "Near-dup cluster resolution: connected components via min-label propagation "
-    "(oracle: recursive-CTE reachability)",
+    "(oracle: recursive-CTE reachability). Pairs come from the SAME df-capped "
+    "candidate policy as dedup_ngram_jaccard, so the persisted shingle index is "
+    "shared between the two queries instead of built twice",
 )
 def q_neardup_clusters(spark, sf_dir):
     prs = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), k=3, threshold=0.2
+        load_table(spark, sf_dir, "documents"), k=3, threshold=0.2,
+        max_shingle_df=_SHINGLE_DF_CAP,
     )
     return dedup.neardup_clusters(prs)
 
