@@ -155,33 +155,73 @@ def windowed_streak_histogram(bars: DataFrame, window_size: int) -> DataFrame:
     histogram (see `_windowed_streak_hist`), not the O(n·w) simulation,
     so per-task cost stays linear in each symbol's history length.
 
-    The binarize step happens inside the same grouped task (NumPy diff
-    over the date-sorted closes) rather than as a prior WindowExec pass:
-    the groupBy already clusters by symbol, so a lag-window before it
-    would only add a sort + expression pass over the full table.
+    Batching shape: NOT `groupBy(symbol).applyInPandas` — that invokes
+    Python once per symbol (1,500 interpreter round-trips at sf0.1;
+    millions at corpus scale, each paying serialization + GIL setup for
+    a few hundred rows). Instead the table is hash-partitioned by
+    symbol and sorted (symbol, date) within partitions, and ONE
+    `mapInPandas` task streams each partition's Arrow batches, slicing
+    symbol runs out of every batch and carrying the trailing
+    (possibly batch-split) symbol over to the next batch. Python is
+    entered once per partition, not once per symbol, and per-symbol
+    work is the same O(#runs + w) NumPy histogram.
     """
     import numpy as np
 
-    def per_symbol(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("date")
-        closes = pdf["close"].to_numpy(dtype=float)
-        # up[i] = close[i] > close[i-1]; NaN comparisons are False,
-        # matching the lag-window's null→0 semantics
-        arr = np.greater(closes[1:], closes[:-1]).astype(np.int8)
-        freq = _windowed_streak_hist(arr, window_size)
-        out = pd.DataFrame(
-            {
-                "symbol": pdf["symbol"].iloc[0],
-                "streak_length": list(freq.keys()),
-                "frequency": list(freq.values()),
-            }
-        )
-        return out.astype(
-            {"symbol": "int64", "streak_length": "int32", "frequency": "int64"}
+    def symbol_rows(arr_closes, window_size):
+        return _windowed_streak_hist(
+            np.greater(arr_closes[1:], arr_closes[:-1]).astype(np.int8),
+            window_size,
         )
 
-    return bars.select("symbol", "date", "close").groupBy("symbol").applyInPandas(
-        per_symbol, schema="symbol long, streak_length int, frequency long"
+    def per_partition(batches):
+        carry_sym = None
+        carry_closes: list = []
+        out_sym: list = []
+        out_len: list = []
+        out_freq: list = []
+
+        def flush(sym, closes):
+            # up[i] = close[i] > close[i-1]; NaN comparisons are False,
+            # matching the lag-window's null→0 semantics
+            freq = symbol_rows(np.asarray(closes, dtype=float), window_size)
+            for length, c in freq.items():
+                out_sym.append(sym)
+                out_len.append(length)
+                out_freq.append(c)
+
+        for pdf in batches:
+            syms = pdf["symbol"].to_numpy()
+            closes = pdf["close"].to_numpy(dtype=float)
+            if len(syms) == 0:
+                continue
+            # boundaries of symbol runs inside this (sorted) batch
+            cuts = np.nonzero(syms[1:] != syms[:-1])[0] + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(syms)]))
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                sym = int(syms[s])
+                seg = closes[s:e]
+                if carry_sym is not None and sym == carry_sym:
+                    carry_closes.append(seg)
+                    continue
+                if carry_sym is not None:
+                    flush(carry_sym, np.concatenate(carry_closes))
+                carry_sym = sym
+                carry_closes = [seg]
+        if carry_sym is not None:
+            flush(carry_sym, np.concatenate(carry_closes))
+        yield pd.DataFrame(
+            {"symbol": out_sym, "streak_length": out_len, "frequency": out_freq}
+        ).astype({"symbol": "int64", "streak_length": "int32", "frequency": "int64"})
+
+    clustered = (
+        bars.select("symbol", "date", "close")
+        .repartition("symbol")
+        .sortWithinPartitions("symbol", "date")
+    )
+    return clustered.mapInPandas(
+        per_partition, schema="symbol long, streak_length int, frequency long"
     )
 
 
