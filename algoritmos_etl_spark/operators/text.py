@@ -316,8 +316,67 @@ def text_quality(docs: DataFrame) -> DataFrame:
         n_other.alias("n_symbol_tokens"),
         (subword + n_digit + n_other).alias("n_tokens_est"),
     )
-    reps = repetition_stats(docs).drop("n_words")
-    return cheap.join(reps, "doc_id", "left")
+    # Repetition fractions inline (same math as `repetition_stats`),
+    # joined straight onto the cheap projection: two documents scans and
+    # ONE doc_id join total. Calling repetition_stats() here instead
+    # would re-join its own base first — three scans, two joins.
+    exploded = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    _word_ngrams(words, 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+                ),
+                F.transform(
+                    _word_ngrams(words, 3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    counts = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_n = counts.groupBy("doc_id").agg(
+        *[
+            agg
+            for n in (2, 3)
+            for agg in (
+                F.max(F.when(F.col("n") == n, F.col("cnt"))).alias(f"top_{n}"),
+                F.sum(
+                    F.when((F.col("n") == n) & (F.col("cnt") > 1), F.col("cnt"))
+                ).alias(f"dup_{n}"),
+                F.sum(F.when(F.col("n") == n, F.col("cnt"))).alias(f"tot_{n}"),
+            )
+        ]
+    )
+
+    def _frac(num, den):
+        return F.round(F.when(den > 0, num.cast("double") / den).otherwise(0.0), 6)
+
+    joined = cheap.join(per_n, "doc_id", "left")
+    return joined.select(
+        *cheap.columns,
+        _frac(
+            (F.col("n_words") - F.col("n_distinct_words")).cast("double"),
+            F.col("n_words"),
+        ).alias("dup_word_frac"),
+        *[
+            col
+            for n in (2, 3)
+            for col in (
+                _frac(
+                    F.coalesce(F.col(f"top_{n}"), F.lit(0)).cast("double"),
+                    F.coalesce(F.col(f"tot_{n}"), F.lit(0)),
+                ).alias(f"top_{n}gram_frac"),
+                _frac(
+                    F.coalesce(F.col(f"dup_{n}"), F.lit(0)).cast("double"),
+                    F.coalesce(F.col(f"tot_{n}"), F.lit(0)),
+                ).alias(f"dup_{n}gram_frac"),
+            )
+        ],
+    )
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:
