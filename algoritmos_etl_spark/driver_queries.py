@@ -48,8 +48,26 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+# The canonical bars model feeds ~20 registry queries. The reference
+# materializes its master dataset once and every endpoint reads it
+# (etl/data_unifier.py → CSV, app.py reads); the in-session twin of that
+# is materializing the events→bars aggregation once per (session,
+# sf_dir) and letting every query start from the cached blocks.
+# `localCheckpoint(eager=False)`, not `persist()`: blocks are freed by
+# the ContextCleaner when the DataFrame is garbage-collected, so a
+# long-lived session can't leak them past this module's cache.
+_BARS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return daily_bars(load_table(spark, sf_dir, "events"))
+    key = (id(spark), sf_dir)
+    cached = _BARS_CACHE.get(key)
+    if cached is None:
+        cached = daily_bars(load_table(spark, sf_dir, "events")).localCheckpoint(
+            eager=False
+        )
+        _BARS_CACHE[key] = cached
+    return cached
 
 
 def r6(col):

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .driver_queries import register, r6
+from .driver_queries import _bars, register, r6
 from .operators import dedup, text, vectors
 from .sources.readers import ORACLE_BARS_CTE, load_table
 
@@ -740,9 +740,7 @@ def q_multimodal_frames(spark, sf_dir):
 )
 def q_dtw_path(spark, sf_dir):
     from .operators import similarity
-    from .sources.readers import daily_bars
-
-    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    bars = _bars(spark, sf_dir)
     return similarity.dtw_path(bars, 0, 1)
 
 
@@ -968,9 +966,7 @@ def q_ann_ivf(spark, sf_dir):
 )
 def q_wide_roundtrip(spark, sf_dir):
     from .operators import alignment
-    from .sources.readers import daily_bars
-
-    bars = daily_bars(load_table(spark, sf_dir, "events")).filter(
+    bars = _bars(spark, sf_dir).filter(
         F.col("symbol").isin(0, 1, 2, 3)
     )
     symbols = ["0", "1", "2", "3"]
@@ -1088,9 +1084,7 @@ def q_candlestick_tail(spark, sf_dir):
     from pyspark.sql import Window
 
     from .functions import cents, date_parts, date_to_unix
-    from .sources.readers import daily_bars
-
-    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    bars = _bars(spark, sf_dir)
     w = Window.partitionBy("symbol")
     tail = (
         bars.withColumn("_max", F.max("date").over(w))
@@ -1157,14 +1151,13 @@ def q_table_profile(spark, sf_dir):
 )
 def q_asof_join(spark, sf_dir):
     from .operators import asof
-    from .sources.readers import daily_bars
 
     events = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id") % 10 == 0)
         .select("event_id", "user_id", F.to_date("ts").alias("event_date"))
     )
-    bars = daily_bars(load_table(spark, sf_dir, "events")).select(
+    bars = _bars(spark, sf_dir).select(
         F.col("symbol").alias("user_id"), "date", "close"
     )
     out = asof.asof_join(
@@ -1255,9 +1248,7 @@ def q_corpus_sampling(spark, sf_dir):
 )
 def q_stride_downsample(spark, sf_dir):
     from .operators import sampling
-    from .sources.readers import daily_bars
-
-    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    bars = _bars(spark, sf_dir)
     out = sampling.stride_sample(
         bars, partition_col="symbol", order_cols=["date"], max_points=10
     )
