@@ -401,6 +401,87 @@ def minhash_lsh_dedup(
     return _verify_jaccard(candidates, sh, threshold)
 
 
+def minhash_write_index(docs: DataFrame, path: str, k_shingle: int = 3) -> None:
+    """Materialize the LSH dedup index at ingest — the incremental-
+    corpus shape: a 100 TB pipeline dedups each day's increment against
+    the standing corpus, never recomputing signatures for the corpus.
+
+    Two parquet datasets under `path`:
+      bands/    — (doc_id, band, band_sig) partitioned by band, so an
+                  increment's bucket join prunes to the touched bands;
+      shingles/ — (doc_id, shingle) posting lists for exact-Jaccard
+                  verification of candidates.
+    Signatures are pure md5 functions of the text, so index rows never
+    go stale and appends are just more rows.
+    """
+    sh = _shingle_index(docs, k_shingle)
+    bands = minhash_bands(
+        _with_base_hash(sh).groupBy("doc_id").agg(*_minhash_aggs())
+    )
+    bands.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def minhash_lsh_incremental(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.2,
+    k_shingle: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the new batch: each pair has at least
+    one new doc; the other side is the indexed corpus or the batch
+    itself. Equals the full-batch `minhash_lsh_dedup` restricted to
+    such pairs (pinned by test), but signature work scales with |new|
+    and the bucket join touches only buckets a new doc lands in — the
+    corpus is read, never re-hashed.
+
+    `max_bucket_size` counts over corpus ∪ increment, matching what the
+    full recompute would see. doc_ids must be globally unique across
+    corpus and increment (the ingest contract).
+    """
+    sh_new = _shingle_index(new_docs, k_shingle)
+    bands_new = minhash_bands(
+        _with_base_hash(sh_new).groupBy("doc_id").agg(*_minhash_aggs())
+    ).localCheckpoint(eager=False)
+    bands_old = spark.read.parquet(f"{path}/bands").select(
+        "doc_id", "band", "band_sig"
+    )
+    all_bands = bands_old.unionByName(bands_new)
+    new_side = bands_new
+    if max_bucket_size is not None:
+        big = (
+            all_bands.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "band_sig")
+        )
+        all_bands = all_bands.join(
+            F.broadcast(big), ["band", "band_sig"], "left_anti"
+        )
+        new_side = new_side.join(
+            F.broadcast(big), ["band", "band_sig"], "left_anti"
+        )
+    a = all_bands.select(F.col("doc_id").alias("id_a"), "band", "band_sig")
+    b = new_side.select(F.col("doc_id").alias("id_b"), "band", "band_sig")
+    candidates = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_all = (
+        spark.read.parquet(f"{path}/shingles")
+        .select("doc_id", "shingle")
+        .unionByName(sh_new.select("doc_id", "shingle"))
+    )
+    return _verify_jaccard(candidates, sh_all, threshold)
+
+
 def simhash(
     docs: DataFrame, bits: int = SIMHASH_BITS, chunks: int = SIMHASH_CHUNKS
 ) -> DataFrame:

@@ -455,6 +455,136 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 1,
+) -> None:
+    """Materialize the IVF index at ingest — the 100 TB shape the
+    `ivf_topk` docstring promises.
+
+    Two parquet datasets under `path`:
+      corpus/    — every (vec_id, embedding, centroid_id) row, written
+                   `partitionBy("centroid_id")` so a probe of p
+                   clusters is a partition-pruned scan reading p/C of
+                   the corpus;
+      centroids/ — the (centroid_id, idx, c) integer components the
+                   query path needs to rank clusters (tiny; broadcast).
+
+    Training/assignment run once here; queries never touch the
+    quantizer again.
+    """
+    base = with_dvec(embeddings)
+    flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    vec_norms = flat.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2")
+    )
+    cents = ivf_train(embeddings, n_centroids, iters).localCheckpoint(eager=False)
+    assign = _ivf_assign(flat, vec_norms, cents)
+    (
+        embeddings.join(assign, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/corpus")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_topk(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a materialized `ivf_write_index` layout.
+
+    The probe side joins the tiny (query, centroid) probe table onto
+    the centroid-partitioned corpus with a broadcast join on the
+    PARTITION column — Spark's dynamic partition pruning turns that
+    into a scan of only the probed partitions (pinned by a plan test).
+    Exact cosine rerank then runs over just those members, so per-query
+    work is ~n·nprobe/C rows of IO and compute, not a corpus scan.
+    """
+    corpus = spark.read.parquet(f"{path}/corpus")
+    cents = spark.read.parquet(f"{path}/centroids")
+    cent_norms = cents.groupBy("centroid_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+
+    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
+        "vec_id", "embedding"
+    )
+    qbase = with_dvec(queries)
+    qflat = _quantized_flat(qbase, "vec_id").select(
+        F.col("vec_id").alias("query_id"), "idx", F.col("q").alias("qq")
+    ).localCheckpoint(eager=False)
+    qnorms = qflat.groupBy("query_id").agg(
+        F.sum(F.col("qq") * F.col("qq")).alias("qn2")
+    )
+
+    qdots = (
+        qflat.join(F.broadcast(cents), "idx")
+        .groupBy("query_id", "centroid_id")
+        .agg(F.sum(F.col("qq") * F.col("c")).alias("dot"))
+        .join(F.broadcast(cent_norms), "centroid_id")
+        .join(F.broadcast(qnorms), "query_id")
+    )
+    qcos = _int_cosine(F.col("dot"), F.col("qn2"), F.col("c2"))
+    wprobe = Window.partitionBy("query_id").orderBy(
+        qcos.desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qdots.withColumn("prank", F.row_number().over(wprobe))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+    # broadcast join on the partition column → dynamic partition
+    # pruning: only probed centroid_id partitions are read
+    members = corpus.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    # dedupe before flattening: a member can sit in several queries'
+    # probe sets, and duplicate (vec_id, idx, q) rows would double-count
+    # every dot it participates in
+    mflat = _quantized_flat(
+        with_dvec(members.select("vec_id", "embedding").dropDuplicates(["vec_id"])),
+        "vec_id",
+    ).localCheckpoint(eager=False)
+    cand = members.select("query_id", "vec_id")
+    mnorms = mflat.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
+    pair_dots = (
+        cand.join(mflat, "vec_id")
+        .join(F.broadcast(qflat), ["query_id", "idx"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("q") * F.col("qq")).alias("dot"))
+    )
+    scored = (
+        pair_dots.join(mnorms, "vec_id")
+        .join(F.broadcast(qnorms), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _int_cosine(F.col("dot"), F.col("qn2"), F.col("n2")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def lsh_candidate_count(
     embeddings: DataFrame, n_tables: int = LSH_TABLES,
     planes_per_table: int = LSH_PLANES_PER_TABLE,

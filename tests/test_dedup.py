@@ -172,3 +172,31 @@ def test_neardup_clusters_long_chain_converges(spark):
     out = dedup.neardup_clusters(pairs).collect()
     assert all(r.cluster_id == 1 for r in out)
     assert sum(r.is_canonical for r in out) == 1
+
+
+def test_incremental_minhash_matches_full_batch(tables, spark, tmp_path):
+    """minhash_write_index + minhash_lsh_incremental on a 20% increment
+    ≡ the full-batch pipeline restricted to pairs touching the
+    increment — the signatures are pure functions of the text, so the
+    split can't change any bucket or any verified Jaccard."""
+    docs = tables["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "mh_index")
+    dedup.minhash_write_index(old, path)
+    inc = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_incremental(
+            spark, new, path, threshold=0.2, max_bucket_size=100
+        ).collect()
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_dedup(
+            docs, threshold=0.2, max_bucket_size=100
+        ).collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    assert inc == full
+    assert inc, "increment produced no pairs — fixture no longer overlaps"

@@ -179,3 +179,24 @@ def test_ivf_assignment_partitions_corpus(emb):
         F.count(F.lit(1)).alias("c")).collect()]
     assert sum(sizes) == n
     assert max(sizes) < n, "IVF assignment degenerated to one cluster"
+
+
+def test_ivf_written_index_probe_matches_inline(emb, spark, tmp_path):
+    """ivf_write_index + ivf_probe_topk ≡ the inline ivf_topk (same
+    deterministic quantizer), and the probe's corpus scan is dynamic-
+    partition-pruned on centroid_id, not a full read."""
+    path = str(tmp_path / "ivf_index")
+    vectors.ivf_write_index(emb, path, n_centroids=8, iters=1)
+    got = vectors.ivf_probe_topk(spark, path, [0, 1, 2], k=10, nprobe=3)
+    want = vectors.ivf_topk(emb, [0, 1, 2], k=10, n_centroids=8, nprobe=3)
+    as_rows = lambda df: sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in df.collect()
+    )
+    assert as_rows(got) == as_rows(want)
+    # the partitioned layout exists and the probe plan prunes on it
+    import os
+
+    parts = [p for p in os.listdir(f"{path}/corpus") if p.startswith("centroid_id=")]
+    assert len(parts) >= 2
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
