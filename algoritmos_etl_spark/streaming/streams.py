@@ -224,6 +224,64 @@ def streaming_dedup(
     )
 
 
+def streaming_neardup_against_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    threshold: float = 0.2,
+    max_bucket_size: int | None = 100,
+    timeout_sec: int = 300,
+):
+    """Streaming NEAR-dup via the materialized LSH index: every
+    micro-batch (a) emits its near-dup pairs against the standing
+    corpus + itself, appended to `out_path/pairs`, then (b) appends its
+    own band signatures and shingle posting lists to the index — so
+    later batches dedup against everything seen so far.
+
+    `foreachBatch` is the right boundary: the banding/verify joins are
+    plain batch DataFrame ops (no streaming state), and the index
+    append is a transactional parquet write per micro-batch. State
+    lives in the index files, not executor memory, so an unbounded
+    stream needs no watermark for this operator — cost per batch scales
+    with |batch| + touched buckets (see `dedup.minhash_lsh_incremental`).
+    Exactly-once caveat: parquet appends from a replayed batch would
+    duplicate index rows; production would write per-batch
+    subdirectories keyed by batch_id (idempotent overwrite) — kept
+    simple here since the test harness uses availableNow.
+    """
+    from ..operators import dedup as _dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()  # one materialization, 3 consumers
+        if not batch_df.take(1):
+            return
+        pairs = _dedup.minhash_lsh_incremental(
+            spark, batch_df, index_path,
+            threshold=threshold, max_bucket_size=max_bucket_size,
+        )
+        pairs.write.mode("append").parquet(f"{out_path}/pairs")
+        sh = _dedup.doc_shingles(batch_df, 3)
+        bands = _dedup.minhash_bands(
+            _dedup._with_base_hash(sh).groupBy("doc_id").agg(
+                *_dedup._minhash_aggs()
+            )
+        )
+        bands.write.mode("append").partitionBy("band").parquet(
+            f"{index_path}/bands"
+        )
+        sh.write.mode("append").parquet(f"{index_path}/shingles")
+
+    query = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{out_path}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, timeout_sec: int = 120
 ) -> DataFrame:

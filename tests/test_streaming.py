@@ -256,3 +256,45 @@ def test_streaming_dedup_drops_redeliveries(spark, batch_events, tmp_path):
     assert _rows(streamed.select("event_id", "user_id"), "event_id") == _rows(
         batch_events.select("event_id", "user_id"), "event_id"
     )
+
+
+def test_streaming_neardup_against_index(tables, spark, tmp_path):
+    """foreachBatch near-dup: micro-batches dedup against the standing
+    LSH index then append themselves to it. The union of emitted pairs
+    equals the full-batch pipeline minus pairs internal to the seeded
+    corpus (those were 'already deduped' before the stream started)."""
+    from algoritmos_etl_spark.operators import dedup
+    from algoritmos_etl_spark.streaming.streams import (
+        streaming_neardup_against_index,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    rest = docs.filter(F.col("doc_id") % 3 != 0)
+    idx, out, src = (str(tmp_path / d) for d in ("idx", "out", "src"))
+    dedup.minhash_write_index(seed, idx)
+    rest.repartition(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_neardup_against_index(
+        stream, idx, out, threshold=0.2, max_bucket_size=100
+    )
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    seed_ids = {r.doc_id for r in seed.select("doc_id").collect()}
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_dedup(
+            docs, threshold=0.2, max_bucket_size=100
+        ).collect()
+        if not (r.doc_a in seed_ids and r.doc_b in seed_ids)
+    }
+    assert got == want
+    assert got, "stream emitted no pairs — fixture no longer overlaps"
