@@ -611,10 +611,65 @@ def q_heatmap(spark, sf_dir):
     )
 
 
+# The DTW dynamic program IS SQL-expressible: on anti-diagonal d = i+j,
+# dp(i,j) depends only on diagonals d-1 and d-2 — no within-step
+# dependency — so a recursive CTE carries two diagonal vectors per pair
+# and advances the wavefront one diagonal per recursion level. All the
+# arithmetic (ln, abs, +, least) is identical double math on both
+# engines, so even the DP values hash-match.
+_DTW_INF = "1e300"
+_DTW_RETS = """
+valid AS (SELECT symbol, date, close FROM bars WHERE close IS NOT NULL AND close > 0),
+series AS (
+    SELECT symbol, list(close ORDER BY date) AS closes FROM valid GROUP BY symbol
+),
+rets AS (
+    SELECT symbol,
+           CASE WHEN len(closes) < 2 THEN CAST([] AS DOUBLE[])
+                ELSE list_transform(range(2, len(closes) + 1),
+                     i -> ln(closes[i] / closes[i - 1]))
+           END AS r
+    FROM series
+)
+"""
+
+
 @register(
     "dtw_pairs",
-    None,  # dynamic-programming distance: not SQL-expressible; pinned by unit tests
-    "X1 banded DTW distance over all symbol pairs (algorithms/similarity.py:200-352)",
+    f"""WITH RECURSIVE {ORACLE_BARS_CTE},
+    {_DTW_RETS.strip()},
+    pairs AS (
+        SELECT a.symbol AS sa, b.symbol AS sb, a.r AS ra, b.r AS rb,
+               len(a.r) AS n, len(b.r) AS m
+        FROM rets a JOIN rets b ON a.symbol < b.symbol
+    ),
+    dp AS (
+        SELECT sa, sb, ra, rb, n, m,
+               greatest(greatest(10, greatest(n, m) // 4), abs(n - m)) AS w,
+               0 AS d,
+               list_prepend(0.0, list_transform(range(n), x -> {_DTW_INF})) AS diag1,
+               list_transform(range(n + 1), x -> {_DTW_INF}) AS diag2
+        FROM pairs WHERE n > 0 AND m > 0
+        UNION ALL
+        SELECT sa, sb, ra, rb, n, m, w, d + 1 AS d,
+               list_transform(range(1, n + 2), p -> CASE
+                   WHEN p = 1 THEN {_DTW_INF}
+                   WHEN (d + 1) - (p - 1) < 1 OR (d + 1) - (p - 1) > m THEN {_DTW_INF}
+                   WHEN abs((p - 1) - ((d + 1) - (p - 1))) > w THEN {_DTW_INF}
+                   ELSE abs(ra[p - 1] - rb[(d + 1) - (p - 1)])
+                        + least(diag1[p - 1], diag1[p], diag2[p - 1])
+               END) AS diag1,
+               diag1 AS diag2
+        FROM dp WHERE d < n + m
+    )
+    SELECT sa AS sym_a, sb AS sym_b, round(diag1[n + 1], 6) AS dtw
+    FROM dp WHERE d = n + m
+    UNION ALL
+    SELECT sa, sb, 0.0 FROM pairs WHERE n = 0 OR m = 0""",
+    "X1 banded DTW distance over all symbol pairs (algorithms/similarity.py:"
+    "200-352). Oracle: anti-diagonal wavefront recursion (diagonal d depends "
+    "only on d-1 and d-2), two carried diagonal vectors per pair — the DP is "
+    "hash-checked, not rows-only",
 )
 def q_dtw(spark, sf_dir):
     out = similarity.dtw_pairs(_bars(spark, sf_dir))

@@ -733,15 +733,109 @@ def q_multimodal_frames(spark, sf_dir):
 
 # ---------------------------------------------------------------- X2 / pipeline
 
+_DTW_INF = "1e300"
+
+
 @register(
     "dtw_path_pair",
-    None,  # DP backtrack: not SQL-expressible; pinned by unit tests vs the distance
-    "X2 full-matrix DTW with warping path for one pair (algorithms/similarity.py:536-608)",
+    f"""WITH RECURSIVE {ORACLE_BARS_CTE},
+    valid AS (
+        SELECT symbol, date, close FROM bars
+        WHERE symbol IN (0, 1) AND close IS NOT NULL AND close > 0
+    ),
+    series AS (
+        SELECT symbol, list(close ORDER BY date) AS closes FROM valid GROUP BY symbol
+    ),
+    rets AS (
+        SELECT symbol,
+               CASE WHEN len(closes) < 2 THEN CAST([] AS DOUBLE[])
+                    ELSE list_transform(range(2, len(closes) + 1),
+                         i -> ln(closes[i] / closes[i - 1]))
+               END AS r
+        FROM series
+    ),
+    ds AS (
+        SELECT symbol,
+               list_transform(range(1, len(r) + 1, greatest(1, len(r) // 80)),
+                              p -> r[p]) AS r
+        FROM rets
+    ),
+    dims AS (
+        SELECT a.r AS ra, b.r AS rb, len(a.r) AS n, len(b.r) AS m
+        FROM ds a JOIN ds b ON a.symbol = 0 AND b.symbol = 1
+    ),
+    dp AS (
+        SELECT n, m, 0 AS d,
+               list_prepend(0.0, list_transform(range(n), x -> {_DTW_INF})) AS diag1,
+               list_transform(range(n + 1), x -> {_DTW_INF}) AS diag2,
+               ra, rb
+        FROM dims
+        UNION ALL
+        SELECT n, m, d + 1 AS d,
+               list_transform(range(1, n + 2), p -> CASE
+                   WHEN p = 1 THEN {_DTW_INF}
+                   WHEN (d + 1) - (p - 1) < 1 OR (d + 1) - (p - 1) > m THEN {_DTW_INF}
+                   ELSE abs(ra[p - 1] - rb[(d + 1) - (p - 1)])
+                        + least(diag1[p - 1], diag1[p], diag2[p - 1])
+               END) AS diag1,
+               diag1 AS diag2, ra, rb
+        FROM dp WHERE d < n + m
+    ),
+    cells AS (
+        SELECT p - 1 AS i, d - (p - 1) AS j, diag1[p] AS val
+        FROM dp, unnest(range(1, n + 2)) AS t(p)
+        WHERE d - (p - 1) BETWEEN 0 AND m
+    ),
+    bt AS (
+        SELECT n AS ci, m AS cj, 0 AS bidx FROM dims
+        UNION ALL
+        SELECT CASE WHEN ci = 0 THEN ci
+                    WHEN cj = 0 THEN ci - 1
+                    WHEN dg.val <= up.val AND dg.val <= lf.val THEN ci - 1
+                    WHEN up.val <= lf.val THEN ci - 1
+                    ELSE ci END AS ci,
+               CASE WHEN ci = 0 THEN cj - 1
+                    WHEN cj = 0 THEN cj
+                    WHEN dg.val <= up.val AND dg.val <= lf.val THEN cj - 1
+                    WHEN up.val <= lf.val THEN cj
+                    ELSE cj - 1 END AS cj,
+               bidx + 1
+        FROM bt
+        LEFT JOIN cells dg ON dg.i = bt.ci - 1 AND dg.j = bt.cj - 1
+        LEFT JOIN cells up ON up.i = bt.ci - 1 AND up.j = bt.cj
+        LEFT JOIN cells lf ON lf.i = bt.ci AND lf.j = bt.cj - 1
+        WHERE bt.ci > 0 OR bt.cj > 0
+    ),
+    pts AS (
+        SELECT ci - 1 AS pi, cj - 1 AS pj, bidx,
+               count(*) OVER () AS L
+        FROM bt WHERE ci > 0 OR cj > 0
+    ),
+    fwd AS (
+        SELECT pi, pj, CAST(L - 1 - bidx AS BIGINT) AS fidx,
+               greatest(1, CAST(L // 60 AS BIGINT)) AS k
+        FROM pts
+    ),
+    dist AS (SELECT round(val, 6) AS dtw FROM cells, dims WHERE i = n AND j = m)
+    SELECT CAST(0 AS BIGINT) AS sym_a, CAST(1 AS BIGINT) AS sym_b,
+           d.dtw,
+           CAST(fidx // k AS INT) AS step,
+           CAST(pi AS INT) AS i, CAST(pj AS INT) AS j
+    FROM fwd, dist d WHERE fidx % k = 0""",
+    "X2 full-matrix DTW with warping path for one pair (algorithms/similarity."
+    "py:536-608), reference-parity downsampling (series ~80 pts, path ~60). "
+    "Oracle: the anti-diagonal wavefront DP materialized to cells, then a "
+    "recursive backtrack walking argmin neighbors with numpy's tie-break "
+    "order — path and distance are hash-checked, not rows-only",
 )
 def q_dtw_path(spark, sf_dir):
     from .operators import similarity
+
     bars = _bars(spark, sf_dir)
-    return similarity.dtw_path(bars, 0, 1)
+    out = similarity.dtw_path(bars, 0, 1)
+    return out.select(
+        "sym_a", "sym_b", r6(F.col("dtw")).alias("dtw"), "step", "i", "j"
+    )
 
 
 def _oracle_lsh_tables(
