@@ -618,8 +618,16 @@ def q_heatmap(spark, sf_dir):
 # arithmetic (ln, abs, +, least) is identical double math on both
 # engines, so even the DP values hash-match.
 _DTW_INF = "1e300"
-_DTW_RETS = """
-valid AS (SELECT symbol, date, close FROM bars WHERE close IS NOT NULL AND close > 0),
+# The REGISTERED query caps at symbols < 100 (4,950 pairs at any scale):
+# all-pairs DP over the full symbol universe is O(k²) and belongs to a
+# sampled/prefiltered path at scale (bench.py applies the same cap; the
+# library function runs any pair set, with min_abs_corr as the
+# documented all-pairs prefilter). The cap also bounds the oracle's
+# wavefront recursion at every sf.
+_DTW_SYMBOL_CAP = 100
+_DTW_RETS = f"""
+valid AS (SELECT symbol, date, close FROM bars
+          WHERE symbol < {_DTW_SYMBOL_CAP} AND close IS NOT NULL AND close > 0),
 series AS (
     SELECT symbol, list(close ORDER BY date) AS closes FROM valid GROUP BY symbol
 ),
@@ -666,13 +674,16 @@ rets AS (
     FROM dp WHERE d = n + m
     UNION ALL
     SELECT sa, sb, 0.0 FROM pairs WHERE n = 0 OR m = 0""",
-    "X1 banded DTW distance over all symbol pairs (algorithms/similarity.py:"
-    "200-352). Oracle: anti-diagonal wavefront recursion (diagonal d depends "
-    "only on d-1 and d-2), two carried diagonal vectors per pair — the DP is "
+    "X1 banded DTW distance over symbol pairs (algorithms/similarity.py:"
+    "200-352), capped at 100 symbols = 4,950 pairs at any scale (all-pairs "
+    "over the full universe is the min_abs_corr-prefiltered library path). "
+    "Oracle: anti-diagonal wavefront recursion (diagonal d depends only on "
+    "d-1 and d-2), two carried diagonal vectors per pair — the DP is "
     "hash-checked, not rows-only",
 )
 def q_dtw(spark, sf_dir):
-    out = similarity.dtw_pairs(_bars(spark, sf_dir))
+    bars = _bars(spark, sf_dir).filter(F.col("symbol") < _DTW_SYMBOL_CAP)
+    out = similarity.dtw_pairs(bars)
     return out.select("sym_a", "sym_b", r6(F.col("dtw")).alias("dtw"))
 
 
