@@ -86,7 +86,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local-mode executors live in the driver JVM: the heap holds every
+        # checkpointed block the suite accumulates (bars model, shingle
+        # indexes, LSH bands), and a small heap turns the tail of a long
+        # suite into GC storms (observed 7.8s vs 24.8s for the same query
+        # depending on heap context at 16g)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
