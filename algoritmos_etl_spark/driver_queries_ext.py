@@ -81,7 +81,15 @@ def _oracle_marker_count(lang: str) -> str:
                CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '{text.TOKEN_ALPHA}'),
                         t -> CAST(ceil(length(t) / {float(text.SUBWORD_CHARS)}) AS BIGINT))), 0)
                     + len(regexp_extract_all(text, '{text.TOKEN_DIGIT}'))
-                    + len(regexp_extract_all(text, '{text.TOKEN_OTHER}')) AS BIGINT) AS n_tokens_est
+                    + len(regexp_extract_all(text, '{text.TOKEN_OTHER}')) AS BIGINT) AS n_tokens_est,
+               CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{text.PII_URL}')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(text, '{text.PII_IPV4}')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text, '{text.PII_PHONE}')) AS BIGINT) AS n_phones,
+               len(regexp_extract_all(text, '{text.PII_EMAIL}'))
+                 + len(regexp_extract_all(text, '{text.PII_URL}'))
+                 + len(regexp_extract_all(text, '{text.PII_IPV4}'))
+                 + len(regexp_extract_all(text, '{text.PII_PHONE}')) > 0 AS has_pii
         FROM documents
     ),
     rbase AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
@@ -131,6 +139,7 @@ def _oracle_marker_count(lang: str) -> str:
            s.n_distinct_words, l.pred_lang,
            t.n_ws_tokens, t.n_alpha_tokens, t.n_digit_tokens, t.n_symbol_tokens,
            t.n_tokens_est,
+           t.n_emails, t.n_urls, t.n_ipv4, t.n_phones, t.has_pii,
            r.dup_word_frac, r.top_2gram_frac, r.dup_2gram_frac,
            r.top_3gram_frac, r.dup_3gram_frac
     FROM stats s
@@ -158,6 +167,11 @@ def q_text_stats(spark, sf_dir):
         "n_digit_tokens",
         "n_symbol_tokens",
         "n_tokens_est",
+        "n_emails",
+        "n_urls",
+        "n_ipv4",
+        "n_phones",
+        "has_pii",
         "dup_word_frac",
         "top_2gram_frac",
         "dup_2gram_frac",

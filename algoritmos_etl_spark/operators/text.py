@@ -125,6 +125,39 @@ TOKEN_DIGIT = "[0-9]+"
 TOKEN_OTHER = "[^A-Za-z0-9 ]+"
 SUBWORD_CHARS = 4  # BPE-ish budget: one subword token per ~4 chars
 
+# PII / boilerplate markers (C4-style curation signals). Patterns use
+# only explicit character classes and bounded quantifiers so the Java
+# (Spark) and RE2 (DuckDB) dialects match byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_URL = r"https?://[A-Za-z0-9./_%?=&#-]+"
+PII_IPV4 = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+PII_PHONE = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """Per-document PII/leakage signals: counts of emails, URLs, IPv4
+    literals, and phone-shaped digit runs, plus a has_pii flag — the
+    filter-or-redact gate a training-data pipeline runs before text
+    ships (C4 drops pages on similar signals). Pure JVM regex, one
+    projection pass."""
+    counts = {
+        "n_emails": PII_EMAIL,
+        "n_urls": PII_URL,
+        "n_ipv4": PII_IPV4,
+        "n_phones": PII_PHONE,
+    }
+    cols = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0)))
+        .cast("long")
+        .alias(name)
+        for name, p in counts.items()
+    ]
+    out = docs.select("doc_id", *cols)
+    total = sum(
+        (F.col(c) for c in counts), F.lit(0).cast("long")
+    )
+    return out.withColumn("has_pii", total > 0)
+
 
 def token_counts(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens plus a BPE-ish regex estimate.
@@ -315,6 +348,25 @@ def text_quality(docs: DataFrame) -> DataFrame:
         n_digit.alias("n_digit_tokens"),
         n_other.alias("n_symbol_tokens"),
         (subword + n_digit + n_other).alias("n_tokens_est"),
+        *[
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0)))
+            .cast("long")
+            .alias(name)
+            for name, p in (
+                ("n_emails", PII_EMAIL),
+                ("n_urls", PII_URL),
+                ("n_ipv4", PII_IPV4),
+                ("n_phones", PII_PHONE),
+            )
+        ],
+    )
+    cheap = cheap.withColumn(
+        "has_pii",
+        (
+            F.col("n_emails") + F.col("n_urls") + F.col("n_ipv4")
+            + F.col("n_phones")
+        )
+        > 0,
     )
     # Repetition fractions inline (same math as `repetition_stats`),
     # joined straight onto the cheap projection: two documents scans and

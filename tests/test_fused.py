@@ -87,8 +87,14 @@ def test_text_quality_matches_single_signals(tables):
     stats = text.text_stats(docs)
     lang = text.lang_id(docs)
     toks = text.token_counts(docs)
+    pii = text.pii_stats(docs)
     reps = text.repetition_stats(docs).drop("n_words")
-    ref = stats.join(lang, "doc_id").join(toks, "doc_id").join(reps, "doc_id")
+    ref = (
+        stats.join(lang, "doc_id")
+        .join(toks, "doc_id")
+        .join(pii, "doc_id")
+        .join(reps, "doc_id")
+    )
     cols = [c for c in ref.columns]
     assert sorted(fused.columns) == sorted(cols)
     assert _rows(fused.select(*cols), "doc_id") == _rows(ref.select(*cols), "doc_id")

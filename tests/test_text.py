@@ -124,3 +124,30 @@ def test_curation_repetition_gate(spark):
         max_bucket_size=None, max_dup_3gram_frac=0.5,
     )
     assert {r.doc_id for r in gated.collect()} == {0}
+
+
+def test_pii_stats_counts(spark):
+    import re
+
+    from algoritmos_etl_spark.operators.text import (
+        PII_EMAIL, PII_IPV4, PII_PHONE, PII_URL, pii_stats,
+    )
+
+    samples = [
+        (0, "contact me at jane.doe+spam@example.co.uk or visit https://example.com/a?b=c#d"),
+        (1, "server at 192.168.0.1 and 10.0.0.255, call +1 (555) 123-4567"),
+        (2, "no personal information here, just words"),
+        (3, "two mails: a@b.io c@d.org and url http://x.y/z and 1.2.3.4"),
+    ]
+    docs = spark.createDataFrame(samples, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_stats(docs).collect()}
+    for doc_id, txt in samples:
+        r = got[doc_id]
+        assert r.n_emails == len(re.findall(PII_EMAIL, txt)), (doc_id, "emails")
+        assert r.n_urls == len(re.findall(PII_URL, txt)), (doc_id, "urls")
+        assert r.n_ipv4 == len(re.findall(PII_IPV4, txt)), (doc_id, "ipv4")
+        assert r.n_phones == len(re.findall(PII_PHONE, txt)), (doc_id, "phones")
+        assert r.has_pii == bool(
+            r.n_emails + r.n_urls + r.n_ipv4 + r.n_phones
+        )
+    assert got[2].has_pii is False and got[0].has_pii is True
