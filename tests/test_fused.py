@@ -134,3 +134,21 @@ def test_decode_with_stats_matches_components(tables):
         "n_bytes", "checksum", "byte_mean", "dominant",
     ]
     assert _rows(fused.select(*cols), "doc_id") == _rows(ref.select(*cols), "doc_id")
+
+
+def test_fused_operators_on_degenerate_series(spark):
+    import datetime
+
+    one_row = spark.createDataFrame(
+        [(7, datetime.date(2024, 1, 2), 10.0, 11.0, 9.0, 10.5, 100)],
+        "symbol long, date date, open double, high double, low double, close double, volume long",
+    )
+    # single row: no predecessor → returns empty (reference length n−1)
+    assert technical.returns_bundle(one_row).count() == 0
+    # moments exist, volatility falls back to 0.0 with 0 returns
+    r = technical.series_stats(one_row).collect()[0]
+    assert r["n"] == 1 and r["n_returns"] == 0 and r["volatility"] == 0.0
+    assert r["min_close"] == r["max_close"] == r["mean"] == 10.5
+    # rolling features: warm-up never completes → all NULL
+    rf = technical.rolling_features(one_row, 5).collect()[0]
+    assert rf["sma_5"] is None and rf["gaps_in_window"] is None
