@@ -283,6 +283,39 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def text_quality_gate(docs: DataFrame) -> DataFrame:
+    """The projection-only slice of the curation signals: quality stats
+    + predicted language in ONE select — what a filter gate needs,
+    without the n-gram shuffle `text_quality` adds."""
+    words = words_col(F.col("text"))
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    lowered = F.lower(F.col("text"))
+    scores = {
+        lang: sum(
+            (_marker_count(lowered, m) for m in markers), F.lit(0).cast("long")
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    en, es, de, fr = (scores[lang] for lang in ("en", "es", "de", "fr"))
+    pred = (
+        F.when((en == 0) & (es == 0) & (de == 0) & (fr == 0), F.lit("und"))
+        .when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+        .when((es >= de) & (es >= fr), F.lit("es"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            F.when(n_words > 0, stop_hits.cast("double") / n_words).otherwise(0.0),
+            6,
+        ).alias("stopword_ratio"),
+        pred.alias("pred_lang"),
+    )
+
+
 def text_quality(docs: DataFrame) -> DataFrame:
     """The full per-document curation signal bundle in one pass:
     quality stats (`text_stats`), predicted language (`lang_id`),

@@ -47,16 +47,14 @@ def curate_corpus(
     projection-only; the repetition gate adds one n-gram count shuffle
     over pre-dedup survivors — still upstream of the expensive stage.
     """
-    stats = text.text_stats(docs)
-    langs = text.lang_id(docs)
-    quality = (
-        stats.join(langs, "doc_id")
-        .filter(
-            (F.col("pred_lang") == keep_lang)
-            & (F.col("n_words") >= min_words)
-            & (F.col("stopword_ratio") >= min_stopword_ratio)
-            & (F.col("stopword_ratio") <= max_stopword_ratio)
-        )
+    # stats and language are both per-row projections of the same docs
+    # — one fused select, not a doc_id join of two projections (a join
+    # here would shuffle the whole corpus twice for nothing)
+    quality = text.text_quality_gate(docs).filter(
+        (F.col("pred_lang") == keep_lang)
+        & (F.col("n_words") >= min_words)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
     )
     if max_dup_3gram_frac is not None:
         rep = text.repetition_stats(docs).filter(
