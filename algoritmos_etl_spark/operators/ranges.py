@@ -16,7 +16,7 @@ degenerate gracefully (correctness never depends on the width).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

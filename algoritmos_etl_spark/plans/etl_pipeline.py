@@ -17,7 +17,7 @@ counts before cleaning, rows after, calendar span.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import alignment, cleaning
