@@ -153,7 +153,9 @@ def correlation_heatmap(bars: DataFrame, salt_buckets: int = 1) -> DataFrame:
     )
 
 
-def correlation_heatmap_blocked(bars: DataFrame, n_blocks: int = 8) -> DataFrame:
+def correlation_heatmap_blocked(
+    bars: DataFrame, n_blocks: int | None = None, max_block_symbols: int = 1500
+) -> DataFrame:
     """J5 at scale: the SAME pairwise-correlation semantics as
     `correlation_heatmap` (per-pair stats over co-traded return days
     only), computed as blocked matrix products instead of a date-join.
@@ -173,6 +175,8 @@ def correlation_heatmap_blocked(bars: DataFrame, n_blocks: int = 8) -> DataFrame
     agree to ~1e-9 on return-scale data; callers comparing across
     engines should round (the registered query pins 4 decimals).
     """
+    import math
+
     import numpy as np
 
     rets = per_symbol_returns(bars)
@@ -183,6 +187,16 @@ def correlation_heatmap_blocked(bars: DataFrame, n_blocks: int = 8) -> DataFrame
         return rets.sparkSession.createDataFrame(
             [], "sym_a long, sym_b long, pearson double, n_points long"
         )
+    if n_blocks is None:
+        # per-task memory is O((k/B)² + (k/B)·D): the six sufficient-
+        # statistic matrices of a block PAIR are (k/B)² doubles each, so
+        # B must grow with the symbol count or a 30x corpus OOMs the
+        # executor (observed: 45k symbols at B=8 → 5.6k×5.6k×6 matrices
+        # ≈ 1.5 GB per task × one per core). Bounding block size keeps
+        # per-task footprint ~100 MB at any scale; task count grows
+        # B(B+1)/2, which is what a cluster wants anyway.
+        n_symbols = rets.select("symbol").distinct().count()
+        n_blocks = max(8, math.ceil(n_symbols / max_block_symbols))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         syms = np.sort(pdf["symbol"].unique())
