@@ -599,6 +599,98 @@ def simhash_neardup_pairs(
     )
 
 
+def simhash_write_index(
+    docs: DataFrame,
+    path: str,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+) -> None:
+    """Materialize the SimHash chunk index at ingest (the MinHash
+    index's sibling): (doc_id, chunk, chunk_val, carr) partitioned by
+    chunk, so an increment's banding join prunes to the touched chunk
+    partitions and verification reads the chunk arrays straight off the
+    index — the corpus is never re-hashed."""
+    sh = simhash(docs, bits=bits, chunks=chunks)
+    carr = F.array(*[F.col(f"c{c}") for c in range(chunks)])
+    exploded = (
+        sh.select("doc_id", carr.alias("carr"))
+        .select(
+            "doc_id",
+            "carr",
+            F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("chunk"),
+        )
+        .withColumn("chunk_val", F.element_at("carr", F.col("chunk") + 1))
+    )
+    exploded.write.mode("overwrite").partitionBy("chunk").parquet(
+        f"{path}/chunks"
+    )
+
+
+def simhash_incremental(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """SimHash near-dup pairs INVOLVING the new batch, against the
+    materialized chunk index plus the batch itself — equals the
+    full-batch `simhash_neardup_pairs` restricted to such pairs
+    (pinned by test). Signature votes run over |new| docs only."""
+    sh = simhash(new_docs, bits=bits, chunks=chunks)
+    carr = F.array(*[F.col(f"c{c}") for c in range(chunks)])
+    new_exploded = (
+        sh.select("doc_id", carr.alias("carr"))
+        .select(
+            "doc_id",
+            "carr",
+            F.explode(F.sequence(F.lit(0), F.lit(chunks - 1))).alias("chunk"),
+        )
+        .withColumn("chunk_val", F.element_at("carr", F.col("chunk") + 1))
+        .localCheckpoint(eager=False)
+    )
+    old_exploded = spark.read.parquet(f"{path}/chunks").select(
+        "doc_id", "carr", "chunk", "chunk_val"
+    )
+    all_exploded = old_exploded.unionByName(new_exploded)
+    a = all_exploded.select(
+        F.col("doc_id").alias("id_a"), F.col("carr").alias("carr_a"),
+        "chunk", "chunk_val",
+    )
+    b = new_exploded.select(
+        F.col("doc_id").alias("id_b"), F.col("carr").alias("carr_b"),
+        "chunk", "chunk_val",
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("carr_a"),
+            F.col("carr_b"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("carr_a"))
+            .otherwise(F.col("carr_b"))
+            .alias("carr_a"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("carr_b"))
+            .otherwise(F.col("carr_a"))
+            .alias("carr_b"),
+        )
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def simhash_candidate_count(
     docs: DataFrame, bits: int = SIMHASH_BITS, chunks: int = SIMHASH_CHUNKS
 ) -> int:

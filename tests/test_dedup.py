@@ -200,3 +200,25 @@ def test_incremental_minhash_matches_full_batch(tables, spark, tmp_path):
     }
     assert inc == full
     assert inc, "increment produced no pairs — fixture no longer overlaps"
+
+
+def test_incremental_simhash_matches_full_batch(tables, spark, tmp_path):
+    """simhash_write_index + simhash_incremental on a 20% increment ≡
+    the full-batch pipeline restricted to pairs touching the increment."""
+    docs = tables["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "sh_index")
+    dedup.simhash_write_index(old, path)
+    inc = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_incremental(spark, new, path).collect()
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(docs).collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    assert inc == full
+    assert inc, "increment produced no pairs — fixture no longer overlaps"
