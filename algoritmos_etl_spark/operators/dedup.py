@@ -401,6 +401,48 @@ def minhash_lsh_dedup(
     return _verify_jaccard(candidates, sh, threshold)
 
 
+def exact_write_index(docs: DataFrame, path: str) -> None:
+    """Materialize the exact-dedup fingerprint index at ingest:
+    (doc_id, fingerprint) parquet. Fingerprints are pure md5 of the
+    normalized text, so appends never go stale."""
+    docs.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
+    ).write.mode("overwrite").parquet(f"{path}/fingerprints")
+
+
+def exact_dedup_incremental(spark, new_docs: DataFrame, path: str) -> DataFrame:
+    """New docs annotated against the standing fingerprint index:
+    (doc_id, fingerprint, is_duplicate, dup_of) where dup_of is the
+    minimum doc_id already holding the fingerprint (in the index or
+    earlier in the batch). Hashing runs over |new| only; the index is
+    read, never recomputed — the daily-increment twin of `exact_dedup`.
+    """
+    new_fp = new_docs.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("fingerprint")
+    )
+    old_fp = spark.read.parquet(f"{path}/fingerprints").select(
+        "doc_id", "fingerprint"
+    )
+    combined = old_fp.unionByName(new_fp)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint")
+    keep = combined.select(
+        "fingerprint", F.min("doc_id").over(w).alias("dup_of")
+    ).distinct()
+    return (
+        new_fp.join(keep, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            (F.col("dup_of") < F.col("doc_id")).alias("is_duplicate"),
+            F.when(F.col("dup_of") < F.col("doc_id"), F.col("dup_of")).alias(
+                "dup_of"
+            ),
+        )
+    )
+
+
 def minhash_write_index(docs: DataFrame, path: str, k_shingle: int = 3) -> None:
     """Materialize the LSH dedup index at ingest — the incremental-
     corpus shape: a 100 TB pipeline dedups each day's increment against

@@ -222,3 +222,30 @@ def test_incremental_simhash_matches_full_batch(tables, spark, tmp_path):
     }
     assert inc == full
     assert inc, "increment produced no pairs — fixture no longer overlaps"
+
+
+def test_incremental_exact_dedup_matches_full_batch(tables, spark, tmp_path):
+    """exact_write_index + exact_dedup_incremental ≡ exact_dedup's
+    keep-min-doc_id resolution over corpus ∪ increment."""
+    docs = tables["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    # duplicate some old docs into the increment under new ids
+    dup = old.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 4 == 0).unionByName(dup)
+    path = str(tmp_path / "fp_index")
+    dedup.exact_write_index(old, path)
+    out = {r.doc_id: (r.is_duplicate, r.dup_of)
+           for r in dedup.exact_dedup_incremental(spark, new, path).collect()}
+    groups = {
+        r.fingerprint: (r.keep_doc_id, r.n_docs)
+        for r in dedup.exact_dedup(old.unionByName(new)).collect()
+    }
+    fp = {r.doc_id: r.fingerprint
+          for r in dedup.exact_dedup_incremental(spark, new, path).collect()}
+    for doc_id, (is_dup, dup_of) in out.items():
+        keep, _ = groups[fp[doc_id]]
+        assert is_dup == (keep < doc_id)
+        assert (dup_of == keep) if is_dup else (dup_of is None)
+    assert any(d for d, _ in out.values()), "no duplicates exercised"
