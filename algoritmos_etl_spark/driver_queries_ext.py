@@ -219,6 +219,27 @@ sh AS (
 
 _SHINGLE_DF_CAP = 100
 
+# The verified near-dup pair table feeds BOTH dedup_ngram_jaccard and
+# neardup_clusters (same candidate policy, same threshold). Like the
+# bars model, materialize it once per (session, sf_dir) — a pipeline
+# would land it as a table; recomputing the inverted-index join twice
+# per session is pure waste. GC-scoped via localCheckpoint(eager=False).
+_NGRAM_PAIRS_CACHE: dict = {}
+
+
+def _ngram_pairs(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    cached = _NGRAM_PAIRS_CACHE.get(key)
+    if cached is None:
+        cached = dedup.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"),
+            k=3,
+            threshold=0.2,
+            max_shingle_df=_SHINGLE_DF_CAP,
+        ).localCheckpoint(eager=False)
+        _NGRAM_PAIRS_CACHE[key] = cached
+    return cached
+
 
 @register(
     "dedup_ngram_jaccard",
@@ -253,10 +274,7 @@ _SHINGLE_DF_CAP = 100
     "(viral shingles dropped from the self-join), full-set verification (M8)",
 )
 def q_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), k=3, threshold=0.2,
-        max_shingle_df=_SHINGLE_DF_CAP,
-    )
+    return _ngram_pairs(spark, sf_dir)
 
 
 _MH_ROWS_PER_BAND = dedup.MINHASH_HASHES // dedup.MINHASH_BANDS
@@ -1163,11 +1181,7 @@ def q_salted_join(spark, sf_dir):
     "shared between the two queries instead of built twice",
 )
 def q_neardup_clusters(spark, sf_dir):
-    prs = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), k=3, threshold=0.2,
-        max_shingle_df=_SHINGLE_DF_CAP,
-    )
-    return dedup.neardup_clusters(prs)
+    return dedup.neardup_clusters(_ngram_pairs(spark, sf_dir))
 
 
 @register(
