@@ -60,7 +60,10 @@ _BARS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a Python session object can be GC'd
+    # and a new one allocated at the same address, which would hand out
+    # DataFrames bound to a dead context
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _BARS_CACHE.get(key)
     if cached is None:
         cached = daily_bars(load_table(spark, sf_dir, "events")).localCheckpoint(

@@ -228,7 +228,7 @@ _NGRAM_PAIRS_CACHE: dict = {}
 
 
 def _ngram_pairs(spark, sf_dir):
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _NGRAM_PAIRS_CACHE.get(key)
     if cached is None:
         cached = dedup.ngram_jaccard_pairs(
