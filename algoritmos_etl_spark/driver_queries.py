@@ -582,6 +582,15 @@ def q_pair_metrics(spark, sf_dir):
     )
 
 
+# Emission knobs for the REGISTERED heatmap: τ on |corr| and per-symbol
+# kNN sparsification, both applied inside the block task. Values chosen
+# with measured cross-engine safety margins (nearest |corr| to τ and the
+# smallest top-k rank-boundary gap are both ≥ 2.4e-6 at sf0.01/sf0.1,
+# vs ~1e-9 one-pass/streaming corr divergence) — pinned by a test.
+HEATMAP_MIN_ABS_CORR = 0.25
+HEATMAP_TOP_K = 10
+
+
 @register(
     "correlation_heatmap",
     f"""WITH {ORACLE_BARS_CTE},
@@ -595,20 +604,45 @@ def q_pair_metrics(spark, sf_dir):
         SELECT symbol, date,
                CASE WHEN prev > 0 AND close > 0 THEN ln(close / prev) ELSE 0.0 END AS ret
         FROM seq WHERE rn > 1
+    ),
+    pairs AS (
+        SELECT a.symbol AS psym_a, b.symbol AS psym_b,
+               coalesce(corr(a.ret, b.ret), 0.0) AS pearson,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM rets a JOIN rets b ON a.date = b.date AND a.symbol < b.symbol
+        GROUP BY a.symbol, b.symbol
+        HAVING abs(coalesce(corr(a.ret, b.ret), 0.0)) >= {HEATMAP_MIN_ABS_CORR}
+    ),
+    directed AS (
+        SELECT psym_a AS sym, psym_b AS other, pearson, n_points FROM pairs
+        UNION ALL
+        SELECT psym_b, psym_a, pearson, n_points FROM pairs
+    ),
+    ranked AS (
+        SELECT sym, other, pearson, n_points,
+               row_number() OVER (PARTITION BY sym
+                                  ORDER BY pearson DESC, other ASC) AS r
+        FROM directed
     )
-    SELECT a.symbol AS sym_a, b.symbol AS sym_b,
-           round(coalesce(corr(a.ret, b.ret), 0.0), 4) AS pearson,
-           CAST(count(*) AS BIGINT) AS n_points
-    FROM rets a JOIN rets b ON a.date = b.date AND a.symbol < b.symbol
-    GROUP BY a.symbol, b.symbol""",
-    "J5 all-pairs Pearson heatmap, upper triangle (app.py:322-353). The "
-    "REGISTERED path is the blocked-matrix plan (B(B+1)/2 BLAS tasks, no "
-    "shuffled pair rows) — the date-join row-explosion variant lives on as "
-    "similarity.correlation_heatmap with a test pinning their equality; "
-    "pinned at 4 decimals (one-pass matrix stats vs streaming corr ~1e-9)",
+    SELECT least(sym, other) AS sym_a, greatest(sym, other) AS sym_b,
+           round(max(pearson), 4) AS pearson,
+           CAST(max(n_points) AS BIGINT) AS n_points
+    FROM ranked WHERE r <= {HEATMAP_TOP_K}
+    GROUP BY 1, 2""",
+    "J5 all-pairs Pearson heatmap (app.py:322-353), REGISTERED as its 100×-"
+    "safe emission: blocked-matrix plan (B(B+1)/2 BLAS tasks, no shuffled "
+    "pair rows) with |corr| ≥ τ and per-symbol top-k kNN sparsification "
+    "applied INSIDE the block task, so output is linear in symbols instead "
+    "of k² pair rows. Full-emission and date-join variants live on as "
+    "library paths with tests pinning their equality; pinned at 4 decimals "
+    "(one-pass matrix stats vs streaming corr ~1e-9)",
 )
 def q_heatmap(spark, sf_dir):
-    out = similarity.correlation_heatmap_blocked(_bars(spark, sf_dir))
+    out = similarity.correlation_heatmap_blocked(
+        _bars(spark, sf_dir),
+        min_abs_corr=HEATMAP_MIN_ABS_CORR,
+        top_k_per_symbol=HEATMAP_TOP_K,
+    )
     return out.select(
         "sym_a", "sym_b", F.round(F.col("pearson"), 4).alias("pearson"), "n_points"
     )

@@ -154,7 +154,11 @@ def correlation_heatmap(bars: DataFrame, salt_buckets: int = 1) -> DataFrame:
 
 
 def correlation_heatmap_blocked(
-    bars: DataFrame, n_blocks: int | None = None, max_block_symbols: int = 1500
+    bars: DataFrame,
+    n_blocks: int | None = None,
+    max_block_symbols: int = 1500,
+    min_abs_corr: float | None = None,
+    top_k_per_symbol: int | None = None,
 ) -> DataFrame:
     """J5 at scale: the SAME pairwise-correlation semantics as
     `correlation_heatmap` (per-pair stats over co-traded return days
@@ -169,11 +173,28 @@ def correlation_heatmap_blocked(
     matmuls of masked matrices — O(k² · D) FLOPs with no shuffled pair
     rows at all. Work distributes over B(B+1)/2 independent tasks.
 
+    Emission control — the 100× story. The compute is inherently
+    O(k²·D) dense FLOPs, but EMITTING all k² pairs is the residual
+    scale-killer (30× symbols = 900× result rows); both knobs filter
+    INSIDE the block task before any row exists:
+    - `min_abs_corr`: drop pairs with |corr| < τ (constant-factor cut);
+    - `top_k_per_symbol`: kNN-sparsify the correlation graph — keep a
+      pair iff it is in EITHER endpoint's top-k by (corr desc, id asc).
+      Blocks emit per-symbol partial top-k (≤ k rows per symbol per
+      block pair, the classic distributed-top-k shape), a final window
+      picks the global top-k, and output is linear in symbols (k·K
+      unordered pairs) at ANY scale.
+
     The calendar (not the data) is collected to index matrix columns —
-    the same bounded-driver-list edge as the wide-CSV header. Float
-    caveat: the one-pass formula here and the two-pass streaming `corr`
-    agree to ~1e-9 on return-scale data; callers comparing across
-    engines should round (the registered query pins 4 decimals).
+    the same bounded-driver-list edge as the wide-CSV header. When
+    `n_blocks` is None, sizing runs one eager `distinct().count()` Spark
+    job at CONSTRUCTION time (per-task memory is O((k/B)²+(k/B)·D), so B
+    must grow with the symbol count) — pass `n_blocks` explicitly for a
+    fully lazy plan. Float caveat: the one-pass formula here and the
+    two-pass streaming `corr` agree to ~1e-9 on return-scale data;
+    callers comparing across engines should round (the registered query
+    pins 4 decimals) and keep thresholds ≳1e-6 away from the data's
+    corr values (pinned for the registered τ/k by a margin test).
     """
     import math
 
@@ -260,21 +281,68 @@ def correlation_heatmap_blocked(
                     keep = sa[ia] < sb[jb]
                 else:
                     keep = np.ones(len(ia), dtype=bool)
+                if min_abs_corr is not None:
+                    keep &= np.abs(np.nan_to_num(corr[ia, jb])) >= min_abs_corr
                 ia, jb = ia[keep], jb[keep]
-                lo = np.minimum(sa[ia], sb[jb])
-                hi = np.maximum(sa[ia], sb[jb])
-                yield pd.DataFrame(
+                pear = np.nan_to_num(corr[ia, jb])
+                npts = n[ia, jb].astype(np.int64)
+                if top_k_per_symbol is None:
+                    lo = np.minimum(sa[ia], sb[jb])
+                    hi = np.maximum(sa[ia], sb[jb])
+                    yield pd.DataFrame(
+                        {
+                            "sym_a": lo,
+                            "sym_b": hi,
+                            "pearson": pear,
+                            "n_points": npts,
+                        }
+                    )
+                    continue
+                # per-symbol PARTIAL top-k within this block pair: emit
+                # both directions, sort by the global order (corr desc,
+                # partner asc), keep k per symbol — any global top-k
+                # partner is necessarily in its block-pair partial
+                part = pd.DataFrame(
                     {
-                        "sym_a": lo,
-                        "sym_b": hi,
-                        "pearson": np.nan_to_num(corr[ia, jb]),
-                        "n_points": n[ia, jb].astype(np.int64),
+                        "sym": np.concatenate([sa[ia], sb[jb]]),
+                        "other": np.concatenate([sb[jb], sa[ia]]),
+                        "pearson": np.concatenate([pear, pear]),
+                        "n_points": np.concatenate([npts, npts]),
                     }
                 )
+                part = part.sort_values(
+                    ["sym", "pearson", "other"], ascending=[True, False, True]
+                )
+                yield part.groupby("sym", sort=False).head(top_k_per_symbol)
 
-    return joined.mapInPandas(
+    if top_k_per_symbol is None:
+        return joined.mapInPandas(
+            corr_blocks,
+            schema="sym_a long, sym_b long, pearson double, n_points long",
+        )
+    directed = joined.mapInPandas(
         corr_blocks,
-        schema="sym_a long, sym_b long, pearson double, n_points long",
+        schema="sym long, other long, pearson double, n_points long",
+    )
+    w = Window.partitionBy("sym").orderBy(
+        F.col("pearson").desc(), F.col("other").asc()
+    )
+    survivors = (
+        directed.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top_k_per_symbol)
+        .drop("_r")
+    )
+    # a pair kept from both endpoints appears twice (identical stats):
+    # collapse to one unordered row. max() == the unique value.
+    return (
+        survivors.select(
+            F.least("sym", "other").alias("sym_a"),
+            F.greatest("sym", "other").alias("sym_b"),
+            "pearson",
+            "n_points",
+        )
+        .groupBy("sym_a", "sym_b")
+        .agg(F.max("pearson").alias("pearson"), F.max("n_points").alias("n_points"))
     )
 
 

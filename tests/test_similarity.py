@@ -208,3 +208,51 @@ def test_heatmap_salted_equals_unsalted(bars):
     salted = similarity.correlation_heatmap(bars, salt_buckets=5)
     assert base.exceptAll(salted).isEmpty()
     assert salted.exceptAll(base).isEmpty()
+
+
+def test_blocked_heatmap_sparsified_emission(bars):
+    """min_abs_corr + top_k_per_symbol must equal the same selection
+    computed from the FULL heatmap: |corr| >= τ, then keep a pair iff
+    it is in either endpoint's top-k by (corr desc, partner asc)."""
+    from collections import defaultdict
+
+    from algoritmos_etl_spark.driver_queries import (
+        HEATMAP_MIN_ABS_CORR,
+        HEATMAP_TOP_K,
+    )
+
+    tau, k = HEATMAP_MIN_ABS_CORR, HEATMAP_TOP_K
+    full = {
+        (r.sym_a, r.sym_b): (r.pearson, r.n_points)
+        for r in similarity.correlation_heatmap_blocked(bars, n_blocks=4).collect()
+    }
+    neighbors = defaultdict(list)
+    for (a, b), (p, n) in full.items():
+        if abs(p) >= tau:
+            neighbors[a].append((p, b))
+            neighbors[b].append((p, a))
+    expected = set()
+    for s, lst in neighbors.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for p, o in lst[:k]:
+            expected.add((min(s, o), max(s, o)))
+
+    # determinism margin the registered constants rely on: τ and every
+    # top-k rank boundary sit ≥ 1e-6 away from the data's corr values
+    # (cross-engine one-pass vs streaming corr divergence is ~1e-9)
+    for (_, _), (p, _) in full.items():
+        assert abs(abs(p) - tau) > 1e-6
+    for s, lst in neighbors.items():
+        if len(lst) > k:
+            assert lst[k - 1][0] - lst[k][0] > 1e-6
+
+    sparse = {
+        (r.sym_a, r.sym_b): (r.pearson, r.n_points)
+        for r in similarity.correlation_heatmap_blocked(
+            bars, n_blocks=4, min_abs_corr=tau, top_k_per_symbol=k
+        ).collect()
+    }
+    assert set(sparse) == expected
+    for pair, (p, n) in sparse.items():
+        assert p == pytest.approx(full[pair][0], abs=1e-9), pair
+        assert n == full[pair][1], pair
