@@ -53,24 +53,40 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (etl/data_unifier.py → CSV, app.py reads); the in-session twin of that
 # is materializing the events→bars aggregation once per (session,
 # sf_dir) and letting every query start from the cached blocks.
-# `localCheckpoint(eager=False)`, not `persist()`: blocks are freed by
-# the ContextCleaner when the DataFrame is garbage-collected, so a
-# long-lived session can't leak them past this module's cache.
-_BARS_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Lifetime: while an entry is cached its checkpoint blocks are LIVE
+# (the cache holds a strong reference, so GC-based ContextCleaner
+# release never fires for cached entries — they are freed when the
+# session stops). Every access prunes entries whose SparkContext has
+# stopped, so dead-session entries don't accumulate across sessions.
+def session_cached(cache: dict, spark: SparkSession, key_extra, build):
+    """(applicationId, …)-keyed per-session memo of a materialized
+    DataFrame, with dead-context eviction on access.
+
+    applicationId, not id(spark): a Python session object can be GC'd
+    and a new one allocated at the same address, which would hand out
+    DataFrames bound to a dead context.
+    """
+    for k in [k for k, (ctx, _) in cache.items() if ctx._jsc is None]:
+        del cache[k]  # context stopped — blocks are gone with the JVM
+    sc = spark.sparkContext
+    key = (sc.applicationId, key_extra)
+    entry = cache.get(key)
+    if entry is None:
+        entry = (sc, build().localCheckpoint(eager=False))
+        cache[key] = entry
+    return entry[1]
+
+
+_BARS_CACHE: dict = {}
 
 
 def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # applicationId, not id(spark): a Python session object can be GC'd
-    # and a new one allocated at the same address, which would hand out
-    # DataFrames bound to a dead context
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _BARS_CACHE.get(key)
-    if cached is None:
-        cached = daily_bars(load_table(spark, sf_dir, "events")).localCheckpoint(
-            eager=False
-        )
-        _BARS_CACHE[key] = cached
-    return cached
+    return session_cached(
+        _BARS_CACHE,
+        spark,
+        sf_dir,
+        lambda: daily_bars(load_table(spark, sf_dir, "events")),
+    )
 
 
 def r6(col):

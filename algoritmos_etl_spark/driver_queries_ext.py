@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .driver_queries import _bars, register, r6
+from .driver_queries import _bars, register, r6, session_cached
 from .operators import dedup, text, vectors
 from .sources.readers import ORACLE_BARS_CTE, load_table
 
@@ -223,22 +223,42 @@ _SHINGLE_DF_CAP = 100
 # neardup_clusters (same candidate policy, same threshold). Like the
 # bars model, materialize it once per (session, sf_dir) — a pipeline
 # would land it as a table; recomputing the inverted-index join twice
-# per session is pure waste. GC-scoped via localCheckpoint(eager=False).
+# per session is pure waste. Dead-context entries evicted on access
+# (see driver_queries.session_cached).
 _NGRAM_PAIRS_CACHE: dict = {}
 
 
 def _ngram_pairs(spark, sf_dir):
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _NGRAM_PAIRS_CACHE.get(key)
-    if cached is None:
-        cached = dedup.ngram_jaccard_pairs(
+    return session_cached(
+        _NGRAM_PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup.ngram_jaccard_pairs(
             load_table(spark, sf_dir, "documents"),
             k=3,
             threshold=0.2,
             max_shingle_df=_SHINGLE_DF_CAP,
-        ).localCheckpoint(eager=False)
-        _NGRAM_PAIRS_CACHE[key] = cached
-    return cached
+        ),
+    )
+
+
+# One multi-table LSH signature table per (session, sf_dir), shared by
+# embedding_neardup_pairs and ann_lsh_topk (identical md5 plane family)
+# — at cluster scale this is a written index computed at ingest. Only
+# the narrow (vec_id, tbl, sig) rows are materialized; consumers join
+# vectors from the columnar source.
+_LSH_SIGS_CACHE: dict = {}
+
+
+def _lsh_sigs(spark, sf_dir):
+    return session_cached(
+        _LSH_SIGS_CACHE,
+        spark,
+        sf_dir,
+        lambda: vectors.lsh_signatures(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+    )
 
 
 @register(
@@ -940,7 +960,9 @@ def _oracle_lsh_tables(
 )
 def q_emb_neardup(spark, sf_dir):
     return vectors.lsh_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        sigs=_lsh_sigs(spark, sf_dir),
     )
 
 
@@ -973,7 +995,10 @@ def q_emb_neardup(spark, sf_dir):
 )
 def q_ann_lsh(spark, sf_dir):
     return vectors.lsh_topk(
-        load_table(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=10
+        load_table(spark, sf_dir, "embeddings"),
+        [0, 1, 2, 3, 4],
+        k=10,
+        sigs=_lsh_sigs(spark, sf_dir),
     )
 
 

