@@ -149,8 +149,10 @@ def _oracle_marker_count(lang: str) -> str:
     "The per-document curation signal bundle (M8 text analysis): quality "
     "scoring (length/word/stopword), marker-frequency language ID, "
     "whitespace+regex+BPE-ish token counting, and Gopher-style repetition "
-    "fractions — one documents scan for the projection signals, one "
-    "n-gram shuffle for repetition",
+    "fractions — ONE documents scan, zero shuffles: JVM projection "
+    "signals fused with shuffle-free Arrow-batched per-document gram "
+    "counting (repetition is per-doc bounded state; the oracle keeps the "
+    "relational explode→count spelling)",
 )
 def q_text_stats(spark, sf_dir):
     out = text.text_quality(load_table(spark, sf_dir, "documents"))

