@@ -151,3 +151,20 @@ def test_pii_stats_counts(spark):
             r.n_emails + r.n_urls + r.n_ipv4 + r.n_phones
         )
     assert got[2].has_pii is False and got[0].has_pii is True
+
+
+def test_fused_bundle_matches_relational_repetition(tables):
+    """text_quality's Arrow-batched gram counting must equal the
+    relational repetition_stats twin on real corpus data, column for
+    column (both round to 6 decimals on the same JVM path)."""
+    docs = tables["documents"]
+    cols = [
+        "dup_word_frac", "top_2gram_frac", "dup_2gram_frac",
+        "top_3gram_frac", "dup_3gram_frac",
+    ]
+    fused = {r.doc_id: r for r in text.text_quality(docs).collect()}
+    rel = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert set(fused) == set(rel)
+    for doc_id, row in rel.items():
+        for c in cols:
+            assert fused[doc_id][c] == row[c], (doc_id, c)
