@@ -455,13 +455,22 @@ def minhash_write_index(docs: DataFrame, path: str, k_shingle: int = 3) -> None:
                   verification of candidates.
     Signatures are pure md5 functions of the text, so index rows never
     go stale and appends are just more rows.
+
+    Both datasets nest under a `batch_id=` directory (the base corpus
+    is batch -1) so streaming appenders can land each micro-batch in
+    its own `batch_id=N` subdirectory — an IDEMPOTENT overwrite on
+    replay — while partition discovery over the dataset root keeps one
+    uniform batch_id(/band) structure. Readers select columns by name,
+    so the discovered batch_id column is inert.
     """
     sh = _shingle_index(docs, k_shingle)
     bands = minhash_bands(
         _with_base_hash(sh).groupBy("doc_id").agg(*_minhash_aggs())
     )
-    bands.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
-    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/bands/batch_id=-1"
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/shingles/batch_id=-1")
 
 
 def minhash_lsh_incremental(

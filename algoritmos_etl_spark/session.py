@@ -26,6 +26,40 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Driver heap default bounded by the container, not a constant.
+
+    A fixed -Xmx above the cgroup memory limit lets the JVM grow until
+    the kernel OOM-kills it instead of GC'ing under load; a tiny heap
+    turns a long suite's checkpoint-block tail into GC storms. So:
+    honor SPARK_GRAFT_DRIVER_MEM when set, else derive from the cgroup
+    limit (v2 memory.max / v1 limit_in_bytes) — 60% of the limit minus
+    headroom for Python workers and JVM overhead, clamped to [4g, 32g].
+    Unlimited cgroup (or none) → 32g, the measured sweet spot for the
+    30× suite on a 128 GiB box.
+    """
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    limit = None
+    for path in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            raw = open(path).read().strip()
+        except OSError:
+            continue
+        if raw.isdigit() and int(raw) < 1 << 50:  # "max" or huge = unlimited
+            limit = int(raw)
+        break
+    if limit is None:
+        return "32g"
+    headroom = 4 << 30  # python workers + JVM native overhead
+    heap_gb = max(4, min(32, int(0.6 * max(limit - headroom, 0)) >> 30))
+    return f"{heap_gb}g"
+
+
 def ensure_package_on_workers(spark: SparkSession) -> None:
     """Ship this package to Python workers (local or cluster).
 
@@ -90,8 +124,9 @@ def get_spark(
         # checkpointed block the suite accumulates (bars model, shingle
         # indexes, LSH bands), and a small heap turns the tail of a long
         # suite into GC storms (observed 7.8s vs 24.8s for the same query
-        # depending on heap context at 16g)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # depending on heap context at 16g) — but the ceiling must stay
+        # inside the cgroup limit or the kernel kills the JVM instead
+        .config("spark.driver.memory", _default_driver_mem())
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

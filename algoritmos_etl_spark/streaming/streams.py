@@ -240,14 +240,16 @@ def streaming_neardup_against_index(
 
     `foreachBatch` is the right boundary: the banding/verify joins are
     plain batch DataFrame ops (no streaming state), and the index
-    append is a transactional parquet write per micro-batch. State
-    lives in the index files, not executor memory, so an unbounded
-    stream needs no watermark for this operator — cost per batch scales
-    with |batch| + touched buckets (see `dedup.minhash_lsh_incremental`).
-    Exactly-once caveat: parquet appends from a replayed batch would
-    duplicate index rows; production would write per-batch
-    subdirectories keyed by batch_id (idempotent overwrite) — kept
-    simple here since the test harness uses availableNow.
+    append is a parquet write per micro-batch. State lives in the index
+    files, not executor memory, so an unbounded stream needs no
+    watermark for this operator — cost per batch scales with |batch| +
+    touched buckets (see `dedup.minhash_lsh_incremental`).
+    Exactly-once: every sink write goes to a per-batch subdirectory
+    (`batch_id=N`, idempotent overwrite), so a batch replayed after a
+    crash rewrites its own directory instead of duplicating pair or
+    index rows. Readers see `batch_id` as a discovered partition column
+    on `{out,index}_path` datasets (the incremental lookup reads the
+    band/shingle columns by name, so the extra column is inert).
     """
     from ..operators import dedup as _dedup
 
@@ -260,17 +262,21 @@ def streaming_neardup_against_index(
             spark, batch_df, index_path,
             threshold=threshold, max_bucket_size=max_bucket_size,
         )
-        pairs.write.mode("append").parquet(f"{out_path}/pairs")
+        pairs.write.mode("overwrite").parquet(
+            f"{out_path}/pairs/batch_id={batch_id}"
+        )
         sh = _dedup.doc_shingles(batch_df, 3)
         bands = _dedup.minhash_bands(
             _dedup._with_base_hash(sh).groupBy("doc_id").agg(
                 *_dedup._minhash_aggs()
             )
         )
-        bands.write.mode("append").partitionBy("band").parquet(
-            f"{index_path}/bands"
+        bands.write.mode("overwrite").partitionBy("band").parquet(
+            f"{index_path}/bands/batch_id={batch_id}"
         )
-        sh.write.mode("append").parquet(f"{index_path}/shingles")
+        sh.write.mode("overwrite").parquet(
+            f"{index_path}/shingles/batch_id={batch_id}"
+        )
 
     query = (
         docs_stream.writeStream.foreachBatch(process)

@@ -298,3 +298,15 @@ def test_streaming_neardup_against_index(tables, spark, tmp_path):
     }
     assert got == want
     assert got, "stream emitted no pairs — fixture no longer overlaps"
+
+    # replay idempotency: every sink write lands in a per-batch
+    # batch_id=N subdirectory via overwrite, so re-running a batch
+    # replaces its directory instead of duplicating rows — the pairs
+    # dataset has no duplicate (doc_a, doc_b) across batch dirs, and
+    # the index nests uniformly under batch_id (base corpus = -1)
+    pairs_df = spark.read.parquet(f"{out}/pairs")
+    assert "batch_id" in pairs_df.columns
+    assert pairs_df.groupBy("doc_a", "doc_b").count().filter("count > 1").count() == 0
+    bands = spark.read.parquet(f"{idx}/bands")
+    assert {"batch_id", "band"} <= set(bands.columns)
+    assert bands.select("batch_id").distinct().count() >= 2
