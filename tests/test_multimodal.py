@@ -73,6 +73,125 @@ def test_frame_sampling_shape(docs):
         assert r.n == (meta[r.doc_id] + 1) // 2
 
 
-def test_real_decode_is_clearly_stubbed(docs):
-    with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.decode_image_real(docs)
+def test_real_decode_quarantines_fake_payloads(docs):
+    """The deterministic fake payloads are not PNGs — the real decoder
+    must quarantine every row (doc_id + error) instead of raising."""
+    with_p = multimodal.attach_payload(docs.limit(5))
+    out = multimodal.decode_image_real(with_p).collect()
+    assert len(out) == 5
+    assert all(r.error is not None and r.width is None for r in out)
+
+
+# ---------------------------------------------------------------- real codec
+
+def _png_bytes(width, height, pixels, color_type, filters=None):
+    """Minimal PNG writer (stdlib only) for codec tests: 8-bit depth,
+    no interlace. `pixels` is bytes of size width*height*channels;
+    `filters` optionally assigns a filter type per scanline (the writer
+    applies the matching forward filter so the decoder must undo it)."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+    filters = filters or [0] * height
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    for y in range(height):
+        ft = filters[y]
+        raw.append(ft)
+        for x in range(stride):
+            cur = pixels[y * stride + x]
+            left = pixels[y * stride + x - channels] if x >= channels else 0
+            up = pixels[(y - 1) * stride + x] if y > 0 else 0
+            ul = (
+                pixels[(y - 1) * stride + x - channels]
+                if (y > 0 and x >= channels)
+                else 0
+            )
+            if ft == 0:
+                raw.append(cur)
+            elif ft == 1:
+                raw.append((cur - left) & 0xFF)
+            elif ft == 2:
+                raw.append((cur - up) & 0xFF)
+            elif ft == 3:
+                raw.append((cur - ((left + up) >> 1)) & 0xFF)
+            elif ft == 4:
+                raw.append((cur - paeth(left, up, ul)) & 0xFF)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filters():
+    """The stdlib decoder must undo every scanline filter type (0-4)
+    and reproduce the exact pixel statistics."""
+    from algoritmos_etl_spark.operators.multimodal import decode_png
+
+    width, height = 5, 5
+    pixels = bytes((x * 37 + i * 11) % 256 for i, x in enumerate(range(width * height * 3)))
+    png = _png_bytes(width, height, pixels, color_type=2, filters=[0, 1, 2, 3, 4])
+    meta = decode_png(png)
+    assert (meta["width"], meta["height"], meta["channels"]) == (5, 5, 3)
+    assert meta["mean_intensity"] == sum(pixels) / len(pixels)
+    ch = [
+        sum(pixels[i] for i in range(c, len(pixels), 3)) / (width * height)
+        for c in range(3)
+    ]
+    assert meta["channel_means"] == ch
+    assert meta["dominant_channel"] == max(range(3), key=lambda c: (ch[c], -c))
+
+
+def test_decode_png_gray_and_alpha():
+    from algoritmos_etl_spark.operators.multimodal import decode_png
+
+    gray = bytes(range(16))
+    meta = decode_png(_png_bytes(4, 4, gray, color_type=0, filters=[1, 2, 3, 4]))
+    assert meta["channels"] == 1
+    assert meta["mean_intensity"] == sum(gray) / 16
+    # RGBA: alpha bytes excluded from intensity
+    rgba = bytes((i * 7) % 256 for i in range(4 * 4 * 4))
+    meta = decode_png(_png_bytes(4, 4, rgba, color_type=6))
+    color = [rgba[i] for i in range(len(rgba)) if i % 4 != 3]
+    assert meta["channels"] == 4
+    assert meta["mean_intensity"] == sum(color) / len(color)
+
+
+def test_decode_image_real_end_to_end(spark):
+    """Real PNG bytes through the Arrow-batched mapInPandas contract:
+    good rows decode, corrupt rows are quarantined with an error."""
+    from algoritmos_etl_spark.operators.multimodal import decode_image_real
+
+    pngs = [
+        _png_bytes(3, 2, bytes(range(18)), color_type=2, filters=[4, 3]),
+        _png_bytes(2, 2, bytes([10, 20, 30, 40]), color_type=0),
+    ]
+    rows = [(0, bytearray(pngs[0])), (1, bytearray(pngs[1])), (2, bytearray(b"not a png"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in decode_image_real(df).collect()}
+    assert out[0].width == 3 and out[0].height == 2 and out[0].channels == 3
+    assert out[0].mean_intensity == sum(range(18)) / 18
+    assert out[0].error is None
+    assert out[1].channels == 1 and out[1].mean_intensity == 25.0
+    assert out[2].width is None and "signature" in out[2].error
