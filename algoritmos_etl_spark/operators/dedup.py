@@ -533,6 +533,66 @@ def minhash_lsh_incremental(
     return _verify_jaccard(candidates, sh_all, threshold)
 
 
+def ngram_write_index(docs: DataFrame, path: str, k: int = 3) -> None:
+    """Materialize the n-gram inverted index at ingest: (doc_id,
+    shingle) posting lists under `shingles/batch_id=-1` (same layout
+    convention as `minhash_write_index` — streaming appenders land each
+    micro-batch in its own batch_id=N subdirectory, idempotent on
+    replay). Shingles are pure functions of the text, so index rows
+    never go stale; appends are just more rows.
+    """
+    doc_shingles(docs, k).write.mode("overwrite").parquet(
+        f"{path}/shingles/batch_id=-1"
+    )
+
+
+def ngram_jaccard_incremental(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs INVOLVING the new batch, against a
+    standing `ngram_write_index` — the incremental twin the other three
+    dedup families already have. Equals the full-batch
+    `ngram_jaccard_pairs` restricted to pairs with at least one new doc
+    (pinned by test): same df-cap candidate policy counted over corpus
+    ∪ increment, same exact full-set verification.
+
+    Cost shape: shingling runs over |new| only; the inverted-index
+    candidate join is (corpus ∪ new) ⋈ NEW on shingle, so it touches
+    only posting lists of shingles the increment actually contains —
+    the standing corpus is read, never re-shingled.
+    """
+    sh_new = _shingle_index(new_docs, k)
+    sh_old = spark.read.parquet(f"{path}/shingles").select("doc_id", "shingle")
+    sh_all = sh_old.unionByName(sh_new.select("doc_id", "shingle"))
+    joinable_all, joinable_new = sh_all, sh_new
+    if max_shingle_df is not None:
+        viral = (
+            sh_all.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        joinable_all = sh_all.join(F.broadcast(viral), "shingle", "left_anti")
+        joinable_new = sh_new.join(F.broadcast(viral), "shingle", "left_anti")
+    a = joinable_all.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = joinable_new.select(F.col("doc_id").alias("id_b"), "shingle")
+    candidates = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_jaccard(candidates, sh_all, threshold)
+
+
 def simhash(
     docs: DataFrame, bits: int = SIMHASH_BITS, chunks: int = SIMHASH_CHUNKS
 ) -> DataFrame:

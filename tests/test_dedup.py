@@ -249,3 +249,31 @@ def test_incremental_exact_dedup_matches_full_batch(tables, spark, tmp_path):
         assert is_dup == (keep < doc_id)
         assert (dup_of == keep) if is_dup else (dup_of is None)
     assert any(d for d, _ in out.values()), "no duplicates exercised"
+
+
+def test_incremental_ngram_jaccard_matches_full_batch(tables, spark, tmp_path):
+    """ngram_write_index + ngram_jaccard_incremental on a 20% increment
+    ≡ the full-batch ngram_jaccard_pairs restricted to pairs touching
+    the increment — same df-cap policy counted over corpus ∪ increment,
+    same exact full-set verification."""
+    docs = tables["documents"].select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "ng_index")
+    dedup.ngram_write_index(old, path)
+    inc = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_incremental(
+            spark, new, path, threshold=0.2, max_shingle_df=100
+        ).collect()
+    }
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, k=3, threshold=0.2, max_shingle_df=100
+        ).collect()
+        if r.doc_a in new_ids or r.doc_b in new_ids
+    }
+    assert inc == full
+    assert inc, "increment produced no pairs — fixture no longer overlaps"
