@@ -1,7 +1,9 @@
 """Thin JSON API demo over the engine's result DataFrames (S6).
 
 Mirrors the reference's serving surface (`app.py:156-486`) route for
-route, minus the PDF export (S7, declared non-goal in SURVEY.md §2.1):
+route; the PDF export (S7) is served as a standalone HTML report from
+the same result DataFrames (see `report.py` — PDF painting itself
+needs a renderer the container doesn't ship):
 
     /api/symbols              — app.py:156-163
     /api/similarity?a=&b=     — app.py:166-319 (X3 bundle + DTW)
@@ -9,6 +11,7 @@ route, minus the PDF export (S7, declared non-goal in SURVEY.md §2.1):
     /api/candlestick/<symbol> — app.py:360-406 (P8 tail + O15 stride)
     /api/patterns/<symbol>    — app.py:409-444 (W5/W6 scalars)
     /api/risk                 — app.py:447-486 (X4 pipeline)
+    /export/report            — S7 stand-in (visualization/pdf_export.py)
 
 This is deliberately a DEMO edge, not an app server: every route is a
 bounded result set (per-symbol scalars, top slices, one-row bundles)
@@ -99,6 +102,24 @@ class JsonApi:
         out = volatility.analyze_portfolio_risk(self.bars).orderBy("rank")
         return {"assets": _rows(out)}
 
+    # -- /export/report — S7 stand-in (reference /export/pdf,
+    # visualization/pdf_export.py): the same risk + patterns result
+    # DataFrames rendered to one standalone HTML document
+    def report(self) -> dict:
+        from .report import render_html_report
+
+        classified = volatility.analyze_portfolio_risk(self.bars)
+        summary = volatility.risk_summary(
+            classified.select("symbol", "volatility", "risk_class")
+        )
+        streaks = patterns.streak_stats(self.bars, 5)
+        gaps = patterns.gap_stats(self.bars, 5)
+        pats = streaks.join(gaps, "symbol", "left")
+        return {
+            "content_type": "text/html",
+            "body": render_html_report(classified, summary, pats),
+        }
+
     # ------------------------------------------------------------- routing
 
     def dispatch(self, path: str, query: dict[str, str]) -> tuple[int, dict]:
@@ -129,6 +150,8 @@ class JsonApi:
             return 200, self.patterns(sym)
         if path == "/api/risk":
             return 200, self.risk()
+        if path == "/export/report":
+            return 200, self.report()
         return 404, {"error": f"no route for {path}"}
 
 
@@ -145,9 +168,12 @@ def serve(api: JsonApi, port: int = 8000) -> None:
             status, payload = api.dispatch(
                 parsed.path, dict(parse_qsl(parsed.query))
             )
-            body = json.dumps(payload).encode()
+            if "content_type" in payload and "body" in payload:
+                ctype, body = payload["content_type"], payload["body"].encode()
+            else:
+                ctype, body = "application/json", json.dumps(payload).encode()
             self.send_response(status)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

@@ -69,3 +69,21 @@ def test_payloads_json_serializable(api):
     for path in ("/api/symbols", "/api/heatmap", "/api/risk"):
         _, out = api.dispatch(path, {})
         json.dumps(out)  # must not raise
+
+
+def test_report_route_renders_html(api):
+    """S7 stand-in: /export/report renders the risk + patterns result
+    DataFrames into one standalone HTML document."""
+    status, out = api.dispatch("/export/report", {})
+    assert status == 200
+    assert out["content_type"] == "text/html"
+    body = out["body"]
+    assert body.startswith("<!DOCTYPE html>")
+    for section in (
+        "Risk class distribution", "Assets by volatility rank", "Pattern scan",
+    ):
+        assert section in body
+    # one data row per asset in the rank table, classes from the X4 pipeline
+    risk = api.risk()["assets"]
+    assert f"<td>{risk[0]['symbol']}</td>" in body
+    assert any(c in body for c in ("Conservador", "Moderado", "Agresivo"))
