@@ -221,6 +221,24 @@ sh AS (
 
 _SHINGLE_DF_CAP = 100
 
+# The (doc_id, 3-shingle) inverted-index base feeds dedup_ngram_jaccard
+# AND dedup_minhash_lsh (signatures + verification) — the corpus is
+# shingled once per (session, sf_dir). At cluster scale this is the
+# written `ngram_write_index` table computed at ingest.
+_SHINGLES_CACHE: dict = {}
+
+
+def _shingles(spark, sf_dir):
+    return session_cached(
+        _SHINGLES_CACHE,
+        spark,
+        sf_dir,
+        lambda: dedup.doc_shingles(
+            load_table(spark, sf_dir, "documents"), k=3
+        ),
+    )
+
+
 # The verified near-dup pair table feeds BOTH dedup_ngram_jaccard and
 # neardup_clusters (same candidate policy, same threshold). Like the
 # bars model, materialize it once per (session, sf_dir) — a pipeline
@@ -240,6 +258,7 @@ def _ngram_pairs(spark, sf_dir):
             k=3,
             threshold=0.2,
             max_shingle_df=_SHINGLE_DF_CAP,
+            shingles=_shingles(spark, sf_dir),
         ),
     )
 
@@ -374,6 +393,7 @@ def q_minhash(spark, sf_dir):
     return dedup.minhash_lsh_dedup(
         load_table(spark, sf_dir, "documents"), threshold=0.2,
         max_bucket_size=_SHINGLE_DF_CAP,
+        shingles=_shingles(spark, sf_dir),
     )
 
 

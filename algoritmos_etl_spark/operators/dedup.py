@@ -115,6 +115,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact k-shingle Jaccard, candidates via a
     shared-shingle inverted-index join (no all-pairs blowup).
@@ -128,8 +129,14 @@ def ngram_jaccard_pairs(
     Jaccard is then verified over the FULL shingle sets of the
     surviving candidate pairs, so reported values stay exact — only a
     pair whose every shared shingle is viral can be missed.
+
+    `shingles` optionally supplies an already-materialized
+    (doc_id, shingle) relation for `docs` (the output of
+    `doc_shingles(docs, k)`), so a pipeline that runs several
+    shingle-based dedup passes over one corpus — or reads a written
+    `ngram_write_index` — shingles it exactly once.
     """
-    sh = _shingle_index(docs, k)
+    sh = shingles if shingles is not None else _shingle_index(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     viral = None
     if max_shingle_df is None:
@@ -357,6 +364,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.2,
     k_shingle: int | None = None,
     max_bucket_size: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures → banding join →
     exact-Jaccard verification of candidates only.
@@ -370,11 +378,15 @@ def minhash_lsh_dedup(
     (band, signature) bucket holding m docs yields m² candidate rows,
     and a boilerplate-heavy corpus concentrates mass in a few buckets.
     Buckets larger than the cap are dropped from candidate generation
-    (their pairs are overwhelmingly caught in other bands)."""
+    (their pairs are overwhelmingly caught in other bands).
+
+    `shingles` optionally supplies the materialized (doc_id, shingle)
+    relation (see `ngram_jaccard_pairs`) so one shingle pass serves
+    both the Jaccard and the MinHash dedup over the same corpus."""
     k = k_shingle if k_shingle is not None else 3
     # the shingle index feeds the signature pass AND the verification
     # join (3 branches) — one materialization, GC-scoped
-    sh = _shingle_index(docs, k)
+    sh = shingles if shingles is not None else _shingle_index(docs, k)
     # bands feeds the bucket-size filter AND both join sides (3 plan
     # branches) — materialize once so the 16 min-aggregates over the
     # shingle explode run a single time
