@@ -130,16 +130,34 @@ def q_bars(spark, sf_dir):
 # ---------------------------------------------------------------- P: cleaning
 
 @register(
-    "cleaning_missing_summary",
-    f"""WITH {NULLED_CTE}
-    SELECT user_id AS symbol,
-           CAST(sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM nulled GROUP BY user_id""",
-    "P4 detect_missing_values (etl/data_cleaner.py:27-85) over synthetic nulls",
+    "cleaning_report",
+    f"""WITH {NULLED_CTE},
+    {ORACLE_BARS_CTE},
+    miss AS (
+        SELECT user_id AS symbol,
+               CAST(sum(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM nulled GROUP BY user_id
+    ),
+    shifted AS (
+        SELECT symbol, date, open, high - 3.0 AS high, low, close FROM bars
+    )
+    SELECT symbol, CAST(NULL AS VARCHAR) AS date, 'null_value' AS metric, null_value AS n FROM miss
+    UNION ALL
+    SELECT symbol, CAST(NULL AS VARCHAR), 'n_rows', n_rows FROM miss
+    UNION ALL
+    SELECT symbol, CAST(date AS VARCHAR), 'high_lt_low', CAST(1 AS BIGINT) FROM shifted WHERE high < low
+    UNION ALL
+    SELECT symbol, CAST(date AS VARCHAR), 'close_out_of_range', CAST(1 AS BIGINT) FROM shifted WHERE close < low OR close > high
+    UNION ALL
+    SELECT symbol, CAST(date AS VARCHAR), 'open_out_of_range', CAST(1 AS BIGINT) FROM shifted WHERE open < low OR open > high""",
+    "P4+P5 fused long-format data-quality report: per-symbol missing-value "
+    "counts over synthetic nulls (etl/data_cleaner.py:27-85) UNION per-row "
+    "OHLC consistency violations on perturbed bars (high−3, "
+    "etl/data_cleaner.py:88-147)",
 )
-def q_missing(spark, sf_dir):
-    return (
+def q_cleaning_report(spark, sf_dir):
+    miss = (
         _nulled(spark, sf_dir)
         .groupBy(F.col("user_id").alias("symbol"))
         .agg(
@@ -147,27 +165,23 @@ def q_missing(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
-
-
-@register(
-    "cleaning_inconsistencies",
-    f"""WITH {ORACLE_BARS_CTE},
-    shifted AS (
-        SELECT symbol, date, open, high - 3.0 AS high, low, close FROM bars
-    ),
-    tagged AS (
-        SELECT symbol, date, 'high_lt_low' AS anomaly FROM shifted WHERE high < low
-        UNION ALL
-        SELECT symbol, date, 'close_out_of_range' FROM shifted WHERE close < low OR close > high
-        UNION ALL
-        SELECT symbol, date, 'open_out_of_range' FROM shifted WHERE open < low OR open > high
+    nul_date = F.lit(None).cast("string").alias("date")
+    m1 = miss.select(
+        "symbol", nul_date, F.lit("null_value").alias("metric"),
+        F.col("null_value").alias("n"),
     )
-    SELECT * FROM tagged""",
-    "P5 detect_inconsistencies (etl/data_cleaner.py:88-147); bars perturbed (high−3) to create violations",
-)
-def q_inconsistencies(spark, sf_dir):
+    m2 = miss.select(
+        "symbol", nul_date, F.lit("n_rows").alias("metric"),
+        F.col("n_rows").alias("n"),
+    )
     shifted = _bars(spark, sf_dir).withColumn("high", F.col("high") - 3.0)
-    return cleaning.detect_inconsistencies(shifted).select("symbol", "date", "anomaly")
+    inc = cleaning.detect_inconsistencies(shifted).select(
+        "symbol",
+        F.col("date").cast("string").alias("date"),
+        F.col("anomaly").alias("metric"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    return m1.unionByName(m2).unionByName(inc)
 
 
 @register(
@@ -288,47 +302,6 @@ def q_rolling(spark, sf_dir):
     )
 
 
-@register(
-    "series_stats",
-    _RET_ORACLE
-    + f""",
-    rets AS (
-        SELECT symbol, ln(close / prev) AS ret
-        FROM seq WHERE rn > 1 AND prev > 0 AND close > 0
-    ),
-    vols AS (
-        SELECT symbol, coalesce(stddev_samp(ret), 0.0) * {SQRT252!r} AS volatility,
-               CAST(count(ret) AS BIGINT) AS n_returns
-        FROM rets GROUP BY symbol
-    ),
-    moments AS (
-        SELECT symbol, round(avg(close), 6) AS mean,
-               round(stddev_samp(close), 6) AS std_dev,
-               round(min(close), 6) AS min_close,
-               round(max(close), 6) AS max_close,
-               CAST(count(close) AS BIGINT) AS n
-        FROM bars GROUP BY symbol
-    )
-    SELECT m.symbol, m.mean, m.std_dev, m.min_close, m.max_close, m.n,
-           round(v.volatility, 6) AS volatility, v.n_returns
-    FROM moments m JOIN vols v ON m.symbol = v.symbol""",
-    "A1/A2/A12 close moments (algorithms/technical.py:27-97) + A3 annualized "
-    "volatility (algorithms/volatility.py:63-121) fused into one shuffle",
-)
-def q_series_stats(spark, sf_dir):
-    out = technical.series_stats(_bars(spark, sf_dir))
-    return out.select(
-        "symbol",
-        r6(F.col("mean")).alias("mean"),
-        r6(F.col("std_dev")).alias("std_dev"),
-        r6(F.col("min_close")).alias("min_close"),
-        r6(F.col("max_close")).alias("max_close"),
-        "n",
-        r6(F.col("volatility")).alias("volatility"),
-        "n_returns",
-    )
-
-
 # ---------------------------------------------------------------- volatility/risk
 
 _VOL_ORACLE = (
@@ -355,25 +328,102 @@ thresholds AS (
     SELECT quantile_cont(volatility, 0.33) AS p_low,
            quantile_cont(volatility, 0.66) AS p_high
     FROM vols
+),
+moments AS (
+    SELECT symbol, round(avg(close), 6) AS mean,
+           round(stddev_samp(close), 6) AS std_dev,
+           round(min(close), 6) AS min_close,
+           round(max(close), 6) AS max_close,
+           CAST(count(close) AS BIGINT) AS n
+    FROM bars GROUP BY symbol
+),
+pflags AS (
+    SELECT symbol, date,
+           CASE WHEN close > lag(close) OVER w THEN 1 ELSE 0 END AS up,
+           CASE WHEN open > lag(high) OVER w THEN 1 ELSE 0 END AS gap,
+           row_number() OVER w AS rn
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY date)
+),
+pseq AS (SELECT symbol, up, gap, rn - 1 AS pos FROM pflags WHERE rn > 1),
+ptotals AS (
+    SELECT symbol, CAST(sum(up) AS BIGINT) AS total_ups,
+           CAST(greatest(count(*) - 4, 0) AS BIGINT) AS total_windows,
+           CAST(sum(gap) AS BIGINT) AS total_gaps
+    FROM pseq GROUP BY symbol
+),
+pruns AS (
+    SELECT symbol, pos - row_number() OVER (PARTITION BY symbol ORDER BY pos) AS grp
+    FROM pseq WHERE up = 1
+),
+plens AS (SELECT symbol, grp, count(*) AS len FROM pruns GROUP BY 1, 2),
+pmx AS (SELECT symbol, max(len) AS max_run FROM plens GROUP BY symbol),
+pwinmax AS (
+    SELECT symbol, CAST(max(g) AS BIGINT) AS max_gaps_in_window FROM (
+        SELECT symbol,
+               sum(gap) OVER (PARTITION BY symbol ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS g,
+               row_number() OVER (PARTITION BY symbol ORDER BY pos) AS wrn
+        FROM pseq
+    ) WHERE wrn >= 5 GROUP BY symbol
 )
 SELECT v.symbol, round(v.volatility, 6) AS volatility,
        CASE WHEN v.volatility <= t.p_low THEN 'Conservador'
             WHEN v.volatility <= t.p_high THEN 'Moderado'
             ELSE 'Agresivo' END AS risk_class,
        CAST(row_number() OVER (ORDER BY v.volatility, v.symbol) AS BIGINT) AS rank,
-       round(t.p_low, 6) AS p_low, round(t.p_high, 6) AS p_high
-FROM vols v CROSS JOIN thresholds t""",
-    "X4/W7/W8/A10 risk pipeline: exact percentiles + CASE buckets + rank (algorithms/volatility.py:128-293)",
+       round(t.p_low, 6) AS p_low, round(t.p_high, 6) AS p_high,
+       m.mean, m.std_dev, m.min_close, m.max_close, m.n, v.n_returns,
+       pt.total_ups, pt.total_windows,
+       CAST(CASE WHEN pt.total_windows = 0 THEN 0
+                 ELSE coalesce(least(pm.max_run, 5), 0) END AS INT) AS max_streak,
+       pt.total_gaps, pw.max_gaps_in_window
+FROM vols v CROSS JOIN thresholds t
+JOIN moments m ON m.symbol = v.symbol
+LEFT JOIN ptotals pt ON pt.symbol = v.symbol
+LEFT JOIN pmx pm ON pm.symbol = v.symbol
+LEFT JOIN pwinmax pw ON pw.symbol = v.symbol""",
+    "Per-symbol analytics profile, one query: X4/W7/W8/A10 risk pipeline "
+    "(exact percentiles + CASE buckets + rank, algorithms/volatility.py:128-293) "
+    "joined on symbol with A1/A2/A12 close moments "
+    "(algorithms/technical.py:27-97) and the W5+A5/A6 pattern scalar bundle at "
+    "window=5 (up-streak totals/max, algorithms/patterns.py:88-148; gap-up "
+    "totals/window max, algorithms/patterns.py:220-264) — all branches share "
+    "the cached bars model, joins are on the small symbol grain",
 )
 def q_risk(spark, sf_dir):
-    out = volatility.analyze_portfolio_risk(_bars(spark, sf_dir), min_prices=0)
-    return out.select(
+    bars = _bars(spark, sf_dir)
+    risk = volatility.analyze_portfolio_risk(bars, min_prices=0).select(
         "symbol",
         r6(F.col("volatility")).alias("volatility"),
         "risk_class",
         F.col("rank").cast("long").alias("rank"),
         r6(F.col("p_low")).alias("p_low"),
         r6(F.col("p_high")).alias("p_high"),
+    )
+    stats = technical.series_stats(bars).select(
+        "symbol",
+        r6(F.col("mean")).alias("mean"),
+        r6(F.col("std_dev")).alias("std_dev"),
+        r6(F.col("min_close")).alias("min_close"),
+        r6(F.col("max_close")).alias("max_close"),
+        "n",
+        "n_returns",
+    )
+    streaks = patterns.streak_stats(bars, 5).select(
+        "symbol",
+        F.col("total_ups").cast("long").alias("total_ups"),
+        F.col("total_windows").cast("long").alias("total_windows"),
+        F.col("max_streak").cast("int").alias("max_streak"),
+    )
+    gaps = patterns.gap_stats(bars, 5).select(
+        "symbol",
+        F.col("total_gaps").cast("long").alias("total_gaps"),
+        F.col("max_gaps_in_window").cast("long").alias("max_gaps_in_window"),
+    )
+    return (
+        risk.join(stats, "symbol")
+        .join(streaks, "symbol", "left")
+        .join(gaps, "symbol", "left")
     )
 
 
@@ -414,57 +464,6 @@ flags AS (
 ),
 seq AS (SELECT symbol, date, up, gap, rn - 1 AS pos FROM flags WHERE rn > 1)
 """
-
-
-@register(
-    "pattern_stats",
-    _UPS_ORACLE
-    + """,
-totals AS (
-    SELECT symbol, CAST(sum(up) AS BIGINT) AS total_ups,
-           CAST(greatest(count(*) - 4, 0) AS BIGINT) AS total_windows,
-           CAST(sum(gap) AS BIGINT) AS total_gaps
-    FROM seq GROUP BY symbol
-),
-runs AS (
-    SELECT symbol, pos - row_number() OVER (PARTITION BY symbol ORDER BY pos) AS grp
-    FROM seq WHERE up = 1
-),
-lens AS (SELECT symbol, grp, count(*) AS len FROM runs GROUP BY 1, 2),
-mx AS (SELECT symbol, max(len) AS max_run FROM lens GROUP BY symbol),
-winmax AS (
-    SELECT symbol, CAST(max(g) AS BIGINT) AS max_gaps_in_window FROM (
-        SELECT symbol,
-               sum(gap) OVER (PARTITION BY symbol ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS g,
-               row_number() OVER (PARTITION BY symbol ORDER BY pos) AS wrn
-        FROM seq
-    ) WHERE wrn >= 5 GROUP BY symbol
-)
-SELECT t.symbol, t.total_ups, t.total_windows,
-       CAST(CASE WHEN t.total_windows = 0 THEN 0
-                 ELSE coalesce(least(m.max_run, 5), 0) END AS INT) AS max_streak,
-       t.total_gaps, w.max_gaps_in_window
-FROM totals t
-LEFT JOIN mx m ON t.symbol = m.symbol
-LEFT JOIN winmax w ON t.symbol = w.symbol""",
-    "W5 + A5/A6 scalar bundle at window=5: up-streak totals/max "
-    "(algorithms/patterns.py:88-148) joined with gap-up totals/window max "
-    "(algorithms/patterns.py:220-264), per symbol",
-)
-def q_pattern_stats(spark, sf_dir):
-    bars = _bars(spark, sf_dir)
-    streaks = patterns.streak_stats(bars, 5).select(
-        "symbol",
-        F.col("total_ups").cast("long").alias("total_ups"),
-        F.col("total_windows").cast("long").alias("total_windows"),
-        F.col("max_streak").cast("int").alias("max_streak"),
-    )
-    gaps = patterns.gap_stats(bars, 5).select(
-        "symbol",
-        F.col("total_gaps").cast("long").alias("total_gaps"),
-        F.col("max_gaps_in_window").cast("long").alias("max_gaps_in_window"),
-    )
-    return streaks.join(gaps, "symbol", "left")
 
 
 @register(

@@ -1520,3 +1520,109 @@ def q_fk_violations(spark, sf_dir):
         F.col("c_custkey") % 3 == 0
     )
     return cleaning.fk_violations(orders, thinned, "o_custkey", "c_custkey")
+
+
+# ------------------------------------------------- corpus preparation
+
+_BENCH_MOD = 10  # every 10th doc stands in for the held-out eval set
+_CONTAM_TAU = 0.5
+
+
+@register(
+    "decontamination",
+    f"""WITH {_SHINGLES},
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    agg AS (
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+        WHERE s.doc_id % {_BENCH_MOD} <> 0
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS overlap_frac,
+           true AS contaminated
+    FROM agg
+    WHERE round(CAST(n_hit AS DOUBLE) / n_shingles, 6) >= {_CONTAM_TAU}""",
+    "Benchmark decontamination: corpus docs whose 3-shingle overlap with the "
+    "held-out eval slice (every 10th doc) reaches τ=0.5 — broadcast benchmark "
+    "shingle set, one corpus explode + one doc_id agg, train-test-leak scan (M8)",
+)
+def q_decontamination(spark, sf_dir):
+    from .operators import corpus
+
+    sh = _shingles(spark, sf_dir)
+    is_bench = F.pmod(F.col("doc_id"), F.lit(_BENCH_MOD)) == 0
+    out = corpus.contamination_stats(
+        docs=None,
+        benchmark=None,
+        min_overlap=_CONTAM_TAU,
+        shingles=sh.filter(~is_bench),
+        benchmark_shingles=sh.filter(is_bench),
+    )
+    return out.filter(F.col("contaminated"))
+
+
+_PACK_CTX = 2048  # power of two: /2048 is exact in binary floating point
+
+
+@register(
+    "sequence_packing",
+    f"""WITH w AS (
+        SELECT doc_id, CAST(len({_W}) AS BIGINT) AS n_tokens,
+               md5('pack:' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY skey, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM w
+    )
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS token_start,
+           CAST(floor((cum - n_tokens) / {_PACK_CTX}.0) AS BIGINT) AS pack_first,
+           CAST(floor((cum - n_tokens + greatest(n_tokens, 1) - 1)
+                      / {_PACK_CTX}.0) AS BIGINT) AS pack_last,
+           CAST(floor((cum - n_tokens + greatest(n_tokens, 1) - 1)
+                      / {_PACK_CTX}.0)
+                - floor((cum - n_tokens) / {_PACK_CTX}.0) + 1 AS BIGINT)
+               AS n_packs_spanned
+    FROM c""",
+    "Sequence packing: documents cut into fixed 2048-token training windows "
+    "along a deterministic md5-shuffled order; the global token prefix-sum is "
+    "a two-phase bucketed scan (per-bucket window + 256-row offset table), "
+    "never a global sort (M8)",
+)
+def q_sequence_packing(spark, sf_dir):
+    from .operators import corpus
+
+    return corpus.pack_sequences(
+        load_table(spark, sf_dir, "documents"), ctx_len=_PACK_CTX
+    )
+
+
+_VOCAB_K = 200
+
+
+@register(
+    "vocab_topk",
+    f"""WITH t AS (SELECT unnest({_W}) AS token FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY token
+    ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}""",
+    "Vocabulary construction scan: corpus token frequencies, top-200 by count "
+    "(ties broken by token) — partial-agg shuffle + TakeOrderedAndProject, "
+    "never a full vocabulary sort (M8)",
+)
+def q_vocab_topk(spark, sf_dir):
+    from .operators import corpus
+
+    return corpus.vocab_topk(
+        load_table(spark, sf_dir, "documents"), top_k=_VOCAB_K
+    )

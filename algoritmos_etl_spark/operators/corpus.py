@@ -1,0 +1,174 @@
+"""Corpus-preparation operators for LLM training pipelines:
+benchmark decontamination, sequence packing, vocabulary statistics.
+
+These are the steps between "curated documents" and "training batches"
+that the dedup/quality operators (operators/dedup.py, operators/text.py)
+don't cover:
+
+- decontamination: flag corpus documents whose k-gram shingles overlap
+  a held-out evaluation/benchmark set (the train-test-leak scan every
+  serious pretraining run performs);
+- sequence packing: assign documents to fixed-size context windows by a
+  deterministic global order, computed as a distributed prefix sum (no
+  global sort, no single-task window);
+- vocabulary top-k: corpus-level token frequencies, the input to
+  tokenizer/vocab construction.
+
+All arithmetic is md5-prefix hashing and integer/double math that the
+DuckDB oracle reproduces exactly (same policy as operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import doc_shingles
+from .text import words_col
+
+
+def contamination_stats(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    min_overlap: float = 0.5,
+    shingles: DataFrame | None = None,
+    benchmark_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document k-shingle overlap against a benchmark/eval corpus.
+
+    Shape for 100 TB: the benchmark side is an eval suite — thousands
+    of documents, megabytes of text — so its distinct shingle set is
+    BROADCAST and the corpus pays one shingle explode plus one
+    partial-aggregated shuffle on doc_id. The corpus is never joined
+    against itself and never shuffled on the shingle key.
+
+    Output: (doc_id, n_shingles, n_hit, overlap_frac, contaminated)
+    for every corpus doc with at least one shingle; `contaminated` is
+    overlap_frac >= min_overlap. Docs shorter than k words have no
+    shingles and are structurally uncontaminated (omitted).
+
+    `shingles` / `benchmark_shingles` optionally supply materialized
+    (doc_id, shingle) relations (see `dedup.doc_shingles`) so a session
+    that already shingled the corpus for dedup reuses that pass.
+    """
+    bench_base = (
+        benchmark_shingles
+        if benchmark_shingles is not None
+        else doc_shingles(benchmark, k)
+    )
+    bench_sh = bench_base.select("shingle").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    corpus_sh = shingles if shingles is not None else doc_shingles(docs, k)
+    marked = corpus_sh.join(F.broadcast(bench_sh), "shingle", "left")
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+    )
+    frac = F.round(F.col("n_hit") / F.col("n_shingles"), 6)
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        frac.alias("overlap_frac"),
+        (frac >= F.lit(min_overlap)).alias("contaminated"),
+    )
+
+
+def _pack_sort_key(doc_id: Column) -> Column:
+    """Deterministic shuffle key: md5 over the salted doc id. Sorting
+    by it is the engine-stable stand-in for 'shuffle the corpus'."""
+    return F.md5(F.concat(F.lit("pack:"), doc_id.cast("string")))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 2048,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Assign documents to fixed-`ctx_len` training windows in a
+    deterministic pseudo-shuffled order, split-on-boundary semantics
+    (GPT-style packing: the token stream is concatenated in order and
+    cut every ctx_len tokens; a document may span several windows).
+
+    The global token prefix-sum is computed WITHOUT a global sort:
+    documents land in one of `n_buckets` ordered buckets (the first two
+    hex digits of the md5 sort key prefix-order the key space), the
+    per-bucket cumulative sum runs partition-parallel, and only the
+    n_buckets-row bucket-total table passes through a single-partition
+    window before broadcasting back. At any corpus size the serial step
+    is O(n_buckets), not O(rows) — the textbook two-phase prefix sum.
+
+    Output per document: n_tokens (whitespace words), global
+    token_start, pack_first/pack_last (window ids), n_packs_spanned.
+    """
+    skey = _pack_sort_key(F.col("doc_id"))
+    base = docs.select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+        skey.alias("_skey"),
+        F.conv(F.substring(skey, 1, 2), 16, 10).cast("int").alias("_bucket"),
+    )
+    in_bucket = Window.partitionBy("_bucket").orderBy("_skey", "doc_id")
+    base = base.withColumn(
+        "_cum_in_bucket", F.sum("n_tokens").over(in_bucket)
+    )
+    totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
+    # n_buckets rows total: the only single-partition window in the op
+    offsets = totals.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_total").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_bucket", "_offset")
+    packed = base.join(F.broadcast(offsets), "_bucket")
+    token_start = F.col("_offset") + F.col("_cum_in_bucket") - F.col("n_tokens")
+    pack_first = F.floor(token_start / F.lit(ctx_len)).cast("long")
+    pack_last = F.floor(
+        (token_start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+        / F.lit(ctx_len)
+    ).cast("long")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        token_start.cast("long").alias("token_start"),
+        pack_first.alias("pack_first"),
+        pack_last.alias("pack_last"),
+        (pack_last - pack_first + 1).cast("long").alias("n_packs_spanned"),
+    )
+
+
+def pack_stats(packs: DataFrame, ctx_len: int = 2048) -> DataFrame:
+    """Aggregate packing diagnostics from `pack_sequences` output:
+    total windows, boundary-crossing docs, mean docs per window."""
+    return packs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.floor((F.sum("n_tokens") - 1) / F.lit(ctx_len)) + 1)
+        .cast("long")
+        .alias("n_windows"),
+        F.sum((F.col("n_packs_spanned") > 1).cast("long")).alias(
+            "n_boundary_docs"
+        ),
+    )
+
+
+def vocab_topk(docs: DataFrame, top_k: int = 100) -> DataFrame:
+    """Corpus token-frequency top-k — the vocabulary-construction scan.
+
+    One explode + one partially-aggregated shuffle on the token key;
+    the top-k is a `TakeOrderedAndProject` (never a full sort of the
+    vocabulary). Ties broken by token ascending for determinism.
+    """
+    counts = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_k)

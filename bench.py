@@ -33,19 +33,16 @@ from algoritmos_etl_spark.session import get_spark  # noqa: E402
 from algoritmos_etl_spark.sources import daily_bars, load_table  # noqa: E402
 
 HEADLINE = [
-    # every registered driver query, in registry order (48 of 50; the
-    # two rows-only DTW entries run below on a capped symbol slice)
+    # every registered driver query, in registry order (the two DTW
+    # entries run below on a capped symbol slice)
     "bars_model",
-    "cleaning_missing_summary",
-    "cleaning_inconsistencies",
+    "cleaning_report",
     "drop_invalid_rows",
     "align_to_calendar",
     "returns_model",
     "rolling_features",
-    "series_stats",
     "risk_classification",
     "risk_summary",
-    "pattern_stats",
     "streak_histograms",
     "pair_metrics",
     "correlation_heatmap",
@@ -83,6 +80,9 @@ HEADLINE = [
     "interval_join_sessions",
     "keep_latest_event",
     "fk_violations_orders",
+    "decontamination",
+    "sequence_packing",
+    "vocab_topk",
 ]
 
 DTW_SYMBOL_CAP = 100

@@ -1,0 +1,124 @@
+"""Corpus-preparation operators: decontamination, sequence packing,
+vocabulary top-k (operators/corpus.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.operators import corpus, dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+        (2, "alpha beta gamma delta nine ten eleven twelve"),  # half-overlap
+        (3, "one two three four five six seven eight"),        # disjoint
+        (4, "tiny doc"),                                       # < k words
+        (5, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestContamination:
+    def test_overlap_fractions(self, docs):
+        bench = docs.filter(F.col("doc_id") == 0)
+        rest = docs.filter(F.col("doc_id") != 0)
+        out = {
+            r["doc_id"]: r
+            for r in corpus.contamination_stats(
+                rest, bench, k=3, min_overlap=0.5
+            ).collect()
+        }
+        assert out[1]["overlap_frac"] == 1.0 and out[1]["contaminated"]
+        # doc 2 shares only the 'alpha beta gamma'/'beta gamma delta'
+        # prefix shingles: 2 of 6
+        assert out[2]["n_hit"] == 2 and not out[2]["contaminated"]
+        assert out[3]["n_hit"] == 0
+        assert 4 not in out  # no shingles -> no row
+        assert out[5]["contaminated"]  # 5/6 shingles shared
+
+    def test_precomputed_shingles_equal(self, docs):
+        bench = docs.filter(F.col("doc_id") == 0)
+        rest = docs.filter(F.col("doc_id") != 0)
+        direct = corpus.contamination_stats(rest, bench, k=3)
+        shared = corpus.contamination_stats(
+            None,
+            None,
+            k=3,
+            shingles=dedup.doc_shingles(rest, 3),
+            benchmark_shingles=dedup.doc_shingles(bench, 3),
+        )
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, shared.collect())
+        )
+
+
+class TestPacking:
+    def test_prefix_sum_matches_global_order(self, spark):
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(200)],
+            ["doc_id", "text"],
+        )
+        out = corpus.pack_sequences(docs, ctx_len=16).collect()
+        # reconstruct the expected global order driver-side
+        import hashlib
+
+        def skey(i):
+            return hashlib.md5(f"pack:{i}".encode()).hexdigest()
+
+        expect_order = sorted(range(200), key=lambda i: (skey(i), i))
+        cum = 0
+        starts = {}
+        for i in expect_order:
+            starts[i] = cum
+            cum += i % 7 + 1
+        got = {r["doc_id"]: r for r in out}
+        assert len(got) == 200
+        for i in range(200):
+            r = got[i]
+            n = i % 7 + 1
+            assert r["token_start"] == starts[i]
+            assert r["pack_first"] == starts[i] // 16
+            assert r["pack_last"] == (starts[i] + n - 1) // 16
+            assert r["n_packs_spanned"] == r["pack_last"] - r["pack_first"] + 1
+
+    def test_zero_token_doc(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "one two three"), (2, " "), (3, "four five")],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r for r in corpus.pack_sequences(docs, 8).collect()}
+        assert got[2]["n_tokens"] == 0
+        assert got[2]["n_packs_spanned"] == 1  # occupies-no-space convention
+        total = sum(r["n_tokens"] for r in got.values())
+        assert total == 5
+
+    def test_pack_stats(self, spark):
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * 10)) for i in range(10)], ["doc_id", "text"]
+        )
+        s = corpus.pack_stats(corpus.pack_sequences(docs, 16), 16).collect()[0]
+        assert s["n_docs"] == 10
+        assert s["total_tokens"] == 100
+        assert s["n_windows"] == 7  # ceil(100/16)
+        # with 10-token docs in 16-token windows most docs cross a boundary
+        assert s["n_boundary_docs"] >= 5
+
+
+class TestVocab:
+    def test_topk_order_and_ties(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "b d d e")], ["doc_id", "text"]
+        )
+        rows = corpus.vocab_topk(docs, top_k=3).collect()
+        assert [(r["token"], r["n"]) for r in rows] == [
+            ("a", 3),
+            ("b", 3),
+            ("d", 2),
+        ]
+
+    def test_topk_plans_take_ordered(self, spark):
+        docs = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+        plan = corpus.vocab_topk(docs, 5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
