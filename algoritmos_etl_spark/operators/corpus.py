@@ -76,6 +76,43 @@ def contamination_stats(
     )
 
 
+def contamination_write_index(
+    benchmark: DataFrame, path: str, k: int = 3
+) -> None:
+    """Materialize the benchmark's distinct shingle set at ingest:
+    the standing decontamination index. Benchmarks change rarely and
+    are small, so the index is one parquet file a later scan
+    broadcasts; re-deriving it per corpus batch would re-shingle the
+    benchmark on every run."""
+    doc_shingles(benchmark, k).select("shingle").distinct().write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def contamination_against_index(
+    spark,
+    docs: DataFrame,
+    path: str,
+    k: int = 3,
+    min_overlap: float = 0.5,
+) -> DataFrame:
+    """Decontaminate a corpus batch against the standing benchmark
+    index written by `contamination_write_index` — the incremental
+    form: only the new batch is shingled; the benchmark side is a
+    broadcast parquet read. Result ≡ `contamination_stats` against the
+    original benchmark (pinned by test)."""
+    bench_sh = spark.read.parquet(path)
+    return contamination_stats(
+        docs,
+        benchmark=None,
+        k=k,
+        min_overlap=min_overlap,
+        benchmark_shingles=bench_sh.select(
+            F.lit(-1).cast("long").alias("doc_id"), "shingle"
+        ),
+    )
+
+
 def _pack_sort_key(doc_id: Column) -> Column:
     """Deterministic shuffle key: md5 over the salted doc id. Sorting
     by it is the engine-stable stand-in for 'shuffle the corpus'."""

@@ -38,6 +38,18 @@ class TestContamination:
         assert 4 not in out  # no shingles -> no row
         assert out[5]["contaminated"]  # 5/6 shingles shared
 
+    def test_written_index_equals_inline(self, docs, tmp_path):
+        bench = docs.filter(F.col("doc_id") == 0)
+        rest = docs.filter(F.col("doc_id") != 0)
+        path = str(tmp_path / "bench_idx")
+        corpus.contamination_write_index(bench, path)
+        spark = docs.sparkSession
+        inc = corpus.contamination_against_index(spark, rest, path, k=3)
+        full = corpus.contamination_stats(rest, bench, k=3)
+        assert sorted(map(tuple, inc.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
     def test_precomputed_shingles_equal(self, docs):
         bench = docs.filter(F.col("doc_id") == 0)
         rest = docs.filter(F.col("doc_id") != 0)
