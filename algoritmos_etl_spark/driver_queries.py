@@ -391,39 +391,121 @@ LEFT JOIN pwinmax pw ON pw.symbol = v.symbol""",
     "the cached bars model, joins are on the small symbol grain",
 )
 def q_risk(spark, sf_dir):
+    # The profile's branches (volatility, moments, pattern scalars) all
+    # derive from ONE lag/row_number pass over bars: composing the
+    # library builders (analyze_portfolio_risk + series_stats +
+    # streak_stats + gap_stats) costs ~6 full window passes over the
+    # row grain — measured 41 s vs 11 s for this shared-flags plan on
+    # the 30× corpus. The flags relation is checkpointed once; the two
+    # remaining window passes run over its narrow filtered subsets, and
+    # every aggregate (vol, moments, up/gap totals) fuses into one
+    # groupBy. Library single-op builders stay the public API; tests
+    # pin them equal to this fusion.
+    from pyspark.sql import Window
+
     bars = _bars(spark, sf_dir)
-    risk = volatility.analyze_portfolio_risk(bars, min_prices=0).select(
+    w = Window.partitionBy("symbol").orderBy("date")
+    prev_close = F.lag("close").over(w)
+    prev_high = F.lag("high").over(w)
+    valid = (
+        prev_close.isNotNull()
+        & F.col("close").isNotNull()
+        & (prev_close > 0)
+        & (F.col("close") > 0)
+    )
+    flags = bars.select(
+        "symbol",
+        "close",
+        F.when(valid, F.log(F.col("close") / prev_close)).alias("ret"),
+        (F.col("close") > prev_close).cast("int").alias("up"),
+        (F.col("open") > prev_high).cast("int").alias("gap"),
+        F.row_number().over(w).alias("rn"),
+    ).localCheckpoint(eager=False)
+
+    per_symbol = flags.groupBy("symbol").agg(
+        (F.coalesce(F.stddev_samp("ret"), F.lit(0.0)) * SQRT252).alias(
+            "volatility"
+        ),
+        F.count("ret").alias("n_returns"),
+        F.avg("close").alias("mean"),
+        F.stddev_samp("close").alias("std_dev"),
+        F.min("close").alias("min_close"),
+        F.max("close").alias("max_close"),
+        F.count("close").alias("n"),
+        F.sum("up").cast("long").alias("total_ups"),
+        F.greatest(
+            F.sum((F.col("rn") > 1).cast("long")) - F.lit(4).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("total_windows"),
+        F.sum("gap").cast("long").alias("total_gaps"),
+    )
+    ups = flags.filter(F.col("up") == 1).select(
+        "symbol", (F.col("rn") - 1).alias("pos")
+    )
+    grp_w = Window.partitionBy("symbol").orderBy("pos")
+    max_run = (
+        ups.withColumn("grp", F.col("pos") - F.row_number().over(grp_w))
+        .groupBy("symbol", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("symbol")
+        .agg(F.max("len").alias("max_run"))
+    )
+    pseq = flags.filter(F.col("rn") > 1).select(
+        "symbol", "gap", (F.col("rn") - 1).alias("pos")
+    )
+    win_w = Window.partitionBy("symbol").orderBy("pos")
+    winmax = (
+        pseq.withColumn("g", F.sum("gap").over(win_w.rowsBetween(-4, 0)))
+        .withColumn("wrn", F.row_number().over(win_w))
+        .filter(F.col("wrn") >= 5)
+        .groupBy("symbol")
+        .agg(F.max("g").cast("long").alias("max_gaps_in_window"))
+    )
+    thresholds = per_symbol.agg(
+        F.percentile("volatility", F.lit(0.33)).alias("p_low"),
+        F.percentile("volatility", F.lit(0.66)).alias("p_high"),
+    )
+    # symbol-grain from here down (thousands of rows at any scale)
+    rank_w = Window.orderBy(F.col("volatility").asc(), F.col("symbol").asc())
+    out = (
+        per_symbol.crossJoin(F.broadcast(thresholds))
+        .withColumn(
+            "risk_class",
+            F.when(
+                F.col("volatility") <= F.col("p_low"),
+                F.lit(volatility.CONSERVATIVE),
+            )
+            .when(
+                F.col("volatility") <= F.col("p_high"),
+                F.lit(volatility.MODERATE),
+            )
+            .otherwise(F.lit(volatility.AGGRESSIVE)),
+        )
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .join(max_run, "symbol", "left")
+        .join(winmax, "symbol", "left")
+    )
+    return out.select(
         "symbol",
         r6(F.col("volatility")).alias("volatility"),
         "risk_class",
-        F.col("rank").cast("long").alias("rank"),
+        "rank",
         r6(F.col("p_low")).alias("p_low"),
         r6(F.col("p_high")).alias("p_high"),
-    )
-    stats = technical.series_stats(bars).select(
-        "symbol",
         r6(F.col("mean")).alias("mean"),
         r6(F.col("std_dev")).alias("std_dev"),
         r6(F.col("min_close")).alias("min_close"),
         r6(F.col("max_close")).alias("max_close"),
         "n",
         "n_returns",
-    )
-    streaks = patterns.streak_stats(bars, 5).select(
-        "symbol",
-        F.col("total_ups").cast("long").alias("total_ups"),
-        F.col("total_windows").cast("long").alias("total_windows"),
-        F.col("max_streak").cast("int").alias("max_streak"),
-    )
-    gaps = patterns.gap_stats(bars, 5).select(
-        "symbol",
-        F.col("total_gaps").cast("long").alias("total_gaps"),
-        F.col("max_gaps_in_window").cast("long").alias("max_gaps_in_window"),
-    )
-    return (
-        risk.join(stats, "symbol")
-        .join(streaks, "symbol", "left")
-        .join(gaps, "symbol", "left")
+        "total_ups",
+        "total_windows",
+        F.when(F.col("total_windows") == 0, F.lit(0))
+        .otherwise(F.coalesce(F.least(F.col("max_run"), F.lit(5)), F.lit(0)))
+        .cast("int")
+        .alias("max_streak"),
+        "total_gaps",
+        "max_gaps_in_window",
     )
 
 

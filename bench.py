@@ -98,6 +98,16 @@ def main() -> None:
     spark = get_spark("algoritmos-etl-bench", cpus=cpus)
     spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warm-up
 
+    # Python-worker pool warm-up: the first Arrow stage otherwise pays
+    # `cpus` worker spawns + numpy/pandas imports inside its timing
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(cpus * 4, numPartitions=cpus).mapInPandas(
+        _noop, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].build

@@ -152,3 +152,55 @@ def test_fused_operators_on_degenerate_series(spark):
     # rolling features: warm-up never completes → all NULL
     rf = technical.rolling_features(one_row, 5).collect()[0]
     assert rf["sma_5"] is None and rf["gaps_in_window"] is None
+
+
+def test_risk_profile_fusion_matches_library_builders(spark):
+    """The registered risk_classification profile (one shared-flags
+    pass) must equal the composition of the single-op library builders
+    it fuses (analyze_portfolio_risk + series_stats + streak_stats +
+    gap_stats)."""
+    import os
+
+    from algoritmos_etl_spark.driver_queries import REGISTRY, r6
+    from algoritmos_etl_spark.operators import patterns, volatility
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    from algoritmos_etl_spark.sources import daily_bars, load_table
+
+    bars = daily_bars(load_table(spark, sf_dir, "events"))
+    fused = REGISTRY["risk_classification"].build(spark, sf_dir)
+
+    risk = volatility.analyze_portfolio_risk(bars, min_prices=0).select(
+        "symbol",
+        r6(F.col("volatility")).alias("volatility"),
+        "risk_class",
+        F.col("rank").cast("long").alias("rank"),
+        r6(F.col("p_low")).alias("p_low"),
+        r6(F.col("p_high")).alias("p_high"),
+    )
+    stats = technical.series_stats(bars).select(
+        "symbol",
+        r6(F.col("mean")).alias("mean"),
+        r6(F.col("std_dev")).alias("std_dev"),
+        r6(F.col("min_close")).alias("min_close"),
+        r6(F.col("max_close")).alias("max_close"),
+        "n",
+        "n_returns",
+    )
+    streaks = patterns.streak_stats(bars, 5).select(
+        "symbol",
+        F.col("total_ups").cast("long").alias("total_ups"),
+        F.col("total_windows").cast("long").alias("total_windows"),
+        F.col("max_streak").cast("int").alias("max_streak"),
+    )
+    gaps = patterns.gap_stats(bars, 5).select(
+        "symbol",
+        F.col("total_gaps").cast("long").alias("total_gaps"),
+        F.col("max_gaps_in_window").cast("long").alias("max_gaps_in_window"),
+    )
+    composed = (
+        risk.join(stats, "symbol")
+        .join(streaks, "symbol", "left")
+        .join(gaps, "symbol", "left")
+    ).select(*fused.columns)
+    assert _rows(fused, "symbol") == _rows(composed, "symbol")
