@@ -152,26 +152,31 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         joinable = sh.join(F.broadcast(viral), "shingle", "left_anti")
-    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # full-set sizes ride along at the POSTING grain (one linear join)
+    # so they arrive pre-attached on every candidate row: joining sizes
+    # onto the aggregated candidate table instead costs two shuffles of
+    # a quasi-quadratic relation (measured 33.9M candidate pairs from
+    # 7.8M posting rows on the 30× corpus — the re-join shape spent
+    # ~100 s there, this one ~30 s)
+    shz = joinable.join(sizes, "doc_id")
+    a = shz.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b = shz.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
     # the inverted-index join's match rows ARE the non-viral
-    # intersection — aggregate them instead of distinct-then-rejoin.
-    # The old shape (distinct candidates → re-join both full shingle
-    # sets) shuffled |candidates|·|avg shingles| rows (59M at sf0.1 for
-    # 256 surviving pairs); this one aggregates the join output it
-    # already has.
-    n_nv = (
+    # intersection — aggregate them instead of distinct-then-rejoin;
+    # n_a/n_b are constant within a group, min() just carries them
+    cand = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_nv"))
-    )
-    cand = n_nv.join(
-        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
-        "doc_a",
-    ).join(
-        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
-        "doc_b",
+        .agg(
+            F.count(F.lit(1)).alias("n_nv"),
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+        )
     )
     if viral is None:
         inter = F.col("n_nv")
