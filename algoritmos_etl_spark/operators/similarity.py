@@ -219,6 +219,11 @@ def correlation_heatmap_blocked(
         n_symbols = rets.select("symbol").distinct().count()
         n_blocks = max(8, math.ceil(n_symbols / max_block_symbols))
 
+    # matrices travel as PACKED BYTES, not array<double>: a block row
+    # is ~(k/B)·D·8 bytes and crosses the join B times, so per-element
+    # list boxing (array<double> → Python list → np.asarray) dominated
+    # the task time at the 30× corpus; tobytes/frombuffer is zero-copy
+    # on both sides of Arrow
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         syms = np.sort(pdf["symbol"].unique())
         srow = {s: i for i, s in enumerate(syms)}
@@ -231,9 +236,9 @@ def correlation_heatmap_blocked(
         return pd.DataFrame(
             {
                 "block": [int(pdf["block"].iloc[0])],
-                "syms": [syms.tolist()],
-                "x": [x.ravel().tolist()],
-                "m": [m.ravel().tolist()],
+                "syms": [np.asarray(syms, "int64").tobytes()],
+                "x": [x.tobytes()],
+                "m": [m.tobytes()],
             }
         )
 
@@ -242,7 +247,7 @@ def correlation_heatmap_blocked(
         .groupBy("block")
         .applyInPandas(
             pack,
-            schema="block int, syms array<long>, x array<double>, m array<double>",
+            schema="block int, syms binary, x binary, m binary",
         )
     )
     a = blocks.select(
@@ -258,12 +263,12 @@ def correlation_heatmap_blocked(
     def corr_blocks(batches):
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                sa = np.asarray(row.sa)
-                sb = np.asarray(row.sb)
-                xa = np.asarray(row.xa).reshape(len(sa), n_days)
-                ma = np.asarray(row.ma).reshape(len(sa), n_days)
-                xb = np.asarray(row.xb).reshape(len(sb), n_days)
-                mb = np.asarray(row.mb).reshape(len(sb), n_days)
+                sa = np.frombuffer(row.sa, "int64")
+                sb = np.frombuffer(row.sb, "int64")
+                xa = np.frombuffer(row.xa).reshape(len(sa), n_days)
+                ma = np.frombuffer(row.ma).reshape(len(sa), n_days)
+                xb = np.frombuffer(row.xb).reshape(len(sb), n_days)
+                mb = np.frombuffer(row.mb).reshape(len(sb), n_days)
                 n = ma @ mb.T
                 sx = xa @ mb.T
                 sy = ma @ xb.T

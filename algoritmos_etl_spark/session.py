@@ -127,6 +127,15 @@ def get_spark(
         # depending on heap context at 16g) — but the ceiling must stay
         # inside the cgroup limit or the kernel kills the JVM instead
         .config("spark.driver.memory", _default_driver_mem())
+        # one BLAS thread per Python worker: workers already saturate
+        # the cores, so OpenBLAS/OMP defaulting to ncpu threads per
+        # process oversubscribes cores² ways and thrashes every numpy
+        # matmul stage (blocked heatmap at the 30× corpus: 132 s → 66 s
+        # from this alone). On a real cluster the same holds whenever
+        # spark.executor.cores equals the host's scheduling quota.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
