@@ -134,3 +134,63 @@ class TestVocab:
         docs = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
         plan = corpus.vocab_topk(docs, 5)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestPackingProperties:
+    def test_token_conservation_and_occupancy(self, spark):
+        """Property sweep: every token lands in exactly one position,
+        window occupancy never exceeds ctx_len, and pack ids are a
+        contiguous range starting at 0."""
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, " ".join(["w"] * rng.randint(0, 40))) for i in range(300)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        ctx = 32
+        out = corpus.pack_sequences(docs, ctx_len=ctx).collect()
+        total = sum(r["n_tokens"] for r in out)
+        # token_start values must tile [0, total) without overlap
+        spans = sorted((r["token_start"], r["n_tokens"]) for r in out)
+        cursor = 0
+        for start, n in spans:
+            assert start == cursor
+            cursor += n
+        assert cursor == total
+        # per-window occupancy == ctx for all but the last window
+        n_windows = (total - 1) // ctx + 1 if total else 0
+        occ = [0] * n_windows
+        for r in out:
+            for p in range(r["pack_first"], r["pack_last"] + 1):
+                lo = max(r["token_start"], p * ctx)
+                hi = min(r["token_start"] + r["n_tokens"], (p + 1) * ctx)
+                occ[p] += max(0, hi - lo)
+        assert all(o == ctx for o in occ[:-1]) and occ[-1] == total - ctx * (
+            n_windows - 1
+        )
+
+    def test_growth_stability_of_order(self, spark):
+        """Adding documents must not reorder the EXISTING corpus
+        relative to itself (the md5 sort key is a pure function of the
+        doc id): relative order of surviving ids is stable."""
+        base = spark.createDataFrame(
+            [(i, "a b c") for i in range(50)], ["doc_id", "text"]
+        )
+        grown = spark.createDataFrame(
+            [(i, "a b c") for i in range(80)], ["doc_id", "text"]
+        )
+        o1 = [
+            r["doc_id"]
+            for r in corpus.pack_sequences(base, 8)
+            .orderBy("token_start")
+            .collect()
+        ]
+        o2 = [
+            r["doc_id"]
+            for r in corpus.pack_sequences(grown, 8)
+            .orderBy("token_start")
+            .collect()
+            if r["doc_id"] < 50
+        ]
+        assert o1 == o2

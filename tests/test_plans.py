@@ -136,3 +136,38 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     assert joined.count() == plain.count()
     spark.sql("DROP TABLE IF EXISTS b_docs")
     spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+def test_decontamination_broadcasts_benchmark_set(spark):
+    """The benchmark shingle set must reach the corpus side as a
+    BroadcastHashJoin — a shuffled join here would re-shard the whole
+    corpus' posting list against an eval-suite-sized relation."""
+    from algoritmos_etl_spark.operators import corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    rest = docs.filter(F.col("doc_id") % 10 != 0)
+    plan = _plan(corpus.contamination_stats(rest, bench, k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_has_no_global_sort_window(spark):
+    """The token prefix-sum must run as per-bucket windows plus a
+    bucket-offset broadcast — an empty-partition-spec window over the
+    corpus would serialize the whole table through one task."""
+    from algoritmos_etl_spark.operators import corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(corpus.pack_sequences(docs, ctx_len=2048))
+    # every Window node must carry a partition spec except the one over
+    # the n_buckets-row offsets table (whose input is an Aggregate of
+    # at most 256 rows); detect the corpus-wide case: a Window whose
+    # partition list is empty AND that sits directly over the scan
+    import re
+
+    windows = re.findall(r"Window \[.*?\]", plan)
+    assert windows, "expected window nodes in the packing plan"
+    # offsets window is allowed; the per-doc cumsum must be partitioned
+    partitioned = [w for w in windows if "_bucket" in w]
+    assert partitioned, f"per-bucket cumsum window missing: {windows}"
