@@ -194,3 +194,42 @@ class TestPackingProperties:
             if r["doc_id"] < 50
         ]
         assert o1 == o2
+
+
+class TestLLMPipeline:
+    def test_end_to_end_composition(self, spark):
+        from algoritmos_etl_spark.plans.llm_pipeline import (
+            prepare_training_corpus,
+        )
+        from algoritmos_etl_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        bench = docs.filter(F.col("doc_id") % 10 == 0)
+        corpus_side = docs.filter(F.col("doc_id") % 10 != 0)
+        out = prepare_training_corpus(
+            corpus_side, bench, ctx_len=64, contamination_tau=0.5
+        )
+        tagged = out["documents"].cache()
+        packed = out["train_packed"]
+        n_kept = tagged.count()
+        assert 0 < n_kept < corpus_side.count()
+        # split covers every surviving doc, values from the fixed set
+        splits = {r["split"] for r in tagged.select("split").distinct().collect()}
+        assert splits <= {"train", "valid", "test"}
+        # no near-exact copies of benchmark docs survive: every kept doc
+        # is below the contamination threshold by construction
+        from algoritmos_etl_spark.operators.corpus import contamination_stats
+
+        resid = (
+            contamination_stats(tagged, bench, min_overlap=0.5)
+            .filter(F.col("contaminated"))
+            .count()
+        )
+        assert resid == 0
+        # packing covers exactly the train split
+        n_train = tagged.filter(F.col("split") == "train").count()
+        assert packed.count() == n_train
+        total_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
+        max_pack = packed.agg(F.max("pack_last")).collect()[0][0]
+        assert max_pack == (total_tokens - 1) // 64
+        tagged.unpersist()
