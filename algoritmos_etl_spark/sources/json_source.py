@@ -162,3 +162,25 @@ def fetch_multiple(
             f"failures: {sorted(errors)}"
         )
     return payloads
+
+
+def urllib_fetch(url: str, timeout: float = 10.0) -> str:
+    """The default REAL transport: stdlib urllib GET returning the
+    decoded response body. Socket timeouts surface as
+    `URLError('timed out')`, which `fetch_with_retry` classifies as
+    retryable; HTTP error statuses raise immediately (HTTPError), the
+    reference's non-retryable class (`etl/data_fetcher.py:110-121`).
+
+    Injected as `fetch=urllib_fetch` into `fetch_with_retry` /
+    `fetch_multiple`; tests drive it against a localhost http.server,
+    production callers against their API — the policy code never
+    changes.
+    """
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, headers={"User-Agent": "algoritmos-etl-spark/1.0"}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        charset = resp.headers.get_content_charset() or "utf-8"
+        return resp.read().decode(charset)

@@ -7,6 +7,7 @@ import json
 
 import pytest
 
+from algoritmos_etl_spark.sources import json_source
 from algoritmos_etl_spark.sources.json_source import (
     assert_min_success,
     parse_chart_payloads,
@@ -143,3 +144,101 @@ def test_fetch_multiple_min_success_and_rate_limit():
     f2 = _FlakyFetch({u: [RuntimeError("HTTP error 500")] for u in urls.values()})
     with pytest.raises(ValueError, match="min_success|require"):
         fetch_multiple(f2, urls, min_success=1, sleep=lambda s: None)
+
+
+class TestRealTransport:
+    """urllib_fetch against a real localhost http.server: the live
+    S1/S2 acquisition path end-to-end — socket, retry-on-timeout,
+    rate-limit policy, then the cluster-side parse."""
+
+    @pytest.fixture()
+    def http_server(self):
+        import http.server
+        import json as _json
+        import threading
+        import time as _time
+
+        state = {"slow_hits": 0}
+
+        def payload(symbol):
+            return {
+                "chart": {
+                    "result": [
+                        {
+                            "meta": {"symbol": symbol},
+                            "timestamp": [1704153600, 1704240000],
+                            "indicators": {
+                                "quote": [
+                                    {
+                                        "open": [1.0, 2.0],
+                                        "high": [2.0, 3.0],
+                                        "low": [0.5, 1.5],
+                                        "close": [1.5, 2.5],
+                                        "volume": [100, 200],
+                                    }
+                                ]
+                            },
+                        }
+                    ],
+                    "error": None,
+                }
+            }
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                if self.path.startswith("/slow"):
+                    # first hit stalls past the client timeout; the
+                    # retry succeeds
+                    state["slow_hits"] += 1
+                    if state["slow_hits"] == 1:
+                        _time.sleep(1.2)
+                if self.path.startswith("/missing"):
+                    self.send_error(404)
+                    return
+                sym = self.path.rsplit("/", 1)[-1]
+                body = _json.dumps(payload(sym)).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}", state
+        srv.shutdown()
+
+    def test_fetch_retry_and_min_success_over_sockets(self, spark, http_server):
+        base, state = http_server
+        urls = {
+            "AAA": f"{base}/chart/AAA",
+            "SLO": f"{base}/slow/SLO",       # times out once, retried
+            "BAD": f"{base}/missing/BAD",    # 404 → tolerated failure
+        }
+        fetch = lambda url: json_source.urllib_fetch(url, timeout=0.5)
+        payloads = json_source.fetch_multiple(
+            fetch, urls, min_success=2, delay_seconds=0.0,
+            retry_delay=0.0, sleep=lambda s: None,
+        )
+        assert set(payloads) == {"AAA", "SLO"}
+        assert state["slow_hits"] == 2  # one timeout + one successful retry
+        # cluster-side parse of the fetched bodies
+        df = spark.read.schema(json_source.CHART_SCHEMA).json(
+            spark.sparkContext.parallelize(list(payloads.values()))
+        )
+        bars = json_source.parse_chart_payloads(df)
+        rows = bars.collect()
+        assert len(rows) == 4 and {r["symbol"] for r in rows} == {"AAA", "SLO"}
+
+    def test_min_success_violation_raises(self, http_server):
+        base, _ = http_server
+        fetch = lambda url: json_source.urllib_fetch(url, timeout=0.5)
+        with pytest.raises(ValueError, match="require"):
+            json_source.fetch_multiple(
+                fetch, {"BAD": f"{base}/missing/BAD"}, min_success=1,
+                delay_seconds=0.0, sleep=lambda s: None,
+            )
