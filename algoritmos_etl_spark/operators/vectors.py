@@ -125,8 +125,11 @@ def _plane_literal(plane_id: int, dim: int) -> list[float]:
 
 
 def _infer_dim(embeddings: DataFrame, col: str = "embedding") -> int:
-    """Vector dimensionality from one row (embeddings are fixed-width)."""
-    return embeddings.select(F.size(col).alias("d")).first().d
+    """Vector dimensionality from one row (embeddings are fixed-width);
+    0 for an empty relation (downstream Arrow stages never execute on
+    empty input, so 0 planes is a valid degenerate family)."""
+    row = embeddings.select(F.size(col).alias("d")).first()
+    return 0 if row is None else row.d
 
 
 def _literal_plane_dot(vec: Column, plane_id: int, dim: int) -> Column:

@@ -233,3 +233,19 @@ class TestLLMPipeline:
         max_pack = packed.agg(F.max("pack_last")).collect()[0][0]
         assert max_pack == (total_tokens - 1) // 64
         tagged.unpersist()
+
+
+class TestEdges:
+    def test_pack_empty_corpus(self, spark):
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert corpus.pack_sequences(empty, 128).count() == 0
+
+    def test_contamination_empty_benchmark(self, spark, docs):
+        bench = docs.filter(F.lit(False))
+        out = corpus.contamination_stats(docs, bench, k=3).collect()
+        # every doc with shingles appears, nothing is contaminated
+        assert len(out) == 5 and all(r["n_hit"] == 0 for r in out)
+
+    def test_vocab_topk_empty(self, spark):
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert corpus.vocab_topk(empty, 10).count() == 0

@@ -200,3 +200,16 @@ def test_ivf_written_index_probe_matches_inline(emb, spark, tmp_path):
     assert len(parts) >= 2
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_lsh_neardup_empty_and_single(spark):
+    """Bucket-local verification degenerates cleanly: no vectors → no
+    rows; one vector → no pairs (the per-bucket guard)."""
+    from algoritmos_etl_spark.operators import vectors
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert vectors.lsh_neardup_pairs(empty).count() == 0
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    assert vectors.lsh_neardup_pairs(one).count() == 0
