@@ -438,6 +438,13 @@ def q_risk(spark, sf_dir):
             F.lit(0).cast("long"),
         ).alias("total_windows"),
         F.sum("gap").cast("long").alias("total_gaps"),
+    ).filter(
+        # the population is symbols with >=1 VALID return pair — the
+        # oracle's `vols` CTE and analyze_portfolio_risk both derive
+        # the row-set (and the percentile thresholds!) from the rets
+        # relation, so a returns-free symbol (single bar, zero prices)
+        # must not dilute the threshold population either
+        F.col("n_returns") > 0
     )
     ups = flags.filter(F.col("up") == 1).select(
         "symbol", (F.col("rn") - 1).alias("pos")

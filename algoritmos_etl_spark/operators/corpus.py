@@ -130,23 +130,32 @@ def pack_sequences(
     cut every ctx_len tokens; a document may span several windows).
 
     The global token prefix-sum is computed WITHOUT a global sort:
-    documents land in one of `n_buckets` ordered buckets (the first two
-    hex digits of the md5 sort key prefix-order the key space), the
+    documents land in one of ~`n_buckets` ordered buckets (a hex PREFIX
+    of the md5 sort key, so bucket order is consistent with the global
+    key order; the count rounds to the nearest power of 16), the
     per-bucket cumulative sum runs partition-parallel, and only the
-    n_buckets-row bucket-total table passes through a single-partition
-    window before broadcasting back. At any corpus size the serial step
-    is O(n_buckets), not O(rows) — the textbook two-phase prefix sum.
+    bucket-total table passes through a single-partition window before
+    broadcasting back. At any corpus size the serial step is
+    O(#buckets), not O(rows) — the textbook two-phase prefix sum.
 
     Output per document: n_tokens (whitespace words), global
     token_start, pack_first/pack_last (window ids), n_packs_spanned.
     """
+    import math
+
+    # order-preserving bucketing requires a KEY PREFIX, so the bucket
+    # count is the nearest power of 16 (hex digits) to the request;
+    # capped at 16^4 so the offsets table stays trivially one-task
+    hex_len = min(4, max(1, round(math.log(max(n_buckets, 16), 16))))
     skey = _pack_sort_key(F.col("doc_id"))
     base = docs.select(
         "doc_id",
         F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
         skey.alias("_skey"),
-        F.conv(F.substring(skey, 1, 2), 16, 10).cast("int").alias("_bucket"),
-    )
+        F.conv(F.substring(skey, 1, hex_len), 16, 10)
+        .cast("long")
+        .alias("_bucket"),
+    ).localCheckpoint(eager=False)  # feeds the window branch AND totals
     in_bucket = Window.partitionBy("_bucket").orderBy("_skey", "doc_id")
     base = base.withColumn(
         "_cum_in_bucket", F.sum("n_tokens").over(in_bucket)
@@ -184,15 +193,18 @@ def pack_sequences(
 def pack_stats(packs: DataFrame, ctx_len: int = 2048) -> DataFrame:
     """Aggregate packing diagnostics from `pack_sequences` output:
     total windows, boundary-crossing docs, mean docs per window."""
+    total = F.coalesce(F.sum("n_tokens"), F.lit(0).cast("long"))
     return packs.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        (F.floor((F.sum("n_tokens") - 1) / F.lit(ctx_len)) + 1)
+        total.alias("total_tokens"),
+        F.when(total > 0, F.floor((total - 1) / F.lit(ctx_len)) + 1)
+        .otherwise(F.lit(0))
         .cast("long")
         .alias("n_windows"),
-        F.sum((F.col("n_packs_spanned") > 1).cast("long")).alias(
-            "n_boundary_docs"
-        ),
+        F.coalesce(
+            F.sum((F.col("n_packs_spanned") > 1).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("n_boundary_docs"),
     )
 
 

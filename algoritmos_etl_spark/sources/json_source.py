@@ -166,10 +166,13 @@ def fetch_multiple(
 
 def urllib_fetch(url: str, timeout: float = 10.0) -> str:
     """The default REAL transport: stdlib urllib GET returning the
-    decoded response body. Socket timeouts surface as
-    `URLError('timed out')`, which `fetch_with_retry` classifies as
-    retryable; HTTP error statuses raise immediately (HTTPError), the
-    reference's non-retryable class (`etl/data_fetcher.py:110-121`).
+    decoded response body. Timeouts surface as `URLError('timed out')`
+    for connect-phase failures and as `TimeoutError`/`socket.timeout`
+    for read-phase stalls — both carry a "timed out" message, which is
+    what `fetch_with_retry` classifies as retryable (catch both if
+    handling manually). HTTP error statuses raise immediately
+    (HTTPError), the reference's non-retryable class
+    (`etl/data_fetcher.py:110-121`).
 
     Injected as `fetch=urllib_fetch` into `fetch_with_retry` /
     `fetch_multiple`; tests drive it against a localhost http.server,

@@ -204,3 +204,48 @@ def test_risk_profile_fusion_matches_library_builders(spark):
         .join(gaps, "symbol", "left")
     ).select(*fused.columns)
     assert _rows(fused, "symbol") == _rows(composed, "symbol")
+
+
+def test_risk_profile_excludes_returnless_symbols(spark, tmp_path):
+    """A symbol with a single bar has no valid return pair: the oracle
+    derives the output row-set AND the percentile thresholds from the
+    returns relation, so the fused profile must exclude it entirely
+    (not emit volatility 0.0 and dilute p_low/p_high)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from algoritmos_etl_spark.driver_queries import REGISTRY
+
+    rows = []
+    eid = 0
+    # symbols 1..3: five days of events; symbol 99: ONE event only
+    for sym in (1, 2, 3):
+        for d in range(5):
+            rows.append(
+                (eid, pa.scalar(1704067200_000000 + d * 86400_000000,
+                                pa.timestamp("us")).as_py(),
+                 sym, "view", 100.0 + sym * d, "{}")
+            )
+            eid += 1
+    rows.append(
+        (eid, pa.scalar(1704067200_000000, pa.timestamp("us")).as_py(),
+         99, "view", 50.0, "{}")
+    )
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    sf_dir = str(tmp_path / "mini_sf")
+    import os
+
+    os.makedirs(sf_dir)
+    pq.write_table(table, f"{sf_dir}/events.parquet")
+    out = REGISTRY["risk_classification"].build(spark, sf_dir)
+    syms = {r["symbol"] for r in out.select("symbol").collect()}
+    assert syms == {1, 2, 3}  # symbol 99 has no return pair -> excluded
