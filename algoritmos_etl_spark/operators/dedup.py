@@ -497,6 +497,7 @@ def minhash_lsh_incremental(
     threshold: float = 0.2,
     k_shingle: int = 3,
     max_bucket_size: int | None = None,
+    max_batch_id_exclusive: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the new batch: each pair has at least
     one new doc; the other side is the indexed corpus or the batch
@@ -508,14 +509,26 @@ def minhash_lsh_incremental(
     `max_bucket_size` counts over corpus ∪ increment, matching what the
     full recompute would see. doc_ids must be globally unique across
     corpus and increment (the ingest contract).
+
+    `max_batch_id_exclusive` makes a REPLAYED streaming batch
+    idempotent: a foreachBatch caller passes its own batch_id so the
+    index reads exclude partitions `batch_id >= N` — without it, a
+    replay of batch N (crash after the index append, before the
+    checkpoint commit) would see its own rows already in the index and
+    double-count every new doc's shingles and bucket occupancy
+    (partition-discovered `batch_id` prunes at the directory level;
+    the base corpus is batch -1 and always included).
     """
     sh_new = _shingle_index(new_docs, k_shingle)
     bands_new = minhash_bands(
         _with_base_hash(sh_new).groupBy("doc_id").agg(*_minhash_aggs())
     ).localCheckpoint(eager=False)
-    bands_old = spark.read.parquet(f"{path}/bands").select(
-        "doc_id", "band", "band_sig"
-    )
+    bands_old = spark.read.parquet(f"{path}/bands")
+    if max_batch_id_exclusive is not None:
+        bands_old = bands_old.filter(
+            F.col("batch_id") < max_batch_id_exclusive
+        )
+    bands_old = bands_old.select("doc_id", "band", "band_sig")
     all_bands = bands_old.unionByName(bands_new)
     new_side = bands_new
     if max_bucket_size is not None:
@@ -542,10 +555,11 @@ def minhash_lsh_incremental(
         )
         .distinct()
     )
-    sh_all = (
-        spark.read.parquet(f"{path}/shingles")
-        .select("doc_id", "shingle")
-        .unionByName(sh_new.select("doc_id", "shingle"))
+    sh_old = spark.read.parquet(f"{path}/shingles")
+    if max_batch_id_exclusive is not None:
+        sh_old = sh_old.filter(F.col("batch_id") < max_batch_id_exclusive)
+    sh_all = sh_old.select("doc_id", "shingle").unionByName(
+        sh_new.select("doc_id", "shingle")
     )
     return _verify_jaccard(candidates, sh_all, threshold)
 

@@ -168,7 +168,10 @@ def decode_with_stats(docs: DataFrame) -> DataFrame:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# color type 3 (palette) deliberately ABSENT: its samples are palette
+# indices, not intensities — reporting them as pixel statistics would
+# be silently wrong, so paletted PNGs go to quarantine as unsupported
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -195,27 +198,34 @@ def decode_png(data: bytes) -> dict:
 
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(data):
-        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", chunk)
-        elif ctype == b"IDAT":
-            idat.append(chunk)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + crc
-    if ihdr is None or not idat:
-        raise ValueError("truncated PNG (missing IHDR/IDAT)")
-    width, height, depth, ctype_id, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or ctype_id not in _PNG_CHANNELS:
-        raise ValueError(
-            f"unsupported PNG variant (depth={depth} color={ctype_id} "
-            f"interlace={interlace})"
-        )
-    channels = _PNG_CHANNELS[ctype_id]
-    raw = zlib.decompress(b"".join(idat))
+    # truncated/corrupt streams raise struct.error / zlib.error deep in
+    # the chunk walk — normalize to the documented ValueError contract
+    try:
+        pos, ihdr, idat = 8, None, []
+        while pos + 8 <= len(data):
+            (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+            chunk = data[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", chunk)
+            elif ctype == b"IDAT":
+                idat.append(chunk)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if ihdr is None or not idat:
+            raise ValueError("truncated PNG (missing IHDR/IDAT)")
+        width, height, depth, ctype_id, _comp, _filt, interlace = ihdr
+        if depth != 8 or interlace != 0 or ctype_id not in _PNG_CHANNELS:
+            raise ValueError(
+                f"unsupported PNG variant (depth={depth} color={ctype_id} "
+                f"interlace={interlace})"
+            )
+        channels = _PNG_CHANNELS[ctype_id]
+        raw = zlib.decompress(b"".join(idat))
+    except ValueError:
+        raise
+    except (Exception,) as e:  # struct.error, zlib.error, slicing
+        raise ValueError(f"corrupt PNG stream: {e}") from e
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel payload does not match dimensions")

@@ -388,7 +388,10 @@ def text_quality(docs: DataFrame) -> DataFrame:
 
     cheap = docs.select(
         "doc_id",
-        F.col("text").alias("_text"),
+        # the JVM-side words array rides through Arrow so Python never
+        # re-tokenizes: one tokenizer definition (words_col), and NULL
+        # text arrives as None instead of crashing a .split
+        words.alias("_words"),
         F.length("text").alias("len_chars"),
         n_words.alias("n_words"),
         F.round(
@@ -427,9 +430,9 @@ def text_quality(docs: DataFrame) -> DataFrame:
         )
         > 0,
     )
-    passthrough = [c for c in cheap.columns if c != "_text"]
+    passthrough = [c for c in cheap.columns if c != "_words"]
     out_schema = ", ".join(
-        f"{name} {dtype}" for name, dtype in cheap.drop("_text").dtypes
+        f"{name} {dtype}" for name, dtype in cheap.drop("_words").dtypes
     ) + (
         ", top_2gram_frac double, dup_2gram_frac double,"
         " top_3gram_frac double, dup_3gram_frac double"
@@ -442,10 +445,8 @@ def text_quality(docs: DataFrame) -> DataFrame:
                 for n in (2, 3)
                 for kind in ("top", "dup")
             }
-            for t in pdf["_text"]:
-                # same token stream as words_col: trim spaces, split on
-                # the literal single space, drop empties
-                ws = [w for w in t.strip(" ").split(" ") if w]
+            for ws_arr in pdf["_words"]:
+                ws = [] if ws_arr is None else list(ws_arr)
                 for n in (2, 3):
                     top, dup = _repetition_py(ws, n)
                     cols[f"top_{n}gram_frac"].append(top)

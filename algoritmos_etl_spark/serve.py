@@ -108,7 +108,11 @@ class JsonApi:
     def report(self) -> dict:
         from .report import render_html_report
 
-        classified = volatility.analyze_portfolio_risk(self.bars)
+        # two consumers (risk table + histogram): one materialization,
+        # or the whole X4 pipeline executes twice per request
+        classified = volatility.analyze_portfolio_risk(
+            self.bars
+        ).localCheckpoint(eager=False)
         summary = volatility.risk_summary(
             classified.select("symbol", "volatility", "risk_class")
         )

@@ -56,7 +56,11 @@ def _default_driver_mem() -> str:
     if limit is None:
         return "32g"
     headroom = 4 << 30  # python workers + JVM native overhead
-    heap_gb = max(4, min(32, int(0.6 * max(limit - headroom, 0)) >> 30))
+    # no fixed floor: a floor above what the cgroup can hold would
+    # reintroduce the OOM-kill this function exists to avoid (e.g. a
+    # 4g -Xmx inside a 4.5 GiB limit); tiny containers get a tiny
+    # heap and degrade to GC pressure instead of a kernel kill
+    heap_gb = max(1, min(32, int(0.6 * max(limit - headroom, 0)) >> 30))
     return f"{heap_gb}g"
 
 

@@ -245,11 +245,12 @@ def streaming_neardup_against_index(
     watermark for this operator — cost per batch scales with |batch| +
     touched buckets (see `dedup.minhash_lsh_incremental`).
     Exactly-once: every sink write goes to a per-batch subdirectory
-    (`batch_id=N`, idempotent overwrite), so a batch replayed after a
-    crash rewrites its own directory instead of duplicating pair or
-    index rows. Readers see `batch_id` as a discovered partition column
-    on `{out,index}_path` datasets (the incremental lookup reads the
-    band/shingle columns by name, so the extra column is inert).
+    (`batch_id=N`, idempotent overwrite), AND the incremental lookup
+    excludes index partitions with `batch_id >= N` — so a batch
+    replayed after a crash recomputes against exactly the pre-batch
+    corpus (not its own half-written rows) and rewrites its own
+    directories with identical content. Readers see `batch_id` as a
+    discovered partition column on `{out,index}_path` datasets.
     """
     from ..operators import dedup as _dedup
 
@@ -261,6 +262,11 @@ def streaming_neardup_against_index(
         pairs = _dedup.minhash_lsh_incremental(
             spark, batch_df, index_path,
             threshold=threshold, max_bucket_size=max_bucket_size,
+            # exclude this batch's own (possibly half-written, crashed-
+            # run) index partitions: a replayed batch must compute
+            # against exactly the pre-batch corpus or its pair output
+            # and bucket counts differ from the original run
+            max_batch_id_exclusive=batch_id,
         )
         pairs.write.mode("overwrite").parquet(
             f"{out_path}/pairs/batch_id={batch_id}"

@@ -310,3 +310,59 @@ def test_streaming_neardup_against_index(tables, spark, tmp_path):
     bands = spark.read.parquet(f"{idx}/bands")
     assert {"batch_id", "band"} <= set(bands.columns)
     assert bands.select("batch_id").distinct().count() >= 2
+
+
+def test_neardup_replay_is_idempotent(tables, spark, tmp_path):
+    """A replayed micro-batch must compute against exactly the
+    pre-batch corpus: with the batch's own rows already landed in the
+    index (the crash-between-append-and-commit state), the
+    `max_batch_id_exclusive` read produces the SAME pairs as the
+    original run — without it, the batch's shingles count twice and
+    jaccard values shift."""
+    from algoritmos_etl_spark.operators import dedup
+
+    docs = tables["documents"].limit(120).localCheckpoint()
+    seed = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = str(tmp_path / "idx")
+    dedup.minhash_write_index(seed, idx)
+
+    first = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_incremental(
+                spark, batch, idx, max_bucket_size=100,
+                max_batch_id_exclusive=0,
+            ).collect(),
+        )
+    )
+    # land the batch's own index rows, as the crashed run would have
+    sh = dedup.doc_shingles(batch, 3)
+    bands = dedup.minhash_bands(
+        dedup._with_base_hash(sh).groupBy("doc_id").agg(*dedup._minhash_aggs())
+    )
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        f"{idx}/bands/batch_id=0"
+    )
+    sh.write.mode("overwrite").parquet(f"{idx}/shingles/batch_id=0")
+
+    replay = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_incremental(
+                spark, batch, idx, max_bucket_size=100,
+                max_batch_id_exclusive=0,
+            ).collect(),
+        )
+    )
+    assert replay == first and len(first) > 0
+    # and the unguarded read really does diverge (the bug this guards)
+    unguarded = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_incremental(
+                spark, batch, idx, max_bucket_size=100,
+            ).collect(),
+        )
+    )
+    assert unguarded != first

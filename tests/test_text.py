@@ -168,3 +168,16 @@ def test_fused_bundle_matches_relational_repetition(tables):
     for doc_id, row in rel.items():
         for c in cols:
             assert fused[doc_id][c] == row[c], (doc_id, c)
+
+
+def test_text_quality_tolerates_null_text(spark):
+    """NULL text (normal in crawled corpora) must yield a row, not
+    crash the Arrow stage: repetition fractions fall back to 0.0 like
+    the relational twin's explode-of-null semantics."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in text.text_quality(docs).collect()}
+    assert rows[2]["top_2gram_frac"] == 0.0
+    assert rows[2]["dup_3gram_frac"] == 0.0
+    assert rows[1]["top_2gram_frac"] > 0.0
