@@ -249,3 +249,23 @@ class TestEdges:
     def test_vocab_topk_empty(self, spark):
         empty = spark.createDataFrame([], "doc_id long, text string")
         assert corpus.vocab_topk(empty, 10).count() == 0
+
+
+    def test_bucket_count_preserves_global_order(self, spark):
+        """hex-prefix bucketing at any supported n_buckets must produce
+        the identical global order (bucket id is an order-preserving
+        prefix of the sort key)."""
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * (i % 5 + 1))) for i in range(150)],
+            ["doc_id", "text"],
+        )
+        base = {
+            r["doc_id"]: r["token_start"]
+            for r in corpus.pack_sequences(docs, 16, n_buckets=256).collect()
+        }
+        for nb in (16, 4096):
+            got = {
+                r["doc_id"]: r["token_start"]
+                for r in corpus.pack_sequences(docs, 16, n_buckets=nb).collect()
+            }
+            assert got == base, f"n_buckets={nb} changed the global order"
