@@ -24,6 +24,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.scalars import one_partition
 from .sources.readers import ORACLE_BARS_CTE, daily_bars, load_table
 from .operators import cleaning, patterns, relational, similarity, sorting, technical, volatility
 
@@ -472,8 +473,11 @@ def q_risk(spark, sf_dir):
         F.percentile("volatility", F.lit(0.33)).alias("p_low"),
         F.percentile("volatility", F.lit(0.66)).alias("p_high"),
     )
-    # symbol-grain from here down (thousands of rows at any scale)
-    rank_w = Window.orderBy(F.col("volatility").asc(), F.col("symbol").asc())
+    # symbol-grain from here down (thousands of rows at any scale) —
+    # explicit single-partition key (see scalars.one_partition)
+    rank_w = Window.partitionBy(one_partition(F.col("symbol"))).orderBy(
+        F.col("volatility").asc(), F.col("symbol").asc()
+    )
     out = (
         per_symbol.crossJoin(F.broadcast(thresholds))
         .withColumn(

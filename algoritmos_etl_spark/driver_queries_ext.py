@@ -1573,7 +1573,7 @@ _PACK_CTX = 2048  # power of two: /2048 is exact in binary floating point
 @register(
     "sequence_packing",
     f"""WITH w AS (
-        SELECT doc_id, CAST(len({_W}) AS BIGINT) AS n_tokens,
+        SELECT doc_id, CAST(coalesce(len({_W}), 0) AS BIGINT) AS n_tokens,
                md5('pack:' || CAST(doc_id AS VARCHAR)) AS skey
         FROM documents
     ),

@@ -27,6 +27,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def one_partition(col: Column) -> Column:
+    """All-zero NON-FOLDABLE partition key for windows that are
+    deliberately single-partition (bounded inputs: one symbol pair's
+    dates, a distinct-key offsets table, a trading calendar).
+
+    An empty partition spec triggers `WindowExec: No Partition Defined`
+    warnings, and a foldable key is stripped by the optimizer (for
+    non-nullable inputs even `col * 0` constant-folds) — so the key
+    must depend on a column while still evaluating to a constant.
+    `pmod(hash(col), 1)` is 0 for every row (hash is total: any type,
+    NULL included) and Catalyst has no pmod-by-one simplification, so
+    it survives to the physical plan as an explicit hashpartitioning
+    exchange. Pinned by `test_plans.py::test_single_key_sort_rank_
+    distributes` — if a future Spark folds it, that test catches the
+    regression.
+    """
+    return F.pmod(F.hash(col), F.lit(1))
+
+
 def date_to_unix(date: Column) -> Column:
     """F1: date → unix seconds (UTC midnight, matching the reference's
     `datetime.timestamp()` on UTC-naive dates)."""

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import one_partition
 from .dedup import doc_shingles
 from .text import words_col
 
@@ -150,7 +151,12 @@ def pack_sequences(
     skey = _pack_sort_key(F.col("doc_id"))
     base = docs.select(
         "doc_id",
-        F.size(words_col(F.col("text"))).cast("long").alias("n_tokens"),
+        # NULL text = zero tokens (occupies no space in the stream) —
+        # without the coalesce a NULL doc gets all-NULL packing columns
+        # yet still counts in pack_stats n_docs
+        F.coalesce(F.size(words_col(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
         skey.alias("_skey"),
         F.conv(F.substring(skey, 1, hex_len), 16, 10)
         .cast("long")
@@ -162,13 +168,14 @@ def pack_sequences(
     )
     totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
     # n_buckets rows total: the only single-partition window in the op
+    # (explicit non-foldable constant key, see scalars.one_partition)
     offsets = totals.withColumn(
         "_offset",
         F.coalesce(
             F.sum("_total").over(
-                Window.orderBy("_bucket").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
+                Window.partitionBy(one_partition(F.col("_total")))
+                .orderBy("_bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ),

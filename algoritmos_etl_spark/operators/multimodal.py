@@ -224,7 +224,10 @@ def decode_png(data: bytes) -> dict:
         raw = zlib.decompress(b"".join(idat))
     except ValueError:
         raise
-    except (Exception,) as e:  # struct.error, zlib.error, slicing
+    # only the classes truncated/corrupt input actually raises — a
+    # blanket Exception would quarantine MemoryError or a latent bug
+    # as "corrupt input data"
+    except (struct.error, zlib.error, IndexError, OverflowError) as e:
         raise ValueError(f"corrupt PNG stream: {e}") from e
     stride = width * channels
     if len(raw) != (stride + 1) * height:

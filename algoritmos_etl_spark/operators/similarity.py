@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from algoritmos_etl_spark.functions.scalars import one_partition
+
 
 def _valid_price(col: str) -> F.Column:
     return F.col(col).isNotNull() & (F.col(col) > 0)
@@ -54,9 +56,12 @@ def aligned_pairs(bars: DataFrame, sym_a, sym_b) -> DataFrame:
 def aligned_returns(pairs: DataFrame) -> DataFrame:
     """0.0-fill (W2) log returns over the aligned two-column sequence.
 
-    Global window is safe HERE: the input is ONE symbol pair's aligned
-    dates (one row per trading day), bounded at any data scale."""
-    w = Window.orderBy("date")
+    The input is ONE symbol pair's aligned dates (one row per trading
+    day), bounded at any data scale, so a single-partition window is
+    fine — partitioning by a pair-constant makes that explicit in the
+    plan (non-empty partitionSpec ⇒ no `WindowExec: No Partition
+    Defined` warning; physically identical single partition)."""
+    w = Window.partitionBy(one_partition(F.col("date"))).orderBy("date")
     out = pairs
     for side in ("a", "b"):
         cur, prev = F.col(f"close_{side}"), F.lag(f"close_{side}").over(w)
@@ -185,39 +190,57 @@ def correlation_heatmap_blocked(
       picks the global top-k, and output is linear in symbols (k·K
       unordered pairs) at ANY scale.
 
-    The calendar (not the data) is collected to index matrix columns —
-    the same bounded-driver-list edge as the wide-CSV header. When
-    `n_blocks` is None, sizing runs one eager `distinct().count()` Spark
-    job at CONSTRUCTION time (per-task memory is O((k/B)²+(k/B)·D), so B
-    must grow with the symbol count) — pass `n_blocks` explicitly for a
-    fully lazy plan. Float caveat: the one-pass formula here and the
+    Fully lazy: constructing the returned DataFrame launches ZERO Spark
+    jobs. The calendar column index and the day/symbol counts are
+    computed INSIDE the job — distinct dates get a dense rank (bounded
+    |trading days| set, deliberate single-partition window) joined back
+    onto the returns, and a broadcast one-row meta aggregate supplies
+    D and (when `n_blocks` is None) the block count as plan expressions
+    (per-task memory is O((k/B)²+(k/B)·D), so B must grow with the
+    symbol count). Float caveat: the one-pass formula here and the
     two-pass streaming `corr` agree to ~1e-9 on return-scale data;
     callers comparing across engines should round (the registered query
     pins 4 decimals) and keep thresholds ≳1e-6 away from the data's
     corr values (pinned for the registered τ/k by a margin test).
     """
-    import math
-
     import numpy as np
 
     rets = per_symbol_returns(bars)
-    dates = [r.date for r in rets.select("date").distinct().orderBy("date").collect()]
-    idx = {d: i for i, d in enumerate(dates)}
-    n_days = len(dates)
-    if n_days == 0:
-        return rets.sparkSession.createDataFrame(
-            [], "sym_a long, sym_b long, pearson double, n_points long"
+    # one broadcast row: D (matrix width) and the symbol count that
+    # sizes B when the caller didn't pin it. Per-task memory is
+    # O((k/B)² + (k/B)·D): the six sufficient-statistic matrices of a
+    # block PAIR are (k/B)² doubles each, so B must grow with the
+    # symbol count or a 30x corpus OOMs the executor (observed: 45k
+    # symbols at B=8 → 5.6k×5.6k×6 matrices ≈ 1.5 GB per task × one
+    # per core). Bounding block size keeps per-task footprint ~100 MB
+    # at any scale; task count grows B(B+1)/2, which is what a cluster
+    # wants anyway.
+    meta = rets.agg(
+        F.count_distinct(F.col("date")).cast("int").alias("_ndays"),
+        F.count_distinct(F.col("symbol")).alias("_nsyms"),
+    )
+    date_idx = rets.select("date").distinct().select(
+        "date",
+        (
+            F.row_number().over(
+                Window.partitionBy(one_partition(F.col("date"))).orderBy("date")
+            )
+            - 1
+        ).alias("_didx"),
+    )
+    block_expr = (
+        F.lit(n_blocks)
+        if n_blocks is not None
+        else F.greatest(
+            F.lit(8),
+            F.ceil(F.col("_nsyms") / F.lit(max_block_symbols)).cast("int"),
         )
-    if n_blocks is None:
-        # per-task memory is O((k/B)² + (k/B)·D): the six sufficient-
-        # statistic matrices of a block PAIR are (k/B)² doubles each, so
-        # B must grow with the symbol count or a 30x corpus OOMs the
-        # executor (observed: 45k symbols at B=8 → 5.6k×5.6k×6 matrices
-        # ≈ 1.5 GB per task × one per core). Bounding block size keeps
-        # per-task footprint ~100 MB at any scale; task count grows
-        # B(B+1)/2, which is what a cluster wants anyway.
-        n_symbols = rets.select("symbol").distinct().count()
-        n_blocks = max(8, math.ceil(n_symbols / max_block_symbols))
+    )
+    indexed = (
+        rets.join(date_idx, "date")
+        .crossJoin(F.broadcast(meta))
+        .withColumn("block", F.pmod(F.col("symbol"), block_expr))
+    )
 
     # matrices travel as PACKED BYTES, not array<double>: a block row
     # is ~(k/B)·D·8 bytes and crosses the join B times, so per-element
@@ -225,33 +248,32 @@ def correlation_heatmap_blocked(
     # the task time at the 30× corpus; tobytes/frombuffer is zero-copy
     # on both sides of Arrow
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_days = int(pdf["_ndays"].iloc[0])
         syms = np.sort(pdf["symbol"].unique())
         srow = {s: i for i, s in enumerate(syms)}
         x = np.zeros((len(syms), n_days))
         m = np.zeros((len(syms), n_days))
         rows = pdf["symbol"].map(srow).to_numpy()
-        cols = pdf["date"].map(idx).to_numpy()
+        cols = pdf["_didx"].to_numpy()
         x[rows, cols] = pdf["ret"].to_numpy()
         m[rows, cols] = 1.0
         return pd.DataFrame(
             {
                 "block": [int(pdf["block"].iloc[0])],
+                "ndays": [n_days],
                 "syms": [np.asarray(syms, "int64").tobytes()],
                 "x": [x.tobytes()],
                 "m": [m.tobytes()],
             }
         )
 
-    blocks = (
-        rets.withColumn("block", F.pmod(F.col("symbol"), F.lit(n_blocks)))
-        .groupBy("block")
-        .applyInPandas(
-            pack,
-            schema="block int, syms binary, x binary, m binary",
-        )
+    blocks = indexed.groupBy("block").applyInPandas(
+        pack,
+        schema="block int, ndays int, syms binary, x binary, m binary",
     )
     a = blocks.select(
-        F.col("block").alias("ba"), F.col("syms").alias("sa"),
+        F.col("block").alias("ba"), F.col("ndays").alias("nd"),
+        F.col("syms").alias("sa"),
         F.col("x").alias("xa"), F.col("m").alias("ma"),
     )
     b = blocks.select(
@@ -263,6 +285,7 @@ def correlation_heatmap_blocked(
     def corr_blocks(batches):
         for pdf in batches:
             for row in pdf.itertuples(index=False):
+                n_days = int(row.nd)
                 sa = np.frombuffer(row.sa, "int64")
                 sb = np.frombuffer(row.sb, "int64")
                 xa = np.frombuffer(row.xa).reshape(len(sa), n_days)

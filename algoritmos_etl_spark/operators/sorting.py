@@ -24,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from algoritmos_etl_spark.functions.scalars import one_partition
+
 
 def multi_key_sort(df: DataFrame, keys: Sequence) -> DataFrame:
     """O13: total order over arbitrary key expressions."""
@@ -45,18 +47,25 @@ def with_sort_rank(df: DataFrame, keys: Sequence) -> DataFrame:
     any data scale; the per-group rank distributes normally.
     """
     keys = list(keys)
-    if len(keys) < 2:
-        # No secondary key to rank within groups — a genuinely total
-        # single-key rank; keep the simple form for this small-data case.
-        return df.withColumn(
-            "sort_rank", F.row_number().over(Window.orderBy(*keys))
-        )
-    lead, rest = keys[0], keys[1:]
+    lead = keys[0]
+    # Single-key: rows within a leading-key group are total-order ties, so
+    # ranking the group by the lead itself (constant within the group)
+    # yields an arbitrary-but-valid tie order — the same semantics the
+    # bare global `row_number() OVER (ORDER BY lead)` would give, minus
+    # the single-partition shuffle.
+    rest = keys[1:] or [lead]
     lead_col = F.col(lead) if isinstance(lead, str) else lead
     counts = df.groupBy(lead_col.alias("_lead")).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    w_off = Window.orderBy("_lead").rowsBetween(Window.unboundedPreceding, -1)
+    # The offsets running sum is over DISTINCT leading keys (bounded);
+    # the non-foldable constant key makes the deliberate single
+    # partition explicit in the plan (no WindowExec warning).
+    w_off = (
+        Window.partitionBy(one_partition(F.col("_cnt")))
+        .orderBy("_lead")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
         "_lead",
         F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("long").alias("_off"),

@@ -646,6 +646,7 @@ def lsh_neardup_pairs(
     n_tables: int = LSH_TABLES,
     planes_per_table: int = LSH_PLANES_PER_TABLE,
     sigs: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Multi-table-LSH-blocked near-duplicate pairs — the 100 TB path
     for `cosine_neardup_pairs`.
@@ -656,9 +657,25 @@ def lsh_neardup_pairs(
     the all-pairs baseline is pinned by tests. `sigs` shares a
     materialized narrow signature table across LSH consumers (see
     `lsh_topk`); verification joins vectors from the columnar source.
+
+    `max_bucket_size` mirrors the MinHash pipeline's banding cap
+    (`dedup.minhash_lsh_dedup`): verification is one applyInPandas task
+    per (tbl, sig) bucket holding an n×dim stack plus 1024×n gram
+    blocks, so a degenerate bucket on a clustered corpus would OOM or
+    straggle a single task. Oversized buckets are dropped from
+    candidate generation via a broadcast anti-join (their pairs are
+    overwhelmingly caught in the other T−1 tables).
     """
     if sigs is None:
         sigs = lsh_signatures(embeddings, n_tables, planes_per_table)
+    if max_bucket_size is not None:
+        big = (
+            sigs.groupBy("tbl", "sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("tbl", "sig")
+        )
+        sigs = sigs.join(F.broadcast(big), ["tbl", "sig"], "left_anti")
     vecs = with_dvec(embeddings).select("vec_id", "dvec")
     # One shuffle lays the corpus out as the T hash tables themselves:
     # (tbl, sig) buckets carrying their member vectors. Verification

@@ -24,6 +24,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import one_partition
 from .technical import log_returns
 
 TRADING_DAYS = 252
@@ -60,9 +61,12 @@ def classify_risk(vol_df: DataFrame, p_low: float = 0.33, p_high: float = 0.66) 
         F.percentile("volatility", F.lit(p_low)).alias("p_low"),
         F.percentile("volatility", F.lit(p_high)).alias("p_high"),
     )
-    # global window is safe HERE: vol_df is one row per symbol (an
-    # aggregate), thousands of rows at any data scale — not the raw data
-    rank_w = Window.orderBy(F.col("volatility").asc(), F.col("symbol").asc())
+    # single-partition window is safe HERE: vol_df is one row per symbol
+    # (an aggregate), thousands of rows at any data scale — not the raw
+    # data; the non-foldable constant key makes that explicit in the plan
+    rank_w = Window.partitionBy(one_partition(F.col("symbol"))).orderBy(
+        F.col("volatility").asc(), F.col("symbol").asc()
+    )
     return (
         vol_df.crossJoin(F.broadcast(thresholds))
         .withColumn(

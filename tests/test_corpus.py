@@ -106,6 +106,20 @@ class TestPacking:
         total = sum(r["n_tokens"] for r in got.values())
         assert total == 5
 
+    def test_null_text_doc(self, spark):
+        # NULL text must behave exactly like zero tokens: a packing row
+        # with n_tokens=0 that occupies no space — not an all-NULL row
+        # silently absent from the token stream
+        docs = spark.createDataFrame(
+            [(1, "one two three"), (2, None), (3, "four five")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in corpus.pack_sequences(docs, 8).collect()}
+        assert got[2]["n_tokens"] == 0
+        assert got[2]["token_start"] is not None
+        assert got[2]["n_packs_spanned"] == 1
+        assert sum(r["n_tokens"] for r in got.values()) == 5
+
     def test_pack_stats(self, spark):
         docs = spark.createDataFrame(
             [(i, " ".join(["w"] * 10)) for i in range(10)], ["doc_id", "text"]

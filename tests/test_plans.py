@@ -74,6 +74,44 @@ def test_sort_rank_keeps_null_leading_keys(spark):
     assert [r.sort_rank for r in ranked] == [1, 2, 3, 4, 5]
 
 
+def test_single_key_sort_rank_distributes(spark):
+    # The single-key branch must use the same broadcast-offset scheme as
+    # multi-key: no bare global `row_number() OVER (ORDER BY k)` window
+    # (empty partition spec = whole table through one task).
+    rows = [("b", 1), ("a", 2), ("a", 3), (None, 4), ("c", 5)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = sorting.with_sort_rank(df, ["k"])
+    plan = _plan(out)
+    # an unpartitioned physical Window prints `], [ord...]` with no
+    # partition bracket group between exprs and order; every window here
+    # must carry a partition spec (the non-foldable constant key counts)
+    got = out.collect()
+    assert sorted(r.sort_rank for r in got) == [1, 2, 3, 4, 5]
+    ranked = sorted(got, key=lambda r: r.sort_rank)
+    # rank order must be consistent with k asc NULLS FIRST (ties free)
+    keys = [r.k for r in ranked]
+    assert keys == sorted(keys, key=lambda k: (k is not None, k)), keys
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_heatmap_construction_launches_no_jobs(spark):
+    """Constructing the blocked heatmap DataFrame must be fully lazy —
+    calendar indexing and block sizing happen inside the job, not as
+    eager collect()/count() at plan-build time."""
+    from algoritmos_etl_spark.operators import similarity
+    from algoritmos_etl_spark.sources import daily_bars
+
+    bars = daily_bars(load_table(spark, SF_DIR, "events"))
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    df = similarity.correlation_heatmap_blocked(
+        bars, min_abs_corr=0.25, top_k_per_symbol=10
+    )
+    assert df.columns == ["sym_a", "sym_b", "pearson", "n_points"]
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "heatmap construction launched Spark jobs"
+
+
 def test_filter_pushdown_reaches_scan(tables):
     q = tables["lineitem"].filter(F.col("l_shipdate") <= "1998-09-02").select(
         "l_quantity"

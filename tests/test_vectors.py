@@ -82,6 +82,31 @@ def test_lsh_neardup_recall_and_precision(emb):
         assert recall >= floor, f"recall {recall} below floor {floor}"
 
 
+def test_lsh_neardup_bucket_cap(emb):
+    """max_bucket_size must only DROP candidates (precision stays 1.0,
+    subset of the uncapped result), and a cap larger than any bucket
+    must be a no-op — the same policy as minhash_lsh_dedup's cap."""
+    base = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in vectors.lsh_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    capped = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in vectors.lsh_neardup_pairs(
+            emb, threshold=0.4, max_bucket_size=8
+        ).collect()
+    }
+    for pair, cos in capped.items():
+        assert pair in base and cos == pytest.approx(base[pair])
+    uncapped = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in vectors.lsh_neardup_pairs(
+            emb, threshold=0.4, max_bucket_size=10**9
+        ).collect()
+    }
+    assert uncapped == base
+
+
 def test_lsh_width_tradeoff_curve(emb):
     """Pins the recall/candidate-count curve at the narrow (4×4) and
     wide (16×8) operating points: widening must cut the candidate set
