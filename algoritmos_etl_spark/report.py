@@ -1,19 +1,15 @@
-"""HTML report sink — the engine-side stand-in for the reference's PDF
-export (S7, `visualization/pdf_export.py:84-415` in the reference).
+"""HTML report sink — the browser-friendly twin of the PDF export
+(S7, `visualization/pdf_export.py:84-415` in the reference).
 
-The reference renders its risk-analysis and pattern-scan results into a
-PDF at `/export/pdf`. The equivalent capability here is the same
-RESULT DataFrames (X4 risk pipeline, X5 pattern bundle — both already
-registered, oracle-checked queries) rendered to a single standalone
-HTML document with zero new dependencies (stdlib `html` only). PDF
-generation needs a renderer the container doesn't ship; everything up
-to the final paint — the queries, the aggregation, the document
-structure — is real and tested, and an HTML→PDF printer can be pointed
-at this output unchanged.
+The same RESULT DataFrames (X4 risk pipeline, X5 pattern bundle —
+both registered, oracle-checked queries) rendered to a single
+standalone HTML document with zero new dependencies (stdlib `html`
+only). The real PDF paint lives in `pdf_report.py` (pure-stdlib PDF
+1.4 writer) at `/export/pdf`; this HTML form is served at
+`/export/report` for browsers.
 
-Serving: `serve.JsonApi` exposes it at `/export/report`. The inputs are
-bounded per-symbol aggregates (one row per asset), the same boundedness
-class as every other serving route.
+The inputs are bounded per-symbol aggregates (one row per asset), the
+same boundedness class as every other serving route.
 """
 
 from __future__ import annotations

@@ -1,9 +1,8 @@
 """Thin JSON API demo over the engine's result DataFrames (S6).
 
 Mirrors the reference's serving surface (`app.py:156-486`) route for
-route; the PDF export (S7) is served as a standalone HTML report from
-the same result DataFrames (see `report.py` — PDF painting itself
-needs a renderer the container doesn't ship):
+route; the PDF export (S7) is painted by the stdlib PDF writer in
+`pdf_report.py`, with an HTML twin of the same document in `report.py`:
 
     /api/symbols              — app.py:156-163
     /api/similarity?a=&b=     — app.py:166-319 (X3 bundle + DTW)
@@ -11,7 +10,8 @@ needs a renderer the container doesn't ship):
     /api/candlestick/<symbol> — app.py:360-406 (P8 tail + O15 stride)
     /api/patterns/<symbol>    — app.py:409-444 (W5/W6 scalars)
     /api/risk                 — app.py:447-486 (X4 pipeline)
-    /export/report            — S7 stand-in (visualization/pdf_export.py)
+    /export/pdf               — S7 (visualization/pdf_export.py)
+    /export/report            — S7 HTML twin
 
 This is deliberately a DEMO edge, not an app server: every route is a
 bounded result set (per-symbol scalars, top slices, one-row bundles)
@@ -102,14 +102,11 @@ class JsonApi:
         out = volatility.analyze_portfolio_risk(self.bars).orderBy("rank")
         return {"assets": _rows(out)}
 
-    # -- /export/report — S7 stand-in (reference /export/pdf,
-    # visualization/pdf_export.py): the same risk + patterns result
-    # DataFrames rendered to one standalone HTML document
-    def report(self) -> dict:
-        from .report import render_html_report
-
-        # two consumers (risk table + histogram): one materialization,
-        # or the whole X4 pipeline executes twice per request
+    def _report_inputs(self):
+        """The X4 risk + X5 pattern result DataFrames both report
+        renderers (HTML, PDF) consume. Two consumers of the risk
+        pipeline (table + histogram): one materialization, or the
+        whole X4 pipeline executes twice per request."""
         classified = volatility.analyze_portfolio_risk(
             self.bars
         ).localCheckpoint(eager=False)
@@ -119,9 +116,29 @@ class JsonApi:
         streaks = patterns.streak_stats(self.bars, 5)
         gaps = patterns.gap_stats(self.bars, 5)
         pats = streaks.join(gaps, "symbol", "left")
+        return classified, summary, pats
+
+    # -- /export/report — the same document as /export/pdf rendered to
+    # standalone HTML (browser-friendly twin)
+    def report(self) -> dict:
+        from .report import render_html_report
+
+        classified, summary, pats = self._report_inputs()
         return {
             "content_type": "text/html",
             "body": render_html_report(classified, summary, pats),
+        }
+
+    # -- /export/pdf — S7 (reference /export/pdf,
+    # visualization/pdf_export.py): risk + patterns results painted as
+    # a real PDF 1.4 byte stream by the stdlib writer in pdf_report.py
+    def pdf(self) -> dict:
+        from .pdf_report import render_pdf_report
+
+        classified, summary, pats = self._report_inputs()
+        return {
+            "content_type": "application/pdf",
+            "body": render_pdf_report(classified, summary, pats),
         }
 
     # ------------------------------------------------------------- routing
@@ -156,6 +173,8 @@ class JsonApi:
             return 200, self.risk()
         if path == "/export/report":
             return 200, self.report()
+        if path == "/export/pdf":
+            return 200, self.pdf()
         return 404, {"error": f"no route for {path}"}
 
 
@@ -173,7 +192,9 @@ def serve(api: JsonApi, port: int = 8000) -> None:
                 parsed.path, dict(parse_qsl(parsed.query))
             )
             if "content_type" in payload and "body" in payload:
-                ctype, body = payload["content_type"], payload["body"].encode()
+                ctype, body = payload["content_type"], payload["body"]
+                if isinstance(body, str):
+                    body = body.encode()
             else:
                 ctype, body = "application/json", json.dumps(payload).encode()
             self.send_response(status)
