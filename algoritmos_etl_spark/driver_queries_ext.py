@@ -398,6 +398,81 @@ def q_minhash(spark, sf_dir):
 
 
 @register(
+    "streaming_neardup",
+    # Union of per-micro-batch incremental outputs == full-batch LSH
+    # near-dup (no bucket cap) restricted to pairs with at least one
+    # increment doc (doc_id % 3 != 0); base-corpus-internal pairs are
+    # never re-emitted — that is the operator's contract.
+    f"""WITH {_MINHASH},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+        WHERE NOT (a.doc_id % 3 = 0 AND b.doc_id % 3 = 0)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cands c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+    FROM cands c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.2""",
+    "Streaming near-dup vs a standing LSH index: doc_id%3==0 is the "
+    "indexed base corpus (minhash_write_index at ingest); the rest "
+    "arrives as two file-source micro-batches driven through the real "
+    "foreachBatch stream (per-batch idempotent index appends, "
+    "streams.streaming_neardup_against_index). The returned pair table "
+    "is the union of per-batch outputs — every near-dup pair involving "
+    "an increment doc, each emitted exactly once (M8)",
+)
+def q_streaming_neardup(spark, sf_dir):
+    import tempfile
+
+    from .streaming import streams
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="streaming_neardup_")
+    base = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    dedup.minhash_write_index(base, f"{work}/index", k_shingle=3)
+    # two deterministic increments, one parquet file each → one
+    # micro-batch each under maxFilesPerTrigger=1 (the union result is
+    # batching-invariant, so file/batch assignment needn't be pinned)
+    for i in (1, 2):
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{work}/stage/b{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{work}/stage/b*")
+    )
+    streams.streaming_neardup_against_index(
+        stream, index_path=f"{work}/index", out_path=f"{work}/out",
+        threshold=0.2, max_bucket_size=None,
+    )
+    try:
+        pairs = spark.read.parquet(f"{work}/out/pairs")
+    except Exception:  # no batch emitted any pair → no directory
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, jaccard double"
+        )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
     "corpus_curation",
     f"""WITH wq AS (SELECT doc_id, {_W} AS ws FROM documents),
     stats AS (

@@ -90,6 +90,7 @@ HEADLINE = [
     "decontamination",
     "sequence_packing",
     "vocab_topk",
+    "streaming_neardup",
 ]
 
 DTW_SYMBOL_CAP = 100
