@@ -548,7 +548,10 @@ def q_streaming_neardup(spark, sf_dir):
 def q_corpus_curation(spark, sf_dir):
     from .plans.curation import curate_corpus
 
-    out = curate_corpus(load_table(spark, sf_dir, "documents"))
+    out = curate_corpus(
+        load_table(spark, sf_dir, "documents"),
+        shingles=_shingles(spark, sf_dir),
+    )
     return out.select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),

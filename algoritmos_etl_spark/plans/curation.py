@@ -36,6 +36,7 @@ def curate_corpus(
     neardup_threshold: float = 0.2,
     max_bucket_size: int | None = 100,
     max_dup_3gram_frac: float | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Surviving documents with their quality features.
 
@@ -46,6 +47,13 @@ def curate_corpus(
     verified pair is dropped via a left-anti join. Stats/lang are
     projection-only; the repetition gate adds one n-gram count shuffle
     over pre-dedup survivors — still upstream of the expensive stage.
+
+    `shingles` optionally supplies the corpus's materialized (doc_id,
+    shingle) relation (the standing `ngram_write_index` table at
+    cluster scale, the session shingle cache here): the dedup stage
+    then SEMI-JOINS it down to gate survivors instead of re-tokenizing
+    and re-hashing the surviving text — the survivor set is most of
+    the corpus, so skipping the second shingle pass matters at scale.
     """
     # stats and language are both per-row projections of the same docs
     # — one fused select, not a doc_id join of two projections (a join
@@ -62,8 +70,18 @@ def curate_corpus(
         )
         quality = quality.join(rep.select("doc_id"), "doc_id")
     fdocs = docs.join(quality.select("doc_id"), "doc_id")
+    # restrict a precomputed shingle table to survivors — dropping
+    # non-survivor rows is REQUIRED, not just an optimization: stale
+    # shingles would put dropped docs in buckets and their pairs could
+    # anti-join out surviving partners
+    fsh = (
+        shingles.join(quality.select("doc_id"), "doc_id", "left_semi")
+        if shingles is not None
+        else None
+    )
     pairs = dedup.minhash_lsh_dedup(
-        fdocs, threshold=neardup_threshold, max_bucket_size=max_bucket_size
+        fdocs, threshold=neardup_threshold, max_bucket_size=max_bucket_size,
+        shingles=fsh,
     )
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (

@@ -117,6 +117,11 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
+    # optional comma-separated subset for targeted scale spot-checks
+    # (e.g. SPARK_GRAFT_BENCH_ONLY=correlation_heatmap,dedup_minhash_lsh)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
+    run_dtw = only is None
     wall_t0 = time.perf_counter()
 
     def run_trials(build) -> list[float]:
@@ -129,18 +134,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = REGISTRY[name].build
         trials[name] = run_trials(lambda: fn(spark, sf_dir))
         timings[name] = round(statistics.median(trials[name]), 3)
 
-    # DTW on a capped symbol slice (see module docstring)
-    bars = daily_bars(load_table(spark, sf_dir, "events")).filter(
-        F.col("symbol") < DTW_SYMBOL_CAP
-    )
-    dtw_name = f"dtw_pairs_{DTW_SYMBOL_CAP}sym"
-    trials[dtw_name] = run_trials(lambda: similarity.dtw_pairs(bars))
-    timings[dtw_name] = round(statistics.median(trials[dtw_name]), 3)
+    if run_dtw:
+        # DTW on a capped symbol slice (see module docstring)
+        bars = daily_bars(load_table(spark, sf_dir, "events")).filter(
+            F.col("symbol") < DTW_SYMBOL_CAP
+        )
+        dtw_name = f"dtw_pairs_{DTW_SYMBOL_CAP}sym"
+        trials[dtw_name] = run_trials(lambda: similarity.dtw_pairs(bars))
+        timings[dtw_name] = round(statistics.median(trials[dtw_name]), 3)
 
     wall_clock = round(time.perf_counter() - wall_t0, 3)
     total = round(sum(timings.values()), 3)

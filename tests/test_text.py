@@ -80,6 +80,25 @@ def test_curation_drops_near_duplicates(spark):
     assert 0 in kept and 1 not in kept
 
 
+def test_curation_with_precomputed_shingles_equals_recompute(docs):
+    """Passing the corpus shingle table must change the plan (skip the
+    second shingle pass), never the result: the table is semi-joined
+    down to gate survivors before the dedup stage."""
+    from algoritmos_etl_spark.operators import dedup
+
+    base = {
+        (r.doc_id, r.n_words, r.stopword_ratio, r.pred_lang)
+        for r in curate_corpus(docs).collect()
+    }
+    reused = {
+        (r.doc_id, r.n_words, r.stopword_ratio, r.pred_lang)
+        for r in curate_corpus(
+            docs, shingles=dedup.doc_shingles(docs, k=3)
+        ).collect()
+    }
+    assert reused == base
+
+
 def test_repetition_stats_flags_looped_text(spark):
     rows = [
         (0, "spam ham " * 10),              # one bigram loop

@@ -67,14 +67,6 @@ KEY_SPACE = {
 SHARED_DIMS = ("region", "nation")
 
 
-def _key_extents(tables: dict[str, pa.Table]) -> dict[str, int]:
-    extents: dict[str, int] = {}
-    for space in set(KEY_SPACE.values()):
-        tname, cname = space.split(".")
-        extents[space] = pc.max(tables[tname][cname]).as_py() + 1
-    return extents
-
-
 def _mangle_text(texts: list[str], i: int) -> list[str]:
     if i == 0:
         return texts
@@ -121,13 +113,25 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, "testdata_sf1")
+    # optional comma-separated table subset (e.g. "events,documents")
+    # for targeted spot-checks at scales where the full corpus would be
+    # wasteful; key-space extents only need the subset's own tables
+    # because every subset table's keys are offset by its OWN extent
+    subset = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     os.makedirs(out_dir, exist_ok=True)
 
-    tables = {
-        t: pq.read_table(f"{SRC}/{t}.parquet")
-        for t in list(KEY_COLS) + list(SHARED_DIMS)
+    names = subset if subset else list(KEY_COLS) + list(SHARED_DIMS)
+    tables = {t: pq.read_table(f"{SRC}/{t}.parquet") for t in names}
+    extents = {
+        space: pc.max(tables[tname][cname]).as_py() + 1
+        for space in set(
+            KEY_SPACE[c]
+            for n in names
+            for c in KEY_COLS.get(n, ())
+        )
+        for tname, cname in [space.split(".")]
+        if tname in tables
     }
-    extents = _key_extents(tables)
     for name, table in tables.items():
         out = table if name in SHARED_DIMS else scale_table(name, table, k, extents)
         pq.write_table(out, f"{out_dir}/{name}.parquet")
