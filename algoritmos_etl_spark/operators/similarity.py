@@ -271,7 +271,20 @@ def correlation_heatmap_blocked(
         pack,
         schema="block int, ndays int, syms binary, x binary, m binary",
     )
-    a = blocks.select(
+    # The BLAS stage's parallelism is the a-side partition count of the
+    # broadcast-NL join: block rows are small in BYTES (~MB) but huge
+    # in downstream COMPUTE, so AQE's size-based partition coalescing
+    # starves the stage (measured 15-wide on 32 cores at the 100×
+    # corpus, with a straggler). An explicit-numPartitions repartition
+    # is exempt from AQE coalescing and hash-averages the triangle
+    # skew (block i pairs with B−i partners) across cores; it only
+    # moves the B block rows, not pair rows. The b-side is broadcast
+    # explicitly — at B blocks that is B×(k/B)×D×16 bytes ≈ the packed
+    # returns matrix itself, fine into the hundreds of MB; a corpus
+    # wide enough to break the broadcast is already an O(B²) all-pairs
+    # job that belongs on the kNN/thresholded emission path anyway.
+    n_par = bars.sparkSession.sparkContext.defaultParallelism
+    a = blocks.repartition(n_par, "block").select(
         F.col("block").alias("ba"), F.col("ndays").alias("nd"),
         F.col("syms").alias("sa"),
         F.col("x").alias("xa"), F.col("m").alias("ma"),
@@ -280,7 +293,7 @@ def correlation_heatmap_blocked(
         F.col("block").alias("bb"), F.col("syms").alias("sb"),
         F.col("x").alias("xb"), F.col("m").alias("mb"),
     )
-    joined = a.join(b, F.col("ba") <= F.col("bb"))
+    joined = a.join(F.broadcast(b), F.col("ba") <= F.col("bb"))
 
     def corr_blocks(batches):
         for pdf in batches:
