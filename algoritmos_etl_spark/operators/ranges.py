@@ -39,7 +39,13 @@ def interval_join(
     p = points.withColumn(
         "_bucket", F.floor(F.col(point_time) / F.lit(bucket_width))
     )
-    iv = intervals.withColumn(
+    # rename the key on the interval side: points and intervals often
+    # descend from the SAME source relation (e.g. events → sessions),
+    # and `p[by] == iv[by]` then compares one attribute with itself —
+    # Spark disambiguates via dataset ids but warns ("trivially true
+    # equals predicate"); the rename makes the join unambiguous by
+    # construction
+    iv = intervals.withColumnRenamed(by, "_iv_by").withColumn(
         "_bucket",
         F.explode(
             F.sequence(
@@ -50,16 +56,16 @@ def interval_join(
             )
         ),
     )
-    on = [p[by] == iv[by], p["_bucket"] == iv["_bucket"]]
+    on = [p[by] == iv["_iv_by"], p["_bucket"] == iv["_bucket"]]
     cond = (p[point_time] >= iv[start]) & (p[point_time] < iv[end])
     if how == "inner":
         joined = p.join(iv, on).filter(cond)
-        return joined.drop(iv[by]).drop(p["_bucket"]).drop(iv["_bucket"])
+        return joined.drop(iv["_iv_by"]).drop(p["_bucket"]).drop(iv["_bucket"])
     if how == "left":
         matched = (
             p.join(iv, on)
             .filter(cond)
-            .drop(iv[by])
+            .drop(iv["_iv_by"])
             .drop(p["_bucket"])
             .drop(iv["_bucket"])
         )
