@@ -1709,6 +1709,75 @@ def q_sequence_packing(spark, sf_dir):
     )
 
 
+@register(
+    "pii_redaction",
+    # chained global regexp_replace, URL → EMAIL → IPV4 → PHONE; each
+    # step counts matches on the PREVIOUS step's text (= replacements
+    # actually performed). Patterns live in text.py and are RE2 ∩ Java
+    # (no backrefs/lookaround) so both engines see identical spans.
+    f"""WITH s1 AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{text.PII_URL}')) AS BIGINT) AS c1,
+               regexp_replace(text, '{text.PII_URL}', '<URL>', 'g') AS t
+        FROM documents
+    ),
+    s2 AS (
+        SELECT doc_id, c1,
+               CAST(len(regexp_extract_all(t, '{text.PII_EMAIL}')) AS BIGINT) AS c2,
+               regexp_replace(t, '{text.PII_EMAIL}', '<EMAIL>', 'g') AS t
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, c1, c2,
+               CAST(len(regexp_extract_all(t, '{text.PII_IPV4}')) AS BIGINT) AS c3,
+               regexp_replace(t, '{text.PII_IPV4}', '<IP>', 'g') AS t
+        FROM s2
+    ),
+    s4 AS (
+        SELECT doc_id, c1, c2, c3,
+               CAST(len(regexp_extract_all(t, '{text.PII_PHONE}')) AS BIGINT) AS c4,
+               regexp_replace(t, '{text.PII_PHONE}', '<PHONE>', 'g') AS t
+        FROM s3
+    )
+    SELECT doc_id, t AS clean_text, c1 + c2 + c3 + c4 AS n_redacted
+    FROM s4""",
+    "PII redaction: the action twin of pii_stats — every email/URL/IPv4/"
+    "phone span replaced by a typed placeholder in a fixed order (URL "
+    "first so narrower patterns never bite its substrings), counted on "
+    "the original text. One JVM-regex projection pass, no shuffle (M8)",
+)
+def q_pii_redaction(spark, sf_dir):
+    return text.pii_redact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_mixture",
+    f"""WITH w AS (
+        SELECT source, lang, CAST(len({_W}) AS BIGINT) AS n_words,
+               md5({_NORM}) AS fp
+        FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           round(avg(n_words), 6) AS mean_words,
+           CAST(min(n_words) AS BIGINT) AS min_words,
+           CAST(max(n_words) AS BIGINT) AS max_words,
+           round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+               AS dup_rate
+    FROM w GROUP BY 1, 2""",
+    "Per-(source, lang) mixture report: doc/token mass, length moments, "
+    "exact-dup rate (distinct md5 fingerprints vs docs) — the table a "
+    "pretraining run reads to set mixture weights and spot a source gone "
+    "bad. One projection + one partial-agg shuffle on a bounded stratum "
+    "key (M8)",
+)
+def q_corpus_mixture(spark, sf_dir):
+    from .operators import corpus
+
+    return corpus.mixture_profile(load_table(spark, sf_dir, "documents"))
+
+
 _VOCAB_K = 200
 
 

@@ -215,6 +215,53 @@ def pack_stats(packs: DataFrame, ctx_len: int = 2048) -> DataFrame:
     )
 
 
+def mixture_profile(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) corpus mixture report — the table a
+    pretraining run reads to set mixture weights and spot a source
+    gone bad: document and token mass, length moments, and the
+    exact-duplicate rate within the stratum (distinct md5 fingerprints
+    of normalized text vs docs).
+
+    One projection + one partially-aggregated shuffle on the
+    (source, lang) key; the distinct-fingerprint count rides the same
+    shuffle as a two-level aggregate. Stratum count is bounded
+    (sources × languages), so the result is driver-safe at any corpus
+    size.
+    """
+    from .text import normalized_text
+
+    base = docs.select(
+        "source",
+        "lang",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_words"),
+        F.md5(normalized_text(F.col("text"))).alias("fp"),
+    )
+    n_docs = F.count(F.lit(1)).alias("n_docs")
+    return (
+        base.groupBy("source", "lang")
+        .agg(
+            n_docs,
+            F.sum("n_words").alias("total_words"),
+            F.round(F.avg("n_words"), 6).alias("mean_words"),
+            F.min("n_words").alias("min_words"),
+            F.max("n_words").alias("max_words"),
+            F.count_distinct(F.col("fp")).alias("n_unique"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_words",
+            "mean_words",
+            "min_words",
+            "max_words",
+            F.round(
+                F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def vocab_topk(docs: DataFrame, top_k: int = 100) -> DataFrame:
     """Corpus token-frequency top-k — the vocabulary-construction scan.
 

@@ -133,7 +133,11 @@ SUBWORD_CHARS = 4  # BPE-ish budget: one subword token per ~4 chars
 # only explicit character classes and bounded quantifiers so the Java
 # (Spark) and RE2 (DuckDB) dialects match byte-for-byte.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
-PII_URL = r"https?://[A-Za-z0-9./_%?=&#-]+"
+# includes '@' (userinfo / embedded emails in crawled URLs) and ':'
+# (ports) so a URL is swallowed WHOLE before the email pattern scans —
+# every pattern must stay in the RE2 ∩ Java dialect (no backrefs or
+# lookaround): the DuckDB oracles interpolate these same constants
+PII_URL = r"https?://[A-Za-z0-9./_%?=&#@:-]+"
 PII_IPV4 = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
 PII_PHONE = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
 
@@ -161,6 +165,38 @@ def pii_stats(docs: DataFrame) -> DataFrame:
         (F.col(c) for c in counts), F.lit(0).cast("long")
     )
     return out.withColumn("has_pii", total > 0)
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """The ACTION twin of `pii_stats`: replace each PII span with a
+    typed placeholder instead of dropping the document — the choice a
+    pipeline makes for text that is valuable apart from its PII.
+
+    Replacement order is part of the contract (URL → EMAIL → IPV4 →
+    PHONE): URLs are swallowed whole before the narrower patterns can
+    bite their substrings, and IPv4 runs are gone before the
+    digit-run phone pattern scans; placeholders contain no digits or
+    '@'/'://' so later patterns can never match earlier replacements.
+    Pure JVM regex projections — one pass, no shuffle, trivially
+    parallel at any corpus size. Output: (doc_id, clean_text,
+    n_redacted) with n_redacted counted on the ORIGINAL text.
+    """
+    steps = [
+        (PII_URL, "<URL>"),
+        (PII_EMAIL, "<EMAIL>"),
+        (PII_IPV4, "<IP>"),
+        (PII_PHONE, "<PHONE>"),
+    ]
+    clean = F.col("text")
+    total = F.lit(0).cast("long")
+    for pattern, placeholder in steps:
+        total = total + F.size(
+            F.regexp_extract_all(clean, F.lit(pattern), F.lit(0))
+        ).cast("long")
+        clean = F.regexp_replace(clean, pattern, placeholder)
+    return docs.select(
+        "doc_id", clean.alias("clean_text"), total.alias("n_redacted")
+    )
 
 
 def token_counts(docs: DataFrame) -> DataFrame:

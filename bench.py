@@ -91,6 +91,8 @@ HEADLINE = [
     "sequence_packing",
     "vocab_topk",
     "streaming_neardup",
+    "pii_redaction",
+    "corpus_mixture",
 ]
 
 DTW_SYMBOL_CAP = 100

@@ -132,6 +132,34 @@ class TestPacking:
         assert s["n_boundary_docs"] >= 5
 
 
+class TestMixture:
+    def test_mixture_profile_counts_and_dup_rate(self, spark):
+        rows = [
+            (0, "a b c", "en", "web"),
+            (1, "a b c", "en", "web"),      # exact dup of 0
+            (2, "A  b  C", "en", "web"),    # dup after normalization
+            (3, "d e f g", "en", "web"),
+            (4, "x y", "es", "web"),
+            (5, "p q r", "en", "books"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        got = {
+            (r.source, r.lang): r
+            for r in corpus.mixture_profile(df).collect()
+        }
+        web_en = got[("web", "en")]
+        assert web_en.n_docs == 4
+        assert web_en.total_words == 13
+        assert web_en.min_words == 3 and web_en.max_words == 4
+        # docs 0,1,2 share one normalized fingerprint → 2 unique of 4
+        assert web_en.dup_rate == 0.5
+        assert got[("web", "es")].n_docs == 1
+        assert got[("web", "es")].dup_rate == 0.0
+        assert got[("books", "en")].total_words == 3
+
+
 class TestVocab:
     def test_topk_order_and_ties(self, spark):
         docs = spark.createDataFrame(

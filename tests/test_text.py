@@ -99,6 +99,32 @@ def test_curation_with_precomputed_shingles_equals_recompute(docs):
     assert reused == base
 
 
+def test_pii_redact_replaces_spans(spark):
+    rows = [
+        (0, "mail me at alice.smith+x@example.org or bob@sub.domain.co"),
+        (1, "see https://example.com/path?q=1#frag and http://a.b/c"),
+        (2, "server at 10.0.254.3 answered"),
+        (3, "call +1 (555) 123-4567 today"),
+        (4, "nothing sensitive here"),
+        # email inside a URL must be swallowed by the URL replacement
+        (5, "link https://example.com/u/alice@example.com ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.pii_redact(df).collect()}
+    assert got[0].clean_text == "mail me at <EMAIL> or <EMAIL>"
+    assert got[0].n_redacted == 2
+    assert got[1].clean_text == "see <URL> and <URL>"
+    assert got[1].n_redacted == 2
+    assert got[2].clean_text == "server at <IP> answered"
+    assert got[2].n_redacted == 1
+    assert got[3].clean_text == "call <PHONE> today"
+    assert got[3].n_redacted == 1
+    assert got[4].clean_text == rows[4][1] and got[4].n_redacted == 0
+    # URL-first ordering: one <URL>, no <EMAIL> remnant
+    assert got[5].clean_text == "link <URL> ok"
+    assert got[5].n_redacted == 1
+
+
 def test_repetition_stats_flags_looped_text(spark):
     rows = [
         (0, "spam ham " * 10),              # one bigram loop
