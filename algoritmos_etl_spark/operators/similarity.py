@@ -283,7 +283,9 @@ def correlation_heatmap_blocked(
     # returns matrix itself, fine into the hundreds of MB; a corpus
     # wide enough to break the broadcast is already an O(B²) all-pairs
     # job that belongs on the kNN/thresholded emission path anyway.
-    n_par = bars.sparkSession.sparkContext.defaultParallelism
+    # 3× oversubscription: ~1 block per partition at B ≈ 3·cores, so
+    # the tail is one block's pair list, not a hash-unlucky clump
+    n_par = 3 * bars.sparkSession.sparkContext.defaultParallelism
     a = blocks.repartition(n_par, "block").select(
         F.col("block").alias("ba"), F.col("ndays").alias("nd"),
         F.col("syms").alias("sa"),
