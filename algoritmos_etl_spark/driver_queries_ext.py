@@ -1334,6 +1334,77 @@ def q_neardup_clusters(spark, sf_dir):
 
 
 @register(
+    "canonical_selection",
+    # same recursive-CTE connected components as neardup_clusters, then
+    # keep the highest-n_words member per cluster (ties → lowest id)
+    f"""WITH RECURSIVE {_SHINGLES},
+    kept AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_SHINGLE_DF_CAP}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a
+        JOIN kept k ON a.shingle = k.shingle
+        JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cands c
+        JOIN sh ta ON ta.doc_id = c.doc_a
+        JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+        GROUP BY 1, 2
+    ),
+    prs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.2
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM prs
+        UNION SELECT doc_b, doc_a FROM prs
+    ),
+    reach AS (
+        SELECT src AS doc_id, src AS r FROM edges
+        UNION
+        SELECT reach.doc_id, edges.dst
+        FROM reach JOIN edges ON reach.r = edges.src
+    ),
+    cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+    wq AS (SELECT doc_id, CAST(len({_W}) AS BIGINT) AS score FROM documents),
+    scored AS (
+        SELECT c.doc_id, c.cluster_id, w.score
+        FROM cl c JOIN wq w ON c.doc_id = w.doc_id
+    )
+    SELECT doc_id, cluster_id, score,
+           first_value(doc_id) OVER (
+               PARTITION BY cluster_id
+               ORDER BY score DESC, doc_id ASC
+           ) AS keep_doc_id,
+           doc_id = first_value(doc_id) OVER (
+               PARTITION BY cluster_id
+               ORDER BY score DESC, doc_id ASC
+           ) AS is_kept
+    FROM scored""",
+    "Quality-aware canonical selection: per near-dup cluster keep the "
+    "highest-n_words member (ties → lowest id) instead of the min-id "
+    "survivor — the keep-the-best-copy policy a real pipeline wants. "
+    "Reuses the session cluster components + one window on the bounded "
+    "cluster key (M8)",
+)
+def q_canonical_selection(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id",
+        F.size(text.words_col(F.col("text"))).cast("long").alias("score"),
+    )
+    clusters = dedup.neardup_clusters(_ngram_pairs(spark, sf_dir))
+    return dedup.keep_best_per_cluster(clusters, scores, score_col="score")
+
+
+@register(
     "candlestick_tail",
     f"""WITH {ORACLE_BARS_CTE},
     m AS (SELECT symbol, max(date) AS max_date FROM bars GROUP BY symbol)

@@ -15,7 +15,7 @@ Scale shapes — the things that matter at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalized_text, words_col
@@ -940,4 +940,36 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame, scores: DataFrame, score_col: str = "score"
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup cluster, keep
+    the HIGHEST-scoring member (ties → lowest doc_id) instead of
+    `neardup_clusters`' min-id survivor — the policy a real pipeline
+    wants when cluster members differ in quality (keep the longest /
+    cleanest copy, drop the rest).
+
+    `clusters` is (doc_id, cluster_id, …); `scores` is (doc_id,
+    <score_col>). One join + one window partitioned by cluster —
+    clusters are near-dup components (small and dense), so the window
+    partitions are tiny and shard across executors on the cluster key.
+    Output: (doc_id, cluster_id, <score_col>, keep_doc_id, is_kept).
+    """
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.select("doc_id", "cluster_id")
+        .join(scores.select("doc_id", score_col), "doc_id")
+        .withColumn("keep_doc_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            score_col,
+            "keep_doc_id",
+            (F.col("doc_id") == F.col("keep_doc_id")).alias("is_kept"),
+        )
     )

@@ -93,6 +93,7 @@ HEADLINE = [
     "streaming_neardup",
     "pii_redaction",
     "corpus_mixture",
+    "canonical_selection",
 ]
 
 DTW_SYMBOL_CAP = 100

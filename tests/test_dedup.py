@@ -163,6 +163,32 @@ def test_neardup_clusters_components(spark):
     assert {d for d, r in out.items() if r.is_canonical} == {1, 4}
 
 
+def test_keep_best_per_cluster_prefers_quality_over_min_id(spark):
+    # cluster {1,2,3}: best score is doc 3 (NOT the min id); cluster
+    # {4,5}: tie on score → lowest id 4 wins
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (4, 5, 0.7)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 7), (5, 7)],
+        "doc_id long, score long",
+    )
+    clusters = dedup.neardup_clusters(pairs)
+    out = {
+        r.doc_id: r
+        for r in dedup.keep_best_per_cluster(clusters, scores).collect()
+    }
+    assert {d: r.keep_doc_id for d, r in out.items()} == {
+        1: 3, 2: 3, 3: 3, 4: 4, 5: 4,
+    }
+    assert {d for d, r in out.items() if r.is_kept} == {3, 4}
+    # the min-id canonical and the quality canonical genuinely differ
+    assert {d for d, r in out.items() if r.is_kept} != {
+        r.doc_id for r in clusters.collect() if r.is_canonical
+    }
+
+
 def test_neardup_clusters_long_chain_converges(spark):
     # a 12-node path graph needs several propagation rounds
     pairs = spark.createDataFrame(
