@@ -10,3 +10,4 @@ from .readers import (  # noqa: F401
     load_tables,
     with_event_time,
 )
+from .wide_csv import read_wide_csv, string_null  # noqa: F401

@@ -38,6 +38,57 @@ def test_run_etl_end_to_end(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(year" in fmt, fmt
 
 
+def test_read_wide_csv_reference_format(spark, tmp_path):
+    """F5+F6: re-ingest a reference-style wide master CSV — capitalized
+    field suffixes, literal 'None' strings and empty cells for missing
+    values — into the long bars model."""
+    from algoritmos_etl_spark.sources import read_wide_csv
+
+    csv = tmp_path / "dataset_maestro.csv"
+    csv.write_text(
+        "Date,AAPL_Open,AAPL_High,AAPL_Low,AAPL_Close,AAPL_Volume,"
+        "MSFT_Open,MSFT_High,MSFT_Low,MSFT_Close,MSFT_Volume\n"
+        "2024-01-02,1.0,2.0,0.5,1.5,100,3.0,4.0,2.5,3.5,200\n"
+        "2024-01-03,None,None,None,None,None,3.1,4.1,2.6,3.6,201\n"
+        "2024-01-04,1.2,2.2,0.7,1.7,102,,,,,\n"
+    )
+    out = {
+        (r.symbol, str(r.date)): r
+        for r in read_wide_csv(spark, str(csv), date_col="Date").collect()
+    }
+    assert len(out) == 6  # 2 symbols x 3 dates (missing rows kept, NULL)
+    assert out[("AAPL", "2024-01-02")].close == 1.5
+    assert out[("AAPL", "2024-01-02")].volume == 100
+    # F6: literal 'None' cells are NULL, not cast noise
+    r = out[("AAPL", "2024-01-03")]
+    assert r.open is None and r.close is None and r.volume is None
+    # F6: empty cells are NULL too
+    r = out[("MSFT", "2024-01-04")]
+    assert r.close is None and r.volume is None
+    assert out[("MSFT", "2024-01-03")].close == 3.6
+    # F5: symbols came from the header suffix scan alone
+    assert {s for s, _ in out} == {"AAPL", "MSFT"}
+
+
+def test_wide_csv_roundtrip_through_own_export(spark, tmp_path):
+    """The engine's own wide export re-ingests through the same reader
+    (lowercase field suffixes take the same path)."""
+    from algoritmos_etl_spark.operators import alignment
+    from algoritmos_etl_spark.sources import daily_bars, load_table, read_wide_csv
+    from pyspark.sql import functions as F
+
+    bars = daily_bars(load_table(spark, SF_DIR, "events")).filter(
+        F.col("symbol").isin(0, 1)
+    )
+    wide = alignment.to_wide(bars, symbols=["0", "1"])
+    path = str(tmp_path / "wide_csv")
+    wide.coalesce(1).write.option("header", True).csv(path)
+    back = read_wide_csv(spark, path).filter(F.col("close").isNotNull())
+    orig = {(r.symbol, str(r.date), r.close) for r in bars.collect()}
+    got = {(int(r.symbol), str(r.date), r.close) for r in back.collect()}
+    assert got == orig
+
+
 def test_dtw_path_consistency(spark):
     bars = daily_bars(load_table(spark, SF_DIR, "events")).cache()
     # downsampling off: this test pins the raw DP/backtrack invariants
