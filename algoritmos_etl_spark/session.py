@@ -120,6 +120,16 @@ def get_spark(
             str(max(8 * cpus, 64)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # file-split floor: split size = max(openCostInBytes,
+        # bytes/minPartitionNum) capped by maxPartitionBytes. The 4 MB
+        # default floors a compressed-text corpus (documents ≈ 125 B/doc
+        # snappy) at a handful of splits, single-threading every
+        # CPU-heavy scan projection (regex redaction, Arrow text
+        # stages) — bytes are a terrible proxy for per-row compute on
+        # text. 512 KB lets small-in-bytes/fat-in-compute scans fan out
+        # to the cores; large-file scans are unaffected (their splits
+        # are maxPartitionBytes-capped anyway).
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -134,7 +134,18 @@ def main() -> None:
     }
     for name, table in tables.items():
         out = table if name in SHARED_DIMS else scale_table(name, table, k, extents)
-        pq.write_table(out, f"{out_dir}/{name}.parquet")
+        # bounded row groups: pyarrow's default writes ONE row group per
+        # call, and parquet cannot be parallelized WITHIN a row group —
+        # a single-group 30x documents file made every CPU-heavy
+        # scan-projection (regex passes, Arrow text stages) effectively
+        # single-threaded no matter how many byte splits Spark planned.
+        # 64k rows ≈ 2-8 MB groups here, matching what a real multi-file
+        # ingest produces. documents gets smaller groups: its rows are
+        # thin in bytes but fat in downstream compute (8 regex passes,
+        # Arrow text stages), so group count — the scan's parallelism
+        # ceiling — must comfortably exceed the core count.
+        rg = 4096 if name == "documents" else 65536
+        pq.write_table(out, f"{out_dir}/{name}.parquet", row_group_size=rg)
         print(f"{name}: {table.num_rows} -> {out.num_rows}")
 
 
