@@ -12,13 +12,17 @@ Timing: each query runs SPARK_GRAFT_BENCH_TRIALS times (default 3) and
 the reported per-query number is the MEDIAN — a single multi-second
 host stall (observed repeatedly on this box, see BENCH_SCALES.md) then
 lands on one trial instead of polluting the query's number. The raw
-trials are kept under "trials" so first-trial cache builds stay
-visible: `bars_model`'s first trial INCLUDES the one-time per-session
-materialization of the canonical bars model (localCheckpoint write)
-that ~20 later queries then read for free; the same applies to the
-first consumer of each session cache (ngram shingle table, LSH sigs).
-Those one-time build costs are excluded from the medians by
-construction but remain in "wall_clock_s" and the raw trial lists.
+trials are written to BENCH_TRIALS.json (NOT printed: the driver that
+harvests the stdout JSON line keeps only the last ~2000 chars of
+output, and round 5's line with inline trial arrays blew past that and
+failed to parse — BENCH_r05.json "parsed": null). First-trial cache
+builds stay visible in the sidecar: `bars_model`'s first trial
+INCLUDES the one-time per-session materialization of the canonical
+bars model (localCheckpoint write) that ~20 later queries then read
+for free; the same applies to the first consumer of each session cache
+(ngram shingle table, LSH sigs). Those one-time build costs are
+excluded from the medians by construction but remain in
+"wall_clock_s" and the sidecar trial lists.
 """
 
 from __future__ import annotations
@@ -158,22 +162,27 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf_dir
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "trials": trials,
-                "n_trials": n_trials,
-                "wall_clock_s": wall_clock,
-                "sf": sf_num,
-                "cpus": cpus,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_trials": n_trials,
+        "wall_clock_s": wall_clock,
+        "sf": sf_num,
+        "cpus": cpus,
+    }
+    # Raw trials go to a sidecar file, not stdout: the harvested JSON
+    # line must stay well under the driver's ~2000-char output tail.
+    with open(os.path.join(REPO, "BENCH_TRIALS.json"), "w") as fh:
+        json.dump({**summary, "trials": trials}, fh, indent=1)
+    line = json.dumps(summary)
+    # Print LAST, after spark.stop(), so no Spark shutdown chatter can
+    # land between the line and end-of-output.
     spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
