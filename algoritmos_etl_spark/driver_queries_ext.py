@@ -11,6 +11,8 @@ Imported by driver_queries for registration side effects.
 
 from __future__ import annotations
 
+import atexit
+
 from pyspark.sql import functions as F
 
 from .driver_queries import _bars, register, r6, session_cached
@@ -436,6 +438,7 @@ def q_minhash(spark, sf_dir):
     "an increment doc, each emitted exactly once (M8)",
 )
 def q_streaming_neardup(spark, sf_dir):
+    import shutil
     import tempfile
 
     from .streaming import streams
@@ -444,8 +447,16 @@ def q_streaming_neardup(spark, sf_dir):
     # fresh output + checkpoint per run; the INDEX is shared — replayed
     # batch ids overwrite their own batch_id=N dirs idempotently and
     # read strictly below their id, so a re-run computes against
-    # exactly the base corpus again (the replay path, pinned by test)
+    # exactly the base corpus again (the replay path, pinned by test).
+    # Prior runs' dirs are reclaimed here rather than on return: the
+    # returned DataFrame lazily reads run_dir/out/pairs, so the dir
+    # must outlive this call — by the next invocation the previous
+    # result has been materialized (bench/driver consume each query
+    # before building the next) and its tree is dead weight.
+    while _STREAM_NEARDUP_RUNS:
+        shutil.rmtree(_STREAM_NEARDUP_RUNS.pop(), ignore_errors=True)
     run_dir = tempfile.mkdtemp(prefix="streaming_neardup_run_")
+    _STREAM_NEARDUP_RUNS.append(run_dir)
     stream = (
         spark.readStream.schema(load_table(spark, sf_dir, "documents").schema)
         .option("maxFilesPerTrigger", 1)
@@ -471,15 +482,39 @@ def q_streaming_neardup(spark, sf_dir):
 # base-corpus LSH index + the two increment files), not operator work —
 # built once per (session, sf_dir) like the bars/shingle caches, so
 # each run times the stream itself: per-batch incremental LSH +
-# idempotent index appends + pair writes.
+# idempotent index appends + pair writes. Unlike session_cached (whose
+# payloads die with the JVM), these entries own DISK trees — eviction
+# below and the atexit hook rmtree them.
 _STREAM_NEARDUP_SETUP: dict = {}
+_STREAM_NEARDUP_RUNS: list = []
+
+
+def _stream_neardup_cleanup() -> None:
+    import shutil
+
+    for _, w in _STREAM_NEARDUP_SETUP.values():
+        shutil.rmtree(w, ignore_errors=True)
+    _STREAM_NEARDUP_SETUP.clear()
+    while _STREAM_NEARDUP_RUNS:
+        shutil.rmtree(_STREAM_NEARDUP_RUNS.pop(), ignore_errors=True)
+
+
+atexit.register(_stream_neardup_cleanup)
 
 
 def _stream_neardup_setup(spark, sf_dir: str) -> str:
+    import shutil
     import tempfile
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    work = _STREAM_NEARDUP_SETUP.get(key)
+    # dead-context eviction, as in session_cached — plus the disk tree
+    for k in [
+        k for k, (ctx, _) in _STREAM_NEARDUP_SETUP.items() if ctx._jsc is None
+    ]:
+        shutil.rmtree(_STREAM_NEARDUP_SETUP.pop(k)[1], ignore_errors=True)
+    sc = spark.sparkContext
+    key = (sc.applicationId, sf_dir)
+    entry = _STREAM_NEARDUP_SETUP.get(key)
+    work = entry[1] if entry else None
     if work is None:
         work = tempfile.mkdtemp(prefix="streaming_neardup_")
         docs = load_table(spark, sf_dir, "documents")
@@ -492,7 +527,7 @@ def _stream_neardup_setup(spark, sf_dir: str) -> str:
             docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
                 1
             ).write.mode("overwrite").parquet(f"{work}/stage/b{i}")
-        _STREAM_NEARDUP_SETUP[key] = work
+        _STREAM_NEARDUP_SETUP[key] = (sc, work)
     return work
 
 
@@ -1814,8 +1849,10 @@ def q_sequence_packing(spark, sf_dir):
     FROM s4""",
     "PII redaction: the action twin of pii_stats — every email/URL/IPv4/"
     "phone span replaced by a typed placeholder in a fixed order (URL "
-    "first so narrower patterns never bite its substrings), counted on "
-    "the original text. One JVM-regex projection pass, no shuffle (M8)",
+    "first so narrower patterns never bite its substrings); counts are "
+    "taken on each step's pre-step (progressively redacted) text, i.e. "
+    "replacements actually performed. One JVM-regex projection pass, "
+    "no shuffle (M8)",
 )
 def q_pii_redaction(spark, sf_dir):
     return text.pii_redact(load_table(spark, sf_dir, "documents"))

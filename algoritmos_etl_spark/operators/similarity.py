@@ -267,10 +267,15 @@ def correlation_heatmap_blocked(
             }
         )
 
+    # localCheckpoint (lazy): the pack result feeds BOTH sides of the
+    # block-pair join (repartitioned a-side + broadcast b-side), and
+    # Catalyst does not CSE across self-join branches — without the
+    # checkpoint the full returns scan + date-index join + pack groupBy
+    # runs once per side.
     blocks = indexed.groupBy("block").applyInPandas(
         pack,
         schema="block int, ndays int, syms binary, x binary, m binary",
-    )
+    ).localCheckpoint(eager=False)
     # The BLAS stage's parallelism is the a-side partition count of the
     # broadcast-NL join: block rows are small in BYTES (~MB) but huge
     # in downstream COMPUTE, so AQE's size-based partition coalescing

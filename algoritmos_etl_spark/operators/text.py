@@ -179,7 +179,10 @@ def pii_redact(docs: DataFrame) -> DataFrame:
     '@'/'://' so later patterns can never match earlier replacements.
     Pure JVM regex projections — one pass, no shuffle, trivially
     parallel at any corpus size. Output: (doc_id, clean_text,
-    n_redacted) with n_redacted counted on the ORIGINAL text.
+    n_redacted) where each pattern's count is taken on the PRE-STEP
+    (progressively redacted) text — i.e. replacements actually
+    performed, so an email inside an already-swallowed URL counts 0
+    (pinned by the doc_id=5 case in tests/test_text.py).
     """
     steps = [
         (PII_URL, "<URL>"),

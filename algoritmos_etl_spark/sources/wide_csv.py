@@ -70,8 +70,17 @@ def read_wide_csv(
         # F5 suffix scan sees one convention
         sym, _, field = c.rpartition("_")
         field = field.lower()
-        dtype = FIELD_TYPES.get(field, "double")
+        if not sym or field not in FIELD_TYPES:
+            # a header without `{symbol}_{known field}` shape (no
+            # underscore → empty symbol, or an unknown suffix) is not
+            # part of the wide model — fail loudly rather than letting
+            # a '_close' phantom symbol flow into the suffix scan
+            raise ValueError(
+                f"wide CSV column {c!r} is not '{{symbol}}_{{field}}' "
+                f"with field in {sorted(FIELD_TYPES)} (or the date "
+                f"column {date_col!r})"
+            )
         cols.append(
-            string_null(F.col(c)).cast(dtype).alias(f"{sym}_{field}")
+            string_null(F.col(c)).cast(FIELD_TYPES[field]).alias(f"{sym}_{field}")
         )
     return wide_to_long(raw.select(*cols))

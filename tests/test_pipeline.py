@@ -89,6 +89,21 @@ def test_wide_csv_roundtrip_through_own_export(spark, tmp_path):
     assert got == orig
 
 
+def test_read_wide_csv_rejects_malformed_headers(spark, tmp_path):
+    """A header column that is not `{symbol}_{known field}` (no
+    underscore, or an unknown suffix) fails loudly instead of leaking
+    a phantom ''/'junk' symbol into the suffix scan."""
+    import pytest
+
+    from algoritmos_etl_spark.sources import read_wide_csv
+
+    for bad_col in ("Close", "AAPL_Adjusted"):
+        csv = tmp_path / f"bad_{bad_col}.csv"
+        csv.write_text(f"Date,AAPL_Close,{bad_col}\n2024-01-02,1.5,1.4\n")
+        with pytest.raises(ValueError, match="symbol"):
+            read_wide_csv(spark, str(csv), date_col="Date")
+
+
 def test_dtw_path_consistency(spark):
     bars = daily_bars(load_table(spark, SF_DIR, "events")).cache()
     # downsampling off: this test pins the raw DP/backtrack invariants

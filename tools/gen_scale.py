@@ -115,22 +115,32 @@ def main() -> None:
     out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, "testdata_sf1")
     # optional comma-separated table subset (e.g. "events,documents")
     # for targeted spot-checks at scales where the full corpus would be
-    # wasteful; key-space extents only need the subset's own tables
-    # because every subset table's keys are offset by its OWN extent
+    # wasteful. Foreign-key columns (o_custkey, l_orderkey, ...) live in
+    # ANOTHER table's key space, so extents for a space whose owning
+    # table is outside the subset are read from just that key column of
+    # the source parquet — cheap, and it keeps subset offsets identical
+    # to a full-corpus run.
     subset = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     os.makedirs(out_dir, exist_ok=True)
 
     names = subset if subset else list(KEY_COLS) + list(SHARED_DIMS)
     tables = {t: pq.read_table(f"{SRC}/{t}.parquet") for t in names}
+
+    def space_max(tname: str, cname: str) -> int:
+        col = (
+            tables[tname][cname]
+            if tname in tables
+            else pq.read_table(f"{SRC}/{tname}.parquet", columns=[cname])[cname]
+        )
+        return pc.max(col).as_py()
+
     extents = {
-        space: pc.max(tables[tname][cname]).as_py() + 1
+        space: space_max(*space.split(".")) + 1
         for space in set(
             KEY_SPACE[c]
             for n in names
             for c in KEY_COLS.get(n, ())
         )
-        for tname, cname in [space.split(".")]
-        if tname in tables
     }
     for name, table in tables.items():
         out = table if name in SHARED_DIMS else scale_table(name, table, k, extents)
