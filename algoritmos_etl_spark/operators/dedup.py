@@ -231,7 +231,13 @@ def ngram_jaccard_pairs(
     return (
         scored.withColumn(
             "jaccard",
-            F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6),
+            # try_divide: a denominator of 0 can't arise from valid
+            # globally-unique doc_ids, but a caller error (same doc on
+            # both sides) would otherwise abort the whole job under
+            # ANSI mode — degrade to NULL → filtered instead
+            F.round(
+                F.try_divide(inter, F.col("n_a") + F.col("n_b") - inter), 6
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -297,9 +303,14 @@ def _verify_jaccard(
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
+            # try_divide for the same reason as the incremental scorer:
+            # zero denominators are caller errors, not data — NULL out
+            # and filter rather than aborting the job under ANSI
             F.round(
-                F.coalesce(F.col("n_inter"), F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                F.try_divide(
+                    F.coalesce(F.col("n_inter"), F.lit(0)),
+                    F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0)),
+                ),
                 6,
             ),
         )
@@ -498,6 +509,8 @@ def minhash_lsh_incremental(
     k_shingle: int = 3,
     max_bucket_size: int | None = None,
     max_batch_id_exclusive: int | None = None,
+    sh_new: DataFrame | None = None,
+    bands_new: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the new batch: each pair has at least
     one new doc; the other side is the indexed corpus or the batch
@@ -505,6 +518,11 @@ def minhash_lsh_incremental(
     such pairs (pinned by test), but signature work scales with |new|
     and the bucket join touches only buckets a new doc lands in — the
     corpus is read, never re-hashed.
+
+    A caller that ALSO appends the batch to the index (the streaming
+    path) passes its once-checkpointed `sh_new` (doc_id, shingle) and
+    `bands_new` (doc_id, band, band_sig) so the batch is shingled and
+    min-hashed exactly once per micro-batch, not once per consumer.
 
     `max_bucket_size` counts over corpus ∪ increment, matching what the
     full recompute would see. doc_ids must be globally unique across
@@ -519,10 +537,13 @@ def minhash_lsh_incremental(
     (partition-discovered `batch_id` prunes at the directory level;
     the base corpus is batch -1 and always included).
     """
-    sh_new = _shingle_index(new_docs, k_shingle)
-    bands_new = minhash_bands(
-        _with_base_hash(sh_new).groupBy("doc_id").agg(*_minhash_aggs())
-    ).localCheckpoint(eager=False)
+    if sh_new is None:
+        sh_new = _shingle_index(new_docs, k_shingle)
+    if bands_new is None:
+        bands_new = minhash_bands(
+            _with_base_hash(sh_new).groupBy("doc_id").agg(*_minhash_aggs())
+        ).localCheckpoint(eager=False)
+    bands_new = bands_new.select("doc_id", "band", "band_sig")
     bands_old = spark.read.parquet(f"{path}/bands")
     if max_batch_id_exclusive is not None:
         bands_old = bands_old.filter(

@@ -259,6 +259,15 @@ def streaming_neardup_against_index(
         batch_df = batch_df.localCheckpoint()  # one materialization, 3 consumers
         if not batch_df.take(1):
             return
+        # shingle + min-hash the batch ONCE: the same two relations
+        # feed the near-dup lookup AND the index append (lazy
+        # localCheckpoints — computed at first action, reused after)
+        sh = _dedup.doc_shingles(batch_df, 3).localCheckpoint(eager=False)
+        bands = _dedup.minhash_bands(
+            _dedup._with_base_hash(sh).groupBy("doc_id").agg(
+                *_dedup._minhash_aggs()
+            )
+        ).localCheckpoint(eager=False)
         pairs = _dedup.minhash_lsh_incremental(
             spark, batch_df, index_path,
             threshold=threshold, max_bucket_size=max_bucket_size,
@@ -267,19 +276,18 @@ def streaming_neardup_against_index(
             # against exactly the pre-batch corpus or its pair output
             # and bucket counts differ from the original run
             max_batch_id_exclusive=batch_id,
+            sh_new=sh, bands_new=bands,
         )
         pairs.write.mode("overwrite").parquet(
             f"{out_path}/pairs/batch_id={batch_id}"
         )
-        sh = _dedup.doc_shingles(batch_df, 3)
-        bands = _dedup.minhash_bands(
-            _dedup._with_base_hash(sh).groupBy("doc_id").agg(
-                *_dedup._minhash_aggs()
-            )
-        )
-        bands.write.mode("overwrite").partitionBy("band").parquet(
-            f"{index_path}/bands/batch_id={batch_id}"
-        )
+        # repartition by the partition column before the partitioned
+        # write: without it every upstream task opens a writer per band
+        # it touches (tasks × 16 tiny files per batch) — the file count
+        # later lookups must list and open. After it, one file per band.
+        bands.repartition("band").write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(f"{index_path}/bands/batch_id={batch_id}")
         sh.write.mode("overwrite").parquet(
             f"{index_path}/shingles/batch_id={batch_id}"
         )
