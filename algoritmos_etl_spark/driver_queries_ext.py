@@ -1905,3 +1905,142 @@ def q_vocab_topk(spark, sf_dir):
     return corpus.vocab_topk(
         load_table(spark, sf_dir, "documents"), top_k=_VOCAB_K
     )
+
+
+# -------------------------------------------------------------- retrieval
+
+# deterministic query workload over the synthetic corpus vocabulary —
+# literal on both engines so the oracle reproduces scores bit-for-bit
+_BM25_QUERIES = [
+    (0, "spark table scan"),
+    (1, "hash join merge"),
+    (2, "sort window batch"),
+    (3, "fast key value row"),
+]
+_BM25_K = 10
+_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+
+
+@register(
+    "bm25_topk",
+    f"""WITH q(query_id, query_text) AS (VALUES {_BM25_VALUES}),
+    tf AS (
+        SELECT doc_id, len({_W.replace("text", "lower(text)")}) AS dl,
+               unnest({_W.replace("text", "lower(text)")}) AS term
+        FROM documents
+    ),
+    tfs AS (SELECT doc_id, dl, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        FROM (SELECT doc_id, any_value(dl) AS dl FROM tfs GROUP BY doc_id)
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfs GROUP BY term),
+    qterms AS (
+        SELECT query_id, unnest(list_distinct(
+            list_filter(string_split(trim(lower(query_text)), ' '), x -> x <> '')
+        )) AS term FROM q
+    ),
+    scored AS (
+        SELECT qt.query_id, t.doc_id,
+               round(sum(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+               ), 6) AS score
+        FROM tfs t
+        JOIN qterms qt ON qt.term = t.term
+        JOIN dfreq d ON d.term = t.term
+        CROSS JOIN stats s
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {_BM25_K}""",
+    "Sparse lexical retrieval: Lucene-BM25 top-10 docs for a fixed 4-query "
+    "workload. Query terms broadcast into the postings join; the only big "
+    "shuffle is the (query, doc) score aggregation, bounded by matched "
+    "postings — never |docs|x|queries|. Rank windows partition per query (M8)",
+)
+def q_bm25_topk(spark, sf_dir):
+    from .operators import retrieval
+
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    )
+    return retrieval.bm25_topk(
+        load_table(spark, sf_dir, "documents"), queries, top_k=_BM25_K
+    )
+
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 64, 16
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@register(
+    "rag_chunking",
+    f"""WITH w AS (
+        SELECT doc_id, {_W} AS ws, len({_W}) AS n FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, ws, n,
+               unnest(range(0, greatest(1,
+                   CAST(ceil((n - {_CHUNK_OVERLAP}) / {_CHUNK_STRIDE}.0) AS BIGINT)
+               ))) AS chunk_id
+        FROM w WHERE n > 0
+    ),
+    c AS (
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               ws[chunk_id * {_CHUNK_STRIDE} + 1 :
+                  least(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)] AS cw
+        FROM idx
+    )
+    SELECT doc_id, chunk_id, CAST(len(cw) AS INT) AS n_words,
+           array_to_string(cw, ' ') AS chunk_text
+    FROM c""",
+    f"RAG chunking: {_CHUNK_SIZE}-word windows, {_CHUNK_OVERLAP}-word overlap "
+    "— JVM array intrinsics (sequence/transform/slice) in one projection, "
+    "no shuffle, no UDF: chunking runs at scan speed and inherits the "
+    "source partitioning (M8)",
+)
+def q_rag_chunking(spark, sf_dir):
+    from .operators import retrieval
+
+    return retrieval.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_size=_CHUNK_SIZE,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+_BIGRAM_K = 200
+
+
+@register(
+    "bigram_lm",
+    f"""WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+    i AS (
+        SELECT ws, unnest(range(1, len(ws))) AS i
+        FROM w WHERE len(ws) >= 2
+    ),
+    b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM i),
+    pc AS (SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY 1, 2),
+    pfx AS (SELECT w1, count(*) AS n_prefix FROM b GROUP BY 1)
+    SELECT pc.w1, pc.w2, CAST(pc.n_pair AS BIGINT) AS n_pair,
+           round(pc.n_pair / pfx.n_prefix, 6) AS p_cond
+    FROM pc JOIN pfx ON pc.w1 = pfx.w1
+    ORDER BY n_pair DESC, pc.w1 ASC, pc.w2 ASC LIMIT {_BIGRAM_K}""",
+    "Bigram language-model table: top-200 adjacent word pairs with "
+    "conditional probability p(w2|w1) over bigram positions. Two "
+    "partial-agg shuffles (pair key, prefix key) + TakeOrderedAndProject; "
+    "bigrams never cross document boundaries (M8)",
+)
+def q_bigram_lm(spark, sf_dir):
+    from .operators import corpus
+
+    return corpus.bigram_lm_topk(
+        load_table(spark, sf_dir, "documents"), top_k=_BIGRAM_K
+    )

@@ -275,3 +275,54 @@ def vocab_topk(docs: DataFrame, top_k: int = 100) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_k)
+
+
+def bigram_lm_topk(docs: DataFrame, top_k: int = 200) -> DataFrame:
+    """Corpus bigram statistics with conditional probabilities — the
+    n-gram language-model table a quality/perplexity heuristic reads:
+    (w1, w2, n_pair, p_cond) for the top-k bigrams by count,
+    p_cond = c(w1,w2) / c(w1,·) over bigram positions.
+
+    One explode of word-adjacent pairs, one partially-aggregated
+    groupBy on the pair key, one on the prefix key; the prefix totals
+    join back on w1. Top-k is `TakeOrderedAndProject`, ties broken by
+    (w1, w2) for determinism. Bigrams never cross document boundaries.
+    """
+    words = words_col(F.col("text"))
+    # zip_with over two shifted slices, NOT transform+element_at:
+    # element_at is a positional walk in codegen, so indexing every
+    # position is O(n²) per doc — measured 10× slower at sf0.1
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.zip_with(
+                    F.slice(words, 1, F.size(words) - 1),
+                    F.slice(words, 2, F.size(words) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    # prefix totals c(w1,·) = Σ_w2 c(w1,w2): derive them from the
+    # already-reduced pair table — one pass over the raw bigrams, and
+    # the second aggregate runs on |vocab²∩corpus| rows, not positions.
+    # localCheckpoint: pair_counts feeds both the prefix agg and the
+    # final join (no CSE across branches).
+    pair_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    ).localCheckpoint(eager=False)
+    prefix_counts = pair_counts.groupBy("w1").agg(
+        F.sum("n_pair").alias("_n_prefix")
+    )
+    return (
+        pair_counts.join(prefix_counts, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("_n_prefix"), 6).alias("p_cond"),
+        )
+        .orderBy(F.col("n_pair").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+    )

@@ -1,0 +1,157 @@
+"""Retrieval over the document corpus: BM25 ranking and RAG chunking.
+
+The two text-side retrieval primitives a training-data / RAG pipeline
+needs next to ANN (`operators/vectors.py`):
+
+- `bm25_topk` — sparse lexical retrieval: corpus statistics (df, dl,
+  avgdl) + the Lucene-style BM25 score, as one inverted-index join.
+  The query side is tiny and broadcast; the postings side scales with
+  the corpus and never materializes doc×query except for docs that
+  actually contain a query term.
+- `chunk_documents` — fixed-size overlapping word windows, the shape
+  embedding models ingest. Pure JVM array ops (sequence → transform →
+  slice), one projection pass, no shuffle: chunking 100 TB is
+  scan-bound, exactly as it should be.
+
+No reference counterpart (the reference is a financial ETL engine);
+these extend the engine for LLM-corpus work alongside dedup/ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import words_col
+
+
+def doc_term_freqs(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl): lowercased whitespace-term frequencies
+    plus document length — the posting-list grain BM25 scores on. One
+    explode + one map-side-combinable groupBy.
+
+    The word array is PROJECTED before the explode: referencing the
+    split expression from both `size` and `explode` makes codegen
+    evaluate lower+split twice per row across the Generate boundary
+    (no CSE there) — measured 4.5× slower at sf0.1."""
+    words = words_col(F.lower(F.col("text")))
+    return (
+        docs.select("doc_id", words.alias("_w"))
+        .select(
+            "doc_id",
+            F.size("_w").alias("dl"),
+            F.explode("_w").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 docs per query: (query_id, doc_id, score, rank).
+
+    Score = Σ over DISTINCT query terms of
+        idf(t) · tf / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene BM25 — always
+    positive, so a term in most docs degrades gracefully instead of
+    subtracting).
+
+    Plan shape for scale: corpus stats (N, avgdl) reduce to one row and
+    ride along as a broadcast cross join; df(term) is a posting-grain
+    aggregate; `queries` is small by nature → its exploded term list is
+    BROADCAST into the postings join, so the only big shuffle is the
+    (query_id, doc_id) score aggregation, whose cardinality is bounded
+    by postings of matched terms, not |docs|·|queries|. Top-k per query
+    is a rank window partitioned by query_id — thousands of partitions,
+    each tiny.
+    """
+    # three consumers (corpus stats, df, the scored join) and no CSE
+    # across plan branches — materialize the posting grain once
+    tfs = doc_term_freqs(docs).localCheckpoint(eager=False)
+    corpus = tfs.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tfs.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(words_col(F.lower(F.col("query_text"))))).alias(
+            "term"
+        ),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = F.col("tf") / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tfs.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq.join(qterms.select("term").distinct(), "term")), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Overlapping word-window chunks: (doc_id, chunk_id, n_words,
+    chunk_text), stride = chunk_size − overlap.
+
+    Chunk i covers words [i·stride, i·stride + chunk_size); the number
+    of chunks is ceil((n_words − overlap) / stride) — every chunk
+    contributes > overlap new words, the final chunk may be short, and
+    a doc shorter than chunk_size is exactly one chunk. Docs with no
+    words emit no chunks. All JVM array intrinsics in one projection —
+    no shuffle, no UDF — so the operator runs at scan speed and
+    partitions inherit the source layout.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    words = words_col(F.col("text"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("_n") - F.lit(overlap)) / F.lit(stride)).cast("int"),
+    )
+    return (
+        docs.select("doc_id", words.alias("_w"), F.size(words).alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                    lambda i: F.slice(
+                        F.col("_w"), i * stride + 1, chunk_size
+                    ),
+                )
+            ).alias("chunk_id", "_cw"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("_cw").alias("n_words"),
+            F.concat_ws(" ", "_cw").alias("chunk_text"),
+        )
+    )

@@ -98,6 +98,9 @@ HEADLINE = [
     "pii_redaction",
     "corpus_mixture",
     "canonical_selection",
+    "bm25_topk",
+    "rag_chunking",
+    "bigram_lm",
 ]
 
 DTW_SYMBOL_CAP = 100

@@ -18,6 +18,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # queries whose plans legitimately contain a cartesian/nested-loop join,
 # with the boundedness argument
 CROSS_OK = {
+    "bm25_topk": "postings × 1-row corpus stats (N, avgdl) broadcast",
+    "table_profile": "1-row plain-stats agg × 1-row distinct-counts agg",
     "pair_metrics": "1-row similarity × 1-row regression bundles",
     "risk_classification": "per-symbol rows × 1-row percentile thresholds",
     "risk_summary": "per-symbol rows × 1-row percentile thresholds",
