@@ -2044,3 +2044,71 @@ def q_bigram_lm(spark, sf_dir):
     return corpus.bigram_lm_topk(
         load_table(spark, sf_dir, "documents"), top_k=_BIGRAM_K
     )
+
+
+def _oracle_kmeans(n_centroids: int = 16) -> str:
+    """DuckDB twin of vectors.kmeans_cluster_profile (iters=1): the
+    same integer-exact seed/assign/Lloyd chain as `_oracle_ivf`, then
+    per-cluster membership stats instead of the probe/rerank tail."""
+    cos = "CAST(d.dot AS DOUBLE)/(sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(n.c2 AS DOUBLE)))"
+    return f"""WITH base AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+    flat AS (
+        SELECT vec_id, unnest(range(len(v))) AS idx,
+               CAST(floor(unnest(v) * {float(vectors.IVF_SCALE)}) AS BIGINT) AS q
+        FROM base
+    ),
+    vnorm AS (SELECT vec_id, sum(q*q) AS n2 FROM flat GROUP BY 1),
+    seed AS (
+        SELECT f.vec_id AS centroid_id, f.idx, f.q AS c
+        FROM flat f JOIN (SELECT vec_id FROM base ORDER BY vec_id LIMIT {n_centroids}) s USING (vec_id)
+    ),
+    s_cnorm AS (SELECT centroid_id, sum(c*c) AS c2 FROM seed GROUP BY 1),
+    s_dots AS (
+        SELECT f.vec_id, s.centroid_id, sum(f.q * s.c) AS dot
+        FROM flat f JOIN seed s ON f.idx = s.idx GROUP BY 1, 2
+    ),
+    s_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT d.vec_id, d.centroid_id,
+                   row_number() OVER (PARTITION BY d.vec_id ORDER BY {cos} DESC, d.centroid_id) AS rn
+            FROM s_dots d JOIN vnorm v USING (vec_id) JOIN s_cnorm n USING (centroid_id)
+        ) WHERE rn = 1
+    ),
+    cents AS (
+        SELECT a.centroid_id, f.idx,
+               CAST(floor(CAST(sum(f.q) AS DOUBLE)/count(*)) AS BIGINT) AS c
+        FROM flat f JOIN s_assign a USING (vec_id) GROUP BY 1, 2
+    ),
+    cnorm AS (SELECT centroid_id, sum(c*c) AS c2 FROM cents GROUP BY 1),
+    dots AS (
+        SELECT f.vec_id, s.centroid_id, sum(f.q * s.c) AS dot
+        FROM flat f JOIN cents s ON f.idx = s.idx GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT vec_id, centroid_id, cosine FROM (
+            SELECT d.vec_id, d.centroid_id, {cos} AS cosine,
+                   row_number() OVER (PARTITION BY d.vec_id ORDER BY {cos} DESC, d.centroid_id) AS rn
+            FROM dots d JOIN vnorm v USING (vec_id) JOIN cnorm n USING (centroid_id)
+        ) WHERE rn = 1
+    )
+    SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(cosine), 6) AS avg_cosine,
+           min(vec_id) AS min_vec_id
+    FROM best GROUP BY centroid_id"""
+
+
+@register(
+    "kmeans_clusters",
+    _oracle_kmeans(),
+    "Embedding k-means cluster report (16 clusters, 1 integer-exact Lloyd "
+    "step — the IVF coarse quantizer itself, so the report describes exactly "
+    "the clusters the index probes): per-cluster size, mean member-to-"
+    "centroid cosine (coherence), min member id. Centroids broadcast; the "
+    "corpus shuffles only as (vec_id, centroid) partial aggs (M8)",
+)
+def q_kmeans_clusters(spark, sf_dir):
+    from .operators import vectors as _v
+
+    return _v.kmeans_cluster_profile(
+        load_table(spark, sf_dir, "embeddings"), n_centroids=16, iters=1
+    )

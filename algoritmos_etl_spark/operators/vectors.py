@@ -490,6 +490,64 @@ def ivf_topk(
     )
 
 
+def kmeans_cluster_profile(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 1
+) -> DataFrame:
+    """Embedding-space clustering report: (centroid_id, n_members,
+    avg_cosine, min_vec_id) per k-means cluster — the corpus-structure
+    view a data pipeline reads to pick mixture weights, spot dominant
+    modes, or seed an IVF index (same quantizer as `ivf_train`, so the
+    report describes exactly the clusters the index will probe).
+
+    avg_cosine is the members' mean cosine to their own centroid
+    (cluster coherence); each member cosine is a deterministic IEEE754
+    value from integer-exact sums (see `_quantized_flat`), and the
+    mean is rounded after aggregation. Cost shape: centroids are tiny
+    and broadcast; the corpus shuffles only as (vec_id, centroid)
+    partial aggregates — same envelope as `ivf_train`.
+    """
+    base = with_dvec(embeddings)
+    flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    vec_norms = flat.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2")
+    )
+    cents = ivf_train(embeddings, n_centroids=n_centroids, iters=iters)
+    cent_norms = cents.groupBy("centroid_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+    dots = (
+        flat.join(F.broadcast(cents), "idx")
+        .groupBy("vec_id", "centroid_id")
+        .agg(F.sum(F.col("q") * F.col("c")).alias("dot"))
+    )
+    cos = _int_cosine(F.col("dot"), F.col("n2"), F.col("c2"))
+    best = (
+        dots.join(F.broadcast(cent_norms), "centroid_id")
+        .join(vec_norms, "vec_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    cos.alias("cos"), (-F.col("centroid_id")).alias("nid")
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            (-F.col("b.nid")).cast("long").alias("centroid_id"),
+            F.col("b.cos").alias("cos"),
+        )
+    )
+    return (
+        best.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("cos"), 6).alias("avg_cosine"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
 def ivf_write_index(
     embeddings: DataFrame,
     path: str,

@@ -101,6 +101,7 @@ HEADLINE = [
     "bm25_topk",
     "rag_chunking",
     "bigram_lm",
+    "kmeans_clusters",
 ]
 
 DTW_SYMBOL_CAP = 100

@@ -238,3 +238,35 @@ def test_lsh_neardup_empty_and_single(spark):
         [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
     )
     assert vectors.lsh_neardup_pairs(one).count() == 0
+
+
+def test_kmeans_cluster_profile_partitions_corpus(emb):
+    """Cluster report: sizes sum to the corpus, coherence is a valid
+    cosine, and membership matches the IVF assignment it claims to
+    describe."""
+    from algoritmos_etl_spark.operators import vectors
+
+    prof = vectors.kmeans_cluster_profile(emb, n_centroids=16, iters=1)
+    rows = prof.collect()
+    n = emb.count()
+    assert sum(r.n_members for r in rows) == n
+    assert 1 <= len(rows) <= 16
+    assert all(-1.0 <= r.avg_cosine <= 1.0 for r in rows)
+    # same quantizer as the IVF index: per-cluster min ids must agree
+    # with a direct assignment through the library internals
+    base = vectors.with_dvec(emb)
+    flat = vectors._quantized_flat(base, "vec_id")
+    from pyspark.sql import functions as F
+
+    vec_norms = flat.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2")
+    )
+    cents = vectors.ivf_train(emb, n_centroids=16, iters=1)
+    assign = vectors._ivf_assign(flat, vec_norms, cents)
+    direct = {
+        r.centroid_id: (r.n, r.mn)
+        for r in assign.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("mn"))
+        .collect()
+    }
+    assert {r.centroid_id: (r.n_members, r.min_vec_id) for r in rows} == direct
