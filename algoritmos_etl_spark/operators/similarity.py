@@ -267,15 +267,10 @@ def correlation_heatmap_blocked(
             }
         )
 
-    # localCheckpoint (lazy): the pack result feeds BOTH sides of the
-    # block-pair join (repartitioned a-side + broadcast b-side), and
-    # Catalyst does not CSE across self-join branches — without the
-    # checkpoint the full returns scan + date-index join + pack groupBy
-    # runs once per side.
     blocks = indexed.groupBy("block").applyInPandas(
         pack,
         schema="block int, ndays int, syms binary, x binary, m binary",
-    ).localCheckpoint(eager=False)
+    )
     # The BLAS stage's parallelism is the a-side partition count of the
     # broadcast-NL join: block rows are small in BYTES (~MB) but huge
     # in downstream COMPUTE, so AQE's size-based partition coalescing
@@ -289,15 +284,31 @@ def correlation_heatmap_blocked(
     # wide enough to break the broadcast is already an O(B²) all-pairs
     # job that belongs on the kNN/thresholded emission path anyway.
     # 3× oversubscription: ~1 block per partition at B ≈ 3·cores, so
-    # the tail is one block's pair list, not a hash-unlucky clump
+    # the tail is one block's pair list, not a hash-unlucky clump.
+    # BOTH join sides derive from the SAME repartitioned relation: the
+    # b-side's BroadcastExchange then sits on an identical shuffle
+    # subtree and ReuseExchange serves it from the a-side's exchange —
+    # the scan + date-index join + pack groupBy run ONCE (plan pinned
+    # in test_plans), with no localCheckpoint: a lazy localCheckpoint
+    # of an applyInPandas plan launches jobs at CONSTRUCTION time,
+    # which would break the heatmap's zero-jobs-until-action contract.
     n_par = 3 * bars.sparkSession.sparkContext.defaultParallelism
-    a = blocks.repartition(n_par, "block").select(
+    packed = blocks.repartition(n_par, "block")
+    # Both sides are RENAME-ONLY projections of the same column set:
+    # if the b-side dropped a column (it doesn't need ndays), pruning
+    # would push a narrower projection under its exchange, the two
+    # exchange subtrees would no longer canonicalize equal, and
+    # ReuseExchange couldn't serve the broadcast side from the a-side
+    # shuffle. The redundant ndb long per block row is the price of
+    # computing the pack pipeline once.
+    a = packed.select(
         F.col("block").alias("ba"), F.col("ndays").alias("nd"),
         F.col("syms").alias("sa"),
         F.col("x").alias("xa"), F.col("m").alias("ma"),
     )
-    b = blocks.select(
-        F.col("block").alias("bb"), F.col("syms").alias("sb"),
+    b = packed.select(
+        F.col("block").alias("bb"), F.col("ndays").alias("ndb"),
+        F.col("syms").alias("sb"),
         F.col("x").alias("xb"), F.col("m").alias("mb"),
     )
     joined = a.join(F.broadcast(b), F.col("ba") <= F.col("bb"))
