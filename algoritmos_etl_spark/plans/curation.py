@@ -69,6 +69,11 @@ def curate_corpus(
             F.col("dup_3gram_frac") <= max_dup_3gram_frac
         )
         quality = quality.join(rep.select("doc_id"), "doc_id")
+    # the survivor set feeds three plan branches (docs join, shingle
+    # semi-join, final anti-join) and Catalyst does not CSE across
+    # branches — without the checkpoint the regex-heavy gate projection
+    # runs once per consumer (measured ~30% of the query at sf0.1)
+    quality = quality.localCheckpoint(eager=False)
     fdocs = docs.join(quality.select("doc_id"), "doc_id")
     # restrict a precomputed shingle table to survivors — dropping
     # non-survivor rows is REQUIRED, not just an optimization: stale
