@@ -107,3 +107,106 @@ def test_bigram_lm_topk_is_take_ordered(spark, tiny_docs):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def _random_docs(n=120, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(n):
+        n_words = rng.choice([0, 1, 2, 3, 5, 15, 63, 64, 65, 100, 130])
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n_words))))
+    return docs
+
+
+def test_chunking_invariants_random_corpus(spark):
+    """Model-based check over a seeded random corpus: chunk count
+    formula, per-chunk sizes, and lossless reconstruction by dropping
+    each later chunk's overlap prefix."""
+    import math
+
+    cs, ov = 16, 4
+    stride = cs - ov
+    raw = _random_docs()
+    docs = spark.createDataFrame(raw, "doc_id long, text string")
+    from algoritmos_etl_spark.operators import retrieval
+
+    out = {}
+    for r in retrieval.chunk_documents(docs, chunk_size=cs, overlap=ov).collect():
+        out.setdefault(r.doc_id, {})[r.chunk_id] = r
+    for doc_id, text in raw:
+        words = text.split()
+        chunks = out.get(doc_id, {})
+        if not words:
+            assert chunks == {}
+            continue
+        n = len(words)
+        expect = max(1, math.ceil((n - ov) / stride))
+        assert sorted(chunks) == list(range(expect)), doc_id
+        rebuilt = chunks[0].chunk_text.split()
+        for i in range(1, expect):
+            cw = chunks[i].chunk_text.split()
+            assert len(cw) <= cs
+            rebuilt += cw[ov:] if i * stride + ov <= n else []
+            # overlap agreement with the previous chunk
+            assert cw[:ov] == words[i * stride : i * stride + ov]
+        assert rebuilt == words, doc_id
+
+
+def test_bigram_totals_random_corpus(spark):
+    """Σ n_pair over the full bigram table equals Σ max(0, n_i − 1),
+    and p_cond sums to 1 within each observed prefix."""
+    raw = _random_docs(seed=11)
+    docs = spark.createDataFrame(raw, "doc_id long, text string")
+    from algoritmos_etl_spark.operators import corpus
+
+    rows = corpus.bigram_lm_topk(docs, top_k=10**6).collect()
+    expect_total = sum(max(0, len(t.split()) - 1) for _, t in raw)
+    assert sum(r.n_pair for r in rows) == expect_total
+    by_w1 = {}
+    for r in rows:
+        by_w1.setdefault(r.w1, []).append(r.p_cond)
+    for w1, ps in by_w1.items():
+        assert abs(sum(ps) - 1.0) < 1e-4, w1
+
+
+def test_bm25_matches_python_model(spark):
+    """Independent in-process model: pure-Python BM25 over the same
+    corpus must reproduce every (query, doc, score, rank) row."""
+    import math
+    from collections import Counter
+
+    raw = [(i, t) for i, t in _random_docs(seed=3) if t]
+    docs = spark.createDataFrame(raw, "doc_id long, text string")
+    queries = [(0, "w1 w2 w3"), (1, "w39"), (2, "w0 w0 w0")]
+    qdf = spark.createDataFrame(queries, "query_id int, query_text string")
+    from algoritmos_etl_spark.operators import retrieval
+
+    k1, b, top_k = 1.2, 0.75, 7
+    tfs = {i: Counter(t.lower().split()) for i, t in raw}
+    dls = {i: sum(c.values()) for i, c in tfs.items()}
+    n_docs = len(raw)
+    avgdl = sum(dls.values()) / n_docs
+    df = Counter(t for c in tfs.values() for t in c)
+    expect = {}
+    for qid, qtext in queries:
+        scores = {}
+        for d, c in tfs.items():
+            s = 0.0
+            for t in set(qtext.lower().split()):
+                if c[t] == 0:
+                    continue
+                idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * c[t] / (c[t] + k1 * (1 - b + b * dls[d] / avgdl))
+            if s > 0:
+                scores[d] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        for rank, (d, s) in enumerate(ranked, 1):
+            expect[(qid, d)] = (s, rank)
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in retrieval.bm25_topk(docs, qdf, top_k=top_k, k1=k1, b=b).collect()
+    }
+    assert got == expect
