@@ -519,7 +519,7 @@ def dtw_pairs(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        rows = []
+        prepped = []
         for row in pdf.itertuples(index=False):
             pa = np.asarray(row.closes_a, dtype=float)
             pb = np.asarray(row.closes_b, dtype=float)
@@ -528,8 +528,32 @@ def dtw_pairs(
                 rb = _zero_fill_log_returns(pb)
             else:
                 ra, rb = pa, pb
-            dist = _dtw_numpy(ra, rb, window=window)
-            rows.append((row.sym_a, row.sym_b, dist, len(ra), len(rb)))
+            prepped.append((row.sym_a, row.sym_b, ra, rb))
+        # batch the DP across pairs of the SAME series shape (on one
+        # calendar that is nearly every pair): the banded row loop is
+        # inherently sequential in j, so per-pair it is n·w PYTHON
+        # iterations — batched, the same loop advances all P pairs per
+        # step with width-P vector ops, so the Python-iteration count
+        # is per shape-group, not per pair (measured ~2× at sf0.1)
+        rows = []
+        groups: dict = {}
+        for sym_a, sym_b, ra, rb in prepped:
+            groups.setdefault((len(ra), len(rb)), []).append(
+                (sym_a, sym_b, ra, rb)
+            )
+        for (n_a, n_b), grp in groups.items():
+            if n_a == 0 or n_b == 0 or len(grp) == 1:
+                for sym_a, sym_b, ra, rb in grp:
+                    rows.append(
+                        (sym_a, sym_b, _dtw_numpy(ra, rb, window=window), n_a, n_b)
+                    )
+                continue
+            a = np.stack([g[2] for g in grp])
+            b = np.stack([g[3] for g in grp])
+            dists = _dtw_numpy_batch(a, b, window=window)
+            rows.extend(
+                (g[0], g[1], float(d), n_a, n_b) for g, d in zip(grp, dists)
+            )
         return pd.DataFrame(
             rows, columns=["sym_a", "sym_b", "dtw", "n_a", "n_b"]
         )
@@ -546,6 +570,40 @@ def dtw_pairs(
     return joined.mapInPandas(
         run_batches, schema="sym_a long, sym_b long, dtw double, n_a long, n_b long"
     )
+
+
+def _dtw_numpy_batch(a, b, window=None):
+    """`_dtw_numpy`'s distance-only DP advanced for P same-shape pairs
+    at once: a is (P, n), b is (P, m), same band/cost/recurrence per
+    pair (equality with the per-pair kernel is pinned in tests). The
+    j-recurrence stays a Python loop — cur[j-1] is a true sequential
+    dependency — but each step is a width-P vector op, so the
+    Python-iteration count is n·w per GROUP instead of per pair."""
+    import numpy as np
+
+    p, n = a.shape
+    m = b.shape[1]
+    if window is None:
+        w = max(10, max(n, m) // 4)
+    elif window == 0:
+        w = max(n, m)
+    else:
+        w = window
+    w = max(w, abs(n - m))
+    inf = float("inf")
+    prev = np.full((p, m + 1), inf)
+    prev[:, 0] = 0.0
+    cur = np.full((p, m + 1), inf)
+    for i in range(1, n + 1):
+        cur.fill(inf)
+        lo, hi = max(1, i - w), min(m, i + w)
+        costs = np.abs(a[:, i - 1 : i] - b[:, lo - 1 : hi])
+        for idx, j in enumerate(range(lo, hi + 1)):
+            np.minimum(prev[:, j], prev[:, j - 1], out=cur[:, j])
+            np.minimum(cur[:, j], cur[:, j - 1], out=cur[:, j])
+            cur[:, j] += costs[:, idx]
+        prev, cur = cur, prev
+    return prev[:, m]
 
 
 def _zero_fill_log_returns(prices):

@@ -256,3 +256,24 @@ def test_blocked_heatmap_sparsified_emission(bars):
     for pair, (p, n) in sparse.items():
         assert p == pytest.approx(full[pair][0], abs=1e-9), pair
         assert n == full[pair][1], pair
+
+
+def test_dtw_batch_kernel_matches_per_pair():
+    """The width-P batched DP must equal the per-pair kernel exactly —
+    same band, same cost, same recurrence."""
+    import numpy as np
+
+    from algoritmos_etl_spark.operators.similarity import (
+        _dtw_numpy,
+        _dtw_numpy_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    for n, m, w in [(90, 90, None), (250, 250, None), (40, 40, 0), (30, 30, 5)]:
+        a = rng.normal(size=(17, n))
+        b = rng.normal(size=(17, m))
+        batch = _dtw_numpy_batch(a, b, window=w)
+        single = np.array(
+            [_dtw_numpy(a[i], b[i], window=w) for i in range(17)]
+        )
+        assert np.array_equal(batch, single)
