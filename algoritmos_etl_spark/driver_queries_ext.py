@@ -2152,3 +2152,59 @@ def q_kmeans_clusters(spark, sf_dir):
         flat=_ivf_flat(spark, sf_dir),
         cents=_ivf_cents(spark, sf_dir),
     )
+
+
+# ------------------------------------------------------- more TPC-H shapes
+
+@register(
+    "late_shipment_priority",
+    """SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS other_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_linestatus""",
+    "TPC-H Q12 shape: fact-fact join with a lateness predicate, conditional "
+    "CASE aggregation per line status; one join shuffle, map-side partial "
+    "sums on a bounded group key",
+)
+def q_late_shipment_priority(spark, sf_dir):
+    from .operators import relational
+
+    return relational.late_shipment_priority_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        late_days=30,
+    )
+
+
+@register(
+    "large_orders_topk",
+    """SELECT c_custkey, c_name, orderkey, orderdate, total_qty FROM (
+        SELECT c_custkey, c_name, o_orderkey AS orderkey,
+               o_orderdate AS orderdate,
+               round(CAST(big.total_qty AS DOUBLE), 2) AS total_qty
+        FROM (
+            SELECT l_orderkey, sum(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 150.0
+        ) big
+        JOIN orders   ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    ) ORDER BY total_qty DESC, orderkey ASC LIMIT 20""",
+    "TPC-H Q18 shape: HAVING on the order-grain quantity rollup, survivors "
+    "joined back to orders + broadcast customer, TakeOrderedAndProject "
+    "top-20 (never a full sort)",
+)
+def q_large_orders(spark, sf_dir):
+    from .operators import relational
+
+    return relational.large_orders_topk(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        min_quantity=150.0,
+        k=20,
+    )

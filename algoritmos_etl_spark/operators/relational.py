@@ -101,3 +101,57 @@ def parts_per_size_bucket(part: DataFrame) -> DataFrame:
             F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
         )
     )
+
+
+def late_shipment_priority_counts(
+    lineitem: DataFrame, orders: DataFrame, late_days: int = 30
+) -> DataFrame:
+    """Q12 shape: fact ⋈ fact with a lateness predicate, then
+    conditional aggregation — urgent (1-URGENT / 2-HIGH) vs other
+    order counts per line status for lines shipped more than
+    `late_days` after the order date. One join shuffle, one bounded
+    group key; the CASE sums are map-side partial."""
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(urgent.cast("long")).alias("urgent_count"),
+            F.sum((~urgent).cast("long")).alias("other_count"),
+        )
+    )
+
+
+def large_orders_topk(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_quantity: float = 150.0,
+    k: int = 20,
+) -> DataFrame:
+    """Q18 shape: HAVING on an aggregate, then join the survivors back
+    to their dimensions. The quantity rollup is one partial-agg shuffle
+    on the order key; only orders over the threshold (a tiny survivor
+    set) join to orders/customer, and the top-k is
+    `TakeOrderedAndProject`, never a full sort."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_quantity)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("orderkey").asc())
+        .limit(k)
+    )

@@ -102,6 +102,8 @@ HEADLINE = [
     "rag_chunking",
     "bigram_lm",
     "kmeans_clusters",
+    "late_shipment_priority",
+    "large_orders_topk",
 ]
 
 DTW_SYMBOL_CAP = 100
@@ -166,6 +168,8 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = sf_dir
+    # cpus is NOT on the stdout line (the harvester records it itself);
+    # it stays in the sidecar. Keep the line lean — see module docstring.
     summary = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -174,12 +178,11 @@ def main() -> None:
         "n_trials": n_trials,
         "wall_clock_s": wall_clock,
         "sf": sf_num,
-        "cpus": cpus,
     }
     # Raw trials go to a sidecar file, not stdout: the harvested JSON
     # line must stay well under the driver's ~2000-char output tail.
     with open(os.path.join(REPO, "BENCH_TRIALS.json"), "w") as fh:
-        json.dump({**summary, "trials": trials}, fh, indent=1)
+        json.dump({**summary, "cpus": cpus, "trials": trials}, fh, indent=1)
     line = json.dumps(summary)
     # Print LAST, after spark.stop(), so no Spark shutdown chatter can
     # land between the line and end-of-output.
