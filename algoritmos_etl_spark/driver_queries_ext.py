@@ -2208,3 +2208,38 @@ def q_large_orders(spark, sf_dir):
         min_quantity=150.0,
         k=20,
     )
+
+
+@register(
+    "doc_lm_scores",
+    f"""WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+    i AS (
+        SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        FROM w WHERE len(ws) >= 2
+    ),
+    b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM i),
+    pc AS (SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY 1, 2),
+    pfx AS (SELECT w1, sum(n_pair) AS n_prefix FROM pc GROUP BY 1),
+    lm AS (
+        SELECT pc.w1, pc.w2, ln(CAST(pc.n_pair AS DOUBLE) / pfx.n_prefix) AS logp
+        FROM pc JOIN pfx ON pc.w1 = pfx.w1
+    ),
+    s AS (
+        SELECT b.doc_id, count(*) AS n_bigrams,
+               round(avg(lm.logp), 6) AS avg_logprob
+        FROM b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+        GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           s.avg_logprob
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id""",
+    "Perplexity-proxy quality score: mean bigram log-probability under the "
+    "corpus's own bigram LM (boilerplate scores near 0, word soup very "
+    "negative) — the curation signal the bigram table exists for. One "
+    "checkpointed bigram explode feeds LM build and scoring; the scoring "
+    "join runs at the bounded vocabulary grain (M8)",
+)
+def q_doc_lm_scores(spark, sf_dir):
+    from .operators import corpus
+
+    return corpus.doc_lm_scores(load_table(spark, sf_dir, "documents"))

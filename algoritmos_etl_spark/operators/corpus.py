@@ -277,6 +277,72 @@ def vocab_topk(docs: DataFrame, top_k: int = 100) -> DataFrame:
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(top_k)
 
 
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) adjacent word pairs; zip_with over shifted
+    slices (see `bigram_lm_topk` for why not transform+element_at)."""
+    words = words_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.zip_with(
+                    F.slice(words, 1, F.size(words) - 1),
+                    F.slice(words, 2, F.size(words) - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+
+def doc_lm_scores(docs: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality score per document: the mean bigram
+    log-probability ln p(w2|w1) under the corpus's OWN bigram LM —
+    the classic curation signal (boilerplate and looped text score
+    near 0; incoherent word soup scores very negative). Output:
+    (doc_id, n_bigrams, avg_logprob), docs with < 2 words get a row
+    with n_bigrams = 0 and NULL score.
+
+    Self-scoring means every doc bigram exists in the LM, so no
+    smoothing/backoff branch is needed. Cost shape: one bigram explode
+    feeds both the LM aggregation and the scoring join (checkpointed
+    once); the join key is the bounded (w1, w2) vocabulary grain, and
+    the final per-doc mean is a partial-agg shuffle on doc_id.
+    """
+    bgs = _doc_bigrams(docs).localCheckpoint(eager=False)
+    pair_counts = bgs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    ).localCheckpoint(eager=False)
+    prefix_counts = pair_counts.groupBy("w1").agg(
+        F.sum("n_pair").alias("n_prefix")
+    )
+    lm = pair_counts.join(prefix_counts, "w1").select(
+        "w1",
+        "w2",
+        F.log(F.col("n_pair") / F.col("n_prefix")).alias("logp"),
+    )
+    scored = (
+        bgs.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            "avg_logprob",
+        )
+    )
+
+
 def bigram_lm_topk(docs: DataFrame, top_k: int = 200) -> DataFrame:
     """Corpus bigram statistics with conditional probabilities — the
     n-gram language-model table a quality/perplexity heuristic reads:

@@ -104,6 +104,7 @@ HEADLINE = [
     "kmeans_clusters",
     "late_shipment_priority",
     "large_orders_topk",
+    "doc_lm_scores",
 ]
 
 DTW_SYMBOL_CAP = 100

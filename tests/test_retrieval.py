@@ -210,3 +210,37 @@ def test_bm25_matches_python_model(spark):
         for r in retrieval.bm25_topk(docs, qdf, top_k=top_k, k1=k1, b=b).collect()
     }
     assert got == expect
+
+
+def test_doc_lm_scores_python_model(spark):
+    """Self-LM scoring must match a pure-Python bigram LM exactly,
+    and short docs keep a NULL-score row."""
+    import math
+    from collections import Counter
+
+    raw = _random_docs(seed=19)
+    docs = spark.createDataFrame(raw, "doc_id long, text string")
+    from algoritmos_etl_spark.operators import corpus
+
+    pair = Counter()
+    pfx = Counter()
+    per_doc = {}
+    for i, t in raw:
+        ws = t.split()
+        bgs = list(zip(ws, ws[1:]))
+        per_doc[i] = bgs
+        pair.update(bgs)
+        pfx.update(w1 for w1, _ in bgs)
+    got = {r.doc_id: r for r in corpus.doc_lm_scores(docs).collect()}
+    assert set(got) == {i for i, _ in raw}
+    for i, _ in raw:
+        bgs = per_doc[i]
+        r = got[i]
+        assert r.n_bigrams == len(bgs)
+        if not bgs:
+            assert r.avg_logprob is None
+            continue
+        expect = round(
+            sum(math.log(pair[b] / pfx[b[0]]) for b in bgs) / len(bgs), 6
+        )
+        assert abs(r.avg_logprob - expect) < 2e-6, (i, r.avg_logprob, expect)
