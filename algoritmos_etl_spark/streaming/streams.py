@@ -256,7 +256,9 @@ def streaming_neardup_against_index(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint()  # one materialization, 3 consumers
+        # lazy: take(1) below materializes it once for all 3 consumers,
+        # avoiding a separate eager-checkpoint job per micro-batch
+        batch_df = batch_df.localCheckpoint(eager=False)
         if not batch_df.take(1):
             return
         # shingle + min-hash the batch ONCE: the same two relations
