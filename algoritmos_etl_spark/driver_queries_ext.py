@@ -2243,3 +2243,24 @@ def q_doc_lm_scores(spark, sf_dir):
     from .operators import corpus
 
     return corpus.doc_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "approx_profile",
+    # rows-only BY DESIGN: HyperLogLog++ and t-digest sketch internals
+    # are engine-specific (DuckDB's approx_count_distinct uses a
+    # different sketch), so cross-engine value equality is impossible
+    # for an approximate profile. The sketch-vs-exact error bound is
+    # pinned against profile_table in tests/test_profiling.py instead.
+    None,
+    "Sketch-tier table profile: HLL++ distinct counts (rsd 2%) for every "
+    "column and t-digest quantiles for numeric ones — single pass, "
+    "mergeable, constant memory per column: what you run on the full "
+    "100 TB table where exact distinct would shuffle every value (M8)",
+)
+def q_approx_profile(spark, sf_dir):
+    from .operators import profiling
+
+    return profiling.approx_profile(
+        load_table(spark, sf_dir, "orders"), columns=list(_PROFILE_COLS)
+    )

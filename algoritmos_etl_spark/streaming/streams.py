@@ -224,6 +224,20 @@ def streaming_dedup(
     )
 
 
+def enrich_with_dimension(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the (small, broadcast) dimension snapshot — the standard pattern
+    for attaching slowly-changing reference data to an event stream
+    without any streaming state. Works UNCHANGED in batch mode (that
+    parity is pinned in tests); Spark re-plans the static side per
+    micro-batch, so a refreshed dimension table is picked up at the
+    next trigger. Left join: events with no dimension row survive with
+    NULL attributes rather than silently dropping."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def streaming_neardup_against_index(
     docs_stream: DataFrame,
     index_path: str,

@@ -105,6 +105,7 @@ HEADLINE = [
     "late_shipment_priority",
     "large_orders_topk",
     "doc_lm_scores",
+    "approx_profile",
 ]
 
 DTW_SYMBOL_CAP = 100

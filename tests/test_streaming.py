@@ -366,3 +366,27 @@ def test_neardup_replay_is_idempotent(tables, spark, tmp_path):
         )
     )
     assert unguarded != first
+
+
+def test_stream_static_enrichment_matches_batch(spark, batch_events):
+    """Stream-static broadcast join: the streamed enrichment must equal
+    the same join run in batch, including events with no dim row."""
+    from algoritmos_etl_spark.streaming.streams import enrich_with_dimension
+
+    dim = spark.createDataFrame(
+        [(u, f"seg{u % 3}") for u in range(0, 50, 2)],  # odd users missing
+        "user_id long, segment string",
+    )
+    out_cols = ["event_id", "user_id", "segment"]
+    streamed = run_to_memory_sink(
+        enrich_with_dimension(
+            read_event_stream(spark, SF_DIR), dim
+        ).select(*out_cols),
+        "t_enrich",
+    )
+    batch = enrich_with_dimension(batch_events, dim).select(*out_cols)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # left semantics: un-dimensioned events survive with NULL segment
+    assert batch.filter(F.col("segment").isNull()).count() > 0
