@@ -481,35 +481,36 @@ def q_streaming_neardup(spark, sf_dir):
     # fresh output + checkpoint per run; the INDEX is shared — replayed
     # batch ids overwrite their own batch_id=N dirs idempotently and
     # read strictly below their id, so a re-run computes against
-    # exactly the base corpus again (the replay path, pinned by test).
-    # Prior runs' dirs are reclaimed here rather than on return: the
-    # returned DataFrame lazily reads run_dir/out/pairs, so the dir
-    # must outlive this call — by the next invocation the previous
-    # result has been materialized (bench/driver consume each query
-    # before building the next) and its tree is dead weight.
-    while _STREAM_NEARDUP_RUNS:
-        shutil.rmtree(_STREAM_NEARDUP_RUNS.pop(), ignore_errors=True)
+    # exactly the base corpus again (the replay path, pinned by test)
     run_dir = tempfile.mkdtemp(prefix="streaming_neardup_run_")
-    _STREAM_NEARDUP_RUNS.append(run_dir)
-    stream = (
-        spark.readStream.schema(load_table(spark, sf_dir, "documents").schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(f"{work}/stage/b*")
-    )
-    streams.streaming_neardup_against_index(
-        stream, index_path=f"{work}/index", out_path=f"{run_dir}/out",
-        threshold=0.2, max_bucket_size=None,
-    )
     try:
-        pairs = spark.read.parquet(f"{run_dir}/out/pairs")
-    except Exception:  # no batch emitted any pair → no directory
-        return spark.createDataFrame(
-            [], "doc_a long, doc_b long, jaccard double"
+        stream = (
+            spark.readStream.schema(
+                load_table(spark, sf_dir, "documents").schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{work}/stage/b*")
         )
-    return pairs.select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
-    )
+        streams.streaming_neardup_against_index(
+            stream, index_path=f"{work}/index", out_path=f"{run_dir}/out",
+            threshold=0.2, max_bucket_size=None,
+        )
+        try:
+            pairs = spark.read.parquet(f"{run_dir}/out/pairs")
+        except Exception:  # no batch emitted any pair → no directory
+            return spark.createDataFrame(
+                [], "doc_a long, doc_b long, jaccard double"
+            )
+        # EAGER checkpoint of the (small) pair result so the returned
+        # DataFrame no longer depends on run_dir — which lets the
+        # finally-block reclaim the tree immediately instead of relying
+        # on a consume-before-next-build contract that nothing enforces
+        return pairs.select(
+            "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
 
 
 # Staging for the streaming near-dup query is an INGEST artifact (the
@@ -520,7 +521,6 @@ def q_streaming_neardup(spark, sf_dir):
 # payloads die with the JVM), these entries own DISK trees — eviction
 # below and the atexit hook rmtree them.
 _STREAM_NEARDUP_SETUP: dict = {}
-_STREAM_NEARDUP_RUNS: list = []
 
 
 def _stream_neardup_cleanup() -> None:
@@ -529,8 +529,6 @@ def _stream_neardup_cleanup() -> None:
     for _, w in _STREAM_NEARDUP_SETUP.values():
         shutil.rmtree(w, ignore_errors=True)
     _STREAM_NEARDUP_SETUP.clear()
-    while _STREAM_NEARDUP_RUNS:
-        shutil.rmtree(_STREAM_NEARDUP_RUNS.pop(), ignore_errors=True)
 
 
 atexit.register(_stream_neardup_cleanup)

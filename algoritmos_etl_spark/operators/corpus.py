@@ -278,17 +278,23 @@ def vocab_topk(docs: DataFrame, top_k: int = 100) -> DataFrame:
 
 
 def _doc_bigrams(docs: DataFrame) -> DataFrame:
-    """(doc_id, w1, w2) adjacent word pairs; zip_with over shifted
-    slices (see `bigram_lm_topk` for why not transform+element_at)."""
-    words = words_col(F.col("text"))
-    return docs.select(
+    """(doc_id, w1, w2) adjacent word pairs.
+
+    zip_with over two shifted slices, NOT transform+element_at
+    (element_at is a positional walk in codegen, so indexing every
+    position is O(n²) per doc — measured 10× slower at sf0.1), and the
+    word array is PROJECTED first — codegen does not CSE repeated
+    subtrees across a Generate input, so the inline form would re-split
+    the text once per reference (the doc_shingles lesson)."""
+    pre = docs.select("doc_id", words_col(F.col("text")).alias("_w"))
+    return pre.select(
         "doc_id",
         F.explode(
             F.when(
-                F.size(words) >= 2,
+                F.size("_w") >= 2,
                 F.zip_with(
-                    F.slice(words, 1, F.size(words) - 1),
-                    F.slice(words, 2, F.size(words) - 1),
+                    F.slice("_w", 1, F.size("_w") - 1),
+                    F.slice("_w", 2, F.size("_w") - 1),
                     lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
                 ),
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
@@ -349,27 +355,14 @@ def bigram_lm_topk(docs: DataFrame, top_k: int = 200) -> DataFrame:
     (w1, w2, n_pair, p_cond) for the top-k bigrams by count,
     p_cond = c(w1,w2) / c(w1,·) over bigram positions.
 
-    One explode of word-adjacent pairs, one partially-aggregated
-    groupBy on the pair key, one on the prefix key; the prefix totals
-    join back on w1. Top-k is `TakeOrderedAndProject`, ties broken by
-    (w1, w2) for determinism. Bigrams never cross document boundaries.
+    One explode of word-adjacent pairs (`_doc_bigrams` — one
+    tokenization definition shared with `doc_lm_scores`), one
+    partially-aggregated groupBy on the pair key, one on the prefix
+    key; the prefix totals join back on w1. Top-k is
+    `TakeOrderedAndProject`, ties broken by (w1, w2) for determinism.
+    Bigrams never cross document boundaries.
     """
-    words = words_col(F.col("text"))
-    # zip_with over two shifted slices, NOT transform+element_at:
-    # element_at is a positional walk in codegen, so indexing every
-    # position is O(n²) per doc — measured 10× slower at sf0.1
-    pairs = docs.select(
-        F.explode(
-            F.when(
-                F.size(words) >= 2,
-                F.zip_with(
-                    F.slice(words, 1, F.size(words) - 1),
-                    F.slice(words, 2, F.size(words) - 1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
+    pairs = _doc_bigrams(docs).select("w1", "w2")
     # prefix totals c(w1,·) = Σ_w2 c(w1,w2): derive them from the
     # already-reduced pair table — one pass over the raw bigrams, and
     # the second aggregate runs on |vocab²∩corpus| rows, not positions.

@@ -735,7 +735,6 @@ def simhash_neardup_pairs(
     The DuckDB oracle keeps the per-chunk formulation — same result,
     no 64-bit-literal handling needed there."""
     sh = simhash(docs, bits=bits, chunks=chunks)
-    chunk_bits = bits // chunks
     # feeds BOTH self-join sides — materialize once or the whole
     # token-hash vote-aggregate pipeline executes twice (no CSE across
     # self-join branches)

@@ -134,17 +134,24 @@ def large_orders_topk(
 ) -> DataFrame:
     """Q18 shape: HAVING on an aggregate, then join the survivors back
     to their dimensions. The quantity rollup is one partial-agg shuffle
-    on the order key; only orders over the threshold (a tiny survivor
-    set) join to orders/customer, and the top-k is
-    `TakeOrderedAndProject`, never a full sort."""
+    on the order key; the SURVIVOR side is what broadcasts at every
+    stage — first into the orders scan, then (now carrying order
+    attributes, still survivor-sized) into the customer scan. Customer
+    itself scales with the corpus, so broadcasting it would grow
+    without bound; the survivor set is bounded by the threshold. Top-k
+    is `TakeOrderedAndProject`, never a full sort."""
     big = (
         lineitem.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > min_quantity)
     )
+    big_orders = orders.join(
+        F.broadcast(big), F.col("l_orderkey") == F.col("o_orderkey")
+    )
     return (
-        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        customer.join(
+            F.broadcast(big_orders), F.col("o_custkey") == F.col("c_custkey")
+        )
         .select(
             "c_custkey",
             "c_name",

@@ -78,14 +78,20 @@ def bm25_topk(
     stats = corpus.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    dfreq = tfs.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
     qterms = queries.select(
         "query_id",
         F.explode(F.array_distinct(words_col(F.lower(F.col("query_text"))))).alias(
             "term"
         ),
+    )
+    # df(term) only for QUERY terms: the broadcast restriction sits
+    # below the aggregation, so the df shuffle carries only matched
+    # postings — aggregating the whole vocabulary first would shuffle
+    # the full postings table for ~a dozen kept rows
+    dfreq = (
+        tfs.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
     )
     idf = F.log(
         F.lit(1.0)
@@ -97,7 +103,7 @@ def bm25_topk(
     )
     scored = (
         tfs.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq.join(qterms.select("term").distinct(), "term")), "term")
+        .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))

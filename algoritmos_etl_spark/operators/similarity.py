@@ -285,22 +285,22 @@ def correlation_heatmap_blocked(
     # job that belongs on the kNN/thresholded emission path anyway.
     # 3× oversubscription: ~1 block per partition at B ≈ 3·cores, so
     # the tail is one block's pair list, not a hash-unlucky clump.
-    # BOTH join sides derive from the SAME repartitioned relation: the
-    # b-side's BroadcastExchange then sits on an identical shuffle
-    # subtree and ReuseExchange serves it from the a-side's exchange —
-    # the scan + date-index join + pack groupBy run ONCE (plan pinned
-    # in test_plans), with no localCheckpoint: a lazy localCheckpoint
-    # of an applyInPandas plan launches jobs at CONSTRUCTION time,
-    # which would break the heatmap's zero-jobs-until-action contract.
+    # No materialization of the packed blocks, DELIBERATELY: a lazy
+    # localCheckpoint of an applyInPandas plan launches jobs at
+    # CONSTRUCTION time (breaking the zero-jobs-until-action contract
+    # test_plans pins), and Dataset persist() parks the multi-GB block
+    # cache in the CacheManager until session end. The b-side therefore
+    # recomputes the scan+pack subtree — measured immaterial next to
+    # the BLAS stage (30×: 38.5 s here vs 39.8 s with an eager-ish
+    # checkpoint; 100×: 214.6 s vs 231 s), because pack is one linear
+    # pass while the pair stage is O(B²) matmuls.
     n_par = 3 * bars.sparkSession.sparkContext.defaultParallelism
     packed = blocks.repartition(n_par, "block")
-    # Both sides are RENAME-ONLY projections of the same column set:
-    # if the b-side dropped a column (it doesn't need ndays), pruning
-    # would push a narrower projection under its exchange, the two
-    # exchange subtrees would no longer canonicalize equal, and
-    # ReuseExchange couldn't serve the broadcast side from the a-side
-    # shuffle. The redundant ndb long per block row is the price of
-    # computing the pack pipeline once.
+    # Rename-only projections of the same column set keep the two
+    # exchange subtrees canonically equal, which leaves Catalyst the
+    # OPTION of exchange reuse (observed plans don't take it today —
+    # the b-side sits under a BroadcastExchange — but a narrower b-side
+    # projection would foreclose it for free ndb bytes saved).
     a = packed.select(
         F.col("block").alias("ba"), F.col("ndays").alias("nd"),
         F.col("syms").alias("sa"),
