@@ -15,7 +15,14 @@ import atexit
 
 from pyspark.sql import functions as F
 
-from .driver_queries import _bars, register, r6, session_cached
+from .driver_queries import (
+    DTW_PAIRS_ORACLE,
+    _bars,
+    dtw_pairs_distances,
+    register,
+    r6,
+    session_cached,
+)
 from .operators import dedup, text, vectors
 from .sources.readers import ORACLE_BARS_CTE, load_table
 
@@ -759,7 +766,7 @@ def q_ann_topk(spark, sf_dir):
 # ---------------------------------------------------------------- event-time
 
 @register(
-    "time_window_stats",
+    "event_time_report",
     """WITH tumbling AS (
         SELECT 'tumbling_1h' AS kind,
                date_trunc('hour', ts) AS window_start,
@@ -783,13 +790,57 @@ def q_ann_topk(spark, sf_dir):
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS avg_value
         FROM starts GROUP BY 2
+    ),
+    windows AS (SELECT * FROM tumbling UNION ALL SELECT * FROM sliding),
+    sessions AS (
+        SELECT user_id, start_us, end_us, n_events, duration_sec
+        FROM (
+            WITH seq AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                FROM events
+            ),
+            marked AS (
+                -- session_window semantics: window is [start, last_ts + gap), so an
+                -- event at exactly prev+gap opens a NEW session (>=, not >)
+                SELECT user_id, event_id, ts_us,
+                       CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+                FROM seq
+            ),
+            sess AS (
+                SELECT user_id, ts_us,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM marked
+            )
+            SELECT user_id,
+                   min(ts_us) AS start_us,
+                   max(ts_us) + 1800000000 AS end_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec
+            FROM sess GROUP BY user_id, session_id
+        )
     )
-    SELECT * FROM tumbling UNION ALL SELECT * FROM sliding""",
-    "Event-time windowed aggregation, tumbling 1h (per event_type) UNION "
-    "sliding 2h/1h — batch twins of the streaming paths; DECIMAL(30,10) "
-    "partial sums keep the float average reproducible at any parallelism (M8)",
+    SELECT kind, CAST(NULL AS BIGINT) AS user_id, event_type,
+           epoch_us(window_start) AS start_us, epoch_us(window_end) AS end_us,
+           n_events, avg_value, CAST(NULL AS BIGINT) AS duration_sec
+    FROM windows
+    UNION ALL
+    SELECT 'session' AS kind, user_id, CAST(NULL AS VARCHAR) AS event_type,
+           start_us, end_us, n_events, CAST(NULL AS DOUBLE) AS avg_value,
+           duration_sec
+    FROM sessions""",
+    "Event-time report in one result: kind='tumbling_1h' rows aggregate per "
+    "event_type in 1h tumbling windows, kind='sliding_2h_1h' rows are the "
+    "2h/1h sliding twin (DECIMAL(30,10) partial sums keep the float average "
+    "reproducible at any parallelism), kind='session' rows come from "
+    "F.session_window sessionization (30-min gap: per-session bounds, event "
+    "count, duration — the oracle's lag+cumsum formulation is the equivalent "
+    "spelling). All bounds as epoch microseconds. Batch twins of the "
+    "streaming paths; fusion of the former time_window_stats + "
+    "sessionization registry entries (M8)",
 )
-def q_time_windows(spark, sf_dir):
+def q_event_time_report(spark, sf_dir):
     from .streaming import sliding_stats
 
     ev = load_table(spark, sf_dir, "events")
@@ -817,54 +868,35 @@ def q_time_windows(spark, sf_dir):
         "n_events",
         "avg_value",
     )
-    return tumbling.unionByName(sliding)
-
-
-@register(
-    "sessionization",
-    """WITH seq AS (
-        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-        FROM events
-    ),
-    marked AS (
-        -- session_window semantics: window is [start, last_ts + gap), so an
-        -- event at exactly prev+gap opens a NEW session (>=, not >)
-        SELECT user_id, event_id, ts_us,
-               CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
-        FROM seq
-    ),
-    sess AS (
-        SELECT user_id, ts_us,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        FROM marked
+    windows = tumbling.unionByName(sliding).select(
+        "kind",
+        F.lit(None).cast("long").alias("user_id"),
+        "event_type",
+        F.unix_micros(F.col("window_start")).alias("start_us"),
+        F.unix_micros(F.col("window_end")).alias("end_us"),
+        "n_events",
+        "avg_value",
+        F.lit(None).cast("long").alias("duration_sec"),
     )
-    SELECT user_id,
-           min(ts_us) AS start_us,
-           max(ts_us) + 1800000000 AS end_us,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec
-    FROM sess GROUP BY user_id, session_id""",
-    "Sessionization via F.session_window (30-min gap): per-session window "
-    "bounds, event count, and duration — batch twin of streaming.session_stats; "
-    "the lag+cumsum formulation is the oracle's equivalent spelling (M8)",
-)
-def q_sessions(spark, sf_dir):
+
     from .streaming import session_stats
 
-    out = session_stats(load_table(spark, sf_dir, "events"))
+    sess = session_stats(ev)
     start_us = F.unix_micros(F.col("session_start").cast("timestamp"))
     end_us = F.unix_micros(F.col("session_end").cast("timestamp"))
-    return out.select(
+    sessions = sess.select(
+        F.lit("session").alias("kind"),
         "user_id",
+        F.lit(None).cast("string").alias("event_type"),
         start_us.alias("start_us"),
         end_us.alias("end_us"),
         "n_events",
+        F.lit(None).cast("double").alias("avg_value"),
         ((end_us - F.lit(1_800_000_000) - start_us) / 1_000_000)
         .cast("long")
         .alias("duration_sec"),
     )
+    return windows.unionByName(sessions)
 
 
 @register(
@@ -936,42 +968,70 @@ payload AS (
 
 
 @register(
-    "multimodal_decode",
-    f"""WITH {_PAYLOAD}
-    SELECT doc_id, modality, width, height, n_frames,
-           CAST(length(hexp) / 2 AS INT) AS n_bytes,
-           md5(hexp) AS checksum,
-           round(CAST(list_sum(list_transform(range(0, CAST(length(hexp) / 2 AS INT)),
-                 i -> CAST(('0x' || substr(hexp, CAST(i * 2 + 1 AS INT), 2)) AS INT))) AS DOUBLE)
-                 / (length(hexp) / 2), 6) AS byte_mean,
-           CAST(('0x' || substr(md5(hexp), 1, 4)) AS INT) AS dominant
-    FROM payload""",
-    "Binary payload integrity stats (JVM-side octet_length + checksum + typed "
-    "metadata) fused with the Arrow-batched mapInPandas decode + feature "
-    "extraction (deterministic fake codec) — one pass over the payloads",
-)
-def q_multimodal_decode(spark, sf_dir):
-    from .operators import multimodal
-
-    return multimodal.decode_with_stats(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "multimodal_frames",
-    f"""WITH {_PAYLOAD},
-    frames AS (
-        SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx, hexp
+    "multimodal_report",
+    f"""SELECT 'image_stats' AS kind, doc_id, modality, width, height, n_frames,
+           n_bytes, checksum, byte_mean, dominant,
+           CAST(NULL AS INT) AS frame_idx, CAST(NULL AS VARCHAR) AS frame_md5
+    FROM (
+        WITH {_PAYLOAD}
+        SELECT doc_id, modality, width, height, n_frames,
+               CAST(length(hexp) / 2 AS INT) AS n_bytes,
+               md5(hexp) AS checksum,
+               round(CAST(list_sum(list_transform(range(0, CAST(length(hexp) / 2 AS INT)),
+                     i -> CAST(('0x' || substr(hexp, CAST(i * 2 + 1 AS INT), 2)) AS INT))) AS DOUBLE)
+                     / (length(hexp) / 2), 6) AS byte_mean,
+               CAST(('0x' || substr(md5(hexp), 1, 4)) AS INT) AS dominant
         FROM payload
     )
-    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-           md5(substr(hexp, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_md5
-    FROM frames""",
-    "Video-style frame sampling: every 2nd 16-byte frame exploded via mapInPandas",
+    UNION ALL
+    SELECT 'frame' AS kind, doc_id, CAST(NULL AS VARCHAR) AS modality,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(NULL AS INT) AS n_frames, CAST(NULL AS INT) AS n_bytes,
+           CAST(NULL AS VARCHAR) AS checksum, CAST(NULL AS DOUBLE) AS byte_mean,
+           CAST(NULL AS INT) AS dominant, frame_idx, frame_md5
+    FROM (
+        WITH {_PAYLOAD},
+        frames AS (
+            SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx, hexp
+            FROM payload
+        )
+        SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+               md5(substr(hexp, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_md5
+        FROM frames
+    )""",
+    "Multimodal binary-column report in one result: kind='image_stats' rows "
+    "carry payload integrity stats (JVM-side octet_length + checksum + typed "
+    "metadata) fused with the Arrow-batched mapInPandas decode + feature "
+    "extraction (deterministic fake codec, one pass over the payloads); "
+    "kind='frame' rows are video-style frame sampling (every 2nd 16-byte "
+    "frame) through the same mapInPandas contract. Fusion of the former "
+    "multimodal_decode + multimodal_frames registry entries",
 )
-def q_multimodal_frames(spark, sf_dir):
+def q_multimodal_report(spark, sf_dir):
     from .operators import multimodal
 
-    return multimodal.sample_frames(load_table(spark, sf_dir, "documents"), stride=2)
+    docs = load_table(spark, sf_dir, "documents")
+    stats = multimodal.decode_with_stats(docs).select(
+        F.lit("image_stats").alias("kind"),
+        "doc_id", "modality", "width", "height", "n_frames",
+        "n_bytes", "checksum", "byte_mean", "dominant",
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("string").alias("frame_md5"),
+    )
+    frames = multimodal.sample_frames(docs, stride=2).select(
+        F.lit("frame").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("modality"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("n_frames"),
+        F.lit(None).cast("int").alias("n_bytes"),
+        F.lit(None).cast("string").alias("checksum"),
+        F.lit(None).cast("double").alias("byte_mean"),
+        F.lit(None).cast("int").alias("dominant"),
+        "frame_idx", "frame_md5",
+    )
+    return stats.unionByName(frames)
 
 
 # ---------------------------------------------------------------- X2 / pipeline
@@ -980,8 +1040,13 @@ _DTW_INF = "1e300"
 
 
 @register(
-    "dtw_path_pair",
-    f"""WITH RECURSIVE {ORACLE_BARS_CTE},
+    "dtw_report",
+    f"""SELECT 'distance' AS kind, sym_a, sym_b, dtw,
+           CAST(NULL AS INT) AS step, CAST(NULL AS INT) AS i, CAST(NULL AS INT) AS j
+    FROM ({DTW_PAIRS_ORACLE})
+    UNION ALL
+    SELECT 'path' AS kind, sym_a, sym_b, dtw, step, i, j
+    FROM (WITH RECURSIVE {ORACLE_BARS_CTE},
     valid AS (
         SELECT symbol, date, close FROM bars
         WHERE symbol IN (0, 1) AND close IS NOT NULL AND close > 0
@@ -1064,21 +1129,34 @@ _DTW_INF = "1e300"
            d.dtw,
            CAST(fidx // k AS INT) AS step,
            CAST(pi AS INT) AS i, CAST(pj AS INT) AS j
-    FROM fwd, dist d WHERE fidx % k = 0""",
-    "X2 full-matrix DTW with warping path for one pair (algorithms/similarity."
-    "py:536-608), reference-parity downsampling (series ~80 pts, path ~60). "
-    "Oracle: the anti-diagonal wavefront DP materialized to cells, then a "
-    "recursive backtrack walking argmin neighbors with numpy's tie-break "
-    "order — path and distance are hash-checked, not rows-only",
+    FROM fwd, dist d WHERE fidx % k = 0)""",
+    "DTW report in one result: kind='distance' rows are the X1 banded DTW "
+    "distance over symbol pairs (algorithms/similarity.py:200-352, capped "
+    "at 100 symbols = 4,950 pairs at any scale; oracle = anti-diagonal "
+    "wavefront recursion carrying two diagonal vectors per pair); "
+    "kind='path' rows are the X2 full-matrix DTW warping path for pair "
+    "(0, 1) (algorithms/similarity.py:536-608, reference-parity "
+    "downsampling: series ~80 pts, path ~60; oracle = wavefront DP "
+    "materialized to cells + recursive argmin backtrack with numpy's "
+    "tie-break order). Both DPs are hash-checked, not rows-only. Fusion of "
+    "the former dtw_pairs + dtw_path_pair registry entries",
 )
-def q_dtw_path(spark, sf_dir):
+def q_dtw_report(spark, sf_dir):
     from .operators import similarity
 
+    distances = dtw_pairs_distances(spark, sf_dir).select(
+        F.lit("distance").alias("kind"),
+        "sym_a", "sym_b", "dtw",
+        F.lit(None).cast("int").alias("step"),
+        F.lit(None).cast("int").alias("i"),
+        F.lit(None).cast("int").alias("j"),
+    )
     bars = _bars(spark, sf_dir)
-    out = similarity.dtw_path(bars, 0, 1)
-    return out.select(
+    path = similarity.dtw_path(bars, 0, 1).select(
+        F.lit("path").alias("kind"),
         "sym_a", "sym_b", r6(F.col("dtw")).alias("dtw"), "step", "i", "j"
     )
+    return distances.unionByName(path)
 
 
 def _oracle_lsh_tables(
@@ -1474,10 +1552,16 @@ def q_canonical_selection(spark, sf_dir):
 
 
 @register(
-    "candlestick_tail",
+    "bar_slices",
     f"""WITH {ORACLE_BARS_CTE},
-    m AS (SELECT symbol, max(date) AS max_date FROM bars GROUP BY symbol)
-    SELECT b.symbol, b.date, b.open, b.high, b.low, b.close,
+    m AS (SELECT symbol, max(date) AS max_date FROM bars GROUP BY symbol),
+    seq AS (
+        SELECT symbol, date, close,
+               row_number() OVER (PARTITION BY symbol ORDER BY date) - 1 AS pos,
+               count(*) OVER (PARTITION BY symbol) AS n
+        FROM bars
+    )
+    SELECT 'tail_week' AS kind, b.symbol, b.date, b.open, b.high, b.low, b.close,
            CAST(b.volume AS BIGINT) AS volume,
            CAST(year(b.date) AS INT) AS year,
            CAST(month(b.date) AS INT) AS month,
@@ -1485,16 +1569,30 @@ def q_canonical_selection(spark, sf_dir):
            CAST(round(b.close * 100, 0) AS BIGINT) AS close_cents,
            CAST(epoch(CAST(b.date AS TIMESTAMP)) AS BIGINT) AS unix_ts
     FROM bars b JOIN m USING (symbol)
-    WHERE b.date >= m.max_date - INTERVAL 7 DAY""",
-    "P8 tail-N slice (candlestick endpoint, app.py:379-381): last week per symbol "
-    "via a per-partition max — predicate stays relational, no per-symbol collect. "
-    "Carries the F1/F2/F4 scalar surface (date components, unix ts, cents sort "
-    "keys) on the sliced rows",
+    WHERE b.date >= m.max_date - INTERVAL 7 DAY
+    UNION ALL
+    SELECT 'stride' AS kind, symbol, date, CAST(NULL AS DOUBLE) AS open,
+           CAST(NULL AS DOUBLE) AS high, CAST(NULL AS DOUBLE) AS low, close,
+           CAST(NULL AS BIGINT) AS volume, CAST(NULL AS INT) AS year,
+           CAST(NULL AS INT) AS month, CAST(NULL AS INT) AS day,
+           CAST(NULL AS BIGINT) AS close_cents, CAST(NULL AS BIGINT) AS unix_ts
+    FROM seq WHERE pos % greatest(1, n // 10) = 0""",
+    "Series-slicing report in one result: kind='tail_week' rows are the P8 "
+    "tail-N slice (candlestick endpoint, app.py:379-381 — last week per "
+    "symbol via a per-partition max; predicate stays relational, no "
+    "per-symbol collect) carrying the F1/F2/F4 scalar surface (date "
+    "components, unix ts, cents sort keys); kind='stride' rows are O15 "
+    "stride downsampling (app.py:215-229 — every step-th row per series, "
+    "step = max(1, len // max_points); chart-thinning as a window + modulo "
+    "filter). Fusion of the former candlestick_tail + stride_downsample "
+    "registry entries",
 )
-def q_candlestick_tail(spark, sf_dir):
+def q_bar_slices(spark, sf_dir):
     from pyspark.sql import Window
 
     from .functions import cents, date_parts, date_to_unix
+    from .operators import sampling
+
     bars = _bars(spark, sf_dir)
     w = Window.partitionBy("symbol")
     tail = (
@@ -1502,13 +1600,31 @@ def q_candlestick_tail(spark, sf_dir):
         .filter(F.col("date") >= F.date_sub(F.col("_max"), 7))
         .drop("_max")
     )
-    return date_parts(tail).select(
+    tail_rows = date_parts(tail).select(
+        F.lit("tail_week").alias("kind"),
         "symbol", "date", "open", "high", "low", "close",
         F.col("volume").cast("long").alias("volume"),
         "year", "month", "day",
         cents(F.col("close")).alias("close_cents"),
         date_to_unix(F.col("date")).alias("unix_ts"),
     )
+    stride_rows = sampling.stride_sample(
+        bars, partition_col="symbol", order_cols=["date"], max_points=10
+    ).select(
+        F.lit("stride").alias("kind"),
+        "symbol", "date",
+        F.lit(None).cast("double").alias("open"),
+        F.lit(None).cast("double").alias("high"),
+        F.lit(None).cast("double").alias("low"),
+        "close",
+        F.lit(None).cast("long").alias("volume"),
+        F.lit(None).cast("int").alias("year"),
+        F.lit(None).cast("int").alias("month"),
+        F.lit(None).cast("int").alias("day"),
+        F.lit(None).cast("long").alias("close_cents"),
+        F.lit(None).cast("long").alias("unix_ts"),
+    )
+    return tail_rows.unionByName(stride_rows)
 
 
 # ---------------------------------------------------------------- profiling
@@ -1641,29 +1757,6 @@ def q_corpus_sampling(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
-
-
-@register(
-    "stride_downsample",
-    f"""WITH {ORACLE_BARS_CTE},
-    seq AS (
-        SELECT symbol, date, close,
-               row_number() OVER (PARTITION BY symbol ORDER BY date) - 1 AS pos,
-               count(*) OVER (PARTITION BY symbol) AS n
-        FROM bars
-    )
-    SELECT symbol, date, close
-    FROM seq WHERE pos % greatest(1, n // 10) = 0""",
-    "O15 stride downsampling (app.py:215-229): every step-th row per series, "
-    "step = max(1, len // max_points); chart-thinning as a window + modulo filter",
-)
-def q_stride_downsample(spark, sf_dir):
-    from .operators import sampling
-    bars = _bars(spark, sf_dir)
-    out = sampling.stride_sample(
-        bars, partition_col="symbol", order_cols=["date"], max_points=10
-    )
-    return out.select("symbol", "date", "close")
 
 
 # ---------------------------------------------------------------- range join
@@ -1923,24 +2016,6 @@ def q_corpus_mixture(spark, sf_dir):
 _VOCAB_K = 200
 
 
-@register(
-    "vocab_topk",
-    f"""WITH t AS (SELECT unnest({_W}) AS token FROM documents)
-    SELECT token, CAST(count(*) AS BIGINT) AS n
-    FROM t GROUP BY token
-    ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}""",
-    "Vocabulary construction scan: corpus token frequencies, top-200 by count "
-    "(ties broken by token) — partial-agg shuffle + TakeOrderedAndProject, "
-    "never a full vocabulary sort (M8)",
-)
-def q_vocab_topk(spark, sf_dir):
-    from .operators import corpus
-
-    return corpus.vocab_topk(
-        load_table(spark, sf_dir, "documents"), top_k=_VOCAB_K
-    )
-
-
 # -------------------------------------------------------------- retrieval
 
 # deterministic query workload over the synthetic corpus vocabulary —
@@ -2054,30 +2129,59 @@ _BIGRAM_K = 200
 
 
 @register(
-    "bigram_lm",
-    f"""WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
-    i AS (
-        SELECT ws, unnest(range(1, len(ws))) AS i
-        FROM w WHERE len(ws) >= 2
-    ),
-    b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM i),
-    pc AS (SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY 1, 2),
-    pfx AS (SELECT w1, count(*) AS n_prefix FROM b GROUP BY 1)
-    SELECT pc.w1, pc.w2, CAST(pc.n_pair AS BIGINT) AS n_pair,
-           round(pc.n_pair / pfx.n_prefix, 6) AS p_cond
-    FROM pc JOIN pfx ON pc.w1 = pfx.w1
-    ORDER BY n_pair DESC, pc.w1 ASC, pc.w2 ASC LIMIT {_BIGRAM_K}""",
-    "Bigram language-model table: top-200 adjacent word pairs with "
-    "conditional probability p(w2|w1) over bigram positions. Two "
-    "partial-agg shuffles (pair key, prefix key) + TakeOrderedAndProject; "
-    "bigrams never cross document boundaries (M8)",
+    "lm_topk",
+    f"""SELECT 'unigram' AS kind, token AS w1, CAST(NULL AS VARCHAR) AS w2,
+           n, CAST(NULL AS DOUBLE) AS p_cond
+    FROM (
+        WITH t AS (SELECT unnest({_W}) AS token FROM documents)
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}
+    )
+    UNION ALL
+    SELECT 'bigram' AS kind, w1, w2, n_pair AS n, p_cond
+    FROM (
+        WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+        i AS (
+            SELECT ws, unnest(range(1, len(ws))) AS i
+            FROM w WHERE len(ws) >= 2
+        ),
+        b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM i),
+        pc AS (SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY 1, 2),
+        pfx AS (SELECT w1, count(*) AS n_prefix FROM b GROUP BY 1)
+        SELECT pc.w1, pc.w2, CAST(pc.n_pair AS BIGINT) AS n_pair,
+               round(pc.n_pair / pfx.n_prefix, 6) AS p_cond
+        FROM pc JOIN pfx ON pc.w1 = pfx.w1
+        ORDER BY n_pair DESC, pc.w1 ASC, pc.w2 ASC LIMIT {_BIGRAM_K}
+    )""",
+    "Language-model token tables in one result: kind='unigram' rows are the "
+    "top-200 vocabulary scan (partial-agg token counts + "
+    "TakeOrderedAndProject, never a full vocabulary sort); kind='bigram' "
+    "rows are the top-200 adjacent-pair LM with conditional probability "
+    "p(w2|w1) over bigram positions (pair-key + prefix-key partial aggs; "
+    "bigrams never cross document boundaries). Fusion of the former "
+    "vocab_topk + bigram_lm registry entries — same operators, one "
+    "correctness row (M8)",
 )
-def q_bigram_lm(spark, sf_dir):
+def q_lm_topk(spark, sf_dir):
     from .operators import corpus
 
-    return corpus.bigram_lm_topk(
-        load_table(spark, sf_dir, "documents"), top_k=_BIGRAM_K
+    docs = load_table(spark, sf_dir, "documents")
+    uni = corpus.vocab_topk(docs, top_k=_VOCAB_K).select(
+        F.lit("unigram").alias("kind"),
+        F.col("token").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        "n",
+        F.lit(None).cast("double").alias("p_cond"),
     )
+    bi = corpus.bigram_lm_topk(docs, top_k=_BIGRAM_K).select(
+        F.lit("bigram").alias("kind"),
+        "w1",
+        "w2",
+        F.col("n_pair").alias("n"),
+        "p_cond",
+    )
+    return uni.unionByName(bi)
 
 
 def _oracle_kmeans(n_centroids: int = 16) -> str:

@@ -4,9 +4,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is fully materialized through the `noop` sink (forces every
 column/row through the plan — `count()` would let Catalyst prune the
-work). DTW runs on a 100-symbol slice: all-pairs DP over 1500 symbols
-is O(k²) pairs and belongs to a sampled/banded path at scale (the
-reference itself downsamples for DTW viz, app.py:246-265).
+work). The dtw_report entry runs its DP on a 100-symbol slice:
+all-pairs DTW over 1500 symbols is O(k²) pairs and belongs to a
+sampled/banded path at scale (the reference itself downsamples for
+DTW viz, app.py:246-265).
 
 Timing: each query runs SPARK_GRAFT_BENCH_TRIALS times (default 3) and
 the reported per-query number is the MEDIAN — a single multi-second
@@ -39,76 +40,12 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from algoritmos_etl_spark.driver_queries import REGISTRY  # noqa: E402
-from algoritmos_etl_spark.operators import similarity  # noqa: E402
 from algoritmos_etl_spark.session import get_spark  # noqa: E402
-from algoritmos_etl_spark.sources import daily_bars, load_table  # noqa: E402
 
-HEADLINE = [
-    # every registered driver query, in registry order (the two DTW
-    # entries run below on a capped symbol slice)
-    "bars_model",
-    "cleaning_report",
-    "drop_invalid_rows",
-    "align_to_calendar",
-    "returns_model",
-    "rolling_features",
-    "risk_classification",
-    "risk_summary",
-    "streak_histograms",
-    "pair_metrics",
-    "correlation_heatmap",
-    "top15_by_value",
-    "multi_key_sort_rank",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers_by_revenue",
-    "order_priority_counts",
-    "parts_per_size_bucket",
-    "text_stats",
-    "doc_fingerprints",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "corpus_curation",
-    "dedup_simhash",
-    "embedding_norms",
-    "ann_cosine_topk",
-    "time_window_stats",
-    "sessionization",
-    "running_streaks",
-    "multimodal_decode",
-    "multimodal_frames",
-    "embedding_neardup_pairs",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "wide_roundtrip",
-    "skew_salted_join",
-    "neardup_clusters",
-    "candlestick_tail",
-    "table_profile",
-    "asof_join_bars",
-    "corpus_sampling",
-    "stride_downsample",
-    "interval_join_sessions",
-    "keep_latest_event",
-    "fk_violations_orders",
-    "decontamination",
-    "sequence_packing",
-    "vocab_topk",
-    "streaming_neardup",
-    "pii_redaction",
-    "corpus_mixture",
-    "canonical_selection",
-    "bm25_topk",
-    "rag_chunking",
-    "bigram_lm",
-    "kmeans_clusters",
-    "late_shipment_priority",
-    "large_orders_topk",
-    "doc_lm_scores",
-    "approx_profile",
-]
-
-DTW_SYMBOL_CAP = 100
+# Every registered driver query, in registry (= correctness-window)
+# order. The fused dtw_report runs the capped 100-symbol DTW distances
+# plus the warping path, so no separate DTW slice is needed anymore.
+HEADLINE = list(REGISTRY)
 
 
 def materialize(df) -> None:
@@ -136,7 +73,6 @@ def main() -> None:
     # (e.g. SPARK_GRAFT_BENCH_ONLY=correlation_heatmap,dedup_minhash_lsh)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     headline = [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
-    run_dtw = only is None
     wall_t0 = time.perf_counter()
 
     def run_trials(build) -> list[float]:
@@ -153,15 +89,6 @@ def main() -> None:
         fn = REGISTRY[name].build
         trials[name] = run_trials(lambda: fn(spark, sf_dir))
         timings[name] = round(statistics.median(trials[name]), 3)
-
-    if run_dtw:
-        # DTW on a capped symbol slice (see module docstring)
-        bars = daily_bars(load_table(spark, sf_dir, "events")).filter(
-            F.col("symbol") < DTW_SYMBOL_CAP
-        )
-        dtw_name = f"dtw_pairs_{DTW_SYMBOL_CAP}sym"
-        trials[dtw_name] = run_trials(lambda: similarity.dtw_pairs(bars))
-        timings[dtw_name] = round(statistics.median(trials[dtw_name]), 3)
 
     wall_clock = round(time.perf_counter() - wall_t0, 3)
     total = round(sum(timings.values()), 3)
@@ -185,7 +112,9 @@ def main() -> None:
     # line must stay well under the driver's ~2000-char output tail.
     with open(os.path.join(REPO, "BENCH_TRIALS.json"), "w") as fh:
         json.dump({**summary, "cpus": cpus, "trials": trials}, fh, indent=1)
-    line = json.dumps(summary)
+    # Compact separators: at 61+ queries the default-spaced line is
+    # ~1.8k chars against the harvester's ~2k tail — keep the margin.
+    line = json.dumps(summary, separators=(",", ":"))
     # Print LAST, after spark.stop(), so no Spark shutdown chatter can
     # land between the line and end-of-output.
     spark.stop()

@@ -23,8 +23,8 @@ CROSS_OK = {
     "pair_metrics": "1-row similarity × 1-row regression bundles",
     "risk_classification": "per-symbol rows × 1-row percentile thresholds",
     "risk_summary": "per-symbol rows × 1-row percentile thresholds",
-    "dtw_pairs": "array-packed series rows, capped at 100 symbols",
-    "dtw_path_pair": "two single-series rows for one pair",
+    "dtw_report": "array-packed series rows capped at 100 symbols (distance "
+    "arm) + two single-series rows for one pair (path arm)",
     "correlation_heatmap": "B(B+1)/2 block-pair rows, B bounded by symbol target",
     "align_to_calendar": "calendar × symbol dimension grid (both bounded dims)",
     "ann_cosine_topk": "corpus streamed once against a BROADCAST handful of "
