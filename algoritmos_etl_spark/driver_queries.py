@@ -991,7 +991,6 @@ REGISTRY_ORDER = (
     "revenue_by_nation",
     "top_customers_by_revenue",
     "order_priority_counts",
-    "parts_per_size_bucket",
     # ---- text / dedup / corpus ----
     "text_stats",
     "doc_fingerprints",
@@ -999,6 +998,7 @@ REGISTRY_ORDER = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "duplicate_passages",
     "neardup_clusters",
     "canonical_selection",
     "corpus_curation",
@@ -1016,6 +1016,7 @@ REGISTRY_ORDER = (
     "ann_ivf_topk",
     "kmeans_clusters",
     "embedding_neardup_pairs",
+    "semantic_dedup",
     # ---- streaming / event-time ----
     "event_time_report",
     "running_streaks",
@@ -1025,10 +1026,14 @@ REGISTRY_ORDER = (
     "table_profile",
     "asof_join_bars",
     "interval_join_sessions",
-    "skew_salted_join",
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "skew_salted_join",      # salted ≡ plain join pinned in test_skew; the
+                             # joined SEMANTICS are covered by the in-window
+                             # join queries — this entry's value is the plan
+    "parts_per_size_bucket",  # W8 CASE bucketing evidenced in-window by
+                              # risk_classification; test_plans
     "keep_latest_event",     # cleaning.keep_latest; test_cleaning
     "fk_violations_orders",  # cleaning.fk_violations anti-join; test_cleaning
     "risk_summary",          # groupBy-count of in-window risk_classification's class col

@@ -2184,10 +2184,12 @@ def q_lm_topk(spark, sf_dir):
     return uni.unionByName(bi)
 
 
-def _oracle_kmeans(n_centroids: int = 16) -> str:
-    """DuckDB twin of vectors.kmeans_cluster_profile (iters=1): the
-    same integer-exact seed/assign/Lloyd chain as `_oracle_ivf`, then
-    per-cluster membership stats instead of the probe/rerank tail."""
+def _kmeans_chain(n_centroids: int = 16) -> str:
+    """Shared k-means WITH-chain (same integer-exact seed/assign/Lloyd
+    steps as `_oracle_ivf`), ending at `best` = every vector's final
+    cluster assignment (+ cosine to its centroid). Leaves `flat` and
+    `vnorm` in scope for downstream pairwise math — used by both the
+    kmeans report and the SemDeDup oracle."""
     cos = "CAST(d.dot AS DOUBLE)/(sqrt(CAST(v.n2 AS DOUBLE))*sqrt(CAST(n.c2 AS DOUBLE)))"
     return f"""WITH base AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
     flat AS (
@@ -2228,11 +2230,53 @@ def _oracle_kmeans(n_centroids: int = 16) -> str:
                    row_number() OVER (PARTITION BY d.vec_id ORDER BY {cos} DESC, d.centroid_id) AS rn
             FROM dots d JOIN vnorm v USING (vec_id) JOIN cnorm n USING (centroid_id)
         ) WHERE rn = 1
-    )
+    )"""
+
+
+def _oracle_kmeans(n_centroids: int = 16) -> str:
+    """DuckDB twin of vectors.kmeans_cluster_profile (iters=1): the
+    shared chain, then per-cluster membership stats."""
+    return f"""{_kmeans_chain(n_centroids)}
     SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
            round(avg(cosine), 6) AS avg_cosine,
            min(vec_id) AS min_vec_id
     FROM best GROUP BY centroid_id"""
+
+
+def _oracle_semantic_dedup(tau: float, n_centroids: int = 16) -> str:
+    """DuckDB twin of vectors.semantic_dedup: the shared k-means chain,
+    then within-cluster integer-exact pair cosines and the greedy
+    keep-smallest-id decision."""
+    return f"""{_kmeans_chain(n_centroids)},
+    pairs AS (
+        SELECT b.vec_id AS ia, a.vec_id AS ib
+        FROM best a JOIN best b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ),
+    pdots AS (
+        SELECT p.ia, p.ib, sum(fa.q * fb.q) AS dot
+        FROM pairs p
+        JOIN flat fa ON fa.vec_id = p.ia
+        JOIN flat fb ON fb.vec_id = p.ib AND fb.idx = fa.idx
+        GROUP BY 1, 2
+    ),
+    pcos AS (
+        SELECT d.ia, d.ib,
+               CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(va.n2 AS DOUBLE)) * sqrt(CAST(vb.n2 AS DOUBLE))) AS cos
+        FROM pdots d
+        JOIN vnorm va ON va.vec_id = d.ia
+        JOIN vnorm vb ON vb.vec_id = d.ib
+    ),
+    dups AS (
+        SELECT ia AS vec_id, min(ib) AS dup_of
+        FROM pcos WHERE cos >= {tau} GROUP BY ia
+    )
+    SELECT b.vec_id, b.centroid_id, (d.dup_of IS NULL) AS is_kept,
+           d.dup_of, round(c.cos, 6) AS cos_to_dup
+    FROM best b
+    LEFT JOIN dups d ON d.vec_id = b.vec_id
+    LEFT JOIN pcos c ON c.ia = b.vec_id AND c.ib = d.dup_of"""
 
 
 @register(
@@ -2365,4 +2409,81 @@ def q_approx_profile(spark, sf_dir):
 
     return profiling.approx_profile(
         load_table(spark, sf_dir, "orders"), columns=list(_PROFILE_COLS)
+    )
+
+
+# ------------------------------------- round 6: passage + semantic dedup
+
+_PASSAGE_K = 8
+
+
+@register(
+    "duplicate_passages",
+    f"""WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+    pos AS (
+        SELECT doc_id, unnest(range(0, len(ws) - {_PASSAGE_K - 1})) AS p, ws
+        FROM w WHERE len(ws) >= {_PASSAGE_K}
+    ),
+    sh AS (
+        SELECT doc_id, p,
+               {_h(f"array_to_string(ws[p+1:p+{_PASSAGE_K}], ' ')")} AS h
+        FROM pos
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+    dp AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
+    m AS (
+        SELECT doc_id, p,
+               max(p + {_PASSAGE_K - 1}) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM dp
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               sum(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM m
+    )
+    SELECT doc_id, CAST(min(p) AS INT) AS span_start,
+           CAST(max(p) + {_PASSAGE_K - 1} AS INT) AS span_end,
+           CAST(max(p) + {_PASSAGE_K} - min(p) AS INT) AS span_words,
+           CAST(count(*) AS BIGINT) AS n_dup_shingles
+    FROM isl GROUP BY doc_id, island""",
+    "Exact duplicated-passage spans (ExactSubstr dedup, Lee et al. 2022, "
+    "at 8-word-shingle resolution): positions whose shingle occurs >= 2 "
+    "times corpus-wide, merged into maximal per-doc spans. Occurrence "
+    "count = partial-agg groupBy on the 60-bit shingle hash; flagged "
+    "positions return via one shuffle join on that hash (inverted index, "
+    "never all-pairs); the interval merge is a per-doc window (M8)",
+)
+def q_duplicate_passages(spark, sf_dir):
+    return dedup.duplicate_passages(
+        load_table(spark, sf_dir, "documents"), k=_PASSAGE_K, min_count=2
+    )
+
+
+_SEMDEDUP_TAU = 0.4
+
+
+@register(
+    "semantic_dedup",
+    _oracle_semantic_dedup(_SEMDEDUP_TAU),
+    "SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings (the "
+    "session's IVF coarse quantizer), then drop members whose cosine to a "
+    "smaller-id cluster-mate is >= 0.4 — semantic near-dups that textual "
+    "dedup misses. Pairwise work is cluster-local (one BLAS gram per "
+    "cluster inside applyInPandas; the pair relation never materializes); "
+    "integer-quantized cosines make the decision boundary and output "
+    "oracle-exact (M8)",
+)
+def q_semantic_dedup(spark, sf_dir):
+    return vectors.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=_SEMDEDUP_TAU,
+        flat=_ivf_flat(spark, sf_dir),
+        cents=_ivf_cents(spark, sf_dir),
     )

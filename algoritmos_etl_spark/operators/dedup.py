@@ -978,3 +978,91 @@ def keep_best_per_cluster(
             (F.col("doc_id") == F.col("keep_doc_id")).alias("is_kept"),
         )
     )
+
+
+# ------------------------------------------------- duplicate passages
+
+def positional_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, pos, h) — one row per k-word shingle POSITION.
+
+    Unlike `doc_shingles` (the distinct inverted-index grain), this
+    keeps every position and hashes the shingle to a 60-bit md5-prefix
+    integer immediately, so downstream shuffles move a fixed-width long
+    instead of a k-word string. The word array is pre-projected for the
+    same codegen-CSE reason as `doc_shingles`.
+    """
+    pre = docs.select("doc_id", words_col(F.col("text")).alias("_w"))
+    shingles = F.when(
+        F.size("_w") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_w") - k),
+            lambda i: F.concat_ws(" ", F.slice("_w", i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = pre.select("doc_id", F.posexplode(shingles).alias("pos", "shingle"))
+    return pos.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+
+
+def duplicate_passages(
+    docs: DataFrame, k: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Exact duplicated-passage spans — the ExactSubstr analogue of
+    "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022), at word-shingle resolution.
+
+    A position is *duplicated* when its k-word shingle occurs >=
+    `min_count` times in the whole corpus (cross-doc boilerplate AND
+    intra-doc repetition both qualify — both are memorization fuel).
+    Runs of duplicated positions are merged into maximal spans per doc
+    (overlapping or adjacent intervals [pos, pos+k-1] coalesce), which
+    is what a passage-level scrubber deletes.
+
+    Scale shape: the occurrence count is a partial-agg groupBy on the
+    60-bit shingle hash; flagged positions come back via one shuffle
+    join on that hash (inverted-index pattern, never all-pairs); the
+    interval merge is a per-doc window (bounded by doc length). Output
+    is linear in duplicated positions.
+
+    Output: (doc_id, span_start, span_end, span_words, n_dup_shingles)
+    — word-index span [start, end] inclusive, its width, and how many
+    duplicated shingle positions support it.
+    """
+    sh = positional_shingles(docs, k).localCheckpoint(eager=False)
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("h")
+    )
+    dpos = sh.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dpos.withColumn(
+        "_new",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        flagged.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("int").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_words"),
+            "n_dup_shingles",
+        )
+    )

@@ -810,3 +810,111 @@ def lsh_neardup_pairs(
         .agg(F.max("cosine").alias("cosine"))
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ----------------------------------------------------------- SemDeDup
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    iters: int = 1,
+    flat: DataFrame | None = None,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the corpus with the IVF
+    coarse quantizer, then WITHIN each cluster drop every member whose
+    cosine to a smaller-id member is >= `threshold` — semantic
+    near-duplicates that exact/MinHash dedup misses because the words
+    differ. The greedy keep-smallest-id rule matches this module's
+    near-dup drop policy (and the curation pipeline's pair-drop).
+
+    Scale shape: pairwise comparison happens ONLY inside a cluster —
+    one shuffle lays the corpus out as (centroid_id → members), then
+    one BLAS gram matrix per cluster inside `applyInPandas` (the same
+    bucket-local verification as `lsh_neardup_pairs`; the pair relation
+    is never materialized). With n_centroids ~ sqrt(n) the per-task
+    stack stays bounded; a degenerate cluster would straggle one task,
+    which is what the quantizer's balance (pinned in tests) prevents.
+
+    All cosines come from 1e-6-quantized integer components (exact
+    int64 dots, deterministic IEEE doubles) so the decision boundary
+    and output are bit-identical in the DuckDB oracle — the same
+    rationale as `ivf_topk`.
+
+    Output: (vec_id, centroid_id, is_kept, dup_of, cos_to_dup) —
+    `dup_of` is the smallest-id cluster-mate at/above threshold (NULL
+    for kept rows), `cos_to_dup` its cosine.
+    """
+    base = with_dvec(embeddings)
+    if flat is None:
+        flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    vec_norms = flat.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2")
+    )
+    if cents is None:
+        cents = ivf_train(
+            embeddings, n_centroids, iters, flat=flat
+        ).localCheckpoint(eager=False)
+    assign = _ivf_assign(flat, vec_norms, cents)
+    members = assign.join(base.select("vec_id", "dvec"), "vec_id")
+    tau = float(threshold)
+
+    def dedup_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        cid = int(pdf["centroid_id"].iloc[0])
+        V = np.stack(pdf["dvec"].to_numpy()[order]).astype("float64")
+        Q = np.floor(V * 1e6).astype("int64")  # == _quantized_flat
+        n2 = (Q * Q).sum(axis=1)
+        sq = np.sqrt(n2.astype("float64"))  # sqrt(na2) factors
+        # float64 matmul is BLAS-backed AND exact here: |q| < 2^21 ⇒
+        # every partial sum < dim·2^42 < 2^53, an exact double
+        Qf = Q.astype("float64")
+        n = len(ids)
+        dup_of = np.full(n, -1, dtype="int64")
+        cos_to = np.full(n, np.nan, dtype="float64")
+        # row-block the gram matrix; only j < i (smaller ids) matter
+        for s in range(0, n, 1024):
+            e = min(s + 1024, n)
+            # dot / (sqrt(na2)*sqrt(nb2)) — identical op order to
+            # _int_cosine (int dots are exact, sqrt/mul/div correctly
+            # rounded), so the doubles match the oracle bit-for-bit
+            C = (Qf[s:e] @ Qf.T) / np.outer(sq[s:e], sq)
+            cols = np.arange(n)[None, :]
+            rows = np.arange(s, e)[:, None]
+            qual = (C >= tau) & (cols < rows)
+            for r in range(e - s):
+                hits = np.nonzero(qual[r])[0]
+                if hits.size:
+                    j = hits[0]  # ids sorted asc → first hit = min id
+                    dup_of[s + r] = ids[j]
+                    cos_to[s + r] = C[r, j]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "centroid_id": np.full(n, cid, dtype="int64"),
+                "is_kept": dup_of < 0,
+                "dup_of": pd.array(
+                    [None if d < 0 else int(d) for d in dup_of],
+                    dtype="Int64",
+                ),
+                "cos_to_dup": cos_to,
+            }
+        )
+
+    return members.groupBy("centroid_id").applyInPandas(
+        dedup_cluster,
+        "vec_id long, centroid_id long, is_kept boolean, "
+        "dup_of long, cos_to_dup double",
+    ).select(
+        "vec_id",
+        "centroid_id",
+        "is_kept",
+        "dup_of",
+        F.round("cos_to_dup", 6).alias("cos_to_dup"),
+    )

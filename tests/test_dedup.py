@@ -303,3 +303,61 @@ def test_incremental_ngram_jaccard_matches_full_batch(tables, spark, tmp_path):
     }
     assert inc == full
     assert inc, "increment produced no pairs — fixture no longer overlaps"
+
+
+# ---------------------------------------------------- duplicate passages
+
+def test_duplicate_passages_spans_merge_and_count(spark):
+    # words w0..w19; docs 1 and 2 share words 4..13 (10 words) — three
+    # overlapping duplicated 8-shingles per doc that must merge into ONE
+    # span [4, 13]; doc 3 is all-unique → no rows.
+    shared = " ".join(f"s{i}" for i in range(10))
+    d1 = " ".join(f"a{i}" for i in range(4)) + " " + shared + " " + " ".join(
+        f"b{i}" for i in range(6)
+    )
+    d2 = " ".join(f"c{i}" for i in range(4)) + " " + shared + " " + " ".join(
+        f"d{i}" for i in range(6)
+    )
+    d3 = " ".join(f"e{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup.duplicate_passages(docs, k=8, min_count=2).collect()
+    }
+    assert set(rows) == {1, 2}
+    for doc_id in (1, 2):
+        r = rows[doc_id]
+        assert (r.span_start, r.span_end) == (4, 13)
+        assert r.span_words == 10
+        assert r.n_dup_shingles == 3  # positions 4, 5, 6
+
+
+def test_duplicate_passages_intra_doc_repetition_counts(spark):
+    # one doc that repeats its own 8-word phrase — both occurrences are
+    # duplicated spans even though no other doc shares them
+    phrase = " ".join(f"p{i}" for i in range(8))
+    filler = " ".join(f"f{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(7, phrase + " " + filler + " " + phrase)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        dedup.duplicate_passages(docs, k=8, min_count=2).collect(),
+        key=lambda r: r.span_start,
+    )
+    assert [(r.span_start, r.span_end) for r in out] == [(0, 7), (17, 24)]
+
+
+def test_duplicate_passages_spans_are_disjoint_on_corpus(tables):
+    out = dedup.duplicate_passages(tables["documents"], k=8).collect()
+    by_doc = {}
+    for r in out:
+        assert r.span_end - r.span_start + 1 == r.span_words
+        assert r.span_words >= 8
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1  # maximal: disjoint and non-adjacent

@@ -28,19 +28,21 @@ MUST_BE_IN_WINDOW = {
     # extensions
     "text_stats", "doc_fingerprints", "pii_redaction",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "neardup_clusters", "canonical_selection", "corpus_curation",
+    "duplicate_passages", "neardup_clusters", "canonical_selection",
+    "corpus_curation",
     "decontamination", "corpus_mixture", "corpus_sampling",
     "sequence_packing", "lm_topk", "doc_lm_scores", "bm25_topk",
     "rag_chunking", "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "kmeans_clusters", "embedding_neardup_pairs", "event_time_report",
-    "running_streaks", "streaming_neardup", "multimodal_report",
-    "table_profile", "asof_join_bars", "interval_join_sessions",
-    "skew_salted_join",
+    "kmeans_clusters", "embedding_neardup_pairs", "semantic_dedup",
+    "event_time_report", "running_streaks", "streaming_neardup",
+    "multimodal_report", "table_profile", "asof_join_bars",
+    "interval_join_sessions",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
 # the notes in driver_queries.REGISTRY_ORDER).
 EXPECTED_TAIL = {
+    "skew_salted_join", "parts_per_size_bucket",
     "keep_latest_event", "fk_violations_orders", "risk_summary",
     "embedding_norms", "late_shipment_priority", "large_orders_topk",
     "approx_profile",

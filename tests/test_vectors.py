@@ -270,3 +270,70 @@ def test_kmeans_cluster_profile_partitions_corpus(emb):
         .collect()
     }
     assert {r.centroid_id: (r.n_members, r.min_vec_id) for r in rows} == direct
+
+
+# ----------------------------------------------------------- SemDeDup
+
+def _vec(direction, eps=0.0, dim=8):
+    v = [0.0] * dim
+    v[direction] = 1.0
+    v[(direction + 1) % dim] = eps
+    return v
+
+
+def test_semantic_dedup_drops_within_cluster_dups(spark):
+    # two well-separated directions; ids 0/1 seed the 2 clusters.
+    # 10 ≈ 0 (cos≈1) must drop with dup_of=0; 11 ≈ 1 likewise; 20 is
+    # near-orthogonal to everything → kept.
+    rows = [
+        (0, _vec(0)), (1, _vec(4)),
+        (10, _vec(0, eps=0.01)), (11, _vec(4, eps=0.01)),
+        (20, _vec(2)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in vectors.semantic_dedup(
+        emb, threshold=0.95, n_centroids=2
+    ).collect()}
+    assert len(out) == 5
+    assert not out[10].is_kept and out[10].dup_of == 0
+    assert not out[11].is_kept and out[11].dup_of == 1
+    assert out[0].is_kept and out[1].is_kept and out[20].is_kept
+    assert out[10].cos_to_dup > 0.99
+    # dropped rows reference a KEPT (or at least smaller-id) member
+    for r in out.values():
+        if not r.is_kept:
+            assert r.dup_of < r.vec_id
+            assert out[r.dup_of].centroid_id == r.centroid_id
+
+
+def test_semantic_dedup_decision_matches_bruteforce(emb):
+    """On the real sf0.001 corpus: every drop decision must equal the
+    brute-force 'exists smaller-id cluster-mate with cos >= τ' rule."""
+    import numpy as np
+
+    tau = 0.4
+    out = vectors.semantic_dedup(emb, threshold=tau).collect()
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in emb.collect()
+    }
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.centroid_id, []).append(r)
+    n_dropped = 0
+    for members in by_cluster.values():
+        members.sort(key=lambda r: r.vec_id)
+        for i, r in enumerate(members):
+            q = np.floor(vecs[r.vec_id] * 1e6)
+            expect_dup = None
+            for other in members[:i]:
+                p = np.floor(vecs[other.vec_id] * 1e6)
+                cos = (q @ p) / (np.sqrt(q @ q) * np.sqrt(p @ p))
+                if cos >= tau:
+                    expect_dup = other.vec_id
+                    break
+            assert r.is_kept == (expect_dup is None), r
+            if expect_dup is not None:
+                assert r.dup_of == expect_dup
+                n_dropped += 1
+    assert len(out) == emb.count()  # one decision per vector
