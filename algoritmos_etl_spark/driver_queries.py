@@ -956,6 +956,57 @@ def q_parts_bucket(spark, sf_dir):
     return relational.parts_per_size_bucket(load_table(spark, sf_dir, "part"))
 
 
+@register(
+    "revenue_rollup",
+    """SELECT COALESCE(order_year, -1) AS order_year,
+           COALESCE(priority, 'ALL') AS priority,
+           CAST(round(sum(CAST(rev AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(GROUPING(order_year) * 2 + GROUPING(priority) AS BIGINT) AS gid
+    FROM (SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+                 o_orderpriority AS priority,
+                 l_extendedprice * (1 - l_discount) AS rev
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    GROUP BY ROLLUP(order_year, priority)""",
+    "OLAP ROLLUP (GROUPING SETS family): revenue by (order year, priority) "
+    "plus year subtotals and the grand total in ONE Expand + partial-agg "
+    "shuffle; grouping_id disambiguates subtotal rows. DECIMAL(30,10) "
+    "partial sums make the three aggregation levels bit-reproducible at "
+    "any parallelism",
+)
+def q_revenue_rollup(spark, sf_dir):
+    return relational.revenue_rollup(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "shipping_priority",
+    """SELECT l_orderkey AS orderkey, o_orderdate AS orderdate,
+           o_orderpriority AS priority,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+      AND o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10""",
+    "TPC-H Q3 shape: unshipped-order revenue for one market segment, "
+    "top-10. Both date predicates push to the parquet scans, the segment "
+    "keys broadcast left-semi into orders, top-k plans as "
+    "TakeOrderedAndProject",
+)
+def q_shipping_priority(spark, sf_dir):
+    return relational.shipping_priority(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 # Training-data-pipeline extensions register themselves on import.
 from . import driver_queries_ext  # noqa: E402,F401  (registration side effect)
 
@@ -989,8 +1040,8 @@ REGISTRY_ORDER = (
     # ---- relational query shapes ----
     "pricing_summary",
     "revenue_by_nation",
-    "top_customers_by_revenue",
-    "order_priority_counts",
+    "revenue_rollup",
+    "behavioral_report",
     # ---- text / dedup / corpus ----
     "text_stats",
     "doc_fingerprints",
@@ -1040,6 +1091,13 @@ REGISTRY_ORDER = (
     "embedding_norms",       # consumed by the hash-green ann_* queries; test_vectors
     "late_shipment_priority",  # Q12 shape; plan pinned in test_plans
     "large_orders_topk",     # Q18 shape; plan pinned in test_plans
+    "top_customers_by_revenue",  # hash-green in r04+r05; broadcast-join +
+                                 # top-k shape covered in-window by
+                                 # revenue_by_nation/top15; test_plans
+    "order_priority_counts",  # hash-green in r04+r05; semi-join shape;
+                              # test_plans
+    "shipping_priority",     # Q3 shape: semi-join + topk both covered
+                             # in-window; plan pinned in test_plans
     "approx_profile",        # sketch tier: rows-only BY DESIGN (engine-specific
                              # internals); error bound vs exact tier pinned in tests
 )

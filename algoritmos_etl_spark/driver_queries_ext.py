@@ -2487,3 +2487,119 @@ def q_semantic_dedup(spark, sf_dir):
         flat=_ivf_flat(spark, sf_dir),
         cents=_ivf_cents(spark, sf_dir),
     )
+
+
+# ------------------------------------- round 6: behavioral analytics
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _oracle_behavioral() -> str:
+    s0, s1, s2 = _FUNNEL_STEPS
+    return f"""WITH mins AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = '{s0}' THEN ts END) AS t0,
+               min(CASE WHEN event_type = '{s1}' THEN ts END) AS t1,
+               min(CASE WHEN event_type = '{s2}' THEN ts END) AS t2
+        FROM events WHERE event_type IN ('{s0}', '{s1}', '{s2}')
+        GROUP BY user_id
+    ),
+    flags AS (
+        SELECT CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS f0,
+               CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                    THEN 1 ELSE 0 END AS f1,
+               CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                         AND t2 IS NOT NULL AND t2 >= t1
+                    THEN 1 ELSE 0 END AS f2
+        FROM mins
+    ),
+    funnel AS (
+        SELECT 'funnel' AS kind, s.key, s.idx,
+               CAST(CASE s.idx WHEN 0 THEN sum(f0) WHEN 1 THEN sum(f1)
+                    ELSE sum(f2) END AS BIGINT) AS n
+        FROM flags, (VALUES ('{s0}', CAST(0 AS BIGINT)),
+                            ('{s1}', CAST(1 AS BIGINT)),
+                            ('{s2}', CAST(2 AS BIGINT))) s(key, idx)
+        GROUP BY s.key, s.idx
+    ),
+    pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+           FROM events GROUP BY user_id),
+    days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    retention AS (
+        SELECT 'retention' AS kind,
+               CAST(CAST(date_trunc('week', first_day) AS DATE) AS VARCHAR) AS key,
+               CAST((CAST(date_trunc('week', day) AS DATE)
+                     - CAST(date_trunc('week', first_day) AS DATE)) // 7
+                    AS BIGINT) AS idx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM days JOIN pu USING (user_id)
+        GROUP BY 2, 3
+    ),
+    props_t AS (
+        SELECT 'props' AS kind, event_type AS key, CAST(NULL AS BIGINT) AS idx,
+               CAST(count(v) AS BIGINT) AS n,
+               round(avg(v), 6) AS avg_v,
+               min(v) AS min_v, max(v) AS max_v
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS v
+              FROM events)
+        GROUP BY 2
+    )
+    SELECT kind, key, idx, n, CAST(NULL AS DOUBLE) AS avg_v,
+           CAST(NULL AS INT) AS min_v, CAST(NULL AS INT) AS max_v
+    FROM funnel
+    UNION ALL
+    SELECT kind, key, idx, n, CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+           CAST(NULL AS INT)
+    FROM retention
+    UNION ALL
+    SELECT kind, key, idx, n, avg_v, min_v, max_v FROM props_t"""
+
+
+@register(
+    "behavioral_report",
+    _oracle_behavioral(),
+    "Behavioral analytics over the event stream in one result: "
+    "kind='funnel' rows are ordered first-touch funnel conversion "
+    "(view -> click -> purchase; n = users whose earliest step-k event "
+    "follows their earliest step-k-1 event), kind='retention' rows are "
+    "weekly cohort retention (cohort = ISO week of first event; n = "
+    "cohort members active in week cohort+idx), kind='props' rows "
+    "aggregate a JSON property extracted JVM-side with get_json_object "
+    "(F10 at the registered-query grain). Every arm reduces at the "
+    "per-user grain with one user_id shuffle — no window over the "
+    "global stream, no join back to the fact table (M8)",
+)
+def q_behavioral_report(spark, sf_dir):
+    from .operators import behavioral
+
+    ev = load_table(spark, sf_dir, "events")
+    nil = lambda t: F.lit(None).cast(t)  # noqa: E731
+    funnel = behavioral.funnel_counts(ev, list(_FUNNEL_STEPS)).select(
+        F.lit("funnel").alias("kind"),
+        F.col("step").alias("key"),
+        F.col("step_idx").cast("long").alias("idx"),
+        F.col("n_users").alias("n"),
+        nil("double").alias("avg_v"),
+        nil("int").alias("min_v"),
+        nil("int").alias("max_v"),
+    )
+    retention = behavioral.retention_cohorts(ev).select(
+        F.lit("retention").alias("kind"),
+        F.col("cohort_week").cast("string").alias("key"),
+        F.col("week_offset").cast("long").alias("idx"),
+        F.col("n_active_users").alias("n"),
+        nil("double").alias("avg_v"),
+        nil("int").alias("min_v"),
+        nil("int").alias("max_v"),
+    )
+    props = behavioral.props_stats(ev).select(
+        F.lit("props").alias("kind"),
+        F.col("event_type").alias("key"),
+        nil("long").alias("idx"),
+        F.col("n_present").alias("n"),
+        "avg_v",
+        "min_v",
+        "max_v",
+    )
+    return funnel.unionByName(retention).unionByName(props)

@@ -125,6 +125,86 @@ def late_shipment_priority_counts(
     )
 
 
+def revenue_rollup(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """ROLLUP aggregation: revenue by (order year, order priority) with
+    the year and grand-total subtotal rows — the OLAP drill-down shape
+    (GROUPING SETS family) the reference's flat groupBys never needed.
+
+    Spark plans a rollup as ONE Expand + one partial-agg shuffle — each
+    input row is replicated per grouping set map-side, so the three
+    levels cost one pass over the join, not three. `grouping_id`
+    disambiguates subtotal NULLs from (non-existent here) real NULL
+    keys; keys are COALESCEd to sentinels so the driver's value-hash
+    sees identical cells on both engines.
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rolled = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_orderpriority").alias("priority"),
+            revenue.alias("rev"),
+        )
+        .rollup("order_year", "priority")
+        .agg(
+            # DECIMAL partial sums: the grand-total row folds the whole
+            # fact table into one float — exact decimal accumulation
+            # keeps it bit-identical at any partitioning
+            F.round(F.sum(F.col("rev").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+    return rolled.select(
+        F.coalesce("order_year", F.lit(-1)).alias("order_year"),
+        F.coalesce("priority", F.lit("ALL")).alias("priority"),
+        "revenue",
+        "n_lines",
+        "gid",
+    )
+
+
+def shipping_priority(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-03-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 proper: unshipped-order revenue for one market segment,
+    top-k. Both date predicates push into the parquet scans; the
+    segment-filtered customer keys broadcast into the orders scan
+    (left-semi — customer attributes aren't needed downstream); the
+    only real shuffle is lineitem ⋈ surviving orders on the order key,
+    pre-shrunk by both pushed filters. Top-k is TakeOrderedAndProject.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    open_orders = orders.filter(F.col("o_orderdate") < cut).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    return (
+        lineitem.filter(F.col("l_shipdate") > cut)
+        .join(open_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+            "revenue",
+        )
+    )
+
+
 def large_orders_topk(
     lineitem: DataFrame,
     orders: DataFrame,

@@ -209,3 +209,34 @@ def test_sequence_packing_has_no_global_sort_window(spark):
     # offsets window is allowed; the per-doc cumsum must be partitioned
     partitioned = [w for w in windows if "_bucket" in w]
     assert partitioned, f"per-bucket cumsum window missing: {windows}"
+
+
+def test_rollup_is_single_expand_partial_agg(tables):
+    q = relational.revenue_rollup(tables["lineitem"], tables["orders"])
+    plan = _plan(q)
+    # one Expand feeds one partial+final agg pair: three grouping levels
+    # cost one pass over the join, not three
+    assert plan.count("Expand") >= 1, plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_shipping_priority_semi_join_and_topk(tables):
+    q = relational.shipping_priority(
+        tables["lineitem"], tables["orders"], tables["customer"]
+    )
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan, plan
+    # segment-filtered customer keys broadcast left-semi into orders
+    assert "LeftSemi" in plan and "Broadcast" in plan, plan
+
+
+def test_behavioral_no_global_window(tables):
+    from algoritmos_etl_spark.operators import behavioral
+
+    for q in (
+        behavioral.funnel_counts(tables["events"], ["view", "click", "purchase"]),
+        behavioral.retention_cohorts(tables["events"]),
+        behavioral.props_stats(tables["events"]),
+    ):
+        plan = _plan(q)
+        assert "Window" not in plan, plan  # per-user state via agg, not windows

@@ -25,6 +25,9 @@ MUST_BE_IN_WINDOW = {
     "risk_classification", "streak_histograms", "pair_metrics",
     "correlation_heatmap", "dtw_report", "top15_by_value",
     "multi_key_sort_rank", "bar_slices", "wide_roundtrip",
+    # relational / OLAP
+    "pricing_summary", "revenue_by_nation", "revenue_rollup",
+    "behavioral_report",
     # extensions
     "text_stats", "doc_fingerprints", "pii_redaction",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
@@ -45,7 +48,8 @@ EXPECTED_TAIL = {
     "skew_salted_join", "parts_per_size_bucket",
     "keep_latest_event", "fk_violations_orders", "risk_summary",
     "embedding_norms", "late_shipment_priority", "large_orders_topk",
-    "approx_profile",
+    "top_customers_by_revenue", "order_priority_counts",
+    "shipping_priority", "approx_profile",
 }
 
 
