@@ -77,3 +77,25 @@ def test_window_queries_all_have_oracles():
         if REGISTRY[n].oracle is None
     ]
     assert not missing, f"in-window queries without oracles: {missing}"
+
+
+def test_bench_line_fits_harvester_tail():
+    # the driver keeps only the last ~2000 chars of bench stdout; round 5's
+    # line with inline trial arrays blew past it and BENCH_r05.json failed
+    # to parse. Pin the worst-case compact line comfortably inside.
+    import json
+
+    timings = {n: 123.456 for n in REGISTRY}
+    line = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": 12345.678,
+            "unit": "sec",
+            "queries": timings,
+            "n_trials": 3,
+            "wall_clock_s": 12345.678,
+            "sf": 0.1,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, len(line)
