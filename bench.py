@@ -9,21 +9,32 @@ all-pairs DTW over 1500 symbols is O(k²) pairs and belongs to a
 sampled/banded path at scale (the reference itself downsamples for
 DTW viz, app.py:246-265).
 
-Timing: each query runs SPARK_GRAFT_BENCH_TRIALS times (default 3) and
-the reported per-query number is the MEDIAN — a single multi-second
-host stall (observed repeatedly on this box, see BENCH_SCALES.md) then
-lands on one trial instead of polluting the query's number. The raw
-trials are written to BENCH_TRIALS.json (NOT printed: the driver that
-harvests the stdout JSON line keeps only the last ~2000 chars of
-output, and round 5's line with inline trial arrays blew past that and
-failed to parse — BENCH_r05.json "parsed": null). First-trial cache
-builds stay visible in the sidecar: `bars_model`'s first trial
-INCLUDES the one-time per-session materialization of the canonical
-bars model (localCheckpoint write) that ~20 later queries then read
-for free; the same applies to the first consumer of each session cache
-(ngram shingle table, LSH sigs). Those one-time build costs are
-excluded from the medians by construction but remain in
-"wall_clock_s" and the sidecar trial lists.
+Timing: the whole suite runs SPARK_GRAFT_BENCH_TRIALS times (default
+3) as INTERLEAVED passes — pass 1 runs every query once, then pass 2,
+then pass 3 — and the reported per-query number is the MEDIAN of its
+per-pass times. Interleaving is deliberate: this host lands multi-
+second (occasionally multi-minute) scheduling stalls in bursts
+(observed: a 263 s trial for a 1.6 s query), and back-to-back trials
+put all N trials of one query inside the same burst; interleaved
+passes separate a query's trials by minutes, so a burst pollutes one
+pass and the median recovers. The raw per-pass times are written to
+BENCH_TRIALS.json (NOT printed: the driver that harvests the stdout
+JSON line keeps only the last ~2000 chars of output, and round 5's
+line with inline trial arrays blew past that and failed to parse —
+BENCH_r05.json "parsed": null). First-pass cache builds stay visible
+in the sidecar: `bars_model`'s pass-1 time INCLUDES the one-time
+per-session materialization of the canonical bars model
+(localCheckpoint write) that ~20 later queries then read for free;
+the same applies to the first consumer of each session cache (ngram
+shingle table, LSH sigs). Those one-time build costs are excluded
+from the medians by construction but remain in "wall_clock_s" and the
+sidecar lists.
+
+Host-noise probe: before each pass, a fixed single-thread CPU spin is
+timed ("probe_s" in the sidecar; the median rides the stdout line as
+"probe_med_s"). On a quiet host the probe is ~constant across passes;
+a degraded pass shows up directly, separating host stalls from code
+regressions when comparing rounds.
 """
 
 from __future__ import annotations
@@ -75,20 +86,26 @@ def main() -> None:
     headline = [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
     wall_t0 = time.perf_counter()
 
-    def run_trials(build) -> list[float]:
-        ts = []
-        for _ in range(n_trials):
-            t0 = time.perf_counter()
-            materialize(build())
-            ts.append(round(time.perf_counter() - t0, 3))
-        return ts
+    def cpu_probe() -> float:
+        """Fixed single-thread spin; wall time rises 1:1 with host
+        descheduling, so per-pass values expose degraded passes."""
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+        return round(time.perf_counter() - t0, 3)
 
-    timings: dict[str, float] = {}
-    trials: dict[str, list[float]] = {}
-    for name in headline:
-        fn = REGISTRY[name].build
-        trials[name] = run_trials(lambda: fn(spark, sf_dir))
-        timings[name] = round(statistics.median(trials[name]), 3)
+    trials: dict[str, list[float]] = {name: [] for name in headline}
+    probes: list[float] = []
+    for _ in range(n_trials):
+        probes.append(cpu_probe())
+        for name in headline:
+            t0 = time.perf_counter()
+            materialize(REGISTRY[name].build(spark, sf_dir))
+            trials[name].append(round(time.perf_counter() - t0, 3))
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in trials.items()
+    }
 
     wall_clock = round(time.perf_counter() - wall_t0, 3)
     total = round(sum(timings.values()), 3)
@@ -106,12 +123,17 @@ def main() -> None:
         "queries": timings,
         "n_trials": n_trials,
         "wall_clock_s": wall_clock,
+        "probe_med_s": round(statistics.median(probes), 3),
         "sf": sf_num,
     }
     # Raw trials go to a sidecar file, not stdout: the harvested JSON
     # line must stay well under the driver's ~2000-char output tail.
     with open(os.path.join(REPO, "BENCH_TRIALS.json"), "w") as fh:
-        json.dump({**summary, "cpus": cpus, "trials": trials}, fh, indent=1)
+        json.dump(
+            {**summary, "cpus": cpus, "probes": probes, "trials": trials},
+            fh,
+            indent=1,
+        )
     # Compact separators: at 61+ queries the default-spaced line is
     # ~1.8k chars against the harvester's ~2k tail — keep the margin.
     line = json.dumps(summary, separators=(",", ":"))
