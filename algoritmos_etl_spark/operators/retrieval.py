@@ -53,6 +53,7 @@ def bm25_topk(
     top_k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    tfs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 docs per query: (query_id, doc_id, score, rank).
 
@@ -72,8 +73,13 @@ def bm25_topk(
     each tiny.
     """
     # three consumers (corpus stats, df, the scored join) and no CSE
-    # across plan branches — materialize the posting grain once
-    tfs = doc_term_freqs(docs).localCheckpoint(eager=False)
+    # across plan branches — materialize the posting grain once. A
+    # caller serving many query batches should build it ONCE and pass
+    # it in (the registry session-caches it): localCheckpoint plans
+    # eagerly even with eager=False, so re-deriving it per call pays
+    # the full analyze+optimize+codegen chain every time.
+    if tfs is None:
+        tfs = doc_term_freqs(docs).localCheckpoint(eager=False)
     corpus = tfs.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     stats = corpus.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

@@ -95,10 +95,21 @@ def main() -> None:
             x += i * i
         return round(time.perf_counter() - t0, 3)
 
+    def jvm_probe() -> float:
+        """Fixed whole-stage-codegen job (no shuffle, no I/O): the JVM
+        yardstick. Host phases that throttle JVM threads (observed:
+        identical queries swinging 2 s ↔ 46 s within minutes) show here
+        even when the Python spin looks clean."""
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 2)").collect()
+        return round(time.perf_counter() - t0, 3)
+
     trials: dict[str, list[float]] = {name: [] for name in headline}
     probes: list[float] = []
+    jvm_probes: list[float] = []
     for _ in range(n_trials):
         probes.append(cpu_probe())
+        jvm_probes.append(jvm_probe())
         for name in headline:
             t0 = time.perf_counter()
             materialize(REGISTRY[name].build(spark, sf_dir))
@@ -124,13 +135,20 @@ def main() -> None:
         "n_trials": n_trials,
         "wall_clock_s": wall_clock,
         "probe_med_s": round(statistics.median(probes), 3),
+        "jvm_probe_med_s": round(statistics.median(jvm_probes), 3),
         "sf": sf_num,
     }
     # Raw trials go to a sidecar file, not stdout: the harvested JSON
     # line must stay well under the driver's ~2000-char output tail.
     with open(os.path.join(REPO, "BENCH_TRIALS.json"), "w") as fh:
         json.dump(
-            {**summary, "cpus": cpus, "probes": probes, "trials": trials},
+            {
+                **summary,
+                "cpus": cpus,
+                "probes": probes,
+                "jvm_probes": jvm_probes,
+                "trials": trials,
+            },
             fh,
             indent=1,
         )

@@ -95,6 +95,7 @@ def test_bench_line_fits_harvester_tail():
             "n_trials": 3,
             "wall_clock_s": 12345.678,
             "probe_med_s": 123.456,
+            "jvm_probe_med_s": 123.456,
             "sf": 0.1,
         },
         separators=(",", ":"),
