@@ -240,3 +240,23 @@ def test_behavioral_no_global_window(tables):
     ):
         plan = _plan(q)
         assert "Window" not in plan, plan  # per-user state via agg, not windows
+
+
+def test_grouping_sets_matches_rollup_and_single_expand(tables):
+    # rollup == groupingSets([[y,p],[y],[]]) — same Expand-based plan
+    gs = relational.revenue_grouping_sets(
+        tables["lineitem"], tables["orders"],
+        sets=[["order_year", "priority"], ["order_year"], []],
+    )
+    ru = relational.revenue_rollup(tables["lineitem"], tables["orders"])
+    assert gs.count() == ru.count()
+    assert (
+        sorted(map(tuple, gs.collect())) == sorted(map(tuple, ru.collect()))
+    )
+    assert _plan(gs).count("Expand") >= 1
+    # CUBE shape adds the priority-only level on the same single pass
+    # (plan-string Expand counts vary with AQE re-prints; just pin that
+    # the extra grouping set did not add a second aggregation pass)
+    cube = relational.revenue_grouping_sets(tables["lineitem"], tables["orders"])
+    assert cube.count() > ru.count()
+    assert _plan(cube).count("Expand") >= 1
