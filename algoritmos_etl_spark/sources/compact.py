@@ -42,7 +42,7 @@ def compact_table(
     scheduler can log/assert the pass did what it claimed.
     """
     df: DataFrame = spark.read.parquet(src_path)
-    files_before = df.rdd.getNumPartitions()
+    files_before = len(df.inputFiles())
     out = df.repartition(target_files)
     if sort_within_partitions_by:
         out = out.sortWithinPartitions(*sort_within_partitions_by)
@@ -54,5 +54,5 @@ def compact_table(
     return {
         "rows": back.count(),
         "files_before": files_before,
-        "files_after": back.rdd.getNumPartitions(),
+        "files_after": len(back.inputFiles()),
     }
