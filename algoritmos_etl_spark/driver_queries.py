@@ -1100,6 +1100,9 @@ REGISTRY_ORDER = (
                              # in-window; plan pinned in test_plans
     "approx_profile",        # sketch tier: rows-only BY DESIGN (engine-specific
                              # internals); error bound vs exact tier pinned in tests
+    "bpe_tokenize",          # iterative BPE learning: rows-only BY DESIGN;
+                             # merge sequence + vocab pinned vs a pure-Python
+                             # reference in test_bpe
 )
 
 assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER))

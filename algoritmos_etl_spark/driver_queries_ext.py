@@ -2612,3 +2612,36 @@ def q_behavioral_report(spark, sf_dir):
         "max_v",
     )
     return funnel.unionByName(retention).unionByName(props)
+
+
+# ------------------------------------- round 6: BPE tokenizer training
+
+_BPE_CACHE: dict = {}
+
+
+@register(
+    "bpe_tokenize",
+    # rows-only BY DESIGN: BPE learning is an iterative algorithm
+    # (driver loop over merge rounds, distributed pair-count agg per
+    # round) — not expressible as one SQL statement. Correctness is
+    # pinned against a pure-Python reference implementation in
+    # tests/test_bpe.py (exact merge sequence + final vocab).
+    None,
+    "Distributed BPE tokenizer training + application (Sennrich 2016): "
+    "one corpus pass reduces the text to the bounded word-frequency "
+    "table, each merge round is a pair-count partial agg whose ONLY "
+    "driver-side datum is the single winning pair, and the merge "
+    "applies as a pure-JVM array fold. Result: per-doc subword counts "
+    "under the learned 8-merge vocab via a broadcast word->toks join (M8)",
+)
+def q_bpe_tokenize(spark, sf_dir):
+    from .operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = session_cached(
+        _BPE_CACHE,
+        spark,
+        sf_dir,
+        lambda: bpe.learn_bpe(spark, docs, n_merges=8, min_freq=2)[1],
+    )
+    return bpe.bpe_segment(vocab, docs)

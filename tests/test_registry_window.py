@@ -49,7 +49,7 @@ EXPECTED_TAIL = {
     "keep_latest_event", "fk_violations_orders", "risk_summary",
     "embedding_norms", "late_shipment_priority", "large_orders_topk",
     "top_customers_by_revenue", "order_priority_counts",
-    "shipping_priority", "approx_profile",
+    "shipping_priority", "approx_profile", "bpe_tokenize",
 }
 
 
