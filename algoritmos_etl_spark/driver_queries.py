@@ -1103,6 +1103,9 @@ REGISTRY_ORDER = (
     "bpe_tokenize",          # iterative BPE learning: rows-only BY DESIGN;
                              # merge sequence + vocab pinned vs a pure-Python
                              # reference in test_bpe
+    "ann_pq_topk",           # product-quantization ADC: full oracle (the
+                             # integer-exact codebooks + codes are rebuilt in
+                             # SQL); recall + compression pinned in test_vectors
 )
 
 assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER))

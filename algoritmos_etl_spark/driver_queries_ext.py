@@ -1379,6 +1379,146 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+# One PQ codebook set + one encoded-codes table per (session, sf_dir) —
+# like the IVF artifacts these are ingest products (the codes table IS
+# the compressed standing index queries scan), shared so repeated
+# queries pay only the ADC scan.
+_PQ_CENTS_CACHE: dict = {}
+_PQ_CODES_CACHE: dict = {}
+
+
+def _pq_cents(spark, sf_dir):
+    return session_cached(
+        _PQ_CENTS_CACHE,
+        spark,
+        sf_dir,
+        lambda: vectors.pq_train(
+            load_table(spark, sf_dir, "embeddings"),
+            flat=_ivf_flat(spark, sf_dir),
+        ),
+    )
+
+
+def _pq_codes(spark, sf_dir):
+    return session_cached(
+        _PQ_CODES_CACHE,
+        spark,
+        sf_dir,
+        lambda: vectors.pq_encode(
+            load_table(spark, sf_dir, "embeddings"),
+            _pq_cents(spark, sf_dir),
+            flat=_ivf_flat(spark, sf_dir),
+        ),
+    )
+
+
+def _oracle_pq(
+    m: int = vectors.PQ_SUBS, ks: int = vectors.PQ_CODES, k: int = 10,
+    query_ids: str = "0, 1, 2, 3, 4",
+) -> str:
+    """DuckDB twin of vectors.pq_topk (one Lloyd step per subspace).
+
+    Same integer-exactness argument as `_oracle_ivf`: every distance
+    the argmins and the final ranking see is a sum of squared
+    differences of floor(val·1e6) integers (< 2^53), so the codebooks,
+    the code assignment, and the ADC distances are bit-identical
+    across engines — the compressed index itself is oracle-checked.
+    """
+    dsub = 64 // m  # embeddings are 64-d in every sf dir
+
+    def argmin(d2_cte: str) -> str:
+        return (
+            "SELECT vec_id, sub, code FROM ("
+            "SELECT vec_id, sub, code, "
+            "row_number() OVER (PARTITION BY vec_id, sub "
+            "ORDER BY d2, code) AS rn "
+            f"FROM {d2_cte}) WHERE rn = 1"
+        )
+
+    return f"""WITH base AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+    flat AS (
+        SELECT vec_id, unnest(range(len(v))) AS idx,
+               CAST(floor(unnest(v) * {float(vectors.IVF_SCALE)}) AS BIGINT) AS q
+        FROM base
+    ),
+    sflat AS (
+        SELECT vec_id, CAST(idx // {dsub} AS INT) AS sub,
+               CAST(idx % {dsub} AS INT) AS sidx, q
+        FROM flat
+    ),
+    seeds AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        FROM (SELECT vec_id FROM base ORDER BY vec_id LIMIT {ks})
+    ),
+    cents0 AS (
+        SELECT f.sub, s.code, f.sidx, f.q AS c
+        FROM sflat f JOIN seeds s USING (vec_id)
+    ),
+    d0 AS (
+        SELECT f.vec_id, f.sub, c.code, sum((f.q - c.c)*(f.q - c.c)) AS d2
+        FROM sflat f JOIN cents0 c ON c.sub = f.sub AND c.sidx = f.sidx
+        GROUP BY 1, 2, 3
+    ),
+    a0 AS ({argmin("d0")}),
+    cents AS (
+        SELECT f.sub, a.code, f.sidx,
+               CAST(floor(CAST(sum(f.q) AS DOUBLE)/count(*)) AS BIGINT) AS c
+        FROM sflat f JOIN a0 a ON a.vec_id = f.vec_id AND a.sub = f.sub
+        GROUP BY 1, 2, 3
+    ),
+    d1 AS (
+        SELECT f.vec_id, f.sub, c.code, sum((f.q - c.c)*(f.q - c.c)) AS d2
+        FROM sflat f JOIN cents c ON c.sub = f.sub AND c.sidx = f.sidx
+        GROUP BY 1, 2, 3
+    ),
+    codes AS ({argmin("d1")}),
+    qsub AS (
+        SELECT vec_id AS query_id, sub, sidx, q AS qq
+        FROM sflat WHERE vec_id IN ({query_ids})
+    ),
+    dtab AS (
+        SELECT q.query_id, c.sub, c.code, sum((q.qq - c.c)*(q.qq - c.c)) AS pd2
+        FROM qsub q JOIN cents c ON c.sub = q.sub AND c.sidx = q.sidx
+        GROUP BY 1, 2, 3
+    ),
+    adist AS (
+        SELECT t.query_id, co.vec_id, sum(t.pd2) AS adist
+        FROM codes co JOIN dtab t ON t.sub = co.sub AND t.code = co.code
+        WHERE co.vec_id <> t.query_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, vec_id AS neighbor_id, adist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist, vec_id) AS rank
+        FROM adist
+    )
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}"""
+
+
+@register(
+    "ann_pq_topk",
+    _oracle_pq(),
+    "Product-quantization ANN top-10 (Jégou et al. 2011): 8 per-subspace "
+    "deterministic k-means codebooks (16 codes each), corpus compressed to 8 "
+    "codes/vector, asymmetric-distance scan — query-side m×ks lookup table, "
+    "m adds per corpus row, raw vectors never touched (M8 memory path); the "
+    "integer-exact index is itself oracle-reproduced",
+)
+def q_ann_pq(spark, sf_dir):
+    return vectors.pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        [0, 1, 2, 3, 4],
+        k=10,
+        flat=_ivf_flat(spark, sf_dir),
+        codebooks=_pq_cents(spark, sf_dir),
+        codes=_pq_codes(spark, sf_dir),
+    )
+
+
 @register(
     "wide_roundtrip",
     f"""WITH {ORACLE_BARS_CTE}

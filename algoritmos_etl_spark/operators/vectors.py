@@ -696,6 +696,192 @@ def ivf_probe_topk(
     )
 
 
+# --------------------------------------------------------- product quantization
+
+PQ_SUBS = 8  # M: subspaces per vector
+PQ_CODES = 16  # ks: codes per subspace codebook
+
+
+def _pq_subflat(flat: DataFrame, dsub: int) -> DataFrame:
+    """(vec_id, sub, sidx, q): the quantized corpus re-keyed by
+    subspace — `sub` selects the codebook, `sidx` the component within
+    it. Pure projection of the shared `_quantized_flat` relation."""
+    return flat.select(
+        "vec_id",
+        F.expr(f"CAST(idx DIV {dsub} AS INT)").alias("sub"),
+        F.expr(f"CAST(idx % {dsub} AS INT)").alias("sidx"),
+        "q",
+    )
+
+
+def _pq_assign(subflat: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, sub, code): per-subspace argmin squared-L2 code, ties →
+    lowest code. One broadcast join (codebooks are tiny: m·ks·dsub
+    rows) + two partial aggregations; the corpus never shuffles on
+    anything wider than (vec_id, sub, code)."""
+    d2 = (
+        subflat.join(F.broadcast(cents), ["sub", "sidx"])
+        .groupBy("vec_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    return d2.groupBy("vec_id", "sub").agg(
+        F.min_by(
+            F.col("code"), F.struct(F.col("d2"), F.col("code"))
+        ).alias("code")
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = PQ_SUBS,
+    ks: int = PQ_CODES,
+    flat: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization codebooks: (sub, code, sidx, c) integer
+    components — `m` independent k-means quantizers, one per
+    dim/m-wide subspace (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011).
+
+    Deterministic like `ivf_train`: seeds are the first `ks` vectors
+    by vec_id (their subspace slices seed every codebook), then one
+    Lloyd step under integer-exact squared-L2 — assign each (vector,
+    subspace) slice to its argmin-distance seed (ties → lowest code),
+    recompute each codeword as floor(mean) of its members' quantized
+    components. All sums are of floor(val·1e6) integers (< 2^53), so
+    codebooks, code assignments, and ADC distances are bit-identical
+    on any engine — the DuckDB oracle rebuilds the whole index.
+
+    Empty cells simply drop out (same contract as `ivf_train`).
+    """
+    base = with_dvec(embeddings)
+    dim = _infer_dim(embeddings)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    if flat is None:
+        flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    subflat = _pq_subflat(flat, dsub)
+    # seed codes 0..ks-1 = rank of the ks lowest vec_ids. Rank via a
+    # self-join count over the ks-row seed set (ks² = 256 comparisons)
+    # rather than a global row_number window — the package bans
+    # unpartitioned windows even on bounded inputs.
+    s = base.select("vec_id").orderBy("vec_id").limit(ks)
+    seeds = (
+        s.alias("a")
+        .join(
+            s.alias("b"), F.col("b.vec_id") < F.col("a.vec_id"), "left"
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.count(F.col("b.vec_id")).cast("int").alias("code"))
+    )
+    cents0 = subflat.join(F.broadcast(seeds), "vec_id").select(
+        "sub", "code", "sidx", F.col("q").alias("c")
+    )
+    assign = _pq_assign(subflat, cents0)
+    return (
+        subflat.join(assign, ["vec_id", "sub"])
+        .groupBy("sub", "code", "sidx")
+        .agg(
+            F.floor(
+                F.sum("q").cast("double") / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_SUBS,
+    flat: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, sub, code): the PQ-compressed corpus — m small codes
+    per vector (m=8, ks=16 ⇒ 8 nibbles = 4 bytes against 256 bytes of
+    float32, the memory ratio that makes billion-vector ANN fit). At
+    100 TB this runs once at ingest and lands as the standing index;
+    queries scan codes, never raw vectors."""
+    base = with_dvec(embeddings)
+    dim = _infer_dim(embeddings)
+    dsub = dim // m
+    if flat is None:
+        flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    return _pq_assign(_pq_subflat(flat, dsub), codebooks)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = PQ_SUBS,
+    ks: int = PQ_CODES,
+    flat: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-ADC ANN top-k: asymmetric distance computation — the query
+    stays exact, the corpus is its codes.
+
+    Per query: one m×ks lookup table of partial squared-L2 distances
+    (query slice ↔ codeword, integer-exact), then the scan is
+    codes ⨝ broadcast(table) + a sum over m partials per vector — no
+    original vectors are touched, so the per-query cost is m adds per
+    corpus row over a 4-byte-per-row relation. This is the memory-
+    bound regime PQ exists for; IVF composes on top by restricting the
+    scan to probed partitions (`ivf_write_index` layout).
+
+    Output ranks ascending approximate distance (`adist`, an exact
+    BIGINT), ties → lowest neighbor_id; self excluded.
+    """
+    base = with_dvec(embeddings)
+    dim = _infer_dim(embeddings)
+    dsub = dim // m
+    if flat is None:
+        flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m, ks, flat=flat).localCheckpoint(
+            eager=False
+        )
+    if codes is None:
+        codes = pq_encode(embeddings, codebooks, m, flat=flat)
+    qsub = (
+        _pq_subflat(flat, dsub)
+        .filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), "sub", "sidx", F.col("q").alias("qq"))
+    )
+    dtab = (
+        qsub.join(F.broadcast(codebooks), ["sub", "sidx"])
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("qq") - F.col("c")) * (F.col("qq") - F.col("c"))
+            ).alias("pd2")
+        )
+    )
+    adist = (
+        codes.join(F.broadcast(dtab), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("adist").cast("long").alias("adist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def lsh_candidate_count(
     embeddings: DataFrame, n_tables: int = LSH_TABLES,
     planes_per_table: int = LSH_PLANES_PER_TABLE,

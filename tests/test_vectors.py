@@ -337,3 +337,121 @@ def test_semantic_dedup_decision_matches_bruteforce(emb):
                 assert r.dup_of == expect_dup
                 n_dropped += 1
     assert len(out) == emb.count()  # one decision per vector
+
+
+# ------------------------------------------------------ product quantization
+
+
+def _np_pq_reference(vecs: dict, m=8, ks=16, query_ids=(0, 1, 2, 3, 4), k=10):
+    """Independent NumPy mirror of pq_train/pq_encode/pq_topk semantics:
+    floor(val·1e6) quantization, first-ks-by-id seeds, one Lloyd step
+    under squared-L2 (ties → lowest code), floor(mean) codewords, ADC
+    ranking ascending (adist, neighbor_id)."""
+    import numpy as np
+
+    ids = sorted(vecs)
+    Q = {i: np.floor(np.asarray(vecs[i], dtype="float64") * 1e6).astype("int64")
+         for i in ids}
+    dim = len(Q[ids[0]])
+    dsub = dim // m
+    seeds = ids[:ks]
+
+    def assign(cents):
+        # cents: dict[sub] -> dict[code] -> np.array(dsub)
+        codes = {}
+        for i in ids:
+            for sub in range(m):
+                sl = Q[i][sub * dsub:(sub + 1) * dsub]
+                best = min(
+                    ((int(((sl - c) ** 2).sum()), code)
+                     for code, c in cents[sub].items()),
+                )
+                codes[(i, sub)] = best[1]
+        return codes
+
+    cents0 = {
+        sub: {
+            code: Q[sid][sub * dsub:(sub + 1) * dsub]
+            for code, sid in enumerate(seeds)
+        }
+        for sub in range(m)
+    }
+    a0 = assign(cents0)
+    cents = {sub: {} for sub in range(m)}
+    for sub in range(m):
+        members = {}
+        for i in ids:
+            members.setdefault(a0[(i, sub)], []).append(
+                Q[i][sub * dsub:(sub + 1) * dsub]
+            )
+        for code, vs in members.items():
+            s = np.sum(np.stack(vs).astype("float64"), axis=0)
+            cents[sub][code] = np.floor(s / len(vs)).astype("int64")
+    codes = assign(cents)
+
+    rows = []
+    for qid in query_ids:
+        dists = []
+        for i in ids:
+            if i == qid:
+                continue
+            d = 0
+            for sub in range(m):
+                sl = Q[qid][sub * dsub:(sub + 1) * dsub]
+                c = cents[sub][codes[(i, sub)]]
+                d += int(((sl - c) ** 2).sum())
+            dists.append((d, i))
+        dists.sort()
+        for rank, (d, i) in enumerate(dists[:k], start=1):
+            rows.append((qid, i, d, rank))
+    return set(rows)
+
+
+def test_pq_topk_matches_numpy_reference(emb):
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    expect = _np_pq_reference(vecs)
+    got = {
+        (r.query_id, r.neighbor_id, r.adist, r.rank)
+        for r in vectors.pq_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    }
+    assert got == expect
+
+
+def test_pq_codes_shape(emb):
+    n = emb.count()
+    cb = vectors.pq_train(emb)
+    codes = vectors.pq_encode(emb, cb).collect()
+    assert len(codes) == n * vectors.PQ_SUBS  # m codes per vector
+    assert all(0 <= r.code < vectors.PQ_CODES for r in codes)
+    # codebooks: every surviving (sub, code) cell has exactly dsub comps
+    cells = {}
+    for r in cb.collect():
+        cells.setdefault((r.sub, r.code), set()).add(r.sidx)
+    dsub = 64 // vectors.PQ_SUBS
+    assert all(s == set(range(dsub)) for s in cells.values())
+
+
+def test_pq_recall_vs_exact_l2(emb):
+    """ADC is approximate BY DESIGN — pin the recall contract against
+    exact squared-L2 top-k on the same quantized integers."""
+    import numpy as np
+
+    k = 10
+    vecs = {
+        r.vec_id: np.floor(np.asarray(r.embedding, dtype="float64") * 1e6)
+        for r in emb.collect()
+    }
+    exact = set()
+    for qid in (0, 1, 2, 3, 4):
+        d = sorted(
+            (int(((vecs[qid] - v) ** 2).sum()), i)
+            for i, v in vecs.items()
+            if i != qid
+        )[:k]
+        exact |= {(qid, i) for _, i in d}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in vectors.pq_topk(emb, [0, 1, 2, 3, 4], k=k).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"PQ recall collapsed: {recall}"
