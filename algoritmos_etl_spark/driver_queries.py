@@ -1106,6 +1106,9 @@ REGISTRY_ORDER = (
     "ann_pq_topk",           # product-quantization ADC: full oracle (the
                              # integer-exact codebooks + codes are rebuilt in
                              # SQL); recall + compression pinned in test_vectors
+    "attribution_join",      # stream-stream watermarked range join (batch
+                             # twin, full oracle); stream ≡ batch pinned in
+                             # test_streaming
 )
 
 assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER))

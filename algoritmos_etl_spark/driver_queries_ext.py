@@ -1520,6 +1520,30 @@ def q_ann_pq(spark, sf_dir):
 
 
 @register(
+    "attribution_join",
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
+    "Stream-stream event-time join (batch twin): every purchase attributed to "
+    "the same user's clicks in the preceding 30 min. The streaming form is the "
+    "watermarked range join whose state Spark bounds from the interval; "
+    "stream ≡ batch pinned in test_streaming. lag_us is exact integer µs",
+)
+def q_attribution_join(spark, sf_dir):
+    from .streaming import streams
+
+    ev = load_table(spark, sf_dir, "events")
+    return streams.attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+@register(
     "wide_roundtrip",
     f"""WITH {ORACLE_BARS_CTE}
     SELECT symbol, date, open, high, low, close, CAST(volume AS BIGINT) AS volume

@@ -318,6 +318,65 @@ def streaming_neardup_against_index(
     return query
 
 
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time join: attribute each purchase to every
+    click by the same user within the preceding `horizon`.
+
+    The canonical watermarked stream-stream inner join: both sides
+    carry watermarks and the join condition carries an explicit
+    event-time range (`click_ts < purchase_ts <= click_ts + horizon`),
+    which is what lets Spark BOUND the join state — clicks are
+    evictable `horizon + watermark` past their event time, purchases
+    `watermark` past theirs; without the range the state store grows
+    forever. State is keyed by user_id, so it spreads over executors
+    like any keyed aggregation.
+
+    The same function serves batch frames unchanged (the watermark is
+    only attached to streaming inputs); the registered batch twin is
+    oracle-checked, and test_streaming pins stream ≡ batch on the same
+    files. `lag_us` is an exact integer microsecond difference —
+    engine-reproducible, no float rounding in the contract.
+    """
+    c = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("lag_us"),
+        "purchase_value",
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, timeout_sec: int = 120
 ) -> DataFrame:

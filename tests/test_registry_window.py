@@ -51,6 +51,7 @@ EXPECTED_TAIL = {
     "top_customers_by_revenue", "order_priority_counts",
     "shipping_priority", "approx_profile", "bpe_tokenize",
     "ann_pq_topk",
+    "attribution_join",
 }
 
 

@@ -390,3 +390,31 @@ def test_stream_static_enrichment_matches_batch(spark, batch_events):
     )
     # left semantics: un-dimensioned events survive with NULL segment
     assert batch.filter(F.col("segment").isNull()).count() > 0
+
+
+def test_attribution_join_stream_equals_batch(spark, batch_events):
+    """Stream-stream watermarked range join ≡ batch self-join on the
+    same files — Spark's incremental-execution guarantee extended to
+    the two-sided state-store join."""
+    from algoritmos_etl_spark.streaming.streams import attribution_join
+
+    stream = read_event_stream(spark, SF_DIR)
+    streamed = run_to_memory_sink(
+        attribution_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+        ),
+        "t_attribution",
+    )
+    batch = attribution_join(
+        batch_events.filter(F.col("event_type") == "click"),
+        batch_events.filter(F.col("event_type") == "purchase"),
+    )
+    assert _rows(streamed, "click_id", "purchase_id") == _rows(
+        batch, "click_id", "purchase_id"
+    )
+    assert streamed.count() > 0  # the corpus actually exercises the join
+    # every attributed click strictly precedes its purchase within 30 min
+    assert streamed.filter(
+        (F.col("lag_us") <= 0) | (F.col("lag_us") > 30 * 60 * 1_000_000)
+    ).count() == 0
