@@ -21,7 +21,8 @@ many times); this is that lifecycle step at parquet/cluster scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def compact_table(
@@ -31,6 +32,7 @@ def compact_table(
     target_files: int = 32,
     max_records_per_file: int | None = None,
     sort_within_partitions_by: list[str] | None = None,
+    row_group_bytes: int | None = None,
 ) -> dict:
     """Rewrite `src_path` (parquet) into `dest_path` with
     `target_files` files. Optionally sort rows WITHIN each output
@@ -49,10 +51,113 @@ def compact_table(
     writer = out.write.mode("overwrite")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if row_group_bytes:
+        writer = writer.option("parquet.block.size", row_group_bytes)
     writer.parquet(dest_path)
     back = spark.read.parquet(dest_path)
     return {
         "rows": back.count(),
         "files_before": files_before,
         "files_after": len(back.inputFiles()),
+    }
+
+
+def bucketize_table(
+    spark: SparkSession,
+    src_path: str,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> dict:
+    """Rewrite a parquet table BUCKETED (hash-partitioned into files)
+    by the join key — the ingest-time layout that deletes the shuffle
+    from every later join/aggregation on that key.
+
+    Two tables bucketed by the same key into the same bucket count
+    sort-merge join with ZERO Exchange on either side (pinned by
+    test_compact): at 100 TB that is the difference between re-shuffling
+    the fact table per query and never shuffling it again. Bucket
+    files also sort by the key (`sortBy`), so the join's per-bucket
+    sort is a cheap merge of pre-sorted runs.
+
+    Bucketing rides the session catalog (`saveAsTable` — bucket
+    metadata lives in the table definition, which is what the reader
+    consults to elide the Exchange); `path` makes it an external table
+    at an explicit location.
+    """
+    df = spark.read.parquet(src_path)
+    writer = (
+        df.repartition(n_buckets, *bucket_cols)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+    back = spark.table(table_name)
+    return {"rows": back.count(), "table": table_name, "n_buckets": n_buckets}
+
+
+def zorder_value(cols: list[Column], bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low `bits` bits of each
+    column — round-robin, column 0 owning the least-significant lane.
+
+    Pure JVM bit arithmetic (shiftleft/bitwise OR fold, codegen
+    inlines it); callers must pass non-negative integral columns
+    (clamp/offset upstream). len(cols)·bits must fit a long (≤ 63).
+    """
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds a long")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def zorder_table(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    cols: list[str],
+    bits: int = 16,
+    target_files: int = 32,
+    row_group_bytes: int | None = None,
+) -> dict:
+    """Rewrite a parquet table clustered by Z-order over `cols`, so
+    range/point predicates on ANY of the interleaved dimensions get
+    row-group min/max pruning — the multi-column generalization of
+    `sort_within_partitions_by` (which only serves its leading column).
+
+    `repartitionByRange` on the z-value makes files own disjoint
+    z-ranges (a shuffle, same as compaction); `sortWithinPartitions`
+    orders rows inside each file so row-group stats are tight on every
+    interleaved column. The z-column itself is dropped from the
+    output — it's a layout key, not data. Pruning effectiveness is
+    pinned quantitatively in test_compact against the same rewrite
+    without z-ordering.
+    """
+    df = spark.read.parquet(src_path)
+    z = zorder_value([F.col(c) for c in cols], bits=bits).alias("_z")
+    writer = (
+        df.withColumn("_z", z)
+        .repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+    )
+    if row_group_bytes:
+        # row groups are the stats-pruning granule; tiny corpora need
+        # sub-default groups for the layout to have any resolution
+        writer = writer.option("parquet.block.size", row_group_bytes)
+    writer.parquet(dest_path)
+    back = spark.read.parquet(dest_path)
+    return {
+        "rows": back.count(),
+        "files_after": len(back.inputFiles()),
+        "cols": list(cols),
     }
