@@ -1109,6 +1109,9 @@ REGISTRY_ORDER = (
     "attribution_join",      # stream-stream watermarked range join (batch
                              # twin, full oracle); stream ≡ batch pinned in
                              # test_streaming
+    "pca_projection",        # driver-side eigh of the distributed Gram pass:
+                             # rows-only BY DESIGN; pinned vs numpy in
+                             # test_vectors
 )
 
 assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER))

@@ -1520,6 +1520,23 @@ def q_ann_pq(spark, sf_dir):
 
 
 @register(
+    "pca_projection",
+    None,  # rows-only BY DESIGN: the eigenbasis comes from LAPACK on the
+    # driver-side 64x64 covariance; no SQL engine reproduces it. The full
+    # numeric contract (mean, components, sign canonicalization,
+    # projections) is pinned vs numpy in test_vectors.
+    "Distributed PCA: one Gram-matrix corpus pass (mapInPandas partial "
+    "sums reduced to D²+D+1 cells), driver-side eigh, JVM-side projection "
+    "onto the top-8 axes — the embedding-reduction stage of a training-"
+    "data pipeline",
+)
+def q_pca_projection(spark, sf_dir):
+    return vectors.pca_project(
+        load_table(spark, sf_dir, "embeddings"), k=8
+    )
+
+
+@register(
     "attribution_join",
     """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
            epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,

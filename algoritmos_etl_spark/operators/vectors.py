@@ -882,6 +882,98 @@ def pq_topk(
     )
 
 
+# ------------------------------------------------------------------ PCA
+
+def pca_fit(embeddings: DataFrame, k: int = 8, col: str = "embedding"):
+    """Fit PCA distributedly: one corpus pass computes the Gram matrix
+    and mean, the (tiny) eigenproblem solves on the driver.
+
+    The scale shape: each Arrow batch contributes its partial
+    Σxxᵀ / Σx / n via `mapInPandas` (BLAS inside the batch), flattened
+    to (cell index, value) rows; a hash aggregation reduces the
+    D²+D+1 cells across all partitions, and ONLY those ~4k cells reach
+    the driver — corpus size never does. numpy then eigendecomposes
+    the D×D covariance (D=64 here; the method holds to D ~ thousands,
+    past which randomized/iterative sketches take over).
+
+    Eigenvector signs are canonicalized (largest-|component| entry
+    positive) so output is reproducible run-to-run. Returns
+    (mean[D], components[k×D], explained_variance_ratio[k]).
+    """
+    import numpy as np
+
+    dim = _infer_dim(embeddings, col)
+    n_cells = dim * dim + dim + 1
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.stack(pdf[col].to_numpy()).astype("float64")
+            g = x.T @ x  # D×D partial Gram
+            s = x.sum(axis=0)
+            idx = np.arange(dim * dim)
+            yield pd.DataFrame(
+                {
+                    "cell": np.concatenate(
+                        [idx, dim * dim + np.arange(dim), [n_cells - 1]]
+                    ),
+                    "val": np.concatenate([g.ravel(), s, [float(len(x))]]),
+                }
+            )
+
+    cells = (
+        embeddings.select(col)
+        .mapInPandas(partials, "cell long, val double")
+        .groupBy("cell")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    flat = np.zeros(n_cells)
+    for r in cells:
+        flat[r.cell] = r.val
+    g = flat[: dim * dim].reshape(dim, dim)
+    s = flat[dim * dim : dim * dim + dim]
+    n = flat[-1]
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / max(n - 1.0, 1.0)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k×D
+    for i in range(comps.shape[0]):  # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ratio = evals[order] / evals.sum()
+    return mean, comps, ratio
+
+
+def pca_project(
+    embeddings: DataFrame,
+    k: int = 8,
+    col: str = "embedding",
+    fitted=None,
+) -> DataFrame:
+    """(vec_id, pc1..pck): corpus projected onto the top-k principal
+    axes. The fit is one Gram pass (see `pca_fit`); the projection is
+    pure JVM expression work — the centered vector folds against each
+    component as literal arrays, no Python in the projection path, so
+    it pipelines into whatever consumes the reduced vectors."""
+    mean, comps, _ = fitted if fitted is not None else pca_fit(
+        embeddings, k, col
+    )
+    centered = F.zip_with(
+        F.col(col).cast("array<double>"),
+        F.array(*[F.lit(float(v)) for v in mean]),
+        lambda x, m: x - m,
+    )
+    out = embeddings.select("vec_id", centered.alias("_c"))
+    for i, comp in enumerate(comps, start=1):
+        axis = F.array(*[F.lit(float(v)) for v in comp])
+        out = out.withColumn(
+            f"pc{i}", F.round(_dot(F.col("_c"), axis), 6)
+        )
+    return out.drop("_c")
+
+
 def lsh_candidate_count(
     embeddings: DataFrame, n_tables: int = LSH_TABLES,
     planes_per_table: int = LSH_PLANES_PER_TABLE,

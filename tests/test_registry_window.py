@@ -52,6 +52,7 @@ EXPECTED_TAIL = {
     "shipping_priority", "approx_profile", "bpe_tokenize",
     "ann_pq_topk",
     "attribution_join",
+    "pca_projection",
 }
 
 
@@ -82,24 +83,33 @@ def test_window_queries_all_have_oracles():
 
 
 def test_bench_line_fits_harvester_tail():
-    # the driver keeps only the last ~2000 chars of bench stdout; round 5's
-    # line with inline trial arrays blew past it and BENCH_r05.json failed
-    # to parse. Pin the worst-case compact line comfortably inside.
+    # the driver keeps only the last ~2000 chars of bench stdout (EXACTLY
+    # 2000, measured from BENCH_r05.json); round 5's line with inline
+    # trial arrays blew past it and failed to parse. bench.py degrades
+    # gracefully as the registry grows (3-decimal → 2-decimal → drop the
+    # probe fields) and hard-fails past 1950; replicate that chain here
+    # on worst-case values and pin the final line inside the margin.
     import json
 
-    timings = {n: 123.456 for n in REGISTRY}
-    line = json.dumps(
-        {
-            "metric": "headline_suite_seconds",
-            "value": 12345.678,
-            "unit": "sec",
-            "queries": timings,
-            "n_trials": 3,
-            "wall_clock_s": 12345.678,
-            "probe_med_s": 123.456,
-            "jvm_probe_med_s": 123.456,
-            "sf": 0.1,
-        },
-        separators=(",", ":"),
+    summary = {
+        "metric": "headline_suite_seconds",
+        "value": 12345.678,
+        "unit": "sec",
+        "queries": {n: 123.456 for n in REGISTRY},
+        "n_trials": 3,
+        "wall_clock_s": 12345.678,
+        "probe_med_s": 123.456,
+        "jvm_probe_med_s": 123.456,
+        "sf": 0.1,
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:
+        summary["queries"] = {n: 123.46 for n in REGISTRY}
+        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:
+        summary.pop("probe_med_s")
+        summary.pop("jvm_probe_med_s")
+        line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) <= 1950, (
+        f"registry too large for per-query stdout reporting: {len(line)}"
     )
-    assert len(line) < 1900, len(line)

@@ -455,3 +455,41 @@ def test_pq_recall_vs_exact_l2(emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"PQ recall collapsed: {recall}"
+
+
+# ----------------------------------------------------------------- PCA
+
+
+def test_pca_matches_numpy_full_reference(emb):
+    """Distributed Gram-pass PCA ≡ numpy PCA computed on the collected
+    corpus — mean, covariance eigenbasis, and projections."""
+    import numpy as np
+
+    k = 4
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.array([r.embedding for r in rows], dtype="float64")
+    mean, comps, ratio = vectors.pca_fit(emb, k=k)
+
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    cov = np.cov(X, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    ref = evecs[:, order].T
+    for i in range(k):  # same sign canonicalization
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(comps, ref, atol=1e-6)
+    assert np.allclose(ratio, evals[order] / evals.sum(), atol=1e-9)
+
+    out = vectors.pca_project(emb, k=k, fitted=(mean, comps, ratio))
+    got = {r.vec_id: [r[f"pc{i}"] for i in range(1, k + 1)] for r in out.collect()}
+    proj = (X - X.mean(axis=0)) @ ref.T
+    for vid, r in zip((r.vec_id for r in rows), proj):
+        assert np.allclose(got[vid], np.round(r, 6), atol=1e-5)
+
+
+def test_pca_variance_concentrates(emb):
+    _, _, ratio = vectors.pca_fit(emb, k=8)
+    assert all(ratio[i] >= ratio[i + 1] - 1e-12 for i in range(len(ratio) - 1))
+    assert 0 < ratio.sum() <= 1.0 + 1e-9
