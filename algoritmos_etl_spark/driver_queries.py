@@ -1112,6 +1112,8 @@ REGISTRY_ORDER = (
     "pca_projection",        # driver-side eigh of the distributed Gram pass:
                              # rows-only BY DESIGN; pinned vs numpy in
                              # test_vectors
+    "quality_expectations",  # Deequ-style one-pass rule gate (full oracle);
+                             # per-rule semantics pinned in test_expectations
 )
 
 assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER))

@@ -1537,6 +1537,85 @@ def q_pca_projection(spark, sf_dir):
 
 
 @register(
+    "quality_expectations",
+    """SELECT 'not_null(o_custkey)' AS rule,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'in_range(o_totalprice,0,150000)', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                          OR o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                     OR o_totalprice > 150000 THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL
+                          OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderstatus IS NULL
+                     OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'matches(o_orderpriority)', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL
+                          OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderpriority IS NULL
+                     OR NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END) AS BIGINT),
+           CAST(count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+                - count(DISTINCT o_orderkey) AS BIGINT),
+           count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+                - count(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_custkey)',
+           CAST(count(CASE WHEN o_custkey IS NOT NULL THEN 1 END) AS BIGINT),
+           CAST(count(CASE WHEN o_custkey IS NOT NULL THEN 1 END)
+                - count(DISTINCT o_custkey) AS BIGINT),
+           count(CASE WHEN o_custkey IS NOT NULL THEN 1 END)
+                - count(DISTINCT o_custkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key(o_custkey->c_custkey)',
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           (SELECT count(*) FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0""",
+    "Declarative data-quality gate (P4/P5 generalized): 7 expectations over "
+    "orders compiled into ONE aggregation pass (row predicates + count-"
+    "distinct uniqueness in a single agg; FK as a broadcast anti-join) — "
+    "long-format (rule, n_checked, n_violations, passed) report",
+)
+def q_quality_expectations(spark, sf_dir):
+    from .operators import expectations as E
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return E.check(
+        orders,
+        [
+            E.not_null("o_custkey"),
+            E.in_range("o_totalprice", 0, 150000),
+            E.in_set("o_orderstatus", ("O", "F", "P")),
+            E.matches("o_orderpriority", "^[1-5]-"),
+            E.unique("o_orderkey"),
+            E.unique("o_custkey"),
+            E.foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
+@register(
     "attribution_join",
     """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
            epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,

@@ -1,0 +1,169 @@
+"""Declarative data-quality expectations, compiled to ONE aggregation.
+
+The generalization of the ad-hoc checks in `cleaning.py` (P4/P5) into
+the framework a pipeline schedules as a gate: declare rules against a
+table, get back one long-format report row per rule —
+(rule, n_checked, n_violations, passed) — from a single corpus pass.
+
+Scale shape: every row-predicate rule (not_null / in_range / in_set /
+matches / custom) compiles to a pair of conditional-count AGGREGATE
+EXPRESSIONS inside one `agg()` — the table is scanned once, partial
+sums map-side, one 1-row result exploded to the long report (JVM
+array-of-structs, no Python). `unique` rules add count-distinct
+columns to the same agg (Catalyst plans multi-distinct via Expand —
+still one scan, one extra shuffle tier). `foreign_key` rules need a
+second relation; each compiles to a broadcast-dim join counted in the
+same style and unioned into the report. A 100 TB table therefore pays
+one scan for the whole rule set, not one scan per rule — the property
+that makes running the gate on every ingest batch affordable.
+
+Violation semantics (documented per rule, pinned by tests and the
+registered DuckDB oracle): NULL fails in_range / in_set / matches
+(a null can't be proven in-domain); `unique` counts surplus rows
+(count − distinct count over non-null keys, so each duplicate group
+of size g contributes g−1); `foreign_key` counts non-null keys with
+no match in the dimension.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    checked: Column  # 1/0 per row: participates in the rule's denominator
+    violated: Column  # 1/0 per row
+
+
+def _rule(name: str, violated: Column) -> Expectation:
+    return Expectation(
+        name=name,
+        checked=F.lit(1).cast("long"),
+        violated=violated.cast("long"),
+    )
+
+
+def not_null(col: str) -> Expectation:
+    return _rule(f"not_null({col})", F.col(col).isNull().cast("int"))
+
+
+def in_range(col: str, lo, hi) -> Expectation:
+    c = F.col(col)
+    return _rule(
+        f"in_range({col},{lo},{hi})",
+        (c.isNull() | (c < F.lit(lo)) | (c > F.lit(hi))).cast("int"),
+    )
+
+
+def in_set(col: str, values: tuple) -> Expectation:
+    c = F.col(col)
+    return _rule(
+        f"in_set({col})",
+        (c.isNull() | ~c.isin(*values)).cast("int"),
+    )
+
+
+def matches(col: str, pattern: str) -> Expectation:
+    c = F.col(col)
+    return _rule(
+        f"matches({col})",
+        (c.isNull() | ~c.rlike(pattern)).cast("int"),
+    )
+
+
+def custom(name: str, predicate: Column) -> Expectation:
+    """Violation when `predicate` is not TRUE (null predicate fails)."""
+    return _rule(name, (~F.coalesce(predicate, F.lit(False))).cast("int"))
+
+
+@dataclass(frozen=True)
+class UniqueExpectation:
+    name: str
+    cols: tuple
+
+
+def unique(*cols: str) -> UniqueExpectation:
+    return UniqueExpectation(name=f"unique({','.join(cols)})", cols=tuple(cols))
+
+
+@dataclass(frozen=True)
+class ForeignKeyExpectation:
+    name: str
+    col: str
+    dim: DataFrame
+    dim_col: str
+
+
+def foreign_key(col: str, dim: DataFrame, dim_col: str) -> ForeignKeyExpectation:
+    return ForeignKeyExpectation(
+        name=f"foreign_key({col}->{dim_col})", col=col, dim=dim, dim_col=dim_col
+    )
+
+
+def check(df: DataFrame, rules: list) -> DataFrame:
+    """Evaluate all rules; returns (rule, n_checked, n_violations,
+    passed) — one row per rule, deterministic content (row order is
+    up to the consumer, as everywhere in the engine)."""
+    row_rules = [r for r in rules if isinstance(r, Expectation)]
+    uniq_rules = [r for r in rules if isinstance(r, UniqueExpectation)]
+    fk_rules = [r for r in rules if isinstance(r, ForeignKeyExpectation)]
+    if not (row_rules or uniq_rules or fk_rules):
+        raise ValueError("no expectations given")
+
+    parts = []
+    aggs = []
+    for i, r in enumerate(row_rules):
+        aggs.append(F.sum(r.checked).alias(f"c{i}"))
+        aggs.append(F.sum(r.violated).alias(f"v{i}"))
+    for j, r in enumerate(uniq_rules):
+        key_ok = F.lit(True)
+        for c in r.cols:
+            key_ok = key_ok & F.col(c).isNotNull()
+        aggs.append(F.sum(key_ok.cast("long")).alias(f"uc{j}"))
+        aggs.append(
+            F.count_distinct(*[F.col(c) for c in r.cols]).alias(f"ud{j}")
+        )
+    if aggs:
+        one = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.col(f"c{i}").alias("n_checked"),
+                F.col(f"v{i}").alias("n_violations"),
+            )
+            for i, r in enumerate(row_rules)
+        ] + [
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.col(f"uc{j}").alias("n_checked"),
+                (F.col(f"uc{j}") - F.col(f"ud{j}")).alias("n_violations"),
+            )
+            for j, r in enumerate(uniq_rules)
+        ]
+        parts.append(
+            one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+        )
+    for r in fk_rules:
+        keys = df.select(F.col(r.col)).filter(F.col(r.col).isNotNull())
+        dim_keys = r.dim.select(
+            F.col(r.dim_col).alias(r.col)
+        ).dropDuplicates()
+        joined = keys.join(F.broadcast(dim_keys), r.col, "left_anti")
+        parts.append(
+            keys.agg(F.count(F.lit(1)).alias("n_checked"))
+            .crossJoin(
+                joined.agg(F.count(F.lit(1)).alias("n_violations"))
+            )
+            .select(
+                F.lit(r.name).alias("rule"), "n_checked", "n_violations"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("n_violations") == 0)

@@ -29,6 +29,8 @@ CROSS_OK = {
     "align_to_calendar": "calendar × symbol dimension grid (both bounded dims)",
     "ann_cosine_topk": "corpus streamed once against a BROADCAST handful of "
     "query vectors (n×q with tiny q) — the brute-force baseline by design",
+    "quality_expectations": "1-row n_checked agg × 1-row anti-join count per "
+    "foreign_key rule",
 }
 
 

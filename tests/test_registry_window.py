@@ -53,6 +53,7 @@ EXPECTED_TAIL = {
     "ann_pq_topk",
     "attribution_join",
     "pca_projection",
+    "quality_expectations",
 }
 
 
