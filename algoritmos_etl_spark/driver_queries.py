@@ -1114,6 +1114,9 @@ REGISTRY_ORDER = (
                              # test_vectors
     "quality_expectations",  # Deequ-style one-pass rule gate (full oracle);
                              # per-rule semantics pinned in test_expectations
+    "scd2_user_history",     # SCD2 validity intervals from the change stream
+                             # (full oracle); change-point semantics in
+                             # test_cleaning
 )
 
 assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER))

@@ -23,7 +23,7 @@ from .driver_queries import (
     r6,
     session_cached,
 )
-from .operators import dedup, text, vectors
+from .operators import cleaning, dedup, text, vectors
 from .sources.readers import ORACLE_BARS_CTE, load_table
 
 # DuckDB fragments mirroring text.words_col / normalized_text / token_hash
@@ -1533,6 +1533,42 @@ def q_ann_pq(spark, sf_dir):
 def q_pca_projection(spark, sf_dir):
     return vectors.pca_project(
         load_table(spark, sf_dir, "embeddings"), k=8
+    )
+
+
+@register(
+    "scd2_user_history",
+    """WITH ordered AS (
+        SELECT user_id, event_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    changed AS (
+        SELECT user_id, event_id, event_type, ts FROM ordered
+        WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM changed""",
+    "SCD type-2 dimension history from the event change stream: per-user "
+    "consecutive same-attribute records collapsed, validity intervals "
+    "[valid_from, valid_to) with an open current row — the warehouse "
+    "MERGE-into-history pattern as two window passes, one shuffle on the key",
+)
+def q_scd2_user_history(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return cleaning.scd2_history(
+        ev, key_cols=["user_id"], ts_col="ts", attr_col="event_type",
+        tiebreak=["event_id"],
+    ).select(
+        "user_id", "event_id", "event_type",
+        F.col("valid_from"), "valid_to", "is_current",
     )
 
 

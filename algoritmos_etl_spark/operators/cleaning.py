@@ -160,3 +160,49 @@ def fk_violations(
         child_key,
         "left_anti",
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change stream:
+    per key, collapse consecutive records with an unchanged tracked
+    attribute, then emit validity intervals —
+    (key…, attr, valid_from, valid_to, is_current), `valid_to` NULL on
+    the open (current) interval.
+
+    The warehouse MERGE-into-history pattern as pure window algebra:
+    one shuffle on the key, two window passes (lag to detect change
+    points, lead over the survivors to close intervals). Deterministic
+    under duplicate timestamps via `tiebreak` (same rationale as
+    `keep_latest`). At scale this is exactly how a 100 TB dimension
+    rebuild runs: keys spread across executors, per-key state is one
+    sort, no driver involvement.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    # lag of a constant distinguishes "first row of the key" from "the
+    # previous attribute was NULL" — lag(attr) alone conflates the two
+    # and would re-emit every NULL-attribute run as change points
+    changed = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .withColumn("_first", F.lag(F.lit(1)).over(w).isNull())
+        .filter(
+            F.col("_first")
+            | (~F.col(attr_col).eqNullSafe(F.col("_prev")))
+        )
+        .drop("_prev", "_first")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(ts_col)
+    )

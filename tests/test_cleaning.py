@@ -63,3 +63,42 @@ def test_fk_violations_includes_null_keys(spark):
     parent = spark.createDataFrame([(10,)], "pk long")
     bad = {r.id for r in fk_violations(child, parent, "fk", "pk").collect()}
     assert bad == {2, 3}
+
+
+def test_scd2_history_change_points_and_intervals(spark):
+    from datetime import datetime
+
+    from algoritmos_etl_spark.operators.cleaning import scd2_history
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # key 1: A A B B A  -> intervals A@0, B@2, A@4
+        (1, 1, "A", t(0)), (1, 2, "A", t(1)), (1, 3, "B", t(2)),
+        (1, 4, "B", t(3)), (1, 5, "A", t(4)),
+        # key 2: single record -> one open interval
+        (2, 6, "X", t(0)),
+        # key 3: null attr handling (null == null collapses)
+        (3, 7, None, t(0)), (3, 8, None, t(1)), (3, 9, "Y", t(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    out = scd2_history(
+        df, ["user_id"], "ts", "event_type", tiebreak=["event_id"]
+    )
+    got = {
+        (r.user_id, r.event_id): (
+            r.event_type, r.valid_from, r.valid_to, r.is_current
+        )
+        for r in out.collect()
+    }
+    assert len(got) == 6  # 3 + 1 + 2 change points
+    assert got[(1, 1)] == ("A", t(0), t(2), False)
+    assert got[(1, 3)] == ("B", t(2), t(4), False)
+    assert got[(1, 5)] == ("A", t(4), None, True)
+    assert got[(2, 6)] == ("X", t(0), None, True)
+    assert got[(3, 7)] == (None, t(0), t(2), False)  # nulls collapse
+    assert got[(3, 9)] == ("Y", t(2), None, True)
+    # exactly one current row per key
+    cur = out.filter("is_current").groupBy("user_id").count().collect()
+    assert all(r["count"] == 1 for r in cur)

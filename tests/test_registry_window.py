@@ -54,6 +54,7 @@ EXPECTED_TAIL = {
     "attribution_join",
     "pca_projection",
     "quality_expectations",
+    "scd2_user_history",
 }
 
 
