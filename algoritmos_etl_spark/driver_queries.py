@@ -1117,6 +1117,9 @@ REGISTRY_ORDER = (
     "scd2_user_history",     # SCD2 validity intervals from the change stream
                              # (full oracle); change-point semantics in
                              # test_cleaning
+    "incremental_revenue",   # incremental MV via a real 2-batch stream (full
+                             # oracle: view == batch GROUP BY); delta/base/
+                             # compaction lifecycle pinned in test_streaming
 )
 
 assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER))

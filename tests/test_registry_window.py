@@ -55,6 +55,7 @@ EXPECTED_TAIL = {
     "pca_projection",
     "quality_expectations",
     "scd2_user_history",
+    "incremental_revenue",
 }
 
 

@@ -418,3 +418,64 @@ def test_attribution_join_stream_equals_batch(spark, batch_events):
     assert streamed.filter(
         (F.col("lag_us") <= 0) | (F.col("lag_us") > 30 * 60 * 1_000_000)
     ).count() == 0
+
+
+def test_incremental_mv_lifecycle(spark, batch_events, tmp_path):
+    """Delta → view → compaction → more deltas: the view equals the
+    batch GROUP BY at every point, and replays overwrite idempotently."""
+    from algoritmos_etl_spark.streaming import mv
+
+    ev = load_table(spark, SF_DIR, "events")
+    stage = str(tmp_path / "stage")
+    for i in (0, 1):
+        ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/b{i}")
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{stage}/b*")
+        )
+        mv.streaming_agg_mv(
+            stream, str(tmp_path / "mv"), ["event_type"], "value",
+            checkpoint=ckpt,
+        )
+
+    run(str(tmp_path / "ck1"))
+    expect = {
+        r.event_type: (round(r.s, 6), r.n)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+
+    def view():
+        return {
+            r.event_type: (round(r.total_value, 6), r.n_rows)
+            for r in mv.read_agg_mv(spark, str(tmp_path / "mv")).collect()
+        }
+
+    assert view() == expect
+    # two delta layers exist (one per micro-batch)
+    import glob as _g
+
+    assert len(_g.glob(str(tmp_path / "mv/delta/batch_id=*"))) == 2
+
+    # compaction folds them into a base; view unchanged
+    rep = mv.compact_agg_mv(spark, str(tmp_path / "mv"))
+    assert rep["upto"] == 1 and rep["keys"] == len(expect)
+    assert view() == expect
+
+    # replay with a FRESH checkpoint: same batch ids rewrite the same
+    # delta dirs; the read rule ignores them (batch_id <= upto) and the
+    # view still matches
+    run(str(tmp_path / "ck2"))
+    assert view() == expect
