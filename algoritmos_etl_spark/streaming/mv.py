@@ -129,3 +129,31 @@ def compact_agg_mv(spark: SparkSession, path: str) -> dict:
     )
     n_keys = spark.read.parquet(f"{path}/base/upto={max_bid}").count()
     return {"upto": int(max_bid), "keys": int(n_keys)}
+
+
+def vacuum_agg_mv(path: str) -> dict:
+    """Retire state the read rule can no longer see: delta layers with
+    `batch_id <=` the newest base's `upto`, and every base layer older
+    than the newest. Pure directory surgery — safe to run any time
+    after a compaction lands, because the read rule already ignores
+    everything this deletes. Returns counts for scheduler logging."""
+    import glob
+    import re
+    import shutil
+
+    bases = sorted(
+        glob.glob(f"{path}/base/upto=*"),
+        key=lambda p: int(re.search(r"upto=(\d+)", p).group(1)),
+    )
+    if not bases:
+        return {"deltas_removed": 0, "bases_removed": 0}
+    upto = int(re.search(r"upto=(\d+)", bases[-1]).group(1))
+    n_d = n_b = 0
+    for d in glob.glob(f"{path}/delta/batch_id=*"):
+        if int(re.search(r"batch_id=(\d+)", d).group(1)) <= upto:
+            shutil.rmtree(d, ignore_errors=True)
+            n_d += 1
+    for b in bases[:-1]:
+        shutil.rmtree(b, ignore_errors=True)
+        n_b += 1
+    return {"deltas_removed": n_d, "bases_removed": n_b}

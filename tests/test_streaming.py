@@ -479,3 +479,10 @@ def test_incremental_mv_lifecycle(spark, batch_events, tmp_path):
     # view still matches
     run(str(tmp_path / "ck2"))
     assert view() == expect
+
+    # vacuum retires everything the read rule already ignores; the
+    # view survives on the base alone
+    rep = mv.vacuum_agg_mv(str(tmp_path / "mv"))
+    assert rep == {"deltas_removed": 2, "bases_removed": 0}
+    assert len(_g.glob(str(tmp_path / "mv/delta/batch_id=*"))) == 0
+    assert view() == expect
