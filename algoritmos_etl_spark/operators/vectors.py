@@ -705,7 +705,9 @@ PQ_CODES = 16  # ks: codes per subspace codebook
 def _pq_subflat(flat: DataFrame, dsub: int) -> DataFrame:
     """(vec_id, sub, sidx, q): the quantized corpus re-keyed by
     subspace — `sub` selects the codebook, `sidx` the component within
-    it. Pure projection of the shared `_quantized_flat` relation."""
+    it. Pure projection of the shared `_quantized_flat` relation.
+    (Query-side only: the corpus path never explodes — see
+    `_pq_code_expr`.)"""
     return flat.select(
         "vec_id",
         F.expr(f"CAST(idx DIV {dsub} AS INT)").alias("sub"),
@@ -714,25 +716,58 @@ def _pq_subflat(flat: DataFrame, dsub: int) -> DataFrame:
     )
 
 
-def _pq_assign(subflat: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, sub, code): per-subspace argmin squared-L2 code, ties →
-    lowest code. One broadcast join (codebooks are tiny: m·ks·dsub
-    rows) + two partial aggregations; the corpus never shuffles on
-    anything wider than (vec_id, sub, code)."""
-    d2 = (
-        subflat.join(F.broadcast(cents), ["sub", "sidx"])
-        .groupBy("vec_id", "sub", "code")
-        .agg(
-            F.sum(
-                (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
-            ).alias("d2")
+def _pq_collect_codebooks(
+    codebooks: DataFrame, m: int, dsub: int
+) -> list[list[tuple[int, list[int]]]]:
+    """codebooks DataFrame → per sub, [(code, dsub components)] sorted
+    by code (driver-side; bounded at m·ks·dsub ints). Missing (empty)
+    cells are skipped — code numbering keeps the TRAINED code ids."""
+    cells: dict[tuple[int, int], dict[int, int]] = {}
+    for r in codebooks.collect():
+        cells.setdefault((r.sub, r.code), {})[r.sidx] = int(r.c)
+    out: list[list[tuple[int, list[int]]]] = [[] for _ in range(m)]
+    for (sub, code), comps in sorted(cells.items()):
+        out[sub].append((code, [comps[i] for i in range(dsub)]))
+    return out
+
+
+def _pq_books_np(books: list[list[tuple[int, list[int]]]]):
+    """[(code_ids int64[ks_s], C int64[ks_s × dsub])] per sub."""
+    import numpy as np
+
+    return [
+        (
+            np.array([code for code, _ in b], dtype=np.int64),
+            np.array([cw for _, cw in b], dtype=np.int64),
         )
-    )
-    return d2.groupBy("vec_id", "sub").agg(
-        F.min_by(
-            F.col("code"), F.struct(F.col("d2"), F.col("code"))
-        ).alias("code")
-    )
+        for b in books
+    ]
+
+
+def _pq_assign_np(Q, books_np, m: int, dsub: int):
+    """(n × m) argmin-squared-L2 codes, ties → lowest code, exact int64.
+
+    Per sub: D = −2·S@Cᵀ + ‖c‖² differs from the true distance by the
+    per-row constant ‖s‖², so the argmin (np.argmin = FIRST min =
+    lowest code, since codebooks are code-sorted) is identical — and
+    every term is an exact int64 (|q| < 2²¹ ⇒ |dot| < 2⁴⁸)."""
+    import numpy as np
+
+    n = Q.shape[0]
+    codes = np.empty((n, m), dtype=np.int32)
+    for sub in range(m):
+        S = Q[:, sub * dsub : (sub + 1) * dsub]
+        ids, C = books_np[sub]
+        D = (-2) * (S @ C.T) + (C * C).sum(axis=1)[None, :]
+        codes[:, sub] = ids[np.argmin(D, axis=1)]
+    return codes
+
+
+def _pq_quantize(pdf, col: str):
+    import numpy as np
+
+    v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf[col]])
+    return np.floor(v * float(IVF_SCALE)).astype(np.int64)
 
 
 def pq_train(
@@ -755,41 +790,73 @@ def pq_train(
     codebooks, code assignments, and ADC distances are bit-identical
     on any engine — the DuckDB oracle rebuilds the whole index.
 
-    Empty cells simply drop out (same contract as `ivf_train`).
+    Scale shape (the `lsh_signatures` lesson applied): seed collection
+    is ks rows; the Lloyd assignment + per-cell partial sums are ONE
+    Arrow-batched `mapInPandas` pass — argmin is a dense int64 matmul
+    per subspace, each batch emits at most m·ks·dsub partial-sum cells
+    — and the only shuffle reduces those cells to the ≤ m·ks·dsub
+    codebook entries. Empty cells simply drop out (same contract as
+    `ivf_train`).
     """
+    import numpy as np
+
     base = with_dvec(embeddings)
     dim = _infer_dim(embeddings)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
-    if flat is None:
-        flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
-    subflat = _pq_subflat(flat, dsub)
-    # seed codes 0..ks-1 = rank of the ks lowest vec_ids. Rank via a
-    # self-join count over the ks-row seed set (ks² = 256 comparisons)
-    # rather than a global row_number window — the package bans
-    # unpartitioned windows even on bounded inputs.
-    s = base.select("vec_id").orderBy("vec_id").limit(ks)
-    seeds = (
-        s.alias("a")
-        .join(
-            s.alias("b"), F.col("b.vec_id") < F.col("a.vec_id"), "left"
-        )
-        .groupBy(F.col("a.vec_id").alias("vec_id"))
-        .agg(F.count(F.col("b.vec_id")).cast("int").alias("code"))
+    # seeds: ks lowest vec_ids (bounded driver list — code i = rank i
+    # in vec_id order); quantized driver-side with the same floor(·1e6)
+    seed_rows = (
+        base.select("vec_id", "dvec").orderBy("vec_id").limit(ks).collect()
     )
-    cents0 = subflat.join(F.broadcast(seeds), "vec_id").select(
-        "sub", "code", "sidx", F.col("q").alias("c")
-    )
-    assign = _pq_assign(subflat, cents0)
-    return (
-        subflat.join(assign, ["vec_id", "sub"])
-        .groupBy("sub", "code", "sidx")
-        .agg(
-            F.floor(
-                F.sum("q").cast("double") / F.count(F.lit(1))
-            ).alias("c")
+    seed_q = np.floor(
+        np.array([r.dvec for r in seed_rows], dtype=np.float64)
+        * float(IVF_SCALE)
+    ).astype(np.int64)
+    books0 = [
+        (
+            np.arange(len(seed_rows), dtype=np.int64),
+            seed_q[:, sub * dsub : (sub + 1) * dsub].copy(),
         )
+        for sub in range(m)
+    ]
+
+    def cell_sums(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _pq_quantize(pdf, "dvec")
+            codes = _pq_assign_np(Q, books0, m, dsub)
+            subs_out, codes_out, sidx_out, s_out, n_out = [], [], [], [], []
+            for sub in range(m):
+                S = Q[:, sub * dsub : (sub + 1) * dsub]
+                cs = codes[:, sub]
+                present = np.unique(cs)
+                sums = np.zeros((ks, dsub), dtype=np.int64)
+                np.add.at(sums, cs, S)
+                counts = np.bincount(cs, minlength=ks)
+                for code in present:
+                    subs_out.extend([sub] * dsub)
+                    codes_out.extend([int(code)] * dsub)
+                    sidx_out.extend(range(dsub))
+                    s_out.extend(sums[code].tolist())
+                    n_out.extend([int(counts[code])] * dsub)
+            yield pd.DataFrame(
+                {
+                    "sub": np.array(subs_out, dtype=np.int32),
+                    "code": np.array(codes_out, dtype=np.int32),
+                    "sidx": np.array(sidx_out, dtype=np.int32),
+                    "s": np.array(s_out, dtype=np.int64),
+                    "n": np.array(n_out, dtype=np.int64),
+                }
+            )
+
+    cells = base.select("vec_id", "dvec").mapInPandas(
+        cell_sums, schema="sub int, code int, sidx int, s long, n long"
+    )
+    return cells.groupBy("sub", "code", "sidx").agg(
+        F.floor(F.sum("s").cast("double") / F.sum("n")).alias("c")
     )
 
 
@@ -801,15 +868,42 @@ def pq_encode(
 ) -> DataFrame:
     """(vec_id, sub, code): the PQ-compressed corpus — m small codes
     per vector (m=8, ks=16 ⇒ 8 nibbles = 4 bytes against 256 bytes of
-    float32, the memory ratio that makes billion-vector ANN fit). At
-    100 TB this runs once at ingest and lands as the standing index;
-    queries scan codes, never raw vectors."""
-    base = with_dvec(embeddings)
+    float32, the memory ratio that makes billion-vector ANN fit).
+
+    SHUFFLE-FREE: the trained codebooks (bounded: m·ks·dsub ints) are
+    collected once into the task closure, and encoding is one
+    Arrow-batched `mapInPandas` pass — per subspace a dense int64
+    matmul (`_pq_assign_np`, the `lsh_signatures` shape) — followed by
+    a JVM posexplode to the (vec_id, sub, code) grain. At 100 TB this
+    runs once at ingest and lands as the standing index; queries scan
+    codes, never raw vectors. (`flat` accepted for signature parity;
+    the corpus path doesn't need the exploded relation.)"""
+    import numpy as np
+
     dim = _infer_dim(embeddings)
     dsub = dim // m
-    if flat is None:
-        flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
-    return _pq_assign(_pq_subflat(flat, dsub), codebooks)
+    books_np = _pq_books_np(_pq_collect_codebooks(codebooks, m, dsub))
+    base = with_dvec(embeddings)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _pq_quantize(pdf, "dvec")
+            codes = _pq_assign_np(Q, books_np, m, dsub)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": list(codes),
+                }
+            )
+
+    coded = base.select("vec_id", "dvec").mapInPandas(
+        encode, schema="vec_id long, codes array<int>"
+    )
+    return coded.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).select("vec_id", F.col("sub").cast("int"), "code")
 
 
 def pq_topk(
