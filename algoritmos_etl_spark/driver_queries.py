@@ -1120,6 +1120,8 @@ REGISTRY_ORDER = (
     "incremental_revenue",   # incremental MV via a real 2-batch stream (full
                              # oracle: view == batch GROUP BY); delta/base/
                              # compaction lifecycle pinned in test_streaming
+    "trailing_revenue_7d",   # time-RANGE window frame over the daily rollup
+                             # (full oracle)
 )
 
 assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER))

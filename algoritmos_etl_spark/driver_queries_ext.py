@@ -23,7 +23,7 @@ from .driver_queries import (
     r6,
     session_cached,
 )
-from .operators import cleaning, dedup, text, vectors
+from .operators import cleaning, dedup, relational, text, vectors
 from .sources.readers import ORACLE_BARS_CTE, load_table
 
 # DuckDB fragments mirroring text.words_col / normalized_text / token_hash
@@ -1533,6 +1533,31 @@ def q_ann_pq(spark, sf_dir):
 def q_pca_projection(spark, sf_dir):
     return vectors.pca_project(
         load_table(spark, sf_dir, "embeddings"), k=8
+    )
+
+
+@register(
+    "trailing_revenue_7d",
+    """WITH daily AS (
+        SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS o_orderdate,
+               sum(CAST(o_totalprice AS DECIMAL(30,10))) AS rev,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, o_orderdate,
+           round(CAST(sum(rev) OVER w AS DOUBLE), 2) AS rev_7d,
+           CAST(sum(n) OVER w AS BIGINT) AS n_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)""",
+    "Time-RANGE window frame: trailing 7-day revenue per order status over "
+    "the daily rollup — the frame lives on the TIME axis (calendar gaps "
+    "shrink it), and the window input is the bounded (status, day) grain, "
+    "not the fact table; decimal-exact sums end to end",
+)
+def q_trailing_revenue(spark, sf_dir):
+    return relational.trailing_revenue(
+        load_table(spark, sf_dir, "orders"), days=7
     )
 
 

@@ -280,3 +280,40 @@ def large_orders_topk(
         .orderBy(F.col("total_qty").desc(), F.col("orderkey").asc())
         .limit(k)
     )
+
+
+def trailing_revenue(orders: DataFrame, days: int = 7) -> DataFrame:
+    """Trailing `days`-day revenue per order status: a time-RANGE
+    window frame over the daily rollup — unlike the ROWS frames the
+    technical indicators use, the frame is defined on the TIME axis,
+    so calendar gaps shrink the window instead of silently reaching
+    further back in history.
+
+    Two-level shape: the fact table first reduces to the (status, day)
+    grain (map-side partial aggs; bounded output), THEN the window
+    slides over days — the window input is |statuses|·|days| rows, not
+    the fact table, which is what keeps a trailing-window query
+    feasible when the facts are 100 TB. Sums stay decimal-exact
+    through both the rollup and the frame; double only at the edge.
+    """
+    from pyspark.sql import Window
+
+    daily = orders.groupBy(
+        "o_orderstatus", F.col("o_orderdate").cast("date").alias("o_orderdate")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.unix_date(F.col("o_orderdate")))
+        .rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        "o_orderstatus",
+        "o_orderdate",
+        F.round(F.sum("rev").over(w).cast("double"), 2).alias(
+            f"rev_{days}d"
+        ),
+        F.sum("n").over(w).alias(f"n_{days}d"),
+    )

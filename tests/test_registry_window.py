@@ -56,6 +56,7 @@ EXPECTED_TAIL = {
     "quality_expectations",
     "scd2_user_history",
     "incremental_revenue",
+    "trailing_revenue_7d",
 }
 
 
