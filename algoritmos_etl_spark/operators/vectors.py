@@ -976,6 +976,137 @@ def pq_topk(
     )
 
 
+def pq_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = PQ_SUBS,
+    ks: int = PQ_CODES,
+) -> None:
+    """Materialize the IVF×PQ index — the billion-scale ANN layout:
+    IVF partition pruning bounds WHICH rows a probe reads, PQ bounds
+    their WIDTH (m small codes instead of the vector).
+
+    Three parquet datasets under `path`:
+      centroids/ — IVF coarse quantizer (tiny; ranks probes),
+      codebooks/ — PQ sub-quantizer codewords (tiny; builds the
+                   per-query ADC lookup table),
+      codes/     — (vec_id, sub, code) partitioned by `centroid_id`,
+                   so a probe of p clusters is a partition-pruned scan
+                   of p/C of a 4-byte-per-vector relation.
+    Training and assignment run once here; queries never touch raw
+    corpus vectors again.
+    """
+    base = with_dvec(embeddings)
+    flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    vec_norms = flat.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2")
+    )
+    cents = ivf_train(embeddings, n_centroids, flat=flat).localCheckpoint(
+        eager=False
+    )
+    assign = _ivf_assign(flat, vec_norms, cents)
+    books = pq_train(embeddings, m, ks, flat=flat).localCheckpoint(eager=False)
+    codes = pq_encode(embeddings, books, m)
+    (
+        codes.join(assign, "vec_id")
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/codes")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    books.write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def pq_probe_topk(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+    m: int = PQ_SUBS,
+) -> DataFrame:
+    """ANN top-k against a materialized `pq_write_index` layout: rank
+    clusters with the stored coarse quantizer, then run the ADC scan
+    over ONLY the probed `centroid_id` partitions (broadcast join on
+    the partition column → dynamic partition pruning, same plan pin as
+    `ivf_probe_topk`) — per query the index IO is nprobe/C of a
+    4-byte-per-vector relation. `embeddings` supplies only the query
+    vectors (a tiny isin filter); corpus vectors are never read."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/codebooks")
+    codes = spark.read.parquet(f"{path}/codes")
+    dim = _infer_dim(embeddings)
+    dsub = dim // m
+
+    qbase = with_dvec(embeddings.filter(F.col("vec_id").isin(query_ids)))
+    qflat = _quantized_flat(qbase, "vec_id").select(
+        F.col("vec_id").alias("query_id"), "idx", F.col("q").alias("qq")
+    ).localCheckpoint(eager=False)
+    qnorms = qflat.groupBy("query_id").agg(
+        F.sum(F.col("qq") * F.col("qq")).alias("qn2")
+    )
+    cent_norms = cents.groupBy("centroid_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+    qdots = (
+        qflat.join(F.broadcast(cents), "idx")
+        .groupBy("query_id", "centroid_id")
+        .agg(F.sum(F.col("qq") * F.col("c")).alias("dot"))
+        .join(F.broadcast(cent_norms), "centroid_id")
+        .join(F.broadcast(qnorms), "query_id")
+    )
+    qcos = _int_cosine(F.col("dot"), F.col("qn2"), F.col("c2"))
+    wprobe = Window.partitionBy("query_id").orderBy(
+        qcos.desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qdots.withColumn("prank", F.row_number().over(wprobe))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+    qsub = qflat.select(
+        "query_id",
+        F.expr(f"CAST(idx DIV {dsub} AS INT)").alias("sub"),
+        F.expr(f"CAST(idx % {dsub} AS INT)").alias("sidx"),
+        "qq",
+    )
+    dtab = (
+        qsub.join(F.broadcast(books), ["sub", "sidx"])
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            F.sum(
+                (F.col("qq") - F.col("c")) * (F.col("qq") - F.col("c"))
+            ).alias("pd2")
+        )
+    )
+    # broadcast join on the partition column → only probed partitions
+    # of the code table are scanned
+    adist = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("adist").cast("long").alias("adist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ PCA
 
 def pca_fit(embeddings: DataFrame, k: int = 8, col: str = "embedding"):

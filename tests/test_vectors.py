@@ -493,3 +493,37 @@ def test_pca_variance_concentrates(emb):
     _, _, ratio = vectors.pca_fit(emb, k=8)
     assert all(ratio[i] >= ratio[i + 1] - 1e-12 for i in range(len(ratio) - 1))
     assert 0 < ratio.sum() <= 1.0 + 1e-9
+
+
+def test_pq_written_index_exhaustive_probe_equals_full_scan(emb, spark, tmp_path):
+    """pq_write_index + pq_probe_topk with nprobe = C ≡ the inline
+    full-scan pq_topk (every partition probed), and the probe plan is
+    dynamic-partition-pruned on centroid_id."""
+    import os
+
+    path = str(tmp_path / "pq_index")
+    vectors.pq_write_index(emb, path, n_centroids=8)
+    got = vectors.pq_probe_topk(spark, path, emb, [0, 1, 2], k=10, nprobe=8)
+    want = vectors.pq_topk(emb, [0, 1, 2], k=10)
+    as_rows = lambda df: sorted(
+        (r.query_id, r.neighbor_id, r.adist, r.rank) for r in df.collect()
+    )
+    assert as_rows(got) == as_rows(want)
+    parts = [
+        p for p in os.listdir(f"{path}/codes") if p.startswith("centroid_id=")
+    ]
+    assert len(parts) >= 2
+    # selective probe: plan prunes partitions, results stay well-formed
+    sel = vectors.pq_probe_topk(spark, path, emb, [0, 1, 2], k=10, nprobe=2)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = sel.collect()
+    assert rows and all(r.rank <= 10 and r.neighbor_id != r.query_id for r in rows)
+    # every probed pair carries the same ADC distance the full scan
+    # assigns it — probing restricts candidates, never rescores them
+    full_all = {
+        (r.query_id, r.neighbor_id): r.adist
+        for r in vectors.pq_topk(emb, [0, 1, 2], k=10**6).collect()
+    }
+    for r in rows:
+        assert full_all[(r.query_id, r.neighbor_id)] == r.adist
