@@ -1122,6 +1122,9 @@ REGISTRY_ORDER = (
                              # compaction lifecycle pinned in test_streaming
     "trailing_revenue_7d",   # time-RANGE window frame over the daily rollup
                              # (full oracle)
+    "image_neardup",         # real-PNG decode → dHash → banded hamming join:
+                             # rows-only BY DESIGN; banding ≡ brute force
+                             # pinned in test_multimodal
 )
 
 assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER))

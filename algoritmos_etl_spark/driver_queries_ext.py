@@ -1537,6 +1537,27 @@ def q_pca_projection(spark, sf_dir):
 
 
 @register(
+    "image_neardup",
+    None,  # rows-only BY DESIGN: the pipeline IS a real PNG codec
+    # (stdlib inflate + unfilter) feeding the perceptual hash — no SQL
+    # engine reproduces it. Banding completeness (≡ brute force at
+    # hamming ≤ 3) and hash determinism are pinned in test_multimodal.
+    "Perceptual image near-dup: synthesize a clustered REAL-PNG corpus from "
+    "doc_ids (test-fixture twin of a crawled image ingest), stdlib-decode, "
+    "9×8 dHash, 16-bit-chunk banding + one bit_count(XOR) verify — the "
+    "SimHash shape applied to the multimodal column (M8)",
+)
+def q_image_neardup(spark, sf_dir):
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = multimodal.synthesize_png_corpus(docs, cluster=5)
+    return multimodal.image_neardup_pairs(
+        multimodal.image_dhash(imgs), max_hamming=3
+    )
+
+
+@register(
     "trailing_revenue_7d",
     """WITH daily AS (
         SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS o_orderdate,

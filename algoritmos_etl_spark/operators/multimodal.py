@@ -359,3 +359,231 @@ def sample_frames(docs: DataFrame, stride: int = 2) -> DataFrame:
     return with_p.mapInPandas(
         sample, schema="doc_id bigint, frame_idx int, frame_md5 string"
     )
+
+
+# ------------------------------------------------- perceptual image dedup
+
+DHASH_W, DHASH_H = 8, 8  # 8×8 differences → 64-bit hash (9×8 sample grid)
+DHASH_CHUNKS = 4  # 16-bit chunk banding → complete for hamming ≤ 3
+
+
+def synthesize_png_corpus(docs: DataFrame, cluster: int = 5) -> DataFrame:
+    """Deterministic REAL-PNG fixture corpus: (doc_id, payload) where
+    payload is a valid 16×16 grayscale PNG. Documents in the same
+    `doc_id // cluster` group share a base md5-derived pixel pattern;
+    member j of a group gets j pixels nudged by +8 — so every group is
+    a near-duplicate image cluster with tiny, known visual deltas,
+    while distinct groups are unrelated noise. Encoded with zlib
+    (filter-0 scanlines) in `mapInPandas`; this is the TEST-FIXTURE
+    twin of an ingest that lands crawled images as binary columns."""
+    import hashlib
+    import struct
+    import zlib
+
+    w = h = 16
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png_bytes(doc_id: int) -> bytes:
+        group, member = divmod(int(doc_id), cluster)
+        seed = hashlib.md5(f"img:{group}".encode()).digest()
+        # deterministic per-pixel layout: spread md5 bytes over the grid
+        px = bytearray(
+            hashlib.md5(seed + struct.pack(">I", i)).digest()[i % 16]
+            for i in range(w * h)
+        )
+        for j in range(member):  # j nudged pixels = the visual delta
+            pos = hashlib.md5(f"nudge:{group}:{j}".encode()).digest()[0] % (w * h)
+            px[pos] = (px[pos] + 8) & 0xFF
+        raw = b"".join(
+            b"\x00" + bytes(px[y * w : (y + 1) * w]) for y in range(h)
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [png_bytes(d) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+def image_dhash(images: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual difference-hash over a binary image column: REAL
+    stdlib PNG decode (`decode_png`) → integer-exact grayscale → 9×8
+    nearest-neighbor sample grid → 64-bit dHash (bit = left pixel >
+    right pixel). One Arrow-batched pass; undecodable rows survive as
+    (doc_id, NULL hash, error). Gray = integer mean over color
+    channels, sampling = floor(i·dim/grid) — every step exact, so the
+    hash is reproducible anywhere."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    data = bytes(payload)
+                    meta = decode_png(data)
+                    wd, ht, ch = meta["width"], meta["height"], meta["channels"]
+                    # re-decode pixels: decode_png returns stats only;
+                    # reuse its unfilter by calling the internal path
+                    px = _png_pixels(data)
+                    # integer grayscale over color channels (alpha excluded)
+                    n_color = 3 if ch >= 3 else 1
+                    gray = [
+                        sum(px[p * ch + c] for c in range(n_color)) // n_color
+                        for p in range(wd * ht)
+                    ]
+                    g = [
+                        [
+                            gray[(y * ht // DHASH_H) * wd + (x * wd // (DHASH_W + 1))]
+                            for x in range(DHASH_W + 1)
+                        ]
+                        for y in range(DHASH_H)
+                    ]
+                    bits = 0
+                    for y in range(DHASH_H):
+                        for x in range(DHASH_W):
+                            if g[y][x] > g[y][x + 1]:
+                                bits |= 1 << (y * DHASH_W + x)
+                    # keep the hash in signed-long range deterministically
+                    if bits >= 1 << 63:
+                        bits -= 1 << 64
+                    rows.append((doc_id, bits, None))
+                except Exception as exc:  # noqa: BLE001 — quarantine row
+                    rows.append((doc_id, None, str(exc)))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash", "error"])
+
+    return images.select("doc_id", payload_col).mapInPandas(
+        hash_batch, schema="doc_id bigint, dhash long, error string"
+    )
+
+
+def image_neardup_pairs(
+    hashed: DataFrame, max_hamming: int = 3, chunks: int = DHASH_CHUNKS
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming distance — the
+    SimHash banding shape reused: 16-bit chunks of the 64-bit hash
+    bucket the corpus (65,536 values per chunk keeps buckets small),
+    candidates share ≥1 chunk, verification is one JVM `bit_count` of
+    the XOR. Pigeonhole: with `chunks` chunks, any pair within hamming
+    ≤ chunks−1 leaves at least one chunk untouched, so for
+    max_hamming ≤ chunks−1 the banding is COMPLETE — no recall loss
+    (pinned vs brute force in tests)."""
+    width = 64 // chunks
+    ok = hashed.filter(F.col("dhash").isNotNull())
+    arms = []
+    for i in range(chunks):
+        arms.append(
+            ok.select(
+                "doc_id",
+                "dhash",
+                F.lit(i).alias("chunk_i"),
+                F.shiftrightunsigned(F.col("dhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_v"),
+            )
+        )
+    banded = arms[0]
+    for a in arms[1:]:
+        banded = banded.unionByName(a)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.chunk_i") == F.col("b.chunk_i"))
+            & (F.col("a.chunk_v") == F.col("b.chunk_v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def _png_pixels(data: bytes) -> bytes:
+    """Decoded (unfiltered) pixel bytes of a PNG — the pixel-level twin
+    of `decode_png` (which returns statistics). Same supported shapes,
+    same ValueError contract."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    width, height, depth, ctype_id, _c, _f, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype_id not in _PNG_CHANNELS:
+        raise ValueError("unsupported PNG variant")
+    channels = _PNG_CHANNELS[ctype_id]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel payload does not match dimensions")
+    out = bytearray(stride * height)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        prev_row_off = (y - 1) * stride
+        row_off = y * stride
+        if ftype == 0:
+            out[row_off : row_off + stride] = line
+        elif ftype == 1:
+            for x in range(stride):
+                left = out[row_off + x - channels] if x >= channels else 0
+                out[row_off + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:
+            for x in range(stride):
+                up = out[prev_row_off + x] if y > 0 else 0
+                out[row_off + x] = (line[x] + up) & 0xFF
+        elif ftype == 3:
+            for x in range(stride):
+                left = out[row_off + x - channels] if x >= channels else 0
+                up = out[prev_row_off + x] if y > 0 else 0
+                out[row_off + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:
+            for x in range(stride):
+                left = out[row_off + x - channels] if x >= channels else 0
+                up = out[prev_row_off + x] if y > 0 else 0
+                ul = out[prev_row_off + x - channels] if (y > 0 and x >= channels) else 0
+                out[row_off + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return bytes(out)

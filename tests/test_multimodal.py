@@ -195,3 +195,54 @@ def test_decode_image_real_end_to_end(spark):
     assert out[0].error is None
     assert out[1].channels == 1 and out[1].mean_intensity == 25.0
     assert out[2].width is None and "signature" in out[2].error
+
+
+# ------------------------------------------------- perceptual image dedup
+
+
+def test_image_dhash_and_neardup_pairs(spark):
+    """End-to-end REAL pipeline: synthesize valid PNGs (clustered with
+    tiny pixel nudges) → stdlib decode → dHash → banded hamming join.
+    Banding must equal brute force at max_hamming ≤ chunks−1."""
+    from algoritmos_etl_spark.operators import multimodal as MM
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    imgs = MM.synthesize_png_corpus(docs, cluster=5)
+    hashed = MM.image_dhash(imgs).cache()
+    rows = {r.doc_id: r for r in hashed.collect()}
+    assert len(rows) == 40
+    assert all(r.error is None and r.dhash is not None for r in rows.values())
+
+    # within-cluster images are visually near-identical → tiny hamming;
+    # cross-cluster hashes are unrelated noise
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    within = [
+        ham(rows[g * 5].dhash, rows[g * 5 + 1].dhash) for g in range(8)
+    ]
+    assert sum(1 for h in within if h <= 3) >= 6, within
+
+    pairs = MM.image_neardup_pairs(hashed, max_hamming=3)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    # banding completeness: identical to brute force under hamming ≤ 3
+    brute = {
+        (a, b): ham(rows[a].dhash, rows[b].dhash)
+        for a in rows
+        for b in rows
+        if a < b and ham(rows[a].dhash, rows[b].dhash) <= 3
+    }
+    assert got == brute
+    assert got, "fixture produced no near-dup pairs at all"
+
+
+def test_image_dhash_quarantines_non_png(spark):
+    from algoritmos_etl_spark.operators import multimodal as MM
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"not a png")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in MM.image_dhash(bad).collect()}
+    assert out[1].dhash is None and "PNG" in out[1].error
+    assert out[2].dhash is None  # null payload quarantined, not crashed

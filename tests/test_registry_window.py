@@ -57,6 +57,7 @@ EXPECTED_TAIL = {
     "scd2_user_history",
     "incremental_revenue",
     "trailing_revenue_7d",
+    "image_neardup",
 }
 
 
