@@ -393,10 +393,13 @@ def synthesize_png_corpus(docs: DataFrame, cluster: int = 5) -> DataFrame:
     def png_bytes(doc_id: int) -> bytes:
         group, member = divmod(int(doc_id), cluster)
         seed = hashlib.md5(f"img:{group}".encode()).digest()
-        # deterministic per-pixel layout: spread md5 bytes over the grid
+        # deterministic pixels: 16 md5 digests of 16 bytes each fill the
+        # 256-pixel grid (one md5 PER PIXEL made the fixture generator
+        # 10x the cost of the operator under test at 30x)
         px = bytearray(
-            hashlib.md5(seed + struct.pack(">I", i)).digest()[i % 16]
-            for i in range(w * h)
+            b"".join(
+                hashlib.md5(seed + bytes([i])).digest() for i in range(16)
+            )
         )
         for j in range(member):  # j nudged pixels = the visual delta
             pos = hashlib.md5(f"nudge:{group}:{j}".encode()).digest()[0] % (w * h)
@@ -490,21 +493,27 @@ def image_neardup_pairs(
     (pinned vs brute force in tests)."""
     width = 64 // chunks
     ok = hashed.filter(F.col("dhash").isNotNull())
-    arms = []
-    for i in range(chunks):
-        arms.append(
-            ok.select(
-                "doc_id",
-                "dhash",
+    # ONE pass, not a chunks-way union: each union arm re-evaluates the
+    # upstream decode+hash chain, and the self-join doubles that again
+    # (measured 2x on the 30x corpus). posexplode emits the chunk rows
+    # in a single projection; the lazy checkpoint keeps the self-join's
+    # two sides reading one materialization of the (tiny) band table.
+    chunk_arr = F.array(
+        *[
+            F.struct(
                 F.lit(i).alias("chunk_i"),
                 F.shiftrightunsigned(F.col("dhash"), i * width)
                 .bitwiseAND(F.lit((1 << width) - 1))
                 .alias("chunk_v"),
             )
-        )
-    banded = arms[0]
-    for a in arms[1:]:
-        banded = banded.unionByName(a)
+            for i in range(chunks)
+        ]
+    )
+    banded = (
+        ok.select("doc_id", "dhash", F.explode(chunk_arr).alias("ck"))
+        .select("doc_id", "dhash", "ck.chunk_i", "ck.chunk_v")
+        .localCheckpoint(eager=False)
+    )
     cand = (
         banded.alias("a")
         .join(
