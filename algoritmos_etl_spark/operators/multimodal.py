@@ -481,7 +481,10 @@ def image_dhash(images: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def image_neardup_pairs(
-    hashed: DataFrame, max_hamming: int = 3, chunks: int = DHASH_CHUNKS
+    hashed: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = DHASH_CHUNKS,
+    max_bucket_size: int | None = 200,
 ) -> DataFrame:
     """Near-duplicate image pairs by dHash hamming distance — the
     SimHash banding shape reused: 16-bit chunks of the 64-bit hash
@@ -514,6 +517,20 @@ def image_neardup_pairs(
         .select("doc_id", "dhash", "ck.chunk_i", "ck.chunk_v")
         .localCheckpoint(eager=False)
     )
+    if max_bucket_size is not None:
+        # cap pathological buckets (a run of byte-identical images puts
+        # the whole corpus in one bucket per chunk → O(n²) candidates);
+        # same contract as the MinHash/shingle caps: identical images
+        # are EXACT dupes — route them through checksum dedup, not the
+        # perceptual join. Near-identical clusters stay intact as long
+        # as they're smaller than the cap.
+        small = (
+            banded.groupBy("chunk_i", "chunk_v")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .drop("count")
+        )
+        banded = banded.join(F.broadcast(small), ["chunk_i", "chunk_v"])
     cand = (
         banded.alias("a")
         .join(

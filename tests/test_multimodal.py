@@ -246,3 +246,26 @@ def test_image_dhash_quarantines_non_png(spark):
     out = {r.doc_id: r for r in MM.image_dhash(bad).collect()}
     assert out[1].dhash is None and "PNG" in out[1].error
     assert out[2].dhash is None  # null payload quarantined, not crashed
+
+
+def test_image_neardup_bucket_cap_drops_identical_floods(spark):
+    """A run of byte-identical images (one dhash) floods every chunk
+    bucket; the cap drops those buckets (they belong to checksum-exact
+    dedup) while smaller near-dup clusters keep their pairs."""
+    from algoritmos_etl_spark.operators import multimodal as MM
+
+    # 120 identical hashes + one 3-member near-identical cluster
+    flood = [(i, 0x0F0F0F0F0F0F0F0F) for i in range(120)]
+    cluster = [(200, 0x1000), (201, 0x1001), (202, 0x1003)]
+    hashed = spark.createDataFrame(
+        [(i, h, None) for i, h in flood + cluster],
+        "doc_id long, dhash long, error string",
+    )
+    capped = MM.image_neardup_pairs(hashed, max_hamming=3, max_bucket_size=50)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(200, 201), (200, 202), (201, 202)}
+    # uncapped, the flood contributes all its pairs
+    uncapped = MM.image_neardup_pairs(
+        hashed, max_hamming=3, max_bucket_size=None
+    )
+    assert uncapped.count() == 120 * 119 // 2 + 3
