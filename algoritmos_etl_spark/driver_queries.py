@@ -1125,6 +1125,9 @@ REGISTRY_ORDER = (
     "image_neardup",         # real-PNG decode → dHash → banded hamming join:
                              # rows-only BY DESIGN; banding ≡ brute force
                              # pinned in test_multimodal
+    "audio_features",        # real RIFF/PCM decode + integer-exact signal
+                             # stats: rows-only BY DESIGN; exact stats pinned
+                             # in test_multimodal
 )
 
 assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER))

@@ -1537,6 +1537,24 @@ def q_pca_projection(spark, sf_dir):
 
 
 @register(
+    "audio_features",
+    None,  # rows-only BY DESIGN: the pipeline IS a real RIFF/PCM codec;
+    # exact stats (peak/RMS/zero-crossings on hand-built PCM) pinned in
+    # test_multimodal.
+    "Real audio features over a binary WAV column: synthesize a deterministic "
+    "PCM16 corpus from doc_ids (triangle waves, md5-derived period/amplitude), "
+    "stdlib RIFF/PCM decode, integer-exact peak/RMS/zero-crossing extraction "
+    "in one Arrow-batched pass with per-row quarantine (M8)",
+)
+def q_audio_features(spark, sf_dir):
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = multimodal.synthesize_wav_corpus(docs)
+    return multimodal.audio_features(wavs)
+
+
+@register(
     "image_neardup",
     None,  # rows-only BY DESIGN: the pipeline IS a real PNG codec
     # (stdlib inflate + unfilter) feeding the perceptual hash — no SQL

@@ -613,3 +613,155 @@ def _png_pixels(data: bytes) -> bytes:
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
     return bytes(out)
+
+
+# ------------------------------------------------------- real audio (WAV/PCM)
+
+
+def decode_wav(data: bytes) -> dict:
+    """Pure-stdlib WAV decode: RIFF chunk walk, fmt parse, PCM samples.
+
+    Supports the training-corpus-dominant shape: PCM (format 1),
+    16-bit, mono/stereo. Returns metadata + integer-exact signal
+    statistics (peak, RMS over a 64-bit integer sum of squares, zero
+    crossings on channel 0). Raises ValueError on non-WAV bytes or
+    unsupported variants — callers quarantine those rows (same
+    contract as `decode_png`)."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    try:
+        pos, fmt, pcm = 12, None, None
+        while pos + 8 <= len(data):
+            ctype = data[pos : pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            chunk = data[pos + 8 : pos + 8 + length]
+            if ctype == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", chunk[:16])
+            elif ctype == b"data":
+                pcm = chunk
+            pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if fmt is None or pcm is None:
+            raise ValueError("truncated WAV (missing fmt/data chunk)")
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt WAV stream: {e}") from e
+    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16 or channels not in (1, 2):
+        raise ValueError(
+            f"unsupported WAV variant (fmt={audio_fmt} bits={bits} "
+            f"channels={channels})"
+        )
+    n = len(pcm) // (2 * channels)
+    peak = sq = crossings = 0
+    prev_sign = 0
+    for i in range(n):
+        base = i * 2 * channels
+        s0 = int.from_bytes(pcm[base : base + 2], "little", signed=True)
+        a = -s0 if s0 < 0 else s0
+        if a > peak:
+            peak = a
+        sq += s0 * s0
+        sign = 1 if s0 > 0 else (-1 if s0 < 0 else 0)
+        if sign and prev_sign and sign != prev_sign:
+            crossings += 1
+        if sign:
+            prev_sign = sign
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": n,
+        "duration_ms": (n * 1000) // rate if rate else 0,
+        "peak": peak,
+        "rms": round((sq / n) ** 0.5, 6) if n else 0.0,
+        "zero_crossings": crossings,
+    }
+
+
+def synthesize_wav_corpus(docs: DataFrame, rate: int = 8000) -> DataFrame:
+    """Deterministic REAL-WAV fixture corpus: (doc_id, payload) where
+    payload is a valid PCM16 mono WAV — an integer triangle wave whose
+    frequency and amplitude derive from md5(doc_id), so every field the
+    decoder reports is exactly predictable. The audio twin of
+    `synthesize_png_corpus`."""
+    import hashlib
+    import struct
+
+    def wav_bytes(doc_id: int) -> bytes:
+        seed = hashlib.md5(f"wav:{int(doc_id)}".encode()).digest()
+        period = 20 + seed[0] % 80  # samples per cycle
+        amp = 4000 + seed[1] * 100
+        n = rate // 10  # 100 ms
+        samples = bytearray()
+        half = period // 2
+        for i in range(n):
+            ph = i % period
+            v = (
+                -amp + (2 * amp * ph) // half
+                if ph < half
+                else amp - (2 * amp * (ph - half)) // (period - half)
+            )
+            samples += struct.pack("<h", max(-32768, min(32767, v)))
+        data = bytes(samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        riff = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [wav_bytes(d) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
+    )
+
+
+def audio_features(audio: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real audio feature extraction over a binary WAV column — the
+    audio leg of the multimodal seam, same Arrow-batched quarantine
+    contract as `decode_image_real`: one pass, undecodable rows
+    survive as (doc_id, error)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    m = decode_wav(bytes(payload))
+                    rows.append(
+                        (
+                            doc_id, m["sample_rate"], m["channels"],
+                            m["n_samples"], m["duration_ms"], m["peak"],
+                            m["rms"], m["zero_crossings"], None,
+                        )
+                    )
+                except Exception as exc:  # noqa: BLE001 — quarantine row
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None, None,
+                         str(exc))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_samples",
+                    "duration_ms", "peak", "rms", "zero_crossings", "error",
+                ],
+            )
+
+    return audio.select("doc_id", payload_col).mapInPandas(
+        feats,
+        schema=(
+            "doc_id bigint, sample_rate int, channels int, n_samples int, "
+            "duration_ms int, peak int, rms double, zero_crossings int, "
+            "error string"
+        ),
+    )

@@ -269,3 +269,49 @@ def test_image_neardup_bucket_cap_drops_identical_floods(spark):
         hashed, max_hamming=3, max_bucket_size=None
     )
     assert uncapped.count() == 120 * 119 // 2 + 3
+
+
+# ----------------------------------------------------------- audio (WAV/PCM)
+
+
+def test_decode_wav_exact_stats():
+    import struct
+
+    from algoritmos_etl_spark.operators.multimodal import decode_wav
+
+    samples = [0, 100, -100, 200]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    riff = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    m = decode_wav(wav)
+    assert m["sample_rate"] == 8000 and m["channels"] == 1
+    assert m["n_samples"] == 4 and m["peak"] == 200
+    assert m["zero_crossings"] == 2  # 100→−100, −100→200 (0 is no sign)
+    assert m["rms"] == round((15000) ** 0.5, 6)
+
+
+def test_audio_features_end_to_end_and_quarantine(spark):
+    from algoritmos_etl_spark.operators import multimodal as MM
+
+    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    wavs = MM.synthesize_wav_corpus(docs, rate=8000)
+    feats = {r.doc_id: r for r in MM.audio_features(wavs).collect()}
+    assert len(feats) == 20
+    for r in feats.values():
+        assert r.error is None
+        assert r.sample_rate == 8000 and r.channels == 1
+        assert r.n_samples == 800 and r.duration_ms == 100
+        assert r.peak > 0 and r.rms > 0 and r.zero_crossings > 0
+    # distinct docs get distinct signals (md5-derived period/amplitude)
+    assert len({(r.peak, r.zero_crossings) for r in feats.values()}) > 10
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"RIFFxxxxJUNK")), (2, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in MM.audio_features(bad).collect()}
+    assert all(r.rms is None and r.error for r in out.values())
