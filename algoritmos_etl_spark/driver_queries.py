@@ -1128,6 +1128,8 @@ REGISTRY_ORDER = (
     "audio_features",        # real RIFF/PCM decode + integer-exact signal
                              # stats: rows-only BY DESIGN; exact stats pinned
                              # in test_multimodal
+    "supplier_diversity",    # Q16 shape: anti-join before the shuffle +
+                             # single-distinct aggregate (full oracle)
 )
 
 assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER))

@@ -1537,6 +1537,32 @@ def q_pca_projection(spark, sf_dir):
 
 
 @register(
+    "supplier_diversity",
+    """SELECT p_brand,
+           CASE WHEN p_size <= 10 THEN 'small'
+                WHEN p_size <= 30 THEN 'medium'
+                ELSE 'large' END AS size_bucket,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY 1, 2""",
+    "TPC-H Q16 shape: distinct suppliers per (brand, size bucket) part "
+    "segment, denylisted suppliers removed by a broadcast anti-join BEFORE "
+    "the shuffle; single-distinct aggregate plans without Expand",
+)
+def q_supplier_diversity(spark, sf_dir):
+    return relational.supplier_diversity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
     "audio_features",
     None,  # rows-only BY DESIGN: the pipeline IS a real RIFF/PCM codec;
     # exact stats (peak/RMS/zero-crossings on hand-built PCM) pinned in

@@ -317,3 +317,43 @@ def trailing_revenue(orders: DataFrame, days: int = 7) -> DataFrame:
         ),
         F.sum("n").over(w).alias(f"n_{days}d"),
     )
+
+
+def supplier_diversity(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers actually ship each
+    (brand, size-bucket) part segment — excluding a denylist — the
+    supplier-diversity question behind procurement risk.
+
+    Plan shape this query exists to exercise: a broadcast LEFT ANTI
+    join removes denylisted suppliers BEFORE the shuffle (Q16's
+    NOT IN complaints subquery), the part dimension broadcasts into
+    the fact scan, and count(DISTINCT l_suppkey) per segment plans as
+    a two-phase distinct aggregate (partial per (segment, suppkey),
+    then merge) — no Expand, since there is exactly one distinct
+    measure alongside plain counts.
+    """
+    denylist = supplier.filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    shipped = (
+        lineitem.join(
+            F.broadcast(denylist),
+            lineitem["l_suppkey"] == denylist["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    bucket = (
+        F.when(F.col("p_size") <= 10, "small")
+        .when(F.col("p_size") <= 30, "medium")
+        .otherwise("large")
+    )
+    return (
+        shipped.groupBy(F.col("p_brand"), bucket.alias("size_bucket"))
+        .agg(
+            F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

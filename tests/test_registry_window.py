@@ -59,6 +59,7 @@ EXPECTED_TAIL = {
     "trailing_revenue_7d",
     "image_neardup",
     "audio_features",
+    "supplier_diversity",
 }
 
 
