@@ -1716,12 +1716,18 @@ def q_incremental_revenue(spark, sf_dir):
     """WITH ordered AS (
         SELECT user_id, event_id, event_type, ts,
                lag(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev
+                                     ORDER BY ts, event_id) AS prev,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
         FROM events
     ),
+    -- rn = 1 (not `prev IS NULL`) marks the first row of the key:
+    -- lag() is also NULL after a NULL-attribute row, and `prev IS
+    -- NULL` would re-emit every row of a NULL run as a change point
+    -- while the impl collapses NULL runs like any other value
     changed AS (
         SELECT user_id, event_id, event_type, ts FROM ordered
-        WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev
     )
     SELECT user_id, event_id, event_type,
            ts AS valid_from,

@@ -117,14 +117,20 @@ def check(df: DataFrame, rules: list) -> DataFrame:
 
     parts = []
     aggs = []
+    # F.sum over zero rows is NULL; an empty batch is a routine gate
+    # input and a NULL `passed` falls out of both `passed` and
+    # `NOT passed` filters, so coalesce every sum to 0 — an empty
+    # table reports (0, 0, passed=true) for every rule.
     for i, r in enumerate(row_rules):
-        aggs.append(F.sum(r.checked).alias(f"c{i}"))
-        aggs.append(F.sum(r.violated).alias(f"v{i}"))
+        aggs.append(F.coalesce(F.sum(r.checked), F.lit(0)).alias(f"c{i}"))
+        aggs.append(F.coalesce(F.sum(r.violated), F.lit(0)).alias(f"v{i}"))
     for j, r in enumerate(uniq_rules):
         key_ok = F.lit(True)
         for c in r.cols:
             key_ok = key_ok & F.col(c).isNotNull()
-        aggs.append(F.sum(key_ok.cast("long")).alias(f"uc{j}"))
+        aggs.append(
+            F.coalesce(F.sum(key_ok.cast("long")), F.lit(0)).alias(f"uc{j}")
+        )
         aggs.append(
             F.count_distinct(*[F.col(c) for c in r.cols]).alias(f"ud{j}")
         )

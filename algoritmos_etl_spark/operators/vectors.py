@@ -1132,6 +1132,8 @@ def pca_fit(embeddings: DataFrame, k: int = 8, col: str = "embedding"):
 
     def partials(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             x = np.stack(pdf[col].to_numpy()).astype("float64")
             g = x.T @ x  # D×D partial Gram
             s = x.sum(axis=0)

@@ -68,7 +68,16 @@ def streaming_agg_mv(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    # awaitTermination(timeout) returns False on timeout with the
+    # writer still in flight; returning normally then would hand the
+    # caller a silently partial view (and racing cleanup code a live
+    # writer). Stop the query and fail loudly instead.
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming_agg_mv: availableNow run exceeded {timeout_sec}s; "
+            f"view at {path} is incomplete"
+        )
     return query
 
 

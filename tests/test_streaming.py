@@ -486,3 +486,139 @@ def test_incremental_mv_lifecycle(spark, batch_events, tmp_path):
     assert rep == {"deltas_removed": 2, "bases_removed": 0}
     assert len(_g.glob(str(tmp_path / "mv/delta/batch_id=*"))) == 0
     assert view() == expect
+
+
+def test_mv_torn_state_between_compaction_and_vacuum(spark, tmp_path):
+    """The read rule's fold invariant under torn maintenance state:
+    a compacted base (upto=N) coexisting with the not-yet-vacuumed
+    deltas it folded must not double-count (batch_id <= upto layers
+    are invisible), while deltas that landed AFTER the compaction are
+    folded on top of the base."""
+    from algoritmos_etl_spark.streaming import mv
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "mv")
+
+    def write_delta(i: int) -> None:
+        part = ev.filter(F.col("event_id") % 3 == i).groupBy(
+            "event_type"
+        ).agg(
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("sum_part"),
+            F.count(F.lit(1)).alias("n_part"),
+        )
+        part.write.mode("overwrite").parquet(f"{path}/delta/batch_id={i}")
+
+    def batch_expect(mods):
+        cond = F.col("event_id") % 3 == mods[0]
+        for m in mods[1:]:
+            cond = cond | (F.col("event_id") % 3 == m)
+        return {
+            r.event_type: (round(r.s, 6), r.n)
+            for r in ev.filter(cond)
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.col("value").cast("decimal(30,10)"))
+                .cast("double")
+                .alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+
+    def view():
+        return {
+            r.event_type: (round(r.total_value, 6), r.n_rows)
+            for r in mv.read_agg_mv(spark, path).collect()
+        }
+
+    write_delta(0)
+    write_delta(1)
+    rep = mv.compact_agg_mv(spark, path)
+    assert rep["upto"] == 1
+    # TORN STATE: base/upto=1 written, deltas 0 and 1 NOT vacuumed,
+    # and a fresh delta 2 lands on top
+    write_delta(2)
+    import glob as _g
+
+    assert len(_g.glob(f"{path}/delta/batch_id=*")) == 3
+    assert view() == batch_expect([0, 1, 2])  # no double count
+
+
+def test_mv_vacuum_crash_window(spark, tmp_path):
+    """vacuum_agg_mv killed mid-surgery leaves a readable store at
+    every intermediate state: two base generations + partially removed
+    deltas all fold to the same view, and a re-run of vacuum finishes
+    the job idempotently."""
+    import glob as _g
+    import shutil
+
+    from algoritmos_etl_spark.streaming import mv
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "mv")
+
+    for i in (0, 1):
+        ev.filter(F.col("event_id") % 2 == i).groupBy("event_type").agg(
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("sum_part"),
+            F.count(F.lit(1)).alias("n_part"),
+        ).write.mode("overwrite").parquet(f"{path}/delta/batch_id={i}")
+        mv.compact_agg_mv(spark, path)
+
+    # crash window: TWO base generations (upto=0, upto=1) + both deltas
+    assert len(_g.glob(f"{path}/base/upto=*")) == 2
+    expect = {
+        r.event_type: (round(r.s, 6), r.n)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+
+    def view():
+        return {
+            r.event_type: (round(r.total_value, 6), r.n_rows)
+            for r in mv.read_agg_mv(spark, path).collect()
+        }
+
+    assert view() == expect  # reader picks max-upto base only
+
+    # simulate a vacuum that died after removing ONE delta
+    shutil.rmtree(f"{path}/delta/batch_id=0")
+    assert view() == expect
+    # re-run completes: removes the remaining dead delta + stale base
+    rep = mv.vacuum_agg_mv(path)
+    assert rep == {"deltas_removed": 1, "bases_removed": 1}
+    assert len(_g.glob(f"{path}/base/upto=*")) == 1
+    assert len(_g.glob(f"{path}/delta/batch_id=*")) == 0
+    assert view() == expect
+    # idempotent: a second vacuum is a no-op
+    assert mv.vacuum_agg_mv(path) == {"deltas_removed": 0, "bases_removed": 0}
+
+
+def test_streaming_neardup_driver_query_leaves_no_orphan_dirs(spark):
+    """bench runs the registered query 3×; each run must reclaim its
+    run dir (pairs are eagerly checkpointed) and reuse ONE setup tree
+    per (session, sf_dir) — no unbounded /tmp growth in a long-lived
+    driver (VERDICT r6 'What's wrong' #3)."""
+    import glob as _g
+    import tempfile
+
+    from algoritmos_etl_spark.driver_queries import REGISTRY
+
+    tmp = tempfile.gettempdir()
+    q = REGISTRY["streaming_neardup"].build
+    before_runs = set(_g.glob(f"{tmp}/streaming_neardup_run_*"))
+    n1 = q(spark, SF_DIR).count()
+    n2 = q(spark, SF_DIR).count()
+    assert n1 == n2  # replay path: identical result against the base index
+    after_runs = set(_g.glob(f"{tmp}/streaming_neardup_run_*"))
+    assert after_runs == before_runs, "leaked run dirs"
+    # exactly one standing setup tree for this (session, sf_dir)
+    from algoritmos_etl_spark.driver_queries_ext import _STREAM_NEARDUP_SETUP
+
+    keys = [k for k in _STREAM_NEARDUP_SETUP if k[1] == SF_DIR]
+    assert len(keys) == 1
