@@ -1563,6 +1563,53 @@ def q_supplier_diversity(spark, sf_dir):
 
 
 @register(
+    "min_cost_supplier",
+    """WITH sup_region AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    offers AS (
+        SELECT l_partkey, l_suppkey,
+               l_extendedprice / l_quantity AS unit_cost
+        FROM lineitem
+        JOIN sup_region ON l_suppkey = s_suppkey
+        WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL
+    ),
+    best AS (
+        SELECT l_partkey, l_suppkey, unit_cost,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_cost, l_suppkey) AS rn
+        FROM offers
+    )
+    SELECT p.p_partkey, p.p_name, p.p_type, p.p_size,
+           floor(b.unit_cost * 10000) / 10000 AS min_cost,
+           s.s_suppkey, s.s_name, s.s_acctbal, s.n_name
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size >= 20
+    JOIN sup_region s ON s.s_suppkey = b.l_suppkey
+    WHERE b.rn = 1""",
+    "TPC-H Q2 shape: cheapest supplier per part within a region — the "
+    "correlated min-subquery as a per-group argmin (partial-aggregatable "
+    "min(struct(cost, suppkey)), ONE shuffle of ≤|parts| combined rows) "
+    "with broadcast dim chain before the fact join and broadcast "
+    "join-back for part/supplier details after the aggregate",
+)
+def q_min_cost_supplier(spark, sf_dir):
+    return relational.min_cost_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        region_name="EUROPE",
+        min_size=20,
+    )
+
+
+@register(
     "audio_features",
     None,  # rows-only BY DESIGN: the pipeline IS a real RIFF/PCM codec;
     # exact stats (peak/RMS/zero-crossings on hand-built PCM) pinned in

@@ -357,3 +357,98 @@ def supplier_diversity(
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    min_size: int = 20,
+) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest supplier per part within one
+    region — the correlated `ps_supplycost = (SELECT min(...))`
+    subquery, re-expressed as a per-group argmin + join-back (the
+    reference's top-K-per-group idiom, `main.py:216-267`, at K=1 with
+    ascending cost). Supply cost here is the observed unit price
+    `l_extendedprice / l_quantity` (this dataset has no partsupp).
+
+    Plan shape this query exists to exercise: the supplier→nation→
+    region dim chain broadcasts into the fact scan (region filter
+    applied BEFORE the fact join, so out-of-region lines never enter
+    the pipeline); the per-part argmin is ONE partial-aggregatable
+    `min(struct(cost, suppkey))` — map-side combine reduces every
+    partition to ≤|parts| rows before the single shuffle, where the
+    window-rank formulation would shuffle and sort full fact rows.
+    Struct comparison is lexicographic, so `suppkey` inside the
+    struct is the deterministic tiebreak among equal-cost suppliers.
+    Part and supplier details join back by broadcast AFTER the
+    aggregate, touching |parts| rows, not the fact table.
+    """
+    sup_region = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        lineitem.filter(
+            (F.col("l_quantity") > 0) & F.col("l_extendedprice").isNotNull()
+        )
+        .join(
+            F.broadcast(sup_region.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            ),
+        )
+    )
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(F.col("unit_cost"), F.col("l_suppkey"))
+            ).alias("m")
+        )
+        .select(
+            "l_partkey",
+            F.col("m.unit_cost").alias("unit_cost"),
+            F.col("m.l_suppkey").alias("best_suppkey"),
+        )
+    )
+    return (
+        best.join(
+            F.broadcast(part.filter(F.col("p_size") >= min_size)),
+            best["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(sup_region),
+            best["best_suppkey"] == sup_region["s_suppkey"],
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_type",
+            "p_size",
+            # floor-truncate, don't round: round(double, 4) is not
+            # bit-stable across engines when the decimal expansion
+            # lands on a half boundary; x*1e4 → floor → /1e4 is the
+            # same IEEE ops everywhere
+            (F.floor(F.col("unit_cost") * 10000) / 10000).alias("min_cost"),
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+        )
+    )

@@ -118,3 +118,48 @@ def test_whitespace_only_document(spark):
     assert row.n_words == 0 and row.avg_word_len == 0.0
     lang = text.lang_id(docs).first()
     assert lang.pred_lang == "und"
+
+
+def test_min_cost_supplier_argmin_tiebreak(spark):
+    """Equal-cost suppliers for one part: struct-min must pick the
+    LOWEST suppkey (lexicographic struct comparison), and out-of-region
+    suppliers must never win even when cheaper."""
+    from algoritmos_etl_spark.operators import relational
+
+    lineitem = spark.createDataFrame(
+        [
+            # part 1: suppliers 20 and 10 tie at cost 5.0 → pick 10
+            (1, 1, 20, 2.0, 10.0),
+            (2, 1, 10, 4.0, 20.0),
+            # part 1: supplier 99 cheaper but out of region
+            (3, 1, 99, 1.0, 1.0),
+            # part 2: zero-quantity offer must be ignored
+            (4, 2, 10, 0.0, 7.0),
+            (5, 2, 20, 1.0, 9.0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "alpha", "T", 30), (2, "beta", "T", 30)],
+        "p_partkey long, p_name string, p_type string, p_size int",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "s10", 0, 1.0), (20, "s20", 0, 2.0), (99, "s99", 1, 3.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(0, "N_IN", 0), (1, "N_OUT", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    region = spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey int, r_name string"
+    )
+    rows = {
+        r.p_partkey: r
+        for r in relational.min_cost_supplier(
+            lineitem, part, supplier, nation, region, min_size=0
+        ).collect()
+    }
+    assert rows[1].s_suppkey == 10 and rows[1].min_cost == 5.0
+    assert rows[2].s_suppkey == 20 and rows[2].min_cost == 9.0

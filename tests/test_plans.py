@@ -34,7 +34,10 @@ def _formatted(df) -> str:
 def tables(spark):
     return {
         n: load_table(spark, SF_DIR, n)
-        for n in ("lineitem", "orders", "customer", "nation", "region", "events")
+        for n in (
+            "lineitem", "orders", "customer", "nation", "region",
+            "events", "part", "supplier",
+        )
     }
 
 
@@ -260,3 +263,27 @@ def test_grouping_sets_matches_rollup_and_single_expand(tables):
     cube = relational.revenue_grouping_sets(tables["lineitem"], tables["orders"])
     assert cube.count() > ru.count()
     assert _plan(cube).count("Expand") >= 1
+
+
+def test_min_cost_supplier_broadcast_dims_single_shuffle(tables):
+    """Q2-shape argmin: every dim join must broadcast (region filter
+    pruned BEFORE the fact join), the per-part argmin must plan as a
+    partial-aggregatable min(struct) — so the only Exchange in the plan
+    is the one shuffle on l_partkey between partial and final agg."""
+    q = relational.min_cost_supplier(
+        tables["lineitem"], tables["part"], tables["supplier"],
+        tables["nation"], tables["region"],
+    )
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # partial agg before the exchange (map-side combine of the argmin)
+    assert "partial_min" in plan or plan.count("HashAggregate") >= 2, plan
+    # exactly one shuffle: the partial→final agg exchange on l_partkey
+    import re as _re
+
+    exchanges = [
+        ln for ln in plan.splitlines() if _re.search(r"\bExchange\b", ln)
+        and "Broadcast" not in ln
+    ]
+    assert len(exchanges) == 1, plan
