@@ -3169,3 +3169,245 @@ def q_bpe_tokenize(spark, sf_dir):
         lambda: bpe.learn_bpe(spark, docs, n_merges=8, min_freq=2)[1],
     )
     return bpe.bpe_segment(vocab, docs)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 additions: reconciliation, CDC merge, anomaly detection,
+# record linkage
+# ---------------------------------------------------------------------------
+
+# Deterministic "mutated replica" of orders for the diff query: drop
+# every 97th key, bump totalprice on every 13th, add fresh negative
+# keys for every 101st — the synthetic twin of a drifted replica.
+_DIFF_RIGHT_SQL = """
+    SELECT o_orderkey,
+           o_custkey,
+           o_orderstatus,
+           CASE WHEN o_orderkey % 13 = 0
+                THEN o_totalprice + 1.5 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT -(o_orderkey + 1), o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+
+def _diff_right(orders):
+    mutated = orders.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", -(F.col("o_orderkey") + 1)
+    )
+    return mutated.unionByName(added.select(mutated.columns))
+
+
+@register(
+    "orders_table_diff",
+    f"""WITH r AS ({_DIFF_RIGHT_SQL})
+    SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                WHEN r.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS diff_type,
+           CASE WHEN l.o_orderkey IS NOT NULL AND r.o_orderkey IS NOT NULL
+                THEN 'o_totalprice' END AS changed_cols
+    FROM orders l
+    FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+    WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+       OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+       OR l.o_custkey IS DISTINCT FROM r.o_custkey
+       OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
+       OR l.o_orderdate IS DISTINCT FROM r.o_orderdate
+       OR l.o_orderpriority IS DISTINCT FROM r.o_orderpriority""",
+    "Keyed snapshot diff (reconcile.table_diff): full-outer sort-merge "
+    "join on the key, NULL-safe per-column comparison, output is "
+    "|diff| not |table| — added/removed/changed with the changed "
+    "column list; on bucketed layouts the exchanges vanish",
+)
+def q_orders_table_diff(spark, sf_dir):
+    from .operators import reconcile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return reconcile.table_diff(
+        orders, _diff_right(orders), key_cols=["o_orderkey"]
+    )
+
+
+@register(
+    "cdc_merge_state",
+    # Oracle = the full recompute: newest event per user over ALL
+    # events, error = tombstone. The Spark side computes the SAME
+    # state incrementally — snapshot-at-T merged with the post-T
+    # change stream — so the hash match IS the MERGE correctness
+    # proof (incremental == full recompute).
+    """SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'""",
+    "CDC MERGE (reconcile.cdc_merge): snapshot-at-T + post-T change "
+    "stream (error events = delete tombstones) merged via "
+    "max_by(payload, (ts, event_id)) — keep-latest as a PARTIAL "
+    "AGGREGATION (map-side combine collapses to one row per key "
+    "before the shuffle; a window formulation would sort every "
+    "change record). Result equals the full recompute",
+)
+def q_cdc_merge_state(spark, sf_dir):
+    from .operators import reconcile
+
+    t_split = "2024-01-16 00:00:00"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    # snapshot as of T: newest event per user, tombstones applied —
+    # built with the same aggregation shape (argmax, not window)
+    pre = ev.filter(F.col("ts") <= F.lit(t_split).cast("timestamp"))
+    snap = (
+        pre.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_id", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("_w")
+        )
+        .select(
+            "user_id",
+            F.col("_w.ts").alias("ts"),
+            F.col("_w.event_id").alias("event_id"),
+            F.col("_w.event_type").alias("event_type"),
+            F.col("_w.value").alias("value"),
+        )
+        .filter(F.col("event_type") != "error")
+    )
+    changes = ev.filter(
+        F.col("ts") > F.lit(t_split).cast("timestamp")
+    ).withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    return reconcile.cdc_merge(
+        snap,
+        changes.select("user_id", "ts", "event_id", "event_type", "value", "op"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        op_col="op",
+        tiebreak=["event_id"],
+    ).select("user_id", "ts", "event_id", "event_type", "value")
+
+
+@register(
+    "price_anomalies",
+    f"""WITH {ORACLE_BARS_CTE},
+    scored AS (
+        SELECT symbol, date, close AS value,
+               avg(close) OVER w AS mu,
+               stddev_samp(close) OVER w AS sd,
+               count(close) OVER w AS n
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, date, value, round((value - mu) / sd, 6) AS z
+    FROM scored
+    WHERE n >= 20 AND sd > 0
+      AND abs(round((value - mu) / sd, 6)) >= 2.5""",
+    "Rolling z-score point-anomaly detection (technical.rolling_zscore): "
+    "trailing-20-bar mean/stddev per symbol from ONE window pass "
+    "(sibling aggregates share the sort), warm-up and zero-variance "
+    "windows excluded, output is |anomalies| not |table|",
+)
+def q_price_anomalies(spark, sf_dir):
+    from .operators import technical
+
+    return technical.rolling_zscore(
+        _bars(spark, sf_dir), value_col="close", window_size=20,
+        threshold=2.5,
+    )
+
+
+# Deterministic dirty catalog for the linkage query: every 3rd part's
+# name with one character deleted at a key-derived position — the
+# synthetic twin of a typo-ridden ingest feed.
+_DIRTY_POS = "(p_partkey % length(p_name)) + 1"
+_DIRTY_SQL = f"""
+    SELECT p_partkey AS dirty_id,
+           substr(p_name, 1, {_DIRTY_POS} - 1)
+           || substr(p_name, {_DIRTY_POS} + 1) AS dirty_name
+    FROM part WHERE p_partkey % 3 = 0
+"""
+
+
+def _dirty_parts(part):
+    return part.filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.concat(
+            F.expr("substr(p_name, 1, (p_partkey % length(p_name)))"),
+            F.expr("substr(p_name, (p_partkey % length(p_name)) + 2)"),
+        ).alias("dirty_name"),
+    )
+
+
+@register(
+    "fuzzy_part_match",
+    # Oracle mirrors the token-blocking contract (like the LSH band
+    # oracles): candidates share >= 1 exact whitespace token.
+    f"""WITH dirty AS ({_DIRTY_SQL}),
+    catalog AS (
+        SELECT p_name AS clean_name, min(p_partkey) AS clean_id
+        FROM part GROUP BY p_name
+    ),
+    dtok AS (
+        SELECT DISTINCT dirty_id, dirty_name, t.tok
+        FROM dirty, unnest(list_distinct(list_filter(
+            string_split(dirty_name, ' '), x -> x <> ''))) AS t(tok)
+    ),
+    ctok AS (
+        SELECT DISTINCT clean_id, clean_name, t.tok
+        FROM catalog, unnest(list_distinct(list_filter(
+            string_split(clean_name, ' '), x -> x <> ''))) AS t(tok)
+    ),
+    cands AS (
+        SELECT DISTINCT dirty_id, dirty_name, clean_id, clean_name
+        FROM dtok JOIN ctok USING (tok)
+    )
+    SELECT dirty_id, dirty_name, clean_id, clean_name,
+           CAST(levenshtein(dirty_name, clean_name) AS INT) AS distance
+    FROM cands
+    WHERE levenshtein(dirty_name, clean_name) <= 2""",
+    "Blocked fuzzy linkage (linkage.fuzzy_join): a typo'd ingest feed "
+    "matched against the master name catalog — token-equality blocking "
+    "bounds candidates, ONE JVM levenshtein per candidate, no UDF; "
+    "linear in the dirty side for a vocabulary-bounded catalog",
+)
+def q_fuzzy_part_match(spark, sf_dir):
+    from .operators import linkage
+
+    part = load_table(spark, sf_dir, "part")
+    catalog = part.groupBy(F.col("p_name").alias("clean_name")).agg(
+        F.min("p_partkey").alias("clean_id")
+    )
+    out = linkage.fuzzy_join(
+        _dirty_parts(part),
+        catalog,
+        left_id="dirty_id",
+        left_name="dirty_name",
+        right_id="clean_id",
+        right_name="clean_name",
+        max_distance=2,
+    )
+    return out.select(
+        F.col("left_id").alias("dirty_id"),
+        F.col("left_name").alias("dirty_name"),
+        F.col("right_id").alias("clean_id"),
+        F.col("right_name").alias("clean_name"),
+        "distance",
+    )

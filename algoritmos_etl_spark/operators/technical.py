@@ -211,3 +211,51 @@ def rolling_features(df: DataFrame, window_size: int = 5) -> DataFrame:
 def cumulative_return(df: DataFrame, price_col: str = "close") -> Column:
     """Total log growth per symbol — convenience for reports."""
     return F.log(F.max_by(price_col, "date") / F.min_by(price_col, "date"))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str = "close",
+    window_size: int = 20,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: each bar scored against the
+    trailing `window_size`-row mean/sample-stddev of its own symbol —
+    the classic point-anomaly detector for metric streams (an
+    extension of the reference's volatility stack, which computes the
+    same moments globally per asset: `algorithms/volatility.py`).
+
+    Warm-up rows (fewer than `window_size` trailing bars) and
+    zero-variance windows are excluded rather than scored against an
+    unstable baseline. Returns only |z| >= threshold rows —
+    (symbol, date, value, z) — so output is |anomalies|, not |table|.
+
+    One shuffle on symbol; both moments come from the same bounded
+    ROWS frame in one Window pass (Catalyst computes sibling window
+    aggregates over one sort). At 100 TB the per-symbol partitions
+    stream through the frame buffer row-by-row — state is
+    O(window_size) per open partition.
+    """
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("date")
+        .rowsBetween(-(window_size - 1), 0)
+    )
+    v = F.col(value_col)
+    scored = df.select(
+        "symbol",
+        "date",
+        v.alias("value"),
+        F.avg(v).over(w).alias("_mu"),
+        F.stddev_samp(v).over(w).alias("_sd"),
+        F.count(v).over(w).alias("_n"),
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sd")
+    return (
+        scored.filter(
+            (F.col("_n") >= window_size) & (F.col("_sd") > 0)
+        )
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) >= threshold)
+        .select("symbol", "date", "value", "z")
+    )

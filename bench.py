@@ -176,6 +176,22 @@ def main() -> None:
     if len(line) > 1900:
         summary.pop("wall_clock_s", None)
         line = json.dumps(summary, separators=(",", ":"))
+    # Past ~75 queries no precision shaving fits every name on the
+    # line: keep the TOP SLOWEST queries (the rows a perf reader acts
+    # on) and declare the cut; the full dict stays in the sidecar.
+    if len(line) > 1900:
+        by_cost = sorted(timings, key=timings.get, reverse=True)
+        for keep in (60, 50, 40, 30, 20):
+            summary["queries"] = {
+                k: round(timings[k], 2)
+                for k in sorted(by_cost[:keep])
+            }
+            summary["queries_note"] = (
+                f"top{keep}_of_{len(timings)};full:BENCH_TRIALS.json"
+            )
+            line = json.dumps(summary, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
     assert len(line) <= 1950, (
         f"bench stdout line is {len(line)} chars; the harvester tail "
         "is 2000 — shrink the queries dict (registry too large for "

@@ -50,3 +50,65 @@ def test_no_antipattern_in_plan(spark, name):
             f"{name}: unexpected cartesian/nested-loop join — either fix the "
             f"plan or declare it in CROSS_OK with a boundedness argument"
         )
+
+
+# ---------------------------------------------------------------------------
+# Static no-collect gate (VERDICT r6 task #8): driver-side materialization
+# in ENGINE modules is allowed only at the documented provably-bounded
+# sites below; serving/report edges are exempt by module. A new
+# .collect()/.toPandas() anywhere else fails this test until it is
+# either made distributed or documented here with its bound.
+# ---------------------------------------------------------------------------
+
+import os
+import re
+
+_PKG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "algoritmos_etl_spark",
+)
+
+# module (relative to the package) -> (max allowed sites, bound argument)
+_COLLECT_BOUNDED = {
+    "operators/vectors.py": (
+        3,
+        "PQ codebooks (m*ks*dsub ints), k-means/PQ seeds (limit(ks)), "
+        "PCA Gram cells (D*D+D+1 rows)",
+    ),
+    "operators/bpe.py": (
+        1,
+        "one winning merge pair per BPE round (limit(1))",
+    ),
+    "plans/etl_pipeline.py": (
+        1,
+        "wide-CSV export symbol list (distinct symbols, "
+        "limit(max_wide_symbols))",
+    ),
+}
+# presentation/serving edges: collect IS their job
+_EDGE_MODULES = {"serve.py", "report.py", "pdf_report.py"}
+
+_PATTERN = re.compile(r"\.collect\(\)|\.toPandas\(\)")
+
+
+def test_no_undeclared_driver_collect_in_engine_modules():
+    violations = []
+    for root, _dirs, files in os.walk(_PKG):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, _PKG).replace(os.sep, "/")
+            if rel in _EDGE_MODULES:
+                continue
+            with open(path) as fh:
+                n = len(_PATTERN.findall(fh.read()))
+            if n == 0:
+                continue
+            allowed = _COLLECT_BOUNDED.get(rel, (0, ""))[0]
+            if n > allowed:
+                violations.append(f"{rel}: {n} collect sites (allowed {allowed})")
+    assert not violations, (
+        "undeclared driver-side collect in engine modules — make it "
+        f"distributed or declare the bound: {violations}"
+    )

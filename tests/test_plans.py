@@ -287,3 +287,24 @@ def test_min_cost_supplier_broadcast_dims_single_shuffle(tables):
         and "Broadcast" not in ln
     ]
     assert len(exchanges) == 1, plan
+
+
+def test_cdc_merge_is_partial_aggregation_not_window(spark):
+    """keep-latest via max_by must plan as partial+final aggregate
+    (map-side combine before the one shuffle) with NO Window sort."""
+    from algoritmos_etl_spark.driver_queries import REGISTRY
+
+    q = REGISTRY["cdc_merge_state"].build(spark, SF_DIR)
+    plan = _plan(q)
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # snapshot agg + merge agg
+    assert "partial" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_table_diff_single_join_no_cross(spark):
+    from algoritmos_etl_spark.driver_queries import REGISTRY
+
+    q = REGISTRY["orders_table_diff"].build(spark, SF_DIR)
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "FullOuter" in plan or "SortMergeJoin" in plan, plan

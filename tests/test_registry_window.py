@@ -30,15 +30,17 @@ MUST_BE_IN_WINDOW = {
     # relational / OLAP (r6/r7 flagships included)
     "revenue_by_nation", "revenue_rollup", "supplier_diversity",
     "min_cost_supplier", "trailing_revenue_7d",
+    "orders_table_diff", "cdc_merge_state",
     "quality_expectations", "scd2_user_history",
+    "price_anomalies", "fuzzy_part_match",
     # extensions
-    "text_stats", "doc_fingerprints", "pii_redaction",
+    "text_stats", "pii_redaction",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "duplicate_passages", "neardup_clusters", "canonical_selection",
-    "corpus_curation", "decontamination", "corpus_mixture",
+    "duplicate_passages", "neardup_clusters",
+    "corpus_curation", "decontamination",
     "sequence_packing", "doc_lm_scores", "bm25_topk",
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "kmeans_clusters", "embedding_neardup_pairs", "semantic_dedup",
+    "kmeans_clusters", "semantic_dedup",
     "pca_projection",
     "event_time_report", "running_streaks", "streaming_neardup",
     "attribution_join", "incremental_revenue",
@@ -52,6 +54,8 @@ MUST_BE_IN_WINDOW = {
 # simple entries out.
 EXPECTED_TAIL = {
     # displaced by the r7 rotation — all hash-green r1–r6 or r3–r6
+    "doc_fingerprints", "canonical_selection", "corpus_mixture",
+    "embedding_neardup_pairs",
     "drop_invalid_rows", "top15_by_value", "wide_roundtrip",
     "bar_slices", "multi_key_sort_rank", "pricing_summary",
     "behavioral_report", "corpus_sampling", "lm_topk", "rag_chunking",
@@ -134,6 +138,18 @@ def test_bench_line_fits_harvester_tail():
     if len(line) > 1900:
         summary.pop("wall_clock_s")
         line = json.dumps(summary, separators=(",", ":"))
+    # final fallback mirrors bench.py: top-K slowest only, full dict
+    # in the BENCH_TRIALS.json sidecar
+    if len(line) > 1900:
+        names = sorted(REGISTRY)
+        for keep in (60, 50, 40, 30, 20):
+            summary["queries"] = {n: 123.46 for n in names[:keep]}
+            summary["queries_note"] = (
+                f"top{keep}_of_{len(names)};full:BENCH_TRIALS.json"
+            )
+            line = json.dumps(summary, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
     assert len(line) <= 1950, (
         f"registry too large for per-query stdout reporting: {len(line)}"
     )

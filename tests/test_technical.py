@@ -65,3 +65,39 @@ def test_series_moments(f5):
     var = sum((p - mean) ** 2 for p in PRICES) / (n - 1)
     assert row["mean"] == pytest.approx(mean)
     assert row["std_dev"] == pytest.approx(math.sqrt(var))
+
+
+def test_rolling_zscore_naive_parity_and_guards(spark):
+    """rolling_zscore vs a pure-Python trailing-window recompute, plus
+    the two guards: warm-up rows excluded, zero-variance windows
+    excluded (constant symbol emits nothing)."""
+    import statistics as st
+
+    vals = [10.0, 11.0, 10.5, 9.5, 10.2, 30.0, 10.1, 10.3, 9.9, 10.0]
+    rows = [(1, f"2024-01-{d + 1:02d}", v) for d, v in enumerate(vals)]
+    rows += [(2, f"2024-01-{d + 1:02d}", 5.0) for d in range(10)]  # constant
+    df = spark.createDataFrame(rows, "symbol long, date string, close double")
+    df = df.withColumn("date", F.col("date").cast("date"))
+    # note: a trailing window CONTAINS its own point, so |z| is
+    # bounded by (w-1)/sqrt(w) — w=5 bounds it at 1.789, reachable
+    w, thr = 5, 1.5
+    out = {
+        (r.symbol, str(r.date)): r.z
+        for r in technical.rolling_zscore(
+            df, window_size=w, threshold=thr
+        ).collect()
+    }
+    assert not any(s == 2 for s, _ in out)  # zero variance → no rows
+    expect = {}
+    for i in range(len(vals)):
+        if i < w - 1:
+            continue  # warm-up exclusion
+        win = vals[i - w + 1 : i + 1]
+        sd = st.stdev(win)
+        if sd == 0:
+            continue
+        z = round((vals[i] - st.mean(win)) / sd, 6)
+        if abs(z) >= thr:
+            expect[(1, f"2024-01-{i + 1:02d}")] = z
+    assert out == {k: pytest.approx(v) for k, v in expect.items()}
+    assert any(abs(z) > 1.4 for z in out.values())  # the spike is caught
