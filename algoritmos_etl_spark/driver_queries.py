@@ -1030,8 +1030,8 @@ REGISTRY_ORDER = (
     "bars_model",
     "cleaning_report",
     "align_to_calendar",
+    "interpolated_bars",
     "returns_model",
-    "rolling_features",
     "risk_classification",
     "streak_histograms",
     "pair_metrics",
@@ -1049,6 +1049,8 @@ REGISTRY_ORDER = (
     "scd2_user_history",
     "price_anomalies",
     "fuzzy_part_match",
+    "revenue_share",
+    "price_quantiles",
     # ---- text / dedup / corpus ----
     "text_stats",
     "pii_redaction",
@@ -1066,7 +1068,6 @@ REGISTRY_ORDER = (
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
-    "kmeans_clusters",
     "semantic_dedup",
     "pca_projection",
     # ---- streaming / event-time ----
@@ -1081,10 +1082,16 @@ REGISTRY_ORDER = (
     "audio_features",
     "table_profile",
     "asof_join_bars",
-    "interval_join_sessions",
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "rolling_features",      # W4 SMA + W6 gap windows; scalars in-window
+                             # via risk_classification; hash-green r1-r6
+    "kmeans_clusters",       # profile over the SAME k-means the in-window
+                             # ann_ivf_topk quantizer runs; hash-green r4-r6
+    "interval_join_sessions",  # grid-bucket range join; asof_join_bars
+                               # covers the range-join family in-window;
+                               # hash-green r4-r6; test_ranges
     "doc_fingerprints",      # exact-dedup md5 groupBy; incremental index
                              # pinned in test_dedup; hash-green r3-r6
     "canonical_selection",   # one join + window on the in-window

@@ -3411,3 +3411,121 @@ def q_fuzzy_part_match(spark, sf_dir):
         F.col("right_name").alias("clean_name"),
         "distance",
     )
+
+
+@register(
+    "interpolated_bars",
+    # grid CTE mirrors align_to_calendar's oracle; interpolation =
+    # prev + (next - prev) * day-fraction, IGNORE NULLS window carries
+    f"""WITH {ORACLE_BARS_CTE},
+    cal AS (SELECT DISTINCT date FROM bars),
+    syms AS (SELECT DISTINCT symbol FROM bars),
+    grid AS (
+        SELECT s.symbol, c.date, b.close
+        FROM cal c CROSS JOIN syms s
+        LEFT JOIN bars b ON b.symbol = s.symbol AND b.date = c.date
+    ),
+    carried AS (
+        SELECT symbol, date, close,
+               last_value(close IGNORE NULLS) OVER w_fwd AS prev_v,
+               last_value(CASE WHEN close IS NOT NULL THEN date END
+                          IGNORE NULLS) OVER w_fwd AS prev_d,
+               first_value(close IGNORE NULLS) OVER w_bwd AS next_v,
+               first_value(CASE WHEN close IS NOT NULL THEN date END
+                           IGNORE NULLS) OVER w_bwd AS next_d
+        FROM grid
+        WINDOW w_fwd AS (PARTITION BY symbol ORDER BY date
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_bwd AS (PARTITION BY symbol ORDER BY date
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT symbol, date,
+           round(prev_v + (next_v - prev_v)
+                 * (date_diff('day', prev_d, date)
+                    / CAST(date_diff('day', prev_d, next_d) AS DOUBLE)),
+                 6) AS interp
+    FROM carried
+    WHERE close IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL""",
+    "Linear time-weighted gap interpolation over the calendar-aligned "
+    "grid (cleaning.interpolate_missing): symmetric extension of W1 "
+    "forward-fill — one symbol shuffle, forward+backward carry windows "
+    "with two scalars of state each; day-fraction weighting means a "
+    "long gap interpolates by calendar distance, not row position. "
+    "Output is |filled gaps|, leading/trailing nulls stay unfilled",
+)
+def q_interpolated_bars(spark, sf_dir):
+    from .operators import alignment
+
+    bars = _bars(spark, sf_dir)
+    grid = alignment.align_to_calendar(bars.select("symbol", "date", "close"))
+    filled = cleaning.interpolate_missing(
+        grid.select("symbol", "date", "close"),
+        value_col="close",
+        date_col="date",
+        partition_col="symbol",
+    )
+    return filled.filter(
+        F.col("close").isNull() & F.col("interp").isNotNull()
+    ).select("symbol", "date", F.round("interp", 6).alias("interp"))
+
+
+@register(
+    "revenue_share",
+    """WITH per_nation AS (
+        SELECT r_name, n_name,
+               sum(CAST(o_totalprice AS DECIMAL(30,10))) AS rev,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT r_name, n_name,
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           round(CAST(rev / sum(rev) OVER (PARTITION BY r_name)
+                      AS DOUBLE), 6) AS region_share,
+           round(CAST(rev / sum(rev) OVER () AS DOUBLE), 6) AS total_share
+    FROM per_nation""",
+    "Percent-of-total window analytics (relational.revenue_share, the "
+    "RATIO_TO_REPORT shape): nation revenue share of region and grand "
+    "total — facts reduce to the bounded nation rollup FIRST (broadcast "
+    "dims + one partial-agg shuffle), then the share windows run over "
+    "<=|nations| rows; decimal-exact denominators",
+)
+def q_revenue_share(spark, sf_dir):
+    return relational.revenue_share(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "price_quantiles",
+    """WITH agg AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               quantile_cont(o_totalprice, 0.25) AS q25,
+               quantile_cont(o_totalprice, 0.5) AS q50,
+               quantile_cont(o_totalprice, 0.75) AS q75,
+               quantile_cont(o_totalprice, 0.95) AS q95
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, n_orders,
+           CAST(0.25 AS DOUBLE) AS quantile, round(q25, 4) AS value FROM agg
+    UNION ALL SELECT o_orderpriority, n_orders, 0.5, round(q50, 4) FROM agg
+    UNION ALL SELECT o_orderpriority, n_orders, 0.75, round(q75, 4) FROM agg
+    UNION ALL SELECT o_orderpriority, n_orders, 0.95, round(q95, 4) FROM agg""",
+    "Exact multi-quantile per group (relational.price_quantiles_by_"
+    "priority): p25/p50/p75/p95 of order value per priority via ONE "
+    "percentile(col, array(...)) partial aggregate — two-phase like any "
+    "sum, no sort, no window; the exact twin of approx_profile's "
+    "sketch tier",
+)
+def q_price_quantiles(spark, sf_dir):
+    return relational.price_quantiles_by_priority(
+        load_table(spark, sf_dir, "orders")
+    )

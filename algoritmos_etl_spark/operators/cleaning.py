@@ -206,3 +206,51 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop(ts_col)
     )
+
+
+def interpolate_missing(
+    df: DataFrame,
+    value_col: str = "close",
+    date_col: str = "date",
+    partition_col: str = "symbol",
+    out_col: str = "interp",
+) -> DataFrame:
+    """Linear time-weighted interpolation of null gaps: each missing
+    value gets prev + (next − prev) · Δt_frac, where the fraction is
+    measured on the TIME axis (a 3-day gap interpolates by calendar
+    distance, not row position) — the gap-fill idiom of every
+    time-series store, extending the reference's forward-fill (W1,
+    `etl/data_cleaner.py:150-191`) with the symmetric estimate.
+    Leading/trailing nulls (no bracket on one side) stay null.
+
+    TWO window passes over one shuffle on the symbol: a forward pass
+    carries (last known value, its date) and a backward pass carries
+    (next known value, its date) — per-partition state is two scalars
+    each, so the plan streams at any history length. The arithmetic is
+    plain IEEE on day ordinals, bit-identical across engines.
+    """
+    v = F.col(value_col)
+    known_date = F.when(v.isNotNull(), F.col(date_col))
+    fwd = (
+        Window.partitionBy(partition_col)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy(partition_col)
+        .orderBy(date_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(fwd)
+    prev_d = F.last(known_date, ignorenulls=True).over(fwd)
+    next_v = F.first(v, ignorenulls=True).over(bwd)
+    next_d = F.first(known_date, ignorenulls=True).over(bwd)
+    span = F.unix_date(next_d) - F.unix_date(prev_d)
+    frac = (F.unix_date(F.col(date_col)) - F.unix_date(prev_d)) / span
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+    )
+    return df.withColumn(out_col, interp)

@@ -452,3 +452,90 @@ def min_cost_supplier(
             "n_name",
         )
     )
+
+
+def revenue_share(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Percent-of-total window analytics (RATIO_TO_REPORT): each
+    nation's revenue as a share of its region's total and of the grand
+    total — the market-share report every OLAP engine special-cases.
+
+    The windows run over the BOUNDED (nation) rollup, not the fact
+    table: facts reduce first (broadcast dim chain + one partial-agg
+    shuffle to ≤|nations| rows), then two unpartitioned/region window
+    sums cost nothing. Decimal-exact through the rollup and the share
+    denominators; double only at the output edge.
+    """
+    from pyspark.sql import Window
+
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    per_nation = joined.groupBy("r_name", "n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        "n_orders",
+        F.round(
+            (F.col("rev") / F.sum("rev").over(w_region)).cast("double"), 6
+        ).alias("region_share"),
+        F.round(
+            (F.col("rev") / F.sum("rev").over(w_all)).cast("double"), 6
+        ).alias("total_share"),
+    )
+
+
+def price_quantiles_by_priority(orders: DataFrame) -> DataFrame:
+    """Exact multi-quantile per group: p25/p50/p75/p95 of order value
+    per priority, computed distributed with ONE `percentile(col,
+    array(...))` aggregate — the profiling question (`approx_profile`
+    answers it with sketches) answered exactly, long-format output.
+
+    Spark's exact percentile is a single-pass partial aggregate
+    (per-partition value maps merged on the reduce side), so the plan
+    is the same two-phase shape as any sum — no sort, no window. The
+    merged per-group state is O(distinct values in group): fine for
+    bounded-cardinality measures; at open cardinality use the sketch
+    tier (`operators/profiling.py`).
+    """
+    qs = [0.25, 0.5, 0.75, 0.95]
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.percentile(
+            F.col("o_totalprice"), F.array(*[F.lit(q) for q in qs])
+        ).alias("p"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(q) for q in qs]).alias("q"), F.col("p").alias("v")
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        F.explode(pairs).alias("e"),
+    ).select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("e.q").alias("quantile"),
+        F.round(F.col("e.v"), 4).alias("value"),
+    )

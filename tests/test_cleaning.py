@@ -102,3 +102,29 @@ def test_scd2_history_change_points_and_intervals(spark):
     # exactly one current row per key
     cur = out.filter("is_current").groupBy("user_id").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_interpolate_missing_time_weighted(spark):
+    """Gap interpolation is weighted by CALENDAR distance, and
+    one-sided gaps (leading/trailing) stay null."""
+    from algoritmos_etl_spark.operators.cleaning import interpolate_missing
+
+    rows = [
+        (1, "2024-01-01", None),    # leading null → stays null
+        (1, "2024-01-02", 10.0),
+        (1, "2024-01-03", None),    # 1/3 of the way to 01-05
+        (1, "2024-01-05", 16.0),
+        (1, "2024-01-08", None),    # trailing null → stays null
+        (2, "2024-01-02", 5.0),     # other symbol must not bleed over
+    ]
+    df = spark.createDataFrame(rows, "symbol long, date string, close double")
+    df = df.withColumn("date", F.col("date").cast("date"))
+    out = {
+        (r.symbol, str(r.date)): r.interp
+        for r in interpolate_missing(df).collect()
+    }
+    assert out[(1, "2024-01-01")] is None
+    assert out[(1, "2024-01-03")] == pytest.approx(10.0 + 6.0 * (1 / 3))
+    assert out[(1, "2024-01-08")] is None
+    assert out[(1, "2024-01-02")] == 10.0  # known values pass through
+    assert out[(2, "2024-01-02")] == 5.0

@@ -27,6 +27,9 @@ CROSS_OK = {
     "arm) + two single-series rows for one pair (path arm)",
     "correlation_heatmap": "B(B+1)/2 block-pair rows, B bounded by symbol target",
     "align_to_calendar": "calendar × symbol dimension grid (both bounded dims)",
+    "interpolated_bars": "same calendar × symbol dimension grid",
+    "price_quantiles": "4-quantile literal array exploded against the "
+    "bounded per-priority aggregate",
     "ann_cosine_topk": "corpus streamed once against a BROADCAST handful of "
     "query vectors (n×q with tiny q) — the brute-force baseline by design",
     "quality_expectations": "1-row n_checked agg × 1-row anti-join count per "

@@ -308,3 +308,49 @@ def test_table_diff_single_join_no_cross(spark):
     plan = _plan(q)
     assert "CartesianProduct" not in plan, plan
     assert "FullOuter" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_revenue_share_windows_over_bounded_rollup(tables):
+    """The share windows must consume the aggregated nation rollup,
+    not the fact table: exactly one fact shuffle (the groupBy), dims
+    broadcast, windows after the aggregate."""
+    q = relational.revenue_share(
+        tables["orders"], tables["customer"], tables["nation"],
+        tables["region"],
+    )
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.index("Window") < plan.index("HashAggregate"), (
+        "window must sit ABOVE the aggregate in the tree:\n" + plan
+    )
+    rows = q.collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, []).append(r.region_share)
+    for shares in by_region.values():
+        assert sum(shares) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r.total_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_price_quantiles_partial_agg_no_sort(tables):
+    q = relational.price_quantiles_by_priority(tables["orders"])
+    plan = _plan(q)
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan.replace("SortAggregate", ""), plan
+    import numpy as np
+
+    vals = [
+        r.o_totalprice
+        for r in tables["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .collect()
+    ]
+    got = {
+        r.quantile: r.value
+        for r in q.filter(F.col("o_orderpriority") == "1-URGENT").collect()
+    }
+    for qt in (0.25, 0.5, 0.75, 0.95):
+        assert got[qt] == pytest.approx(
+            np.quantile(np.array(vals), qt), abs=1e-3
+        )

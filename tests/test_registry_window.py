@@ -24,7 +24,7 @@ from algoritmos_etl_spark.driver_queries import (
 MUST_BE_IN_WINDOW = {
     # §2 surface
     "bars_model", "cleaning_report",
-    "align_to_calendar", "returns_model", "rolling_features",
+    "align_to_calendar", "interpolated_bars", "returns_model",
     "risk_classification", "streak_histograms", "pair_metrics",
     "correlation_heatmap", "dtw_report",
     # relational / OLAP (r6/r7 flagships included)
@@ -33,6 +33,7 @@ MUST_BE_IN_WINDOW = {
     "orders_table_diff", "cdc_merge_state",
     "quality_expectations", "scd2_user_history",
     "price_anomalies", "fuzzy_part_match",
+    "revenue_share", "price_quantiles",
     # extensions
     "text_stats", "pii_redaction",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
@@ -40,12 +41,12 @@ MUST_BE_IN_WINDOW = {
     "corpus_curation", "decontamination",
     "sequence_packing", "doc_lm_scores", "bm25_topk",
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "kmeans_clusters", "semantic_dedup",
+    "semantic_dedup",
     "pca_projection",
     "event_time_report", "running_streaks", "streaming_neardup",
     "attribution_join", "incremental_revenue",
     "multimodal_report", "image_neardup", "audio_features",
-    "table_profile", "asof_join_bars", "interval_join_sessions",
+    "table_profile", "asof_join_bars",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
@@ -55,7 +56,8 @@ MUST_BE_IN_WINDOW = {
 EXPECTED_TAIL = {
     # displaced by the r7 rotation — all hash-green r1–r6 or r3–r6
     "doc_fingerprints", "canonical_selection", "corpus_mixture",
-    "embedding_neardup_pairs",
+    "embedding_neardup_pairs", "rolling_features", "kmeans_clusters",
+    "interval_join_sessions",
     "drop_invalid_rows", "top15_by_value", "wide_roundtrip",
     "bar_slices", "multi_key_sort_rank", "pricing_summary",
     "behavioral_report", "corpus_sampling", "lm_topk", "rag_chunking",
