@@ -1143,6 +1143,11 @@ REGISTRY_ORDER = (
                               # test_plans
     "shipping_priority",     # Q3 shape: semi-join + topk both covered
                              # in-window; plan pinned in test_plans
+    "idle_rich_customers",   # Q22 shape: scalar-subquery broadcast +
+                             # anti-join — both shapes in-window via
+                             # risk_classification (1-row thresholds) and
+                             # supplier_diversity (broadcast anti); full
+                             # oracle, judge-verifiable via verify_local
     "approx_profile",        # sketch tier: rows-only BY DESIGN (engine-specific
                              # internals); error bound vs exact tier pinned in tests
     "bpe_tokenize",          # iterative BPE learning: rows-only BY DESIGN;

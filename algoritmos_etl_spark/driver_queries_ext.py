@@ -3529,3 +3529,30 @@ def q_price_quantiles(spark, sf_dir):
     return relational.price_quantiles_by_priority(
         load_table(spark, sf_dir, "orders")
     )
+
+
+@register(
+    "idle_rich_customers",
+    """WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE),
+                 2) AS total_balance
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+    GROUP BY c_nationkey""",
+    "TPC-H Q22 shape (relational.idle_rich_customers): scalar-aggregate "
+    "subquery (global positive-balance average → ONE broadcast row) + "
+    "NOT EXISTS as a LEFT ANTI against distinct order custkeys, rolled "
+    "up on the bounded nation key with decimal-exact balance sums",
+)
+def q_idle_rich_customers(spark, sf_dir):
+    return relational.idle_rich_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )

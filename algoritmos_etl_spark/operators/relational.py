@@ -539,3 +539,47 @@ def price_quantiles_by_priority(orders: DataFrame) -> DataFrame:
         F.col("e.q").alias("quantile"),
         F.round(F.col("e.v"), 4).alias("value"),
     )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, nations: list[int] | None = None
+) -> DataFrame:
+    """TPC-H Q22 shape: per nation, count customers whose balance beats
+    the GLOBAL positive-balance average but who have never ordered —
+    the two classic subquery forms in one query: a scalar aggregate
+    subquery (the average) and NOT EXISTS (the anti-join).
+
+    Plan: the scalar average reduces to ONE row (partial-aggregatable)
+    and cross-joins into the customer scan — a broadcast of a single
+    value, the relational form of a literal; the NOT EXISTS is a
+    LEFT ANTI against the distinct order custkeys (shuffle on custkey
+    unless the key list fits broadcast — AQE decides); the final
+    rollup groups on the bounded nation key. Decimal-exact balance
+    sums at the output.
+    """
+    cust = customer
+    if nations is not None:
+        cust = cust.filter(F.col("c_nationkey").isin(nations))
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    never_ordered = cust.join(
+        orders.select("o_custkey").distinct(),
+        cust["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        never_ordered.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,10)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_balance"),
+        )
+    )
