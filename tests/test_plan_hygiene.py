@@ -34,6 +34,8 @@ CROSS_OK = {
     "query vectors (n×q with tiny q) — the brute-force baseline by design",
     "quality_expectations": "1-row n_checked agg × 1-row anti-join count per "
     "foreign_key rule",
+    "idle_rich_customers": "customer scan × the 1-row global-average "
+    "scalar subquery",
 }
 
 
