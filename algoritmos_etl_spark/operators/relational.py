@@ -521,8 +521,15 @@ def price_quantiles_by_priority(orders: DataFrame) -> DataFrame:
     """
     qs = [0.25, 0.5, 0.75, 0.95]
     agg = orders.groupBy("o_orderpriority").agg(
-        F.percentile(
-            F.col("o_totalprice"), F.array(*[F.lit(q) for q in qs])
+        # percentile over an all-null group is NULL (not an array of
+        # NULLs) and explode(NULL) would silently DROP the group —
+        # coalesce to a null-valued array so every group keeps its
+        # four quantile rows, matching the SQL formulation
+        F.coalesce(
+            F.percentile(
+                F.col("o_totalprice"), F.array(*[F.lit(q) for q in qs])
+            ),
+            F.array(*[F.lit(None).cast("double") for _ in qs]),
         ).alias("p"),
         F.count(F.lit(1)).alias("n_orders"),
     )

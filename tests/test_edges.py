@@ -163,3 +163,39 @@ def test_min_cost_supplier_argmin_tiebreak(spark):
     }
     assert rows[1].s_suppkey == 10 and rows[1].min_cost == 5.0
     assert rows[2].s_suppkey == 20 and rows[2].min_cost == 9.0
+
+
+def test_round7_operators_on_empty_and_null_inputs(spark):
+    """Every round-7 operator must degrade cleanly on empty / all-null
+    input (the routine-gate property the r6 expectations fix was
+    about): no crash, no silently dropped group."""
+    from algoritmos_etl_spark.operators import (
+        cleaning as cl,
+        linkage,
+        reconcile,
+        relational,
+        technical,
+    )
+
+    empty_kv = spark.createDataFrame([], "k long, v double")
+    assert reconcile.table_diff(empty_kv, empty_kv, ["k"]).count() == 0
+    t = spark.createDataFrame([], "k long, ts long, s string")
+    c = spark.createDataFrame([], "k long, ts long, s string, op string")
+    assert reconcile.cdc_merge(t, c, ["k"], "ts", "op").count() == 0
+    bars = spark.createDataFrame([], "symbol long, date date, close double")
+    assert technical.rolling_zscore(bars).count() == 0
+    assert cl.interpolate_missing(bars).count() == 0
+    names = spark.createDataFrame([], "id long, name string")
+    assert linkage.fuzzy_join(
+        names, names, "id", "name", "id", "name"
+    ).count() == 0
+    # all-null measure: the group must KEEP its quantile rows (null
+    # values), same as the SQL formulation — percentile returns NULL,
+    # not [NULL]*4, and explode(NULL) would drop the group
+    orders1 = spark.createDataFrame(
+        [("U", None), ("U", None)],
+        "o_orderpriority string, o_totalprice double",
+    )
+    rows = relational.price_quantiles_by_priority(orders1).collect()
+    assert len(rows) == 4
+    assert all(r.value is None and r.n_orders == 2 for r in rows)
