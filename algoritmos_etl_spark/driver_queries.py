@@ -1143,6 +1143,10 @@ REGISTRY_ORDER = (
                               # test_plans
     "shipping_priority",     # Q3 shape: semi-join + topk both covered
                              # in-window; plan pinned in test_plans
+    "streaming_cdc_state",   # stream twin of the in-window
+                             # cdc_merge_state (same full oracle; the
+                             # MERGE operator itself is hash-green there);
+                             # versioned-state lifecycle in test_streaming
     "idle_rich_customers",   # Q22 shape: scalar-subquery broadcast +
                              # anti-join — both shapes in-window via
                              # risk_classification (1-row thresholds) and

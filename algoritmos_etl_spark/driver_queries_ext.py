@@ -3556,3 +3556,99 @@ def q_idle_rich_customers(spark, sf_dir):
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "orders"),
     )
+
+
+# Staged 2-file events corpus for the streaming CDC query — same
+# session-cached disk-tree pattern as _MV_SETUP.
+_CDC_SETUP: dict = {}
+
+
+def _cdc_cleanup() -> None:
+    import shutil
+
+    for _, w in _CDC_SETUP.values():
+        shutil.rmtree(w, ignore_errors=True)
+    _CDC_SETUP.clear()
+
+
+atexit.register(_cdc_cleanup)
+
+
+def _cdc_setup(spark, sf_dir: str) -> str:
+    import shutil
+    import tempfile
+
+    for k in [k for k, (ctx, _) in _CDC_SETUP.items() if ctx._jsc is None]:
+        shutil.rmtree(_CDC_SETUP.pop(k)[1], ignore_errors=True)
+    sc = spark.sparkContext
+    key = (sc.applicationId, sf_dir)
+    if key not in _CDC_SETUP:
+        work = tempfile.mkdtemp(prefix="cdc_merge_")
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        for i in (0, 1):
+            ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{work}/stage/b{i}")
+        _CDC_SETUP[key] = (sc, work)
+    return _CDC_SETUP[key][1]
+
+
+@register(
+    "streaming_cdc_state",
+    # Same full-recompute oracle as cdc_merge_state: the streamed
+    # 2-micro-batch MERGE state must equal the newest-non-tombstone
+    # row per user over ALL events — exactly-once incremental upsert
+    # proven by hash equality.
+    """SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'""",
+    "Streaming CDC MERGE (mv.streaming_cdc_merge): a real 2-micro-batch "
+    "file stream upserts per-batch onto versioned keep-latest state "
+    "snapshots (error events = delete tombstones; per-batch input is "
+    "|live keys| + |batch|, replay-idempotent versioned writes) — the "
+    "streamed state must hash-equal the batch full recompute",
+)
+def q_streaming_cdc_state(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .streaming import mv
+
+    work = _cdc_setup(spark, sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="cdc_merge_run_")
+    try:
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, ts timestamp, event_id bigint, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{work}/stage/b*")
+        )
+        changes = stream.withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        mv.streaming_cdc_merge(
+            changes,
+            f"{run_dir}/store",
+            key_cols=["user_id"],
+            ts_col="ts",
+            op_col="op",
+            tiebreak=["event_id"],
+            checkpoint=f"{run_dir}/_checkpoint",
+        )
+        state = mv.read_cdc_state(spark, f"{run_dir}/store")
+        return state.select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        ).localCheckpoint()  # eager: result must outlive run_dir
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

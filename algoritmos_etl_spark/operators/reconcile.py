@@ -103,6 +103,8 @@ def cdc_merge(
     op_col: str,
     tiebreak: Sequence[str] = (),
     delete_op: str = "D",
+    target_op_col: str | None = None,
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """MERGE a CDC stream into a target snapshot: per key, the newest
     record wins (upsert); a newest-record delete op removes the key.
@@ -119,14 +121,26 @@ def cdc_merge(
     daily delta, the shuffle carries |keys|, not |records|. Delete
     filtering happens AFTER the argmax, so a delete followed by a
     re-insert resurrects the key with the newer attributes.
+
+    Tombstone persistence (`keep_tombstones=True` + `target_op_col`):
+    a ONE-SHOT merge may drop deleted keys from its output, but a
+    target that will be merged AGAIN must keep its tombstones — with
+    them dropped, a late-arriving change OLDER than the delete would
+    win the next argmax unopposed and silently resurrect the key.
+    With `keep_tombstones` the output retains every key's newest
+    record including deletes (the op exposed as `op_col`); filter
+    `op_col != delete_op` at the serving edge. `target_op_col` names
+    the op column of such a tombstone-carrying target (instead of the
+    implicit all-upsert target).
     """
-    data_cols = [
-        c for c in target.columns if c not in set(key_cols) | {ts_col}
-    ]
+    drop = set(key_cols) | {ts_col}
+    if target_op_col:
+        drop.add(target_op_col)
+    data_cols = [c for c in target.columns if c not in drop]
     tgt = target.select(
         *key_cols,
         F.col(ts_col).alias("_ts"),
-        F.lit("U").alias("_op"),
+        (F.col(target_op_col) if target_op_col else F.lit("U")).alias("_op"),
         *data_cols,
     )
     chg = changes.select(
@@ -144,6 +158,13 @@ def cdc_merge(
         .groupBy(*key_cols)
         .agg(F.max_by(payload, ordering).alias("_w"))
     )
+    if keep_tombstones:
+        return merged.select(
+            *key_cols,
+            F.col("_w._ts").alias(ts_col),
+            F.col("_w._op").alias(op_col),
+            *[F.col(f"_w.{c}").alias(c) for c in data_cols],
+        )
     return (
         merged.filter(F.col("_w._op") != delete_op)
         .select(

@@ -166,3 +166,139 @@ def vacuum_agg_mv(path: str) -> dict:
         shutil.rmtree(b, ignore_errors=True)
         n_b += 1
     return {"deltas_removed": n_d, "bases_removed": n_b}
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC merge: the keyed-STATE sibling of the aggregate MV above.
+# Same disk contract (versioned layers, idempotent per-batch overwrite,
+# read rule picks the newest applicable layer), but the maintained object
+# is the keep-latest MERGE state (operators/reconcile.cdc_merge), not a
+# partial aggregate.
+# ---------------------------------------------------------------------------
+
+
+def read_cdc_state(
+    spark: SparkSession,
+    path: str,
+    before_batch: int | None = None,
+    op_col: str = "op",
+    delete_op: str = "D",
+    serving: bool = True,
+):
+    """Newest state snapshot, optionally restricted to versions written
+    BEFORE `before_batch` (the replay read rule: batch N merges onto
+    the state as of N-1 even when newer versions exist on disk).
+
+    Snapshots PERSIST tombstones (see `reconcile.cdc_merge`): the
+    serving view filters them out and drops the op column; the merge
+    loop reads raw (`serving=False`) so a late change older than a
+    delete can never resurrect the key."""
+    import glob
+    import re
+
+    versions = sorted(
+        int(re.search(r"version=(\d+)", p).group(1))
+        for p in glob.glob(f"{path}/state/version=*")
+    )
+    if before_batch is not None:
+        versions = [v for v in versions if v < before_batch]
+    if not versions:
+        return None
+    state = spark.read.parquet(f"{path}/state/version={versions[-1]}")
+    if serving:
+        state = state.filter(F.col(op_col) != delete_op).drop(op_col)
+    return state
+
+
+def streaming_cdc_merge(
+    stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str,
+    checkpoint: str,
+    tiebreak: list[str] | None = None,
+    delete_op: str = "D",
+    timeout_sec: int = 120,
+):
+    """Maintain MERGE state incrementally: each micro-batch upserts
+    onto the previous snapshot via `reconcile.cdc_merge` (keep-latest
+    as a partial aggregation, tombstones applied) and writes the new
+    snapshot to `path/state/version=<batch_id>`.
+
+    Per-batch cost is |previous state| + |batch| — the state is the
+    KEYED CURRENT ROWS (tombstones included), already collapsed, so
+    unlike a naive read-modify-write of raw history the merge input
+    never grows with time, only with seen keys. Replays are idempotent: batch N reads
+    the newest version < N (never a version a later batch wrote) and
+    overwrites its own version=N directory with identical content.
+    Old versions are retired by `vacuum_cdc_state`.
+    """
+    from ..operators.reconcile import cdc_merge
+
+    tb = list(tiebreak or [])
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # RAW read: tombstones ride along so older late arrivals
+        # cannot win the next argmax against a deleted key
+        prev = read_cdc_state(
+            spark, path, before_batch=batch_id,
+            op_col=op_col, delete_op=delete_op, serving=False,
+        )
+        if prev is None:
+            data_cols = [
+                c
+                for c in batch_df.columns
+                if c not in set(key_cols) | {ts_col, op_col}
+            ]
+            prev = (
+                batch_df.select(*key_cols, ts_col, op_col, *data_cols)
+                .filter(F.lit(False))
+            )
+        merged = cdc_merge(
+            prev,
+            batch_df,
+            key_cols=key_cols,
+            ts_col=ts_col,
+            op_col=op_col,
+            tiebreak=tb,
+            delete_op=delete_op,
+            target_op_col=op_col,
+            keep_tombstones=True,
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{path}/state/version={batch_id}"
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming_cdc_merge: availableNow run exceeded "
+            f"{timeout_sec}s; state at {path} is incomplete"
+        )
+    return query
+
+
+def vacuum_cdc_state(path: str) -> dict:
+    """Retire every state version except the newest — pure directory
+    surgery, safe any time (the read rule already prefers the newest;
+    replays that need an older version recompute it idempotently from
+    the checkpointed source anyway)."""
+    import glob
+    import re
+    import shutil
+
+    versions = sorted(
+        glob.glob(f"{path}/state/version=*"),
+        key=lambda p: int(re.search(r"version=(\d+)", p).group(1)),
+    )
+    for p in versions[:-1]:
+        shutil.rmtree(p, ignore_errors=True)
+    return {"versions_removed": max(0, len(versions) - 1)}

@@ -68,7 +68,7 @@ EXPECTED_TAIL = {
     "embedding_norms", "late_shipment_priority", "large_orders_topk",
     "top_customers_by_revenue", "order_priority_counts",
     "shipping_priority", "approx_profile", "bpe_tokenize",
-    "idle_rich_customers",
+    "idle_rich_customers", "streaming_cdc_state",
 }
 
 

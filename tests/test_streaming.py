@@ -622,3 +622,70 @@ def test_streaming_neardup_driver_query_leaves_no_orphan_dirs(spark):
 
     keys = [k for k in _STREAM_NEARDUP_SETUP if k[1] == SF_DIR]
     assert len(keys) == 1
+
+
+def test_streaming_cdc_merge_tombstones_survive_out_of_order_batches(
+    spark, tmp_path
+):
+    """A later micro-batch carrying an OLDER record for a deleted key
+    must not resurrect it: tombstones persist in the state snapshots
+    and only the serving read filters them (the bug class the
+    streaming_cdc_state oracle caught in round 7)."""
+    from algoritmos_etl_spark.streaming import mv
+
+    src = tmp_path / "src"
+    rows_b0 = [  # batch 0: the NEWEST records, including a delete
+        (1, 100, "alive", "U"),
+        (2, 100, None, "D"),        # key 2 deleted at ts=100
+    ]
+    rows_b1 = [  # batch 1: OLDER records arriving late
+        (2, 50, "stale", "U"),      # must NOT resurrect key 2
+        (3, 60, "new", "U"),
+    ]
+    schema = "k long, ts long, s string, op string"
+    import time as _t
+
+    for i, rows in ((0, rows_b0), (1, rows_b1)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+        _t.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src / "b*"))
+        )
+        mv.streaming_cdc_merge(
+            stream, str(tmp_path / "store"), key_cols=["k"], ts_col="ts",
+            op_col="op", checkpoint=ck,
+        )
+
+    run(str(tmp_path / "ck1"))
+    served = {r.k: r for r in mv.read_cdc_state(
+        spark, str(tmp_path / "store")
+    ).collect()}
+    assert set(served) == {1, 3}, served  # key 2 stays dead
+    # raw state keeps the tombstone with its ts
+    raw = {r.k: r for r in mv.read_cdc_state(
+        spark, str(tmp_path / "store"), serving=False
+    ).collect()}
+    assert raw[2].op == "D" and raw[2].ts == 100
+    # replay with a fresh checkpoint: identical state, idempotent
+    run(str(tmp_path / "ck2"))
+    served2 = {r.k: (r.ts, r.s) for r in mv.read_cdc_state(
+        spark, str(tmp_path / "store")
+    ).collect()}
+    assert served2 == {k: (r.ts, r.s) for k, r in served.items()}
+    # vacuum keeps only the newest version; view unchanged
+    rep = mv.vacuum_cdc_state(str(tmp_path / "store"))
+    assert rep["versions_removed"] == 1
+    import glob as _g
+
+    assert len(_g.glob(str(tmp_path / "store/state/version=*"))) == 1
+    served3 = {r.k: (r.ts, r.s) for r in mv.read_cdc_state(
+        spark, str(tmp_path / "store")
+    ).collect()}
+    assert served3 == served2
