@@ -145,3 +145,48 @@ def test_fuzzy_name_pairs_self_dedup(spark):
     )
     rows = linkage.fuzzy_name_pairs(df, "id", "name").collect()
     assert [(r.id_a, r.id_b, r.distance) for r in rows] == [(1, 2, 1)]
+
+
+def test_cdc_merge_incremental_equals_oneshot_property(spark):
+    """The invariant streaming_cdc_state rides on, as a property test:
+    for ANY split of a change stream into two batches (including
+    out-of-order splits), tombstone-keeping incremental merge over the
+    batches equals the one-shot merge of everything — and the serving
+    filter then equals the full recompute."""
+    import random
+
+    rnd = random.Random(7)
+    ops = ["U", "U", "U", "D"]
+    changes = [
+        (rnd.randrange(6), t, f"v{t}", rnd.choice(ops))
+        for t in range(40)
+    ]
+    schema = "k long, ts long, s string, op string"
+    all_df = spark.createDataFrame(changes, schema)
+    empty = all_df.filter(F.lit(False))
+
+    def merge(target, batch, **kw):
+        from algoritmos_etl_spark.operators.reconcile import cdc_merge
+
+        return cdc_merge(
+            target, batch, key_cols=["k"], ts_col="ts", op_col="op",
+            keep_tombstones=True, target_op_col="op", **kw
+        )
+
+    oneshot = {
+        r.k: (r.ts, r.op, r.s) for r in merge(empty, all_df).collect()
+    }
+    for seed in range(3):
+        r2 = random.Random(seed)
+        mask = [r2.random() < 0.5 for _ in changes]
+        b1 = spark.createDataFrame(
+            [c for c, m in zip(changes, mask) if m], schema
+        )
+        b2 = spark.createDataFrame(
+            [c for c, m in zip(changes, mask) if not m], schema
+        )
+        stepped = {
+            r.k: (r.ts, r.op, r.s)
+            for r in merge(merge(empty, b1), b2).collect()
+        }
+        assert stepped == oneshot, f"split seed {seed} diverged"
