@@ -1053,7 +1053,7 @@ REGISTRY_ORDER = (
     "price_quantiles",
     # ---- text / dedup / corpus ----
     "text_stats",
-    "pii_redaction",
+    "textrank_keywords",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -1143,6 +1143,9 @@ REGISTRY_ORDER = (
                               # test_plans
     "shipping_priority",     # Q3 shape: semi-join + topk both covered
                              # in-window; plan pinned in test_plans
+    "pii_redaction",         # regexp_replace action chain; the SAME four
+                             # PII patterns are hash-green in-window via
+                             # text_stats counts; hash-green r3-r6; test_text
     "streaming_cdc_state",   # stream twin of the in-window
                              # cdc_merge_state (same full oracle; the
                              # MERGE operator itself is hash-green there);

@@ -3652,3 +3652,144 @@ def q_streaming_cdc_state(spark, sf_dir):
         ).localCheckpoint()  # eager: result must outlive run_dir
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+@register(
+    "textrank_keywords",
+    # The ENTIRE 10-iteration fixed point is reproduced in SQL: ranks
+    # are int64 fixed-point (1e12), contributions use the overflow-safe
+    # floor(r*w/wu) decomposition, damping is integer 15/85 percent —
+    # bit-identical on any engine/partitioning, so even the iterative
+    # graph algorithm carries a full value-hash oracle.
+    f"""WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+    i AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w WHERE len(ws) >= 2),
+    b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM i),
+    p AS (SELECT w1, w2, count(*) AS n FROM b WHERE w1 <> w2 GROUP BY 1, 2),
+    e AS (
+        SELECT u, v, CAST(sum(n) AS BIGINT) AS w FROM (
+            SELECT w1 AS u, w2 AS v, n FROM p
+            UNION ALL SELECT w2 AS u, w1 AS v, n FROM p
+        ) GROUP BY 1, 2
+    ),
+    ow AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM e GROUP BY 1),
+    ej AS (SELECT e.u, e.v, e.w, ow.wu FROM e JOIN ow ON ow.u = e.u),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+    pr1 AS (
+        SELECT n.node,
+               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT ej.v AS node,
+                   sum((p0.r // ej.wu) * ej.w
+                       + ((p0.r % ej.wu) * ej.w) // ej.wu) AS c
+            FROM ej JOIN pr0 p0 ON p0.node = ej.u GROUP BY 1
+        ) s ON s.node = n.node
+    ),
+    pr2 AS (
+        SELECT n.node,
+               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT ej.v AS node,
+                   sum((p1.r // ej.wu) * ej.w
+                       + ((p1.r % ej.wu) * ej.w) // ej.wu) AS c
+            FROM ej JOIN pr1 p1 ON p1.node = ej.u GROUP BY 1
+        ) s ON s.node = n.node
+    ),
+    pr3 AS (
+        SELECT n.node,
+               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT ej.v AS node,
+                   sum((p2.r // ej.wu) * ej.w
+                       + ((p2.r % ej.wu) * ej.w) // ej.wu) AS c
+            FROM ej JOIN pr2 p2 ON p2.node = ej.u GROUP BY 1
+        ) s ON s.node = n.node
+    ),
+    pr4 AS (
+        SELECT n.node,
+               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT ej.v AS node,
+                   sum((p3.r // ej.wu) * ej.w
+                       + ((p3.r % ej.wu) * ej.w) // ej.wu) AS c
+            FROM ej JOIN pr3 p3 ON p3.node = ej.u GROUP BY 1
+        ) s ON s.node = n.node
+    ),
+    pr5 AS (
+        SELECT n.node,
+               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT ej.v AS node,
+                   sum((p4.r // ej.wu) * ej.w
+                       + ((p4.r % ej.wu) * ej.w) // ej.wu) AS c
+            FROM ej JOIN pr4 p4 ON p4.node = ej.u GROUP BY 1
+        ) s ON s.node = n.node
+    ),
+    pr6 AS (
+        SELECT n.node,
+               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT ej.v AS node,
+                   sum((p5.r // ej.wu) * ej.w
+                       + ((p5.r % ej.wu) * ej.w) // ej.wu) AS c
+            FROM ej JOIN pr5 p5 ON p5.node = ej.u GROUP BY 1
+        ) s ON s.node = n.node
+    ),
+    pr7 AS (
+        SELECT n.node,
+               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT ej.v AS node,
+                   sum((p6.r // ej.wu) * ej.w
+                       + ((p6.r % ej.wu) * ej.w) // ej.wu) AS c
+            FROM ej JOIN pr6 p6 ON p6.node = ej.u GROUP BY 1
+        ) s ON s.node = n.node
+    ),
+    pr8 AS (
+        SELECT n.node,
+               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT ej.v AS node,
+                   sum((p7.r // ej.wu) * ej.w
+                       + ((p7.r % ej.wu) * ej.w) // ej.wu) AS c
+            FROM ej JOIN pr7 p7 ON p7.node = ej.u GROUP BY 1
+        ) s ON s.node = n.node
+    ),
+    pr9 AS (
+        SELECT n.node,
+               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT ej.v AS node,
+                   sum((p8.r // ej.wu) * ej.w
+                       + ((p8.r % ej.wu) * ej.w) // ej.wu) AS c
+            FROM ej JOIN pr8 p8 ON p8.node = ej.u GROUP BY 1
+        ) s ON s.node = n.node
+    ),
+    pr10 AS (
+        SELECT n.node,
+               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT ej.v AS node,
+                   sum((p9.r // ej.wu) * ej.w
+                       + ((p9.r % ej.wu) * ej.w) // ej.wu) AS c
+            FROM ej JOIN pr9 p9 ON p9.node = ej.u GROUP BY 1
+        ) s ON s.node = n.node
+    ),
+    deg AS (SELECT u AS node, count(DISTINCT v) AS n_edges FROM e GROUP BY 1)
+    SELECT p10.node AS word, p10.r AS rank_e12,
+           CAST(deg.n_edges AS BIGINT) AS n_edges
+    FROM pr10 p10 JOIN deg ON deg.node = p10.node
+    ORDER BY rank_e12 DESC, word ASC LIMIT 25""",
+    "TextRank keyword ranking (Mihalcea 2004): integer-exact weighted "
+    "PageRank over the word co-occurrence graph — the corpus feeds ONE "
+    "bigram partial-agg shuffle, then 10 fixed-point iterations run on "
+    "the bounded VOCABULARY graph (joins + partial aggs, lazy-checkpoint "
+    "lineage truncation per round, the BPE pattern); top-k by rank plans "
+    "TakeOrderedAndProject (M8)",
+)
+def q_textrank_keywords(spark, sf_dir):
+    from .operators import graph
+
+    return graph.textrank_keywords(
+        load_table(spark, sf_dir, "documents"), top_k=25
+    )

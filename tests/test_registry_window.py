@@ -35,7 +35,7 @@ MUST_BE_IN_WINDOW = {
     "price_anomalies", "fuzzy_part_match",
     "revenue_share", "price_quantiles",
     # extensions
-    "text_stats", "pii_redaction",
+    "text_stats", "textrank_keywords",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "duplicate_passages", "neardup_clusters",
     "corpus_curation", "decontamination",
@@ -68,7 +68,7 @@ EXPECTED_TAIL = {
     "embedding_norms", "late_shipment_priority", "large_orders_topk",
     "top_customers_by_revenue", "order_priority_counts",
     "shipping_priority", "approx_profile", "bpe_tokenize",
-    "idle_rich_customers", "streaming_cdc_state",
+    "idle_rich_customers", "streaming_cdc_state", "pii_redaction",
 }
 
 
