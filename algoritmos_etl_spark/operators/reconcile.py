@@ -38,6 +38,10 @@ def table_diff(
     drift-check stays affordable. All column comparisons are JVM
     expressions on the joined row; unchanged keys are dropped by a
     filter, so the output is |diff|, not |table|.
+
+    Both sides must be KEYED snapshots (unique on `key_cols`) — with
+    duplicate keys a full-outer join multiplies rows and the per-key
+    diff is ill-defined; dedupe first (`cleaning.keep_latest`).
     """
     if compare_cols is None:
         compare_cols = [c for c in left.columns if c not in set(key_cols)]
