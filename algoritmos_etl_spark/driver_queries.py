@@ -1143,6 +1143,10 @@ REGISTRY_ORDER = (
                               # test_plans
     "shipping_priority",     # Q3 shape: semi-join + topk both covered
                              # in-window; plan pinned in test_plans
+    "variant_props_stats",   # Spark-4 VARIANT tier demo; the JSON
+                             # aggregation GRAIN is pytest-pinned and the
+                             # string-JSON twin (behavioral props arm) was
+                             # hash-green r5-r6; full oracle
     "pii_redaction",         # regexp_replace action chain; the SAME four
                              # PII patterns are hash-green in-window via
                              # text_stats counts; hash-green r3-r6; test_text

@@ -3793,3 +3793,36 @@ def q_textrank_keywords(spark, sf_dir):
     return graph.textrank_keywords(
         load_table(spark, sf_dir, "documents"), top_k=25
     )
+
+
+@register(
+    "variant_props_stats",
+    """SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k,
+           CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type""",
+    "Semi-structured VARIANT path (Spark 4): props JSON parsed ONCE to "
+    "the binary VARIANT encoding (parse_json), fields extracted with "
+    "typed variant_get — at 100 TB the variant column shreds into "
+    "columnar storage instead of re-tokenizing JSON text per query; "
+    "same aggregation grain as behavioral props_stats, demonstrating "
+    "the engine's typed semi-structured tier",
+)
+def q_variant_props_stats(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("_v")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("_v"), "$.k", "long").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
+    )
