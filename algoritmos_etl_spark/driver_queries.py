@@ -1143,6 +1143,10 @@ REGISTRY_ORDER = (
                               # test_plans
     "shipping_priority",     # Q3 shape: semi-join + topk both covered
                              # in-window; plan pinned in test_plans
+    "attribution_outer",     # LEFT OUTER arm of the in-window
+                             # attribution_join (same range-join state
+                             # machinery); outer stream emission pinned in
+                             # test_streaming; full oracle
     "variant_props_stats",   # Spark-4 VARIANT tier demo; the JSON
                              # aggregation GRAIN is pytest-pinned and the
                              # string-JSON twin (behavioral props arm) was

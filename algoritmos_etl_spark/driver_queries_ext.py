@@ -3826,3 +3826,32 @@ def q_variant_props_stats(spark, sf_dir):
         F.round(F.avg("k"), 6).alias("avg_k"),
         F.sum(F.col("k").isNull().cast("long")).alias("n_missing"),
     )
+
+
+@register(
+    "attribution_outer",
+    """SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           CASE WHEN c.event_id IS NOT NULL
+                THEN epoch_us(p.ts) - epoch_us(c.ts) END AS lag_us,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    "LEFT OUTER attribution (streams.attribution_join_outer batch twin): "
+    "every purchase with its attributing clicks OR a NULL-click row — "
+    "the unattributed-conversions report; as a stream, outer rows emit "
+    "when the two-sided watermark passes the match window (stream ≡ "
+    "batch pinned in test_streaming with watermark-advancing sentinels)",
+)
+def q_attribution_outer(spark, sf_dir):
+    from .streaming.streams import attribution_join_outer
+
+    ev = load_table(spark, sf_dir, "events")
+    return attribution_join_outer(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )

@@ -403,3 +403,65 @@ def run_to_memory_sink(
 def _has_aggregate(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+def attribution_join_outer(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream event-time join: every purchase, with
+    its attributing clicks where they exist and a NULL click row where
+    none arrived — the "unattributed conversions" report.
+
+    Outer emission is the semantics inner joins don't exercise: an
+    unmatched purchase can only be emitted once the CLICK-side
+    watermark has passed the end of its match window (before that, a
+    matching click could still arrive), so the null rows materialize
+    when the watermark advances — Structured Streaming runs the final
+    no-data batch under availableNow precisely to flush them. Same
+    state-bounding as the inner form: the event-time range condition
+    plus both watermarks make click state evictable `horizon +
+    watermark` past event time.
+
+    Purchases is the LEFT side here (contrast `attribution_join`,
+    which is click-major): the preserved side must be the one whose
+    unmatched rows the report wants. Serves batch frames unchanged;
+    stream ≡ batch left join is pinned in test_streaming.
+    """
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    joined = p.join(
+        c,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.when(
+            F.col("click_id").isNotNull(),
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts"),
+        ).alias("lag_us"),
+        "purchase_value",
+    )

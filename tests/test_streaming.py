@@ -689,3 +689,62 @@ def test_streaming_cdc_merge_tombstones_survive_out_of_order_batches(
         spark, str(tmp_path / "store")
     ).collect()}
     assert served3 == served2
+
+
+def test_attribution_join_outer_stream_equals_batch(
+    spark, batch_events, tmp_path
+):
+    """LEFT OUTER stream-stream join ≡ batch left join on the same
+    rows: unmatched purchases materialize as NULL-click rows only once
+    the click-side WATERMARK passes their match window — the outer
+    emission semantics the inner join never exercises. Purchases
+    inside the final watermark horizon are (correctly) withheld
+    awaiting possible matches, so the corpus is staged with one
+    far-future sentinel click (user −1, matches nothing, and as an
+    unmatched RIGHT row never appears in left-join output) to advance
+    the watermark past every real purchase — exactly what the next
+    day's data does in production."""
+    from algoritmos_etl_spark.streaming.streams import attribution_join_outer
+
+    # TWO sentinels: the global watermark is min(click wm, purchase
+    # wm), so BOTH sides need a far-future event for it to pass the
+    # real data. The sentinel purchase itself is then withheld in
+    # state (click wm < its ts), so it never reaches the output.
+    staged = batch_events.unionByName(
+        spark.createDataFrame(
+            [
+                (10**9, "2024-03-01 00:00:00", -1, "click", 0.0, "{}"),
+                (10**9 + 1, "2024-03-01 00:00:00", -1, "purchase", 0.0, "{}"),
+            ],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    src = str(tmp_path / "events")
+    staged.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).parquet(src)
+    streamed = run_to_memory_sink(
+        attribution_join_outer(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "click"),
+        ),
+        "t_attribution_outer",
+    )
+    batch = attribution_join_outer(
+        batch_events.filter(F.col("event_type") == "purchase"),
+        batch_events.filter(F.col("event_type") == "click"),
+    )
+    assert _rows(streamed, "purchase_id", "click_id") == _rows(
+        batch, "purchase_id", "click_id"
+    )
+    # the corpus exercises BOTH arms: attributed and unattributed
+    assert streamed.filter(F.col("click_id").isNotNull()).count() > 0
+    assert streamed.filter(F.col("click_id").isNull()).count() > 0
+    # every purchase appears at least once (left preservation)
+    n_purchases = batch_events.filter(
+        F.col("event_type") == "purchase"
+    ).count()
+    assert streamed.select("purchase_id").distinct().count() == n_purchases
