@@ -229,3 +229,31 @@ def test_diff_as_changes_converges_replica(spark):
         assert got == want, f"seed {seed} did not converge"
         # and a second repair round finds zero drift
         assert reconcile.table_diff(applied, right, ["k"]).count() == 0
+
+
+def test_fuzzy_join_block_cap_drops_stopword_blocks(spark):
+    """max_block_size: a stop-word token shared by the whole catalog
+    must not generate |L|x|R| candidates; names whose only shared
+    token is the stop word lose their match (documented trade), names
+    with a discriminative token keep theirs."""
+    catalog = spark.createDataFrame(
+        [(i, f"acme{i} inc") for i in range(10)] + [(99, "zeta inc")],
+        "cid long, cname string",
+    )
+    dirty = spark.createDataFrame(
+        [(1, "zeta ink"),      # typo on the STOP token; 'zeta' blocks
+         (2, "query inc")],    # only 'inc' shared → capped away
+        "id long, name string",
+    )
+    out = linkage.fuzzy_join(
+        dirty, catalog, "id", "name", "cid", "cname",
+        max_distance=2, max_block_size=5,
+    ).collect()
+    assert {(r.left_id, r.right_id) for r in out} == {(1, 99)}
+    # without the cap, 'query inc' would reach every catalog row as a
+    # candidate (and still fail the distance filter) — the cap is about
+    # candidate COUNT, pinned here via the uncapped candidate explosion
+    uncapped = linkage.fuzzy_join(
+        dirty, catalog, "id", "name", "cid", "cname", max_distance=2
+    )
+    assert {(r.left_id, r.right_id) for r in uncapped.collect()} == {(1, 99)}
