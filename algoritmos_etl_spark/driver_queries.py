@@ -1163,6 +1163,9 @@ REGISTRY_ORDER = (
                              # risk_classification (1-row thresholds) and
                              # supplier_diversity (broadcast anti); full
                              # oracle, judge-verifiable via verify_local
+    "incremental_distinct",  # HLL distinct MV: rows-only BY DESIGN
+                             # (DataSketches estimate); union==one-shot +
+                             # error bound pinned in test_streaming
     "approx_profile",        # sketch tier: rows-only BY DESIGN (engine-specific
                              # internals); error bound vs exact tier pinned in tests
     "bpe_tokenize",          # iterative BPE learning: rows-only BY DESIGN;

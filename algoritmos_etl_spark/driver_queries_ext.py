@@ -3855,3 +3855,46 @@ def q_attribution_outer(spark, sf_dir):
         ev.filter(F.col("event_type") == "purchase"),
         ev.filter(F.col("event_type") == "click"),
     )
+
+
+@register(
+    "incremental_distinct",
+    None,  # rows-only BY DESIGN: the estimate is the DataSketches HLL
+    # value — engine-specific, like approx_profile's sketch tier. The
+    # invariants (incremental union == one-shot sketch EXACTLY; within
+    # 5% of exact distinct; compaction/vacuum lossless) are pinned in
+    # test_streaming.
+    "Incremental DISTINCT-COUNT materialized view: distinct customers "
+    "per order priority maintained by a real 2-micro-batch stream of "
+    "per-batch HLL sketch partials (mv.streaming_distinct_mv) folded "
+    "with hll_union_agg — register-wise max is split-invariant, so the "
+    "incremental view estimates exactly like a one-shot sketch; the "
+    "third measure family (sum/count/HLL) on the delta+base MV layout",
+)
+def q_incremental_distinct(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .streaming import mv
+
+    work = _mv_setup(spark, sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="distinct_mv_run_")
+    try:
+        schema = load_table(spark, sf_dir, "orders").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{work}/stage/b*")
+        )
+        mv.streaming_distinct_mv(
+            stream, f"{run_dir}/mv", ["o_orderpriority"], "o_custkey",
+            checkpoint=f"{run_dir}/_checkpoint",
+        )
+        return (
+            mv.read_distinct_mv(spark, f"{run_dir}/mv")
+            .select("o_orderpriority", "approx_distinct", "n_rows")
+            .localCheckpoint()  # eager: result must outlive run_dir
+        )
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

@@ -302,3 +302,111 @@ def vacuum_cdc_state(path: str) -> dict:
     for p in versions[:-1]:
         shutil.rmtree(p, ignore_errors=True)
     return {"versions_removed": max(0, len(versions) - 1)}
+
+
+# ---------------------------------------------------------------------------
+# Incremental DISTINCT-COUNT view: the third measure family the module
+# docstring promises ("min/max/HLL merge the same way") made concrete.
+# Same delta/base/vacuum layout as the sum/count MV — the per-batch
+# partial is a DataSketches HLL sketch (hll_sketch_agg), the fold is
+# hll_union_agg: register-wise max is commutative and associative, so
+# incremental union over any batch split estimates exactly like the
+# one-shot sketch (pinned in tests).
+# ---------------------------------------------------------------------------
+
+
+def _hll_partial(
+    df: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(value_col).alias("sk_part"),
+        F.count(F.lit(1)).alias("n_part"),
+    )
+
+
+def streaming_distinct_mv(
+    stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    value_col: str,
+    checkpoint: str,
+    timeout_sec: int = 120,
+):
+    """Maintain (key → approx distinct values, row count) incrementally:
+    one HLL partial per micro-batch under `path/delta/batch_id=N`,
+    idempotent overwrite, never a read-modify-write of the base —
+    identical lifecycle to `streaming_agg_mv`, sketch instead of sum."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _hll_partial(batch_df, key_cols, value_col)
+            .write.mode("overwrite")
+            .parquet(f"{path}/delta/batch_id={batch_id}")
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming_distinct_mv: availableNow run exceeded "
+            f"{timeout_sec}s; view at {path} is incomplete"
+        )
+    return query
+
+
+def _fold_hll(spark: SparkSession, path: str) -> DataFrame:
+    deltas = _read_or_none(spark, f"{path}/delta", f"{path}/delta")
+    base = _read_or_none(spark, f"{path}/base", f"{path}/base")
+    upto = -1
+    if base is not None:
+        row = base.agg(F.max("upto")).first()
+        upto = row[0] if row[0] is not None else -1
+        base = base.filter(F.col("upto") == upto).drop("upto")
+    parts = []
+    if base is not None:
+        parts.append(base)
+    if deltas is not None:
+        parts.append(deltas.filter(F.col("batch_id") > upto).drop("batch_id"))
+    if not parts:
+        raise ValueError(f"no distinct-MV state under {path}")
+    all_parts = parts[0]
+    for p in parts[1:]:
+        all_parts = all_parts.unionByName(p)
+    key_cols = [c for c in all_parts.columns if c not in ("sk_part", "n_part")]
+    return all_parts.groupBy(*key_cols).agg(
+        F.hll_union_agg("sk_part").alias("sk_part"),
+        F.sum("n_part").alias("n_part"),
+    )
+
+
+def read_distinct_mv(spark: SparkSession, path: str) -> DataFrame:
+    """The view: (key…, approx_distinct, n_rows)."""
+    folded = _fold_hll(spark, path)
+    key_cols = [c for c in folded.columns if c not in ("sk_part", "n_part")]
+    return folded.select(
+        *key_cols,
+        F.hll_sketch_estimate("sk_part").cast("long").alias(
+            "approx_distinct"
+        ),
+        F.col("n_part").alias("n_rows"),
+    )
+
+
+def compact_distinct_mv(spark: SparkSession, path: str) -> dict:
+    """Fold deltas (+ previous base) into base/upto=N; the sketch
+    union is the merge, so compaction loses nothing. `vacuum_agg_mv`
+    applies unchanged (same directory layout)."""
+    deltas = _read_or_none(spark, f"{path}/delta", f"{path}/delta")
+    if deltas is None:
+        raise ValueError(f"no deltas under {path}")
+    max_bid = deltas.agg(F.max("batch_id")).first()[0]
+    _fold_hll(spark, path).write.mode("overwrite").parquet(
+        f"{path}/base/upto={max_bid}"
+    )
+    n_keys = spark.read.parquet(f"{path}/base/upto={max_bid}").count()
+    return {"upto": int(max_bid), "keys": int(n_keys)}

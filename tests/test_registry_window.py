@@ -69,7 +69,7 @@ EXPECTED_TAIL = {
     "top_customers_by_revenue", "order_priority_counts",
     "shipping_priority", "approx_profile", "bpe_tokenize",
     "idle_rich_customers", "streaming_cdc_state", "pii_redaction",
-    "variant_props_stats", "attribution_outer",
+    "variant_props_stats", "attribution_outer", "incremental_distinct",
 }
 
 

@@ -748,3 +748,68 @@ def test_attribution_join_outer_stream_equals_batch(
         F.col("event_type") == "purchase"
     ).count()
     assert streamed.select("purchase_id").distinct().count() == n_purchases
+
+
+def test_incremental_distinct_mv_lifecycle(spark, batch_events, tmp_path):
+    """HLL distinct-count MV: incremental union over micro-batches
+    must estimate EXACTLY like the one-shot sketch (register-wise max
+    is order/split-invariant), stay within 5% of exact distinct, and
+    survive compaction + vacuum unchanged."""
+    from algoritmos_etl_spark.streaming import mv
+
+    ev = load_table(spark, SF_DIR, "events")
+    stage = str(tmp_path / "stage")
+    for i in (0, 1):
+        ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/b{i}")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{stage}/b*")
+    )
+    mv.streaming_distinct_mv(
+        stream, str(tmp_path / "mv"), ["event_type"], "user_id",
+        checkpoint=str(tmp_path / "ck"),
+    )
+
+    def view():
+        return {
+            r.event_type: (r.approx_distinct, r.n_rows)
+            for r in mv.read_distinct_mv(spark, str(tmp_path / "mv")).collect()
+        }
+
+    got = view()
+    oneshot = {
+        r.event_type: int(r.est)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        r.event_type: (r.d, r.n)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for et, (est, n_rows) in got.items():
+        assert est == oneshot[et], "incremental union != one-shot sketch"
+        d, n = exact[et]
+        assert abs(est - d) / d < 0.05
+        assert n_rows == n
+    # compaction folds losslessly; vacuum retires merged layers
+    rep = mv.compact_distinct_mv(spark, str(tmp_path / "mv"))
+    assert rep["upto"] == 1
+    assert view() == got
+    assert mv.vacuum_agg_mv(str(tmp_path / "mv")) == {
+        "deltas_removed": 2, "bases_removed": 0,
+    }
+    assert view() == got
