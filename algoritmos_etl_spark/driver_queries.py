@@ -1085,6 +1085,9 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "weekly_bars",           # OHLCV resample: the SAME min_by/max_by agg
+                             # idiom as the in-window bars_model, one grain
+                             # coarser; full oracle
     "rolling_features",      # W4 SMA + W6 gap windows; scalars in-window
                              # via risk_classification; hash-green r1-r6
     "kmeans_clusters",       # profile over the SAME k-means the in-window

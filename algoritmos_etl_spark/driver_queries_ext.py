@@ -3898,3 +3898,26 @@ def q_incremental_distinct(spark, sf_dir):
         )
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+@register(
+    "weekly_bars",
+    f"""WITH {ORACLE_BARS_CTE}
+    SELECT symbol,
+           CAST(date_trunc('week', date) AS DATE) AS period_start,
+           min_by(open, date) AS open,
+           max(high) AS high,
+           min(low) AS low,
+           max_by(close, date) AS close,
+           CAST(sum(volume) AS BIGINT) AS volume,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM bars GROUP BY 1, 2""",
+    "Weekly OHLCV resample (technical.resample_bars): boundary bars via "
+    "min_by/max_by on the date — no window sort — extrema and volume as "
+    "plain aggs; one map-side-combined shuffle on (symbol, week), the "
+    "same idiom as the daily rollup it coarsens",
+)
+def q_weekly_bars(spark, sf_dir):
+    from .operators import technical
+
+    return technical.resample_bars(_bars(spark, sf_dir), freq="week")

@@ -259,3 +259,32 @@ def rolling_zscore(
         .filter(F.abs(F.col("z")) >= threshold)
         .select("symbol", "date", "value", "z")
     )
+
+
+def resample_bars(
+    df: DataFrame,
+    freq: str = "week",
+) -> DataFrame:
+    """Downsample daily OHLCV bars to a coarser calendar grain
+    (week/month): open = first bar's open, close = last bar's close,
+    high/low = extrema, volume = sum — the standard financial resample,
+    generalizing the daily aggregation that builds the bars themselves
+    (`sources.readers.daily_bars`, FIXTURES.md F7).
+
+    ONE partial-aggregatable pass: `min_by`/`max_by` on the date pick
+    the boundary bars without a window sort, exactly the idiom the
+    daily rollup uses — so the weekly rollup of 100 TB of bars is one
+    map-side-combined shuffle on (symbol, period).
+    """
+    period = F.date_trunc(freq, F.col("date")).cast("date")
+    return (
+        df.groupBy("symbol", period.alias("period_start"))
+        .agg(
+            F.min_by("open", "date").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "date").alias("close"),
+            F.sum("volume").alias("volume"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

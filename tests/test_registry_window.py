@@ -70,6 +70,7 @@ EXPECTED_TAIL = {
     "shipping_priority", "approx_profile", "bpe_tokenize",
     "idle_rich_customers", "streaming_cdc_state", "pii_redaction",
     "variant_props_stats", "attribution_outer", "incremental_distinct",
+    "weekly_bars",
 }
 
 
