@@ -161,3 +161,65 @@ def zorder_table(
         "files_after": len(back.inputFiles()),
         "cols": list(cols),
     }
+
+
+def partition_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    partition_col: str,
+    key_cols: list[str],
+) -> dict:
+    """MERGE an update batch into a partitioned parquet table by
+    rewriting ONLY the touched partitions (dynamic partition
+    overwrite) — the partition-level upsert every non-transactional
+    lake runs nightly. Update rows replace current rows with the same
+    key; untouched partitions' files are never read or written, which
+    is the property that makes a 10-partition fix to a 10,000-partition
+    table cost 10 partitions, not a table rewrite.
+
+    The touched-partition list is collected (bounded by the update
+    batch's own partition spread) and pushed as an `isin` filter so
+    the read STATICALLY prunes to touched directories. The merged
+    result is EAGERLY materialized before the write — overwriting a
+    directory lazily read in the same plan is the classic
+    read-under-write corruption; the checkpoint breaks the dependency.
+    Returns {"partitions": n, "rows": m} for scheduler logging.
+    """
+    touched = [
+        r[0]
+        for r in updates.select(partition_col).distinct().collect()
+    ]
+    current = spark.read.option("basePath", table_dir).parquet(
+        table_dir
+    ).filter(F.col(partition_col).isin(touched))
+    cols = current.columns
+    tagged = current.select(*cols).withColumn(
+        "_src", F.lit(0)
+    ).unionByName(updates.select(*cols).withColumn("_src", F.lit(1)))
+    merged = (
+        tagged.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*[c for c in cols if c not in key_cols]),
+                F.col("_src"),
+            ).alias("_w")
+        )
+        .select(
+            *key_cols,
+            *[
+                F.col(f"_w.{c}").alias(c)
+                for c in cols
+                if c not in key_cols
+            ],
+        )
+        .localCheckpoint()  # EAGER: sever the read before overwriting it
+    )
+    n_rows = merged.count()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(table_dir)
+    )
+    return {"partitions": len(touched), "rows": int(n_rows)}

@@ -173,3 +173,43 @@ def test_zorder_value_matches_python_interleave(spark):
     assert all(r.z == py_z(r.a, r.b) for r in out)
     # Morton keys are unique for distinct (a, b)
     assert len({r.z for r in out}) == len(out)
+
+
+def test_partition_upsert_touches_only_affected_partitions(spark, tmp_path):
+    """Dynamic-partition upsert: updated keys replace, inserts land,
+    untouched partitions' FILES are byte-identical and not rewritten."""
+    import glob
+    import os
+
+    from algoritmos_etl_spark.sources.compact import partition_upsert
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(m, k, float(10 * m + k)) for m in (1, 2, 3) for k in range(5)],
+        "month int, k int, v double",
+    )
+    base.repartition(1).write.partitionBy("month").parquet(table)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{table}/month=*/*.parquet")
+    }
+    import time as _t
+
+    _t.sleep(1.1)
+    updates = spark.createDataFrame(
+        [(2, 0, 999.0), (2, 99, 42.0)],  # one replace + one insert, month 2
+        "month int, k int, v double",
+    )
+    rep = partition_upsert(
+        spark, table, updates, partition_col="month", key_cols=["month", "k"]
+    )
+    assert rep["partitions"] == 1 and rep["rows"] == 6
+    got = {
+        (r.month, r.k): r.v for r in spark.read.parquet(table).collect()
+    }
+    assert got[(2, 0)] == 999.0 and got[(2, 99)] == 42.0
+    assert got[(1, 0)] == 10.0 and len(got) == 16
+    # months 1 and 3: same files, same mtimes — never rewritten
+    for p, mt in before.items():
+        if "month=2" not in p:
+            assert os.path.exists(p) and os.path.getmtime(p) == mt, p

@@ -84,6 +84,11 @@ _COLLECT_BOUNDED = {
         1,
         "one winning merge pair per BPE round (limit(1))",
     ),
+    "sources/compact.py": (
+        1,
+        "touched-partition list, bounded by the update batch's own "
+        "partition spread (pushed as static partition pruning)",
+    ),
     "plans/etl_pipeline.py": (
         1,
         "wide-CSV export symbol list (distinct symbols, "
