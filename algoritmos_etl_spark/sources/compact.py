@@ -185,6 +185,10 @@ def partition_upsert(
     directory lazily read in the same plan is the classic
     read-under-write corruption; the checkpoint breaks the dependency.
     Returns {"partitions": n, "rows": m} for scheduler logging.
+
+    `updates` must be keyed (unique on `key_cols`) — with duplicate
+    update keys the replace is ill-defined; collapse first
+    (`cleaning.keep_latest`), same contract as `reconcile.table_diff`.
     """
     touched = [
         r[0]
