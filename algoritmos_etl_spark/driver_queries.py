@@ -1062,7 +1062,7 @@ REGISTRY_ORDER = (
     "corpus_curation",
     "decontamination",
     "sequence_packing",
-    "doc_lm_scores",
+    "dsir_weights",
     "bm25_topk",
     # ---- vectors ----
     "ann_lsh_topk",
@@ -1085,6 +1085,9 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "doc_lm_scores",         # bigram-LM perplexity proxy: hash-green
+                             # r4-r6; the quality-scoring family stays
+                             # in-window via dsir_weights; test_retrieval
     "weekly_bars",           # OHLCV resample: the SAME min_by/max_by agg
                              # idiom as the in-window bars_model, one grain
                              # coarser; full oracle

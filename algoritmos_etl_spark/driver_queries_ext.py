@@ -3921,3 +3921,50 @@ def q_weekly_bars(spark, sf_dir):
     from .operators import technical
 
     return technical.resample_bars(_bars(spark, sf_dir), freq="week")
+
+
+@register(
+    "dsir_weights",
+    f"""WITH rt AS (SELECT doc_id, unnest({_W}) AS tok FROM documents),
+    tt AS (SELECT doc_id, unnest({_W}) AS tok FROM documents
+           WHERE doc_id % 5 = 0),
+    rb AS (SELECT doc_id, {_h('tok')} % 1024 AS bucket FROM rt),
+    tb AS (SELECT {_h('tok')} % 1024 AS bucket FROM tt),
+    rc AS (SELECT bucket, count(*) AS n_r FROM rb GROUP BY 1),
+    tc AS (SELECT bucket, count(*) AS n_t FROM tb GROUP BY 1),
+    grid AS (SELECT unnest(range(0, 1024)) AS bucket),
+    dist AS (
+        SELECT g.bucket,
+               coalesce(tc.n_t, 0) AS n_t,
+               coalesce(rc.n_r, 0) AS n_r
+        FROM grid g
+        LEFT JOIN tc ON tc.bucket = g.bucket
+        LEFT JOIN rc ON rc.bucket = g.bucket
+    ),
+    tot AS (SELECT sum(n_t) AS T, sum(n_r) AS R FROM dist),
+    lr AS (
+        SELECT bucket,
+               ln((n_t + 1) / (T + 1024)) - ln((n_r + 1) / (R + 1024)) AS lr
+        FROM dist, tot
+    ),
+    sc AS (
+        SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(lr), 6) AS log_weight
+        FROM rb JOIN lr ON lr.bucket = rb.bucket GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, sc.log_weight
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
+    "DSIR importance weights (Xie 2023): raw docs scored toward the "
+    "doc_id%5==0 target domain via add-one-smoothed hashed-unigram "
+    "log-ratios — both distributions reduce to 1024 bucket cells, the "
+    "ratio table BROADCASTS regardless of corpus size, per-doc score is "
+    "one map-side-combinable sum; md5-prefix hashing makes the whole "
+    "pipeline oracle-reproducible (M8)",
+)
+def q_dsir_weights(spark, sf_dir):
+    from .operators import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.dsir_weights(
+        docs, docs.filter(F.col("doc_id") % 5 == 0)
+    )

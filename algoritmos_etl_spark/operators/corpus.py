@@ -385,3 +385,88 @@ def bigram_lm_topk(docs: DataFrame, top_k: int = 200) -> DataFrame:
         .orderBy(F.col("n_pair").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top_k)
     )
+
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    NeurIPS — DSIR): score every raw document by how much its hashed
+    unigram profile looks like the TARGET domain rather than the raw
+    corpus itself. Per document: log w(d) = Σ_tokens (log p̂_b − log
+    q̂_b), where b is the token's hash bucket, p̂ the add-one-smoothed
+    bucket distribution of the target and q̂ of the raw corpus — the
+    importance weight used to resample general crawl data toward a
+    domain (the published alternative to training a quality
+    classifier). Output: (doc_id, n_tokens, log_weight), log_weight
+    rounded to 6, NULL for empty documents.
+
+    Scale shape: both distributions reduce to `n_buckets` cells
+    (partial-agg shuffles), the log-ratio table BROADCASTS (it is
+    n_buckets rows regardless of corpus size), and the per-doc score
+    is one token explode + map-side-combinable sum on doc_id. Hashing
+    uses the engine's md5-prefix `token_hash`, so the whole scoring
+    pipeline is oracle-reproducible.
+    """
+    from .text import token_hash, words_col
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(words_col(F.col("text"))).alias("tok"),
+        ).withColumn(
+            "bucket", F.pmod(token_hash(F.col("tok")), F.lit(n_buckets))
+        )
+
+    raw_toks = toks(raw).localCheckpoint(eager=False)
+    tgt_counts = (
+        toks(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    raw_counts = (
+        raw_toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_r"))
+    )
+    # bucket grid 0..B-1 so unseen buckets still get smoothed mass
+    grid = raw.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    dist = (
+        grid.join(tgt_counts, "bucket", "left")
+        .join(raw_counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_t", F.lit(0)).alias("n_t"),
+            F.coalesce("n_r", F.lit(0)).alias("n_r"),
+        )
+    )
+    totals = dist.agg(
+        F.sum("n_t").alias("T"), F.sum("n_r").alias("R")
+    )
+    log_ratio = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("n_t") + 1) / (F.col("T") + F.lit(n_buckets)))
+            - F.log((F.col("n_r") + 1) / (F.col("R") + F.lit(n_buckets)))
+        ).alias("lr"),
+    )
+    scored = (
+        raw_toks.join(F.broadcast(log_ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("log_weight"),
+        )
+    )
+    return (
+        raw.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            "log_weight",
+        )
+    )

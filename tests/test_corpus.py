@@ -311,3 +311,32 @@ class TestEdges:
                 for r in corpus.pack_sequences(docs, 16, n_buckets=nb).collect()
             }
             assert got == base, f"n_buckets={nb} changed the global order"
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR: raw docs that share the target domain's vocabulary must
+    outscore docs that don't; empty docs get (0, NULL); unseen
+    buckets are add-one smoothed (no -inf/NaN anywhere)."""
+    import math
+
+    from algoritmos_etl_spark.operators import corpus
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),   # target-like
+            (2, "zork quux blarg frobnitz"), # out-of-domain
+            (3, ""),                          # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in corpus.dsir_weights(raw, target).collect()}
+    assert rows[1].log_weight > rows[2].log_weight
+    assert rows[1].log_weight > 0 > rows[2].log_weight
+    assert rows[3].n_tokens == 0 and rows[3].log_weight is None
+    for r in rows.values():
+        if r.log_weight is not None:
+            assert math.isfinite(r.log_weight)
