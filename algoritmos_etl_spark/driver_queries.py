@@ -1063,7 +1063,7 @@ REGISTRY_ORDER = (
     "decontamination",
     "sequence_packing",
     "dsir_weights",
-    "bm25_topk",
+    "hybrid_rrf_topk",
     # ---- vectors ----
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -1085,6 +1085,9 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "bm25_topk",             # Lucene-BM25 scoring: hash-green r5-r6 AND
+                             # verified verbatim inside the in-window
+                             # hybrid_rrf_topk oracle's lexical arm
     "doc_lm_scores",         # bigram-LM perplexity proxy: hash-green
                              # r4-r6; the quality-scoring family stays
                              # in-window via dsir_weights; test_retrieval

@@ -3968,3 +3968,123 @@ def q_dsir_weights(spark, sf_dir):
     return corpus.dsir_weights(
         docs, docs.filter(F.col("doc_id") % 5 == 0)
     )
+
+
+_HYBRID_IDS = "(3, 17, 41)"
+
+
+@register(
+    "hybrid_rrf_topk",
+    f"""WITH q AS (
+        SELECT doc_id AS query_id, text AS query_text
+        FROM documents WHERE doc_id IN {_HYBRID_IDS}
+    ),
+    tf AS (
+        SELECT doc_id, len({_W.replace("text", "lower(text)")}) AS dl,
+               unnest({_W.replace("text", "lower(text)")}) AS term
+        FROM documents
+    ),
+    tfs AS (SELECT doc_id, dl, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(dl) AS avgdl
+        FROM (SELECT doc_id, any_value(dl) AS dl FROM tfs GROUP BY doc_id)
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfs GROUP BY term),
+    qterms AS (
+        SELECT query_id, unnest(list_distinct(
+            list_filter(string_split(trim(lower(query_text)), ' '), x -> x <> '')
+        )) AS term FROM q
+    ),
+    lex_scored AS (
+        SELECT qt.query_id, t.doc_id,
+               round(sum(
+                   ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+               ), 6) AS score
+        FROM tfs t
+        JOIN qterms qt ON qt.term = t.term
+        JOIN dfreq d ON d.term = t.term
+        CROSS JOIN stats s
+        GROUP BY 1, 2
+    ),
+    lex AS (
+        SELECT query_id, doc_id, lex_rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS lex_rank
+            FROM lex_scored
+        ) WHERE lex_rank <= 20
+    ),
+    base AS (SELECT vec_id, {_DVEC} AS v FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, v AS qvec FROM base
+           WHERE vec_id IN {_HYBRID_IDS}),
+    pairs AS (
+        SELECT query_id, b.vec_id AS doc_id, qvec, b.v AS nv
+        FROM qv, base b WHERE b.vec_id <> query_id
+    ),
+    flat AS (SELECT query_id, doc_id, unnest(qvec) AS x, unnest(nv) AS y
+             FROM pairs),
+    dots AS (
+        SELECT query_id, doc_id,
+               sum(x * y) AS dot, sqrt(sum(x * x)) AS nx,
+               sqrt(sum(y * y)) AS ny
+        FROM flat GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT query_id, doc_id, dense_rank FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dot / (nx * ny) DESC, doc_id
+                   ) AS dense_rank
+            FROM dots
+        ) WHERE dense_rank <= 20
+    ),
+    fused AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+               coalesce(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank,
+               coalesce(1.0 / (60 + l.lex_rank), 0)
+               + coalesce(1.0 / (60 + d.dense_rank), 0) AS rrf
+        FROM lex l
+        FULL OUTER JOIN dense d
+          ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id, round(rrf, 6) AS rrf,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(dense_rank AS INT) AS dense_rank,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, doc_id
+        ) AS rank
+        FROM fused WHERE doc_id <> query_id
+    ) WHERE rank <= 10""",
+    "Hybrid more-like-this retrieval with Reciprocal Rank Fusion "
+    "(Cormack 2009, the OpenSearch/Elastic hybrid-search fusion): BM25 "
+    "over the query doc's words + exact cosine over its embedding, "
+    "fused as 1/(60+rank) sums — both sides are the existing bounded "
+    "operators, fusion is one tiny full-outer join + rank window; "
+    "integer-rank RRF is bit-exact IEEE, so the fused ranking carries "
+    "a full oracle (M8)",
+)
+def q_hybrid_rrf_topk(spark, sf_dir):
+    from .operators import retrieval
+
+    tfs = session_cached(
+        _BM25_TFS_CACHE,
+        spark,
+        sf_dir,
+        lambda: retrieval.doc_term_freqs(
+            load_table(spark, sf_dir, "documents")
+        ),
+    )
+    return retrieval.hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        query_ids=[3, 17, 41],
+        top_k=10,
+        k_each=20,
+        tfs=tfs,
+    )

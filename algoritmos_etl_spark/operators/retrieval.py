@@ -167,3 +167,81 @@ def chunk_documents(
             F.concat_ws(" ", "_cw").alias("chunk_text"),
         )
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    top_k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    tfs: DataFrame | None = None,
+) -> DataFrame:
+    """Hybrid more-like-this retrieval with Reciprocal Rank Fusion
+    (Cormack et al. 2009 — the fusion OpenSearch/Elastic hybrid search
+    ships): for each query document, the BM25 ranking of its distinct
+    words and the exact-cosine ranking of its embedding are fused as
+    RRF(d) = Σ_side 1/(rrf_k + rank_side(d)); top-k by fused score.
+    Output: (query_id, doc_id, rrf, lex_rank, dense_rank, rank) —
+    side ranks NULL where the doc reached only one list.
+
+    Ranks come from each side's RAW top-`k_each` ranking (the query
+    doc itself is dropped from the fused output but keeps its slot in
+    the lexical ranking — RRF is rank-based, so slot semantics must be
+    declared; this is the documented convention). Docs without an
+    embedding can only arrive via the lexical list — fusion handles
+    partial coverage by construction. Both side rankings are
+    deterministic (score desc, id asc), and 1/(k+rank) on integer
+    ranks is bit-exact IEEE — the fused ranking is engine-reproducible
+    and fully oracle-checked.
+
+    Plan: the two sides are the existing operators unchanged
+    (`bm25_topk`, `vectors.cosine_topk`) — each bounded at
+    |queries|·k_each rows — fused by one full-outer join on the tiny
+    (query, doc) candidate set and one per-query rank window. The
+    expensive work stays in the side operators with their documented
+    scale shapes.
+    """
+    from pyspark.sql import Window
+
+    from .vectors import cosine_topk
+
+    queries = docs.filter(F.col("doc_id").isin(query_ids)).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    lex = (
+        bm25_topk(docs, queries, top_k=k_each, tfs=tfs)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").alias("lex_rank"),
+        )
+    )
+    dense = cosine_topk(embeddings, query_ids, k=k_each).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    rrf = F.coalesce(
+        1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        rrf.desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(rrf, 6).alias("rrf"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("dense_rank").cast("int").alias("dense_rank"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

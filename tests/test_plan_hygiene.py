@@ -36,6 +36,10 @@ CROSS_OK = {
     "foreign_key rule",
     "idle_rich_customers": "customer scan × the 1-row global-average "
     "scalar subquery",
+    "dsir_weights": "1024-bucket distribution grid × the 1-row "
+    "corpus-totals aggregate",
+    "hybrid_rrf_topk": "inherits bm25's 1-row corpus-stats broadcast and "
+    "cosine's broadcast query handful (both declared above)",
 }
 
 

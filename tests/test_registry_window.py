@@ -39,7 +39,7 @@ MUST_BE_IN_WINDOW = {
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "duplicate_passages", "neardup_clusters",
     "corpus_curation", "decontamination",
-    "sequence_packing", "dsir_weights", "bm25_topk",
+    "sequence_packing", "dsir_weights", "hybrid_rrf_topk",
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "semantic_dedup",
     "pca_projection",
@@ -70,7 +70,7 @@ EXPECTED_TAIL = {
     "shipping_priority", "approx_profile", "bpe_tokenize",
     "idle_rich_customers", "streaming_cdc_state", "pii_redaction",
     "variant_props_stats", "attribution_outer", "incremental_distinct",
-    "weekly_bars", "doc_lm_scores",
+    "weekly_bars", "doc_lm_scores", "bm25_topk",
 }
 
 

@@ -244,3 +244,34 @@ def test_doc_lm_scores_python_model(spark):
             sum(math.log(pair[b] / pfx[b[0]]) for b in bgs) / len(bgs), 6
         )
         assert abs(r.avg_logprob - expect) < 2e-6, (i, r.avg_logprob, expect)
+
+
+def test_hybrid_rrf_fuses_both_sides(tables, spark):
+    """RRF: a doc ranked by BOTH sides must outscore a doc holding the
+    same rank on one side only; side ranks surface as NULLs where a
+    doc reached only one list; the query doc itself never appears."""
+    from algoritmos_etl_spark.operators import retrieval
+
+    out = retrieval.hybrid_rrf_topk(
+        tables["documents"], tables["embeddings"], query_ids=[3, 17],
+        top_k=10, k_each=20,
+    )
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {3, 17}
+    for r in rows:
+        assert r.doc_id != r.query_id
+        both = r.lex_rank is not None and r.dense_rank is not None
+        expect = (1.0 / (60 + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (60 + r.dense_rank) if r.dense_rank else 0.0
+        )
+        assert abs(r.rrf - expect) < 1e-6
+        assert both or r.lex_rank is not None or r.dense_rank is not None
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        ranks = [r.rank for r in sorted(rs, key=lambda r: r.rank)]
+        assert ranks == list(range(1, len(rs) + 1))
+        # fused order is by rrf desc
+        rrfs = [r.rrf for r in sorted(rs, key=lambda r: r.rank)]
+        assert rrfs == sorted(rrfs, reverse=True)
