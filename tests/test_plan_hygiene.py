@@ -89,9 +89,10 @@ _COLLECT_BOUNDED = {
         "one winning merge pair per BPE round (limit(1))",
     ),
     "sources/compact.py": (
-        1,
-        "touched-partition list, bounded by the update batch's own "
-        "partition spread (pushed as static partition pruning)",
+        2,
+        "touched-partition list (bounded by the update batch's own "
+        "partition spread, pushed as static partition pruning) and the "
+        "WAP gate's one-row-per-rule expectation report",
     ),
     "plans/etl_pipeline.py": (
         1,
