@@ -1085,6 +1085,9 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "order_value_drift",     # PSI drift monitor: profiling family
+                             # in-window via table_profile; full oracle,
+                             # judge-verifiable via verify_local
     "bm25_topk",             # Lucene-BM25 scoring: hash-green r5-r6 AND
                              # verified verbatim inside the in-window
                              # hybrid_rrf_topk oracle's lexical arm

@@ -4088,3 +4088,72 @@ def q_hybrid_rrf_topk(spark, sf_dir):
         k_each=20,
         tfs=tfs,
     )
+
+
+@register(
+    "order_value_drift",
+    """WITH base AS (
+        SELECT o_totalprice AS x FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    ),
+    cur AS (
+        SELECT o_totalprice AS x FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+    ),
+    bounds AS (
+        SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        FROM base
+    ),
+    bb AS (
+        SELECT (SELECT count(*) FROM (SELECT unnest(bs) AS b FROM bounds)
+                WHERE b <= x) AS bucket
+        FROM base
+    ),
+    cb AS (
+        SELECT (SELECT count(*) FROM (SELECT unnest(bs) AS b FROM bounds)
+                WHERE b <= x) AS bucket
+        FROM cur
+    ),
+    grid AS (SELECT unnest(range(0, 10)) AS bucket),
+    hist AS (
+        SELECT g.bucket,
+               coalesce(nb.n, 0) AS n_base, coalesce(nc.n, 0) AS n_cur
+        FROM grid g
+        LEFT JOIN (SELECT bucket, count(*) AS n FROM bb GROUP BY 1) nb
+               ON nb.bucket = g.bucket
+        LEFT JOIN (SELECT bucket, count(*) AS n FROM cb GROUP BY 1) nc
+               ON nc.bucket = g.bucket
+    ),
+    tot AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM hist),
+    scored AS (
+        SELECT bucket, n_base, n_cur,
+               (n_base + 0.5) / (tb + 5.0) AS pb,
+               (n_cur + 0.5) / (tc + 5.0) AS pc
+        FROM hist, tot
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(pb, 6) AS p_base,
+           round(pc, 6) AS p_cur,
+           round((pc - pb) * ln(pc / pb), 6) AS contrib,
+           round(sum((pc - pb) * ln(pc / pb)) OVER (), 6) AS psi_total
+    FROM scored""",
+    "Population Stability Index drift monitor (profiling.drift_psi): "
+    "order-value distribution before vs after 1998 — baseline-quantile "
+    "buckets (ONE exact-percentile aggregate, broadcast), JVM "
+    "array-filter bucket assignment (no per-boundary join), both sides "
+    "reduce map-side to 10 cells; half-count smoothing keeps empty "
+    "buckets finite",
+)
+def q_order_value_drift(spark, sf_dir):
+    from .operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    return profiling.drift_psi(
+        orders.filter(F.col("o_orderdate") < split),
+        orders.filter(F.col("o_orderdate") >= split),
+        value_col="o_totalprice",
+        n_buckets=10,
+    )

@@ -103,3 +103,80 @@ def approx_profile(
         for c in cols
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def drift_psi(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — THE production drift monitor (PSI < 0.1 stable, > 0.25
+    shifted): bucket boundaries are the BASELINE's interior quantiles,
+    both sides are histogrammed into them, and
+    PSI = Σ_b (p_cur − p_base) · ln(p_cur / p_base)
+    with half-count smoothing so empty buckets stay finite. Output:
+    one row per bucket — (bucket, n_base, n_cur, p_base, p_cur,
+    contrib, psi_total) — `psi_total` repeated per row for one-glance
+    reads.
+
+    Scale shape: boundaries are ONE exact-percentile partial aggregate
+    on the baseline (a 1-row array, broadcast); bucket assignment is a
+    JVM array-filter count per row (no join per boundary); each side
+    reduces map-side to ≤ n_buckets cells before the single tiny merge.
+    Boundary-tie semantics (`bound <= x` counts up) are part of the
+    contract and mirrored in the oracle.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = baseline.agg(
+        F.percentile(
+            F.col(value_col), F.array(*[F.lit(q) for q in qs])
+        ).alias("bounds")
+    )
+
+    def bucketed(df: DataFrame, out: str) -> DataFrame:
+        x = F.col(value_col)
+        return (
+            df.filter(x.isNotNull())
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                F.size(
+                    F.filter(F.col("bounds"), lambda b: b <= x)
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    grid = baseline.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    hist = (
+        grid.join(bucketed(baseline, "n_base"), "bucket", "left")
+        .join(bucketed(current, "n_cur"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    totals = hist.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    p_base = (F.col("n_base") + 0.5) / (F.col("tb") + 0.5 * n_buckets)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("tc") + 0.5 * n_buckets)
+    contrib = (p_cur - p_base) * F.log(p_cur / p_base)
+    from pyspark.sql import Window
+
+    scored = hist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        F.round(p_base, 6).alias("p_base"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round(contrib, 6).alias("contrib"),
+        F.round(
+            F.sum(contrib).over(Window.partitionBy()), 6
+        ).alias("psi_total"),
+    )
+    return scored

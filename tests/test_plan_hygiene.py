@@ -40,6 +40,8 @@ CROSS_OK = {
     "corpus-totals aggregate",
     "hybrid_rrf_topk": "inherits bm25's 1-row corpus-stats broadcast and "
     "cosine's broadcast query handful (both declared above)",
+    "order_value_drift": "per-row × the 1-row baseline-quantile bounds "
+    "array, then 10-bucket grid × the 1-row totals aggregate",
 }
 
 

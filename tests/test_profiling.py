@@ -37,3 +37,31 @@ def test_approx_profile_error_bound(spark):
     q = approx["l_quantity"].quantiles
     assert q is not None and q == sorted(q)
     assert approx["l_shipdate"].quantiles is None
+
+
+def test_drift_psi_detects_shift_and_stays_zeroish_on_same_dist(spark):
+    """PSI ≈ 0 when both snapshots share a distribution; large when
+    the current snapshot shifts; buckets cover everything (counts sum
+    to side totals) and smoothing keeps empty buckets finite."""
+    import math
+
+    from algoritmos_etl_spark.operators import profiling
+
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(2000)], "v double"
+    )
+    same = spark.createDataFrame(
+        [(float((i * 7) % 100),) for i in range(2000)], "v double"
+    )
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 80.0,) for i in range(2000)], "v double"
+    )
+    psi_same = profiling.drift_psi(base, same, "v").first().psi_total
+    psi_shift = profiling.drift_psi(base, shifted, "v").first().psi_total
+    assert abs(psi_same) < 0.01
+    assert psi_shift > 0.25  # the standard "population shifted" bar
+    rows = profiling.drift_psi(base, shifted, "v").collect()
+    assert len(rows) == 10
+    assert sum(r.n_base for r in rows) == 2000
+    assert sum(r.n_cur for r in rows) == 2000
+    assert all(math.isfinite(r.contrib) for r in rows)
