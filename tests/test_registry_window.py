@@ -167,21 +167,17 @@ def test_query_catalog_in_sync():
     import os
     import subprocess
     import sys
-    import tempfile
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    committed = open(os.path.join(repo, "QUERIES.md")).read()
-    with tempfile.TemporaryDirectory() as td:
-        # regenerate into a scratch copy by running the tool with a
-        # patched output: simplest faithful check is to re-run the tool
-        # and diff the repo file it writes against the committed text
-        before = committed
-        subprocess.run(
-            [sys.executable, os.path.join(repo, "tools/gen_query_catalog.py")],
-            check=True, capture_output=True,
-        )
-        after = open(os.path.join(repo, "QUERIES.md")).read()
-        assert after == before, (
-            "QUERIES.md out of sync with the registry — commit the "
-            "regenerated catalog"
-        )
+    before = open(os.path.join(repo, "QUERIES.md")).read()
+    # the tool rewrites the repo file in place; on mismatch the test
+    # fails AND leaves the regenerated catalog ready to commit
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/gen_query_catalog.py")],
+        check=True, capture_output=True,
+    )
+    after = open(os.path.join(repo, "QUERIES.md")).read()
+    assert after == before, (
+        "QUERIES.md out of sync with the registry — commit the "
+        "regenerated catalog"
+    )
