@@ -1085,6 +1085,11 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "acf_report",            # self-lag Pearson: the in-window pair_metrics
+                             # corr (A7) on the lag axis; full oracle
+    "seasonal_decomposition",  # centered-MA + day-of-week means: window
+                               # machinery in-window via trailing_revenue/
+                               # price_anomalies; full oracle
     "order_value_drift",     # PSI drift monitor: profiling family
                              # in-window via table_profile; full oracle,
                              # judge-verifiable via verify_local

@@ -4157,3 +4157,81 @@ def q_order_value_drift(spark, sf_dir):
         value_col="o_totalprice",
         n_buckets=10,
     )
+
+
+@register(
+    "acf_report",
+    f"""WITH {ORACLE_BARS_CTE},
+    lagged AS (
+        SELECT symbol, close AS x,
+               lag(close, 1) OVER w AS l1,
+               lag(close, 2) OVER w AS l2,
+               lag(close, 3) OVER w AS l3,
+               lag(close, 4) OVER w AS l4,
+               lag(close, 5) OVER w AS l5
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY date)
+    ),
+    unioned AS (
+        SELECT symbol, 1 AS lag, x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+        UNION ALL
+        SELECT symbol, 2, x, l2 FROM lagged WHERE l2 IS NOT NULL
+        UNION ALL
+        SELECT symbol, 3, x, l3 FROM lagged WHERE l3 IS NOT NULL
+        UNION ALL
+        SELECT symbol, 4, x, l4 FROM lagged WHERE l4 IS NOT NULL
+        UNION ALL
+        SELECT symbol, 5, x, l5 FROM lagged WHERE l5 IS NOT NULL
+    )
+    SELECT symbol, CAST(lag AS INT) AS lag,
+           round(corr(x, y), 6) AS acf,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM unioned GROUP BY 1, 2""",
+    "Autocorrelation function per symbol, lags 1-5 "
+    "(technical.acf_report): the reference's Pearson (A7) turned onto "
+    "the self-lag axis — one symbol sort computes all sibling lags, "
+    "per-lag correlations are plain partial aggregates",
+)
+def q_acf_report(spark, sf_dir):
+    from .operators import technical
+
+    return technical.acf_report(_bars(spark, sf_dir), max_lag=5)
+
+
+@register(
+    "seasonal_decomposition",
+    # Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6 —
+    # the (+1) aligns the position-in-period key across engines.
+    f"""WITH {ORACLE_BARS_CTE},
+    t AS (
+        SELECT symbol, date, close AS value,
+               avg(close) OVER w AS trend,
+               count(close) OVER w AS n,
+               (dayofweek(date) + 1) % 7 AS pos
+        FROM bars
+        WINDOW w AS (PARTITION BY symbol ORDER BY date
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    full_t AS (SELECT * FROM t WHERE n >= 7),
+    s AS (
+        SELECT symbol, pos, avg(value - trend) AS seasonal
+        FROM full_t GROUP BY 1, 2
+    )
+    SELECT f.symbol, f.date,
+           round(f.value, 6) AS value,
+           round(f.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(f.value - f.trend - s.seasonal, 6) AS residual
+    FROM full_t f JOIN s ON s.symbol = f.symbol AND s.pos = f.pos""",
+    "Classical additive seasonal decomposition "
+    "(technical.seasonal_decomposition): centered-MA trend + "
+    "day-of-week seasonal means + residual — two window passes over "
+    "one symbol sort, a bounded (symbol, pos) groupBy broadcast back; "
+    "the moving-average ancestor of STL on the daily bars",
+)
+def q_seasonal_decomposition(spark, sf_dir):
+    from .operators import technical
+
+    return technical.seasonal_decomposition(
+        _bars(spark, sf_dir), period=7, trend_window=7
+    )

@@ -288,3 +288,101 @@ def resample_bars(
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+def acf_report(
+    df: DataFrame,
+    value_col: str = "close",
+    max_lag: int = 5,
+) -> DataFrame:
+    """Autocorrelation function per symbol: Pearson correlation of the
+    series with its lag-k shifted self for k = 1..max_lag — the
+    stationarity/memory diagnostic of classical time-series analysis,
+    extending the reference's cross-series Pearson (A7,
+    `algorithms/similarity.py`) to the self-lag axis. Output:
+    (symbol, lag, acf, n_pairs); symbols with fewer than lag+2 points
+    or zero variance yield NULL acf (corr is undefined there).
+
+    One shuffle on symbol, then max_lag lag-columns from the SAME
+    window sort (Catalyst computes sibling lags in one pass); per-lag
+    correlations are plain grouped aggregates over the unioned lag
+    frames — map-side partial, no second sort.
+    """
+    w = _series_window().orderBy("date")
+    v = F.col(value_col)
+    lagged = df.select(
+        "symbol",
+        v.alias("x"),
+        *[F.lag(v, k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    frames = []
+    for k in range(1, max_lag + 1):
+        frames.append(
+            lagged.filter(F.col(f"_l{k}").isNotNull()).select(
+                "symbol",
+                F.lit(k).alias("lag"),
+                F.col("x"),
+                F.col(f"_l{k}").alias("y"),
+            )
+        )
+    unioned = frames[0]
+    for fdf in frames[1:]:
+        unioned = unioned.unionByName(fdf)
+    return unioned.groupBy("symbol", "lag").agg(
+        F.round(F.corr("x", "y"), 6).alias("acf"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+def seasonal_decomposition(
+    df: DataFrame,
+    value_col: str = "close",
+    period: int = 7,
+    trend_window: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition on the calendar-day
+    axis: trend = centered moving average over `trend_window` rows,
+    seasonal = the per-(symbol, position-in-period) mean of the
+    detrended series, residual = value − trend − seasonal. The
+    moving-average decomposition of classical time-series analysis
+    (the non-parametric ancestor of STL), here with a day-of-week
+    period over daily bars. Rows without a full centered trend window
+    are excluded (the standard edge convention).
+
+    Two window passes over ONE symbol sort (centered frame + count
+    guard), one bounded groupBy on (symbol, pos) for the seasonal
+    means (broadcast back — ≤ |symbols|·period rows), all JVM
+    expressions.
+    """
+    half = trend_window // 2
+    w = (
+        _series_window()
+        .orderBy("date")
+        .rowsBetween(-half, trend_window - half - 1)
+    )
+    v = F.col(value_col)
+    with_trend = df.select(
+        "symbol",
+        "date",
+        v.alias("value"),
+        F.avg(v).over(w).alias("trend"),
+        F.count(v).over(w).alias("_n"),
+        F.pmod(F.dayofweek("date"), F.lit(period)).alias("pos"),
+    ).filter(F.col("_n") >= trend_window)
+    seasonal = (
+        with_trend.groupBy("symbol", "pos")
+        .agg(F.avg(F.col("value") - F.col("trend")).alias("seasonal"))
+    )
+    return (
+        with_trend.join(F.broadcast(seasonal), ["symbol", "pos"])
+        .select(
+            "symbol",
+            "date",
+            F.round("value", 6).alias("value"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("value") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+    )
