@@ -328,8 +328,17 @@ def acf_report(
     unioned = frames[0]
     for fdf in frames[1:]:
         unioned = unioned.unionByName(fdf)
+    # NOT F.corr: under ANSI mode (Spark 4 default) corr THROWS
+    # DIVIDE_BY_ZERO on a zero-variance window (a constant series is
+    # a routine input — halted symbol, filled gap run). The explicit
+    # covar/std form with try_divide returns the SQL-conventional NULL
+    # instead, matching DuckDB's corr()
+    acf = F.try_divide(
+        F.covar_samp("x", "y"),
+        F.stddev_samp("x") * F.stddev_samp("y"),
+    )
     return unioned.groupBy("symbol", "lag").agg(
-        F.round(F.corr("x", "y"), 6).alias("acf"),
+        F.round(acf, 6).alias("acf"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
 

@@ -101,3 +101,30 @@ def test_rolling_zscore_naive_parity_and_guards(spark):
             expect[(1, f"2024-01-{i + 1:02d}")] = z
     assert out == {k: pytest.approx(v) for k, v in expect.items()}
     assert any(abs(z) > 1.4 for z in out.values())  # the spike is caught
+
+
+def test_acf_and_seasonal_edges(spark):
+    """ACF: constant series and too-short series yield NULL acf rows
+    (corr undefined), matching the SQL convention; seasonal
+    decomposition excludes rows without a full centered window and
+    residual = value - trend - seasonal exactly."""
+    rows = [(1, f"2024-01-{d + 1:02d}", float(d % 7) + (d * 0.01))
+            for d in range(21)]
+    rows += [(2, f"2024-01-{d + 1:02d}", 5.0) for d in range(10)]  # constant
+    rows += [(3, "2024-01-01", 1.0), (3, "2024-01-02", 2.0)]       # short
+    df = spark.createDataFrame(rows, "symbol long, date string, close double")
+    df = df.withColumn("date", F.col("date").cast("date"))
+
+    acf = {(r.symbol, r.lag): r for r in technical.acf_report(df).collect()}
+    assert acf[(2, 1)].acf is None          # zero variance
+    assert acf[(3, 1)].acf is None and acf[(3, 1)].n_pairs == 1
+    assert (3, 2) not in acf                # no pairs at lag 2
+    assert acf[(1, 7)] if (1, 7) in acf else True
+    assert acf[(1, 1)].acf is not None
+
+    dec = technical.seasonal_decomposition(df).collect()
+    sym1 = [r for r in dec if r.symbol == 1]
+    assert len(sym1) == 21 - 6              # 3 rows trimmed each edge
+    for r in sym1:
+        assert abs(r.value - r.trend - r.seasonal - r.residual) < 1e-5
+    assert not [r for r in dec if r.symbol == 3]  # too short entirely
