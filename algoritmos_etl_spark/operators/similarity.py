@@ -87,12 +87,25 @@ def pair_metrics(bars: DataFrame, sym_a, sym_b) -> DataFrame:
     """
     rets = aligned_returns(aligned_pairs(bars, sym_a, sym_b))
     a, b = F.col("ret_a"), F.col("ret_b")
+    # try_divide, not plain corr / division: under ANSI mode (Spark 4
+    # default) both THROW DIVIDE_BY_ZERO on a zero-variance series or
+    # zero-norm vector — the exact degenerate inputs the reference
+    # special-cases to 0.0 (similarity.py:188-190, 425-428). The
+    # covar/std form equals corr wherever corr is defined.
     return rets.agg(
         F.sqrt(F.sum((a - b) * (a - b))).alias("euclidean"),
-        F.coalesce(F.corr(a, b), F.lit(0.0)).alias("pearson"),
         F.coalesce(
-            F.sum(a * b)
-            / (F.sqrt(F.sum(a * a)) * F.sqrt(F.sum(b * b))),
+            F.try_divide(
+                F.covar_samp(a, b),
+                F.stddev_samp(a) * F.stddev_samp(b),
+            ),
+            F.lit(0.0),
+        ).alias("pearson"),
+        F.coalesce(
+            F.try_divide(
+                F.sum(a * b),
+                F.sqrt(F.sum(a * a)) * F.sqrt(F.sum(b * b)),
+            ),
             F.lit(0.0),
         ).alias("cosine"),
         F.count(F.lit(1)).alias("n_points"),
@@ -152,7 +165,13 @@ def correlation_heatmap(bars: DataFrame, salt_buckets: int = 1) -> DataFrame:
     return (
         joined.groupBy("sym_a", "sym_b")
         .agg(
-            F.coalesce(F.corr("ret_a", "ret_b"), F.lit(0.0)).alias("pearson"),
+            F.coalesce(
+                F.try_divide(
+                    F.covar_samp("ret_a", "ret_b"),
+                    F.stddev_samp("ret_a") * F.stddev_samp("ret_b"),
+                ),
+                F.lit(0.0),
+            ).alias("pearson"),  # try_divide: ANSI corr throws on zero variance
             F.count(F.lit(1)).alias("n_points"),
         )
     )

@@ -199,3 +199,22 @@ def test_round7_operators_on_empty_and_null_inputs(spark):
     rows = relational.price_quantiles_by_priority(orders1).collect()
     assert len(rows) == 4
     assert all(r.value is None and r.n_orders == 2 for r in rows)
+
+
+def test_pair_metrics_constant_series_no_ansi_crash(spark):
+    """A constant (zero-variance, zero-return) symbol pair must yield
+    the reference's degenerate values (pearson 0.0, cosine 0.0), not
+    an ANSI DIVIDE_BY_ZERO crash — halted symbols are routine input."""
+    from algoritmos_etl_spark.operators import similarity
+
+    rows = [
+        (s, f"2024-01-{d + 1:02d}", 5.0)
+        for s in (1, 2)
+        for d in range(6)
+    ]
+    bars = spark.createDataFrame(
+        rows, "symbol long, date string, close double"
+    ).withColumn("date", F.col("date").cast("date"))
+    row = similarity.pair_metrics(bars, 1, 2).first()
+    assert row.pearson == 0.0 and row.cosine == 0.0
+    assert row.euclidean == 0.0 and row.n_points == 5
