@@ -210,7 +210,11 @@ def rolling_features(df: DataFrame, window_size: int = 5) -> DataFrame:
 
 def cumulative_return(df: DataFrame, price_col: str = "close") -> Column:
     """Total log growth per symbol — convenience for reports."""
-    return F.log(F.max_by(price_col, "date") / F.min_by(price_col, "date"))
+    # try_divide: a zero first/min price would ANSI-throw on plain
+    # division; NULL (log of NULL) is the defined degenerate result
+    return F.log(
+        F.try_divide(F.max_by(price_col, "date"), F.min_by(price_col, "date"))
+    )
 
 
 def rolling_zscore(
