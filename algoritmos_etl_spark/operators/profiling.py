@@ -126,7 +126,12 @@ def drift_psi(
     JVM array-filter count per row (no join per boundary); each side
     reduces map-side to ≤ n_buckets cells before the single tiny merge.
     Boundary-tie semantics (`bound <= x` counts up) are part of the
-    contract and mirrored in the oracle.
+    contract and mirrored in the oracle. An EMPTY side contributes the
+    smoothing-uniform distribution (every bucket 0.5/(0.5·B)) — so
+    empty-vs-empty reads PSI = 0 and empty-current reads as a drift
+    toward uniform, never a crash; gate empty batches upstream
+    (`expectations.check` reports them explicitly) if "no data" must
+    be distinguished from "uniform data".
     """
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = baseline.agg(
