@@ -1085,6 +1085,9 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "top_parts_per_brand",   # sorting.top_k_per_group's own driver row
+                             # (window-rank top-k; the TopK operator is
+                             # in-window via hybrid/doc rankings); full oracle
     "acf_report",            # self-lag Pearson: the in-window pair_metrics
                              # corr (A7) on the lag axis; full oracle
     "seasonal_decomposition",  # centered-MA + day-of-week means: window

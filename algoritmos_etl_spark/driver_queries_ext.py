@@ -4235,3 +4235,57 @@ def q_seasonal_decomposition(spark, sf_dir):
     return technical.seasonal_decomposition(
         _bars(spark, sf_dir), period=7, trend_window=7
     )
+
+
+@register(
+    "top_parts_per_brand",
+    """WITH shipped AS (
+        SELECT p.p_brand, l.l_partkey, p.p_name,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,10)))
+                     AS DOUBLE), 2) AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT p_brand, l_partkey AS p_partkey, p_name, n_lines, revenue
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY p_brand ORDER BY n_lines DESC, l_partkey ASC
+        ) AS rk
+        FROM shipped
+    ) WHERE rk <= 3""",
+    "Top-3 most-shipped parts per brand (sorting.top_k_per_group): the "
+    "reference's per-symbol top-15 idiom (main.py:216-267) as ONE window "
+    "rank over the bounded (brand, part) rollup — shuffle on the group "
+    "key, per-partition streaming rank, never a global sort",
+)
+def q_top_parts_per_brand(spark, sf_dir):
+    from .operators import sorting
+
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_partkey", "p_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(30,10)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+    )
+    return sorting.top_k_per_group(
+        shipped, group_col="p_brand", order_col="n_lines", k=3,
+        tiebreak=["l_partkey"],
+    ).select(
+        "p_brand",
+        F.col("l_partkey").alias("p_partkey"),
+        "p_name",
+        "n_lines",
+        "revenue",
+    )

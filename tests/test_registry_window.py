@@ -71,7 +71,7 @@ EXPECTED_TAIL = {
     "idle_rich_customers", "streaming_cdc_state", "pii_redaction",
     "variant_props_stats", "attribution_outer", "incremental_distinct",
     "weekly_bars", "doc_lm_scores", "bm25_topk", "order_value_drift",
-    "acf_report", "seasonal_decomposition",
+    "acf_report", "seasonal_decomposition", "top_parts_per_brand",
 }
 
 
