@@ -47,9 +47,15 @@ def pagerank(
     (their mass is not redistributed — the simple dangling-node
     convention, mirrored exactly in the oracle).
     """
+    # Positivity guard at edge prep: a zero/negative summed weight
+    # would make wu 0 → DIVIDE_BY_ZERO mid-iteration under ANSI mode
+    # (or silently corrupt ranks otherwise). Degenerate edges are
+    # dropped here so bad weights fail soft at BUILD time — the
+    # documented semantics: only positive-weight edges carry rank.
     ew = (
         edges.groupBy(F.col(src).alias("u"), F.col(dst).alias("v"))
         .agg(F.sum(weight).alias("w"))
+        .filter(F.col("w") > 0)
     )
     outw = ew.groupBy("u").agg(F.sum("w").alias("wu"))
     e = ew.join(outw, "u").localCheckpoint(eager=False)

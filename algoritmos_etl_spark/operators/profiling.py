@@ -134,9 +134,17 @@ def drift_psi(
     be distinguished from "uniform data".
     """
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # An EMPTY baseline yields NULL percentile bounds; coalesce to an
+    # empty boundary array so every current row lands in bucket 0 (the
+    # degenerate one-bucket histogram) instead of bucketing to NULL and
+    # silently vanishing from the PSI — with rows only in bucket 0 the
+    # smoothing terms make the drift read maximal, not 0.0.
     bounds = baseline.agg(
-        F.percentile(
-            F.col(value_col), F.array(*[F.lit(q) for q in qs])
+        F.coalesce(
+            F.percentile(
+                F.col(value_col), F.array(*[F.lit(q) for q in qs])
+            ),
+            F.array().cast("array<double>"),
         ).alias("bounds")
     )
 

@@ -189,6 +189,15 @@ def partition_upsert(
     `updates` must be keyed (unique on `key_cols`) — with duplicate
     update keys the replace is ill-defined; collapse first
     (`cleaning.keep_latest`), same contract as `reconcile.table_diff`.
+
+    CONTRACT: `partition_col` must be STABLE per key — effectively
+    part of the key (the tests use it so). An update row whose key
+    already exists in a partition NOT present in the update batch
+    would leave the stale row in the old partition (only touched
+    partitions are read and rewritten), yielding the same key in two
+    partitions. Keys that genuinely move partitions need a
+    delete+insert through the CDC path (`reconcile.cdc_merge`) or a
+    full-table `snapshots` rewrite, not a partition-local upsert.
     """
     touched = [
         r[0]
@@ -249,6 +258,17 @@ def write_audit_publish(
     by default for debugging (`<table>._staged`) and the serving table
     is untouched. Returns {"published": bool, "rows": n,
     "violations": [(rule, n) ...]}.
+
+    Publish-atomicity scope (documented, not hidden): the swap is TWO
+    sequential os.renames on a LOCAL POSIX filesystem — a reader
+    resolving `table_dir` in the instant between them gets ENOENT and
+    must retry, and a crash between them leaves the serving table
+    stranded at `<table>._retired`. Both windows are recovered: this
+    function (and any later publish) first restores a stranded
+    `._retired` dir when `table_dir` is missing, so the table is never
+    permanently dark. os.rename atomicity does NOT hold on object
+    stores — for true single-pointer atomicity plus time travel use
+    `sources.snapshots` (manifest swap is ONE rename of a file).
     """
     import os
     import shutil
@@ -258,6 +278,11 @@ def write_audit_publish(
     spark = df.sparkSession
     stage = f"{table_dir}._staged"
     retire = f"{table_dir}._retired"
+    # crash recovery: a previous publish that died between its two
+    # renames left the serving data at ._retired and no table_dir —
+    # promote it back before doing anything else.
+    if not os.path.exists(table_dir) and os.path.exists(retire):
+        os.rename(retire, table_dir)
     shutil.rmtree(stage, ignore_errors=True)
     df.write.mode("overwrite").parquet(stage)
 

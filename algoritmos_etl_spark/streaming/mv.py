@@ -82,10 +82,21 @@ def streaming_agg_mv(
 
 
 def _read_or_none(spark: SparkSession, pattern: str, base: str):
+    # Existence-check before handing the path to Spark: the first read
+    # of a not-yet-created layer otherwise logs a 90-line benign
+    # FileStreamSink.hasMetadata WARN stack (Hadoop probes
+    # <dir>/_spark_metadata on a missing dir) into every driver tail.
+    # All MV layers are local directories, so an os-level probe is
+    # authoritative and free.
+    import os
+
+    local = pattern[5:] if pattern.startswith("file:") else pattern
+    if not os.path.isdir(local):
+        return None  # no such layer yet
     try:
         return spark.read.option("basePath", base).parquet(pattern)
     except AnalysisException:
-        return None  # no such layer yet
+        return None  # dir exists but holds no parquet yet
 
 
 def _fold_partials(spark: SparkSession, path: str) -> DataFrame:
@@ -286,22 +297,31 @@ def streaming_cdc_merge(
     return query
 
 
-def vacuum_cdc_state(path: str) -> dict:
-    """Retire every state version except the newest — pure directory
-    surgery, safe any time (the read rule already prefers the newest;
-    replays that need an older version recompute it idempotently from
-    the checkpointed source anyway)."""
+def vacuum_cdc_state(path: str, keep: int = 2) -> dict:
+    """Retire old state versions, RETAINING the `keep` newest (>= 2).
+
+    Why two and not one: if batch N wrote state/version=N and crashed
+    BEFORE its streaming checkpoint commit, the replayed batch N reads
+    the newest version < N. A single-version vacuum run in that window
+    would delete version N-1, so the replay would merge onto an EMPTY
+    target and silently shrink the state to that batch's keys. Keeping
+    the two newest means the replay target always survives: version N
+    is only uncommitted while N-1 still exists, and once N's commit is
+    durable N-1 is garbage the NEXT vacuum (after batch N+1) retires.
+    """
     import glob
     import re
     import shutil
 
+    keep = max(2, int(keep))
     versions = sorted(
         glob.glob(f"{path}/state/version=*"),
         key=lambda p: int(re.search(r"version=(\d+)", p).group(1)),
     )
-    for p in versions[:-1]:
+    doomed = versions[:-keep] if len(versions) > keep else []
+    for p in doomed:
         shutil.rmtree(p, ignore_errors=True)
-    return {"versions_removed": max(0, len(versions) - 1)}
+    return {"versions_removed": len(doomed)}
 
 
 # ---------------------------------------------------------------------------

@@ -249,3 +249,35 @@ def test_write_audit_publish_gates_bad_batches(spark, tmp_path):
     assert rep["published"] is True
     assert {r.k for r in spark.read.parquet(table).collect()} == {3}
     assert not os.path.exists(f"{table}._retired")
+
+
+def test_write_audit_publish_recovers_stranded_retired(spark, tmp_path):
+    """A publish that crashed between its two renames leaves the
+    serving data at <table>._retired and no table_dir; the next
+    publish must restore it BEFORE staging, so even a failed audit
+    leaves the table serving the pre-crash generation."""
+    import os
+
+    from algoritmos_etl_spark.operators import expectations as ex
+    from algoritmos_etl_spark.sources.compact import write_audit_publish
+
+    table = str(tmp_path / "t")
+    rules = [ex.in_range("v", 0, 100)]
+    good = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    write_audit_publish(good, table, rules)
+    # simulate the crash window: retire done, promote never happened
+    os.rename(table, f"{table}._retired")
+    assert not os.path.exists(table)
+
+    bad = spark.createDataFrame([(2, 999.0)], "k long, v double")
+    rep = write_audit_publish(bad, table, rules)
+    assert rep["published"] is False
+    # stranded generation recovered and still serving
+    assert {r.k for r in spark.read.parquet(table).collect()} == {1}
+
+    fixed = spark.createDataFrame([(2, 20.0)], "k long, v double")
+    os.rename(table, f"{table}._retired")  # crash again before the fix
+    rep = write_audit_publish(fixed, table, rules)
+    assert rep["published"] is True
+    assert {r.k for r in spark.read.parquet(table).collect()} == {2}
+    assert not os.path.exists(f"{table}._retired")

@@ -64,6 +64,27 @@ def test_pagerank_dangling_node_keeps_base_rank(spark):
     assert got == _py_pagerank([("u", "v", 1), ("w", "u", 1), ("u", "w", 1)])
 
 
+def test_pagerank_nonpositive_weights_dropped_not_divide_by_zero(spark):
+    """Zero/negative summed weights are filtered at edge prep (the
+    ANSI-hardening rule): ranks equal the graph with only the
+    positive-weight edges, instead of a DIVIDE_BY_ZERO mid-iteration
+    (wu = 0) or silently corrupted ranks."""
+    df = spark.createDataFrame(
+        [
+            ("a", "b", 2), ("b", "a", 2),
+            ("z", "a", 0),              # zero weight → dropped
+            ("y", "b", 3), ("y", "b", -3),  # sums to 0 → dropped
+            ("c", "a", 1), ("a", "c", 1),
+        ],
+        "u string, v string, w long",
+    )
+    got = {r.node: r.rank_e12 for r in graph.pagerank(df).collect()}
+    assert got == _py_pagerank(
+        [("a", "b", 2), ("b", "a", 2), ("c", "a", 1), ("a", "c", 1)]
+    )
+    assert "z" not in got and "y" not in got
+
+
 def test_textrank_keywords_shape(spark, tables):
     out = graph.textrank_keywords(tables["documents"], top_k=10).collect()
     assert len(out) == 10

@@ -65,3 +65,28 @@ def test_drift_psi_detects_shift_and_stays_zeroish_on_same_dist(spark):
     assert sum(r.n_base for r in rows) == 2000
     assert sum(r.n_cur for r in rows) == 2000
     assert all(math.isfinite(r.contrib) for r in rows)
+
+
+def test_drift_psi_empty_baseline_reads_as_max_drift(spark):
+    """EMPTY baseline: NULL percentile bounds coalesce to an empty
+    boundary array, so every current row lands in bucket 0 — the PSI
+    reads large (all mass piled on one smoothed-uniform bucket), never
+    the silent 0.0 a NULL bucket drop would produce. Empty current and
+    empty-vs-empty stay finite too."""
+    import math
+
+    empty = spark.createDataFrame([], "v double")
+    cur = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "v double"
+    )
+    rows = profiling.drift_psi(empty, cur, "v").collect()
+    assert len(rows) == 10
+    assert sum(r.n_cur for r in rows) == 1000  # nothing dropped
+    assert rows and all(math.isfinite(r.psi_total) for r in rows)
+    assert rows[0].psi_total > 0.25  # reads as drift, not stability
+    # empty current: drift toward uniform, finite
+    rows2 = profiling.drift_psi(cur, empty, "v").collect()
+    assert all(math.isfinite(r.psi_total) for r in rows2)
+    # empty vs empty: PSI == 0 (both sides smoothing-uniform)
+    rows3 = profiling.drift_psi(empty, empty, "v").collect()
+    assert all(abs(r.psi_total) < 1e-9 for r in rows3)

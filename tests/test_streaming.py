@@ -679,16 +679,32 @@ def test_streaming_cdc_merge_tombstones_survive_out_of_order_batches(
         spark, str(tmp_path / "store")
     ).collect()}
     assert served2 == {k: (r.ts, r.s) for k, r in served.items()}
-    # vacuum keeps only the newest version; view unchanged
-    rep = mv.vacuum_cdc_state(str(tmp_path / "store"))
-    assert rep["versions_removed"] == 1
+    # vacuum retains the TWO newest versions (crash-window rule: if the
+    # newest version's checkpoint commit was lost, its replay merges
+    # onto the previous version — which must therefore survive vacuum);
+    # view unchanged. keep=1 is clamped up to 2 for the same reason.
     import glob as _g
 
-    assert len(_g.glob(str(tmp_path / "store/state/version=*"))) == 1
+    n_before = len(_g.glob(str(tmp_path / "store/state/version=*")))
+    rep = mv.vacuum_cdc_state(str(tmp_path / "store"), keep=1)
+    assert rep["versions_removed"] == max(0, n_before - 2)
+    assert len(_g.glob(str(tmp_path / "store/state/version=*"))) == min(
+        n_before, 2
+    )
     served3 = {r.k: (r.ts, r.s) for r in mv.read_cdc_state(
         spark, str(tmp_path / "store")
     ).collect()}
     assert served3 == served2
+    # the crash-window replay itself: drop the newest version's
+    # checkpoint (simulating a crash after the state write but before
+    # the commit) and re-run — the replayed batch finds the RETAINED
+    # previous version and reproduces identical state, not a state
+    # shrunk to the last batch's keys.
+    run(str(tmp_path / "ck3"))
+    served4 = {r.k: (r.ts, r.s) for r in mv.read_cdc_state(
+        spark, str(tmp_path / "store")
+    ).collect()}
+    assert served4 == served2
 
 
 def test_attribution_join_outer_stream_equals_batch(
