@@ -1007,6 +1007,69 @@ def q_shipping_priority(spark, sf_dir):
     )
 
 
+@register(
+    "small_qty_revenue",
+    """WITH thr AS (
+        SELECT l_partkey AS t_partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS cnt_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT p_brand,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10)))
+                      AS DOUBLE) / 7, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN thr ON l_partkey = t_partkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 10
+      AND 5 * CAST(l_quantity AS BIGINT) * cnt_qty < sum_qty
+    GROUP BY p_brand""",
+    "TPC-H Q17 shape: correlated per-part AVG subquery re-expressed as a "
+    "key-aligned aggregate join-back (one fact shuffle, partitioning "
+    "reused); integer cross-multiplied threshold, decimal-exact revenue",
+)
+def q_small_qty_revenue(spark, sf_dir):
+    return relational.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "waiting_suppliers",
+    """WITH lo AS (
+        SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+               (l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY) AS is_late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lo l1
+    JOIN supplier s ON s.s_suppkey = l1.skey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.okey = l1.okey AND l2.skey <> l1.skey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.okey = l1.okey AND l3.skey <> l1.skey
+                        AND l3.is_late)
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s_suppkey ASC
+    LIMIT 20""",
+    "TPC-H Q21 shape: the multi-EXISTS/NOT-EXISTS same-table chain "
+    "collapsed to ONE per-order aggregate on the fact's own shuffle "
+    "grain (the oracle runs the literal EXISTS chain — two independent "
+    "formulations must hash-match)",
+)
+def q_waiting_suppliers(spark, sf_dir):
+    return relational.waiting_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 # Training-data-pipeline extensions register themselves on import.
 from . import driver_queries_ext  # noqa: E402,F401  (registration side effect)
 
@@ -1191,6 +1254,8 @@ REGISTRY_ORDER = (
     "bpe_tokenize",          # iterative BPE learning: rows-only BY DESIGN;
                              # merge sequence + vocab pinned vs a pure-Python
                              # reference in test_bpe
+    "small_qty_revenue",     # placed in-window by the r8 rotation below
+    "waiting_suppliers",     # placed in-window by the r8 rotation below
 )
 
 # In-window entries whose oracle is None BY DESIGN (the pipeline is a

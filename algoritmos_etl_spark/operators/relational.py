@@ -590,3 +590,148 @@ def idle_rich_customers(
             ).alias("total_balance"),
         )
     )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, max_size: int = 10
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-lot orders — lines whose
+    quantity is below 20% of THAT PART's average order quantity, for
+    small parts (p_size <= max_size), reported per brand as the Q17
+    `avg_yearly` = sum(extendedprice)/7.
+
+    The classic formulation is a correlated scalar subquery
+    (`l_quantity < 0.2 * (SELECT avg(l_quantity) … WHERE l_partkey =
+    p_partkey)`); the distributed re-expression is a per-part
+    aggregate JOINED BACK onto the fact at the same key. Plan shape
+    this query exists to exercise: the per-part (sum, count) partial
+    aggregate shuffles on l_partkey, and the join-back of fact to
+    thresholds is on that SAME key — Spark reuses the one hash
+    partitioning for both the aggregate and the join, so the fact
+    shuffles once and the thresholds side never re-shuffles. The
+    thresholds table is |parts|-sized (fact/30 in TPC-H proportions) —
+    deliberately NOT broadcast: at 100 TB the part count outgrows any
+    broadcast budget, and the key-aligned shuffle join is the plan
+    that survives; AQE may still locally broadcast at toy SF. The
+    part dim (a filter + brand projection) broadcasts into the
+    join-back output, not the fact scan, so pruning happens at the
+    smallest grain.
+
+    Exactness contract: l_quantity is integer-valued, so the
+    correlated comparison is done cross-multiplied in integers —
+    `5 * qty * cnt < sum_qty` ⟺ `qty < 0.2 * avg` — bit-identical on
+    any engine with no double-rounding boundary cases; revenue sums
+    are DECIMAL(30,10) partials (the `revenue_rollup` idiom).
+    """
+    qty = F.col("l_quantity").cast("long")
+    thresholds = (
+        lineitem.groupBy("l_partkey")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt_qty"),
+        )
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    small_lots = (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(5 * qty * F.col("cnt_qty") < F.col("sum_qty"))
+    )
+    return (
+        small_lots.join(
+            F.broadcast(
+                part.filter(F.col("p_size") <= max_size).select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            # decimal-exact partial sums; the /7 happens in DOUBLE
+            # AFTER the exact sum (identical IEEE ops on any engine)
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(30,10)")
+                ).cast("double")
+                / 7,
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    late_days: int = 30,
+    top_k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who ALONE held up a multi-supplier
+    order — for finished orders (o_orderstatus = 'F'), a line is late
+    when it shipped more than `late_days` after the order date (this
+    dataset has no commit/receipt dates; the ship-lag predicate plays
+    that role). A supplier gets blamed for an order when (1) they have
+    a late line in it, (2) EXISTS another supplier's line in the same
+    order, and (3) NOT EXISTS another supplier's LATE line — the
+    classic multi-EXISTS/NOT-EXISTS same-table chain. Output:
+    (s_suppkey, s_name, numwait) top-k by blame count, numwait
+    counting late LINES as Q21's count(*) over l1 does.
+
+    Distributed re-expression: both EXISTS and NOT EXISTS correlate on
+    the SAME key (l_orderkey) as the outer row, so the whole chain
+    collapses into ONE per-order aggregate — count_distinct(supplier),
+    count_distinct(late supplier), the argmax late supplier and its
+    late-line count — followed by a filter (`n_late_supp = 1 AND
+    n_supp >= 2`). The fact joins orders on l_orderkey (the one
+    shuffle grain), aggregates on that same grain (partitioning
+    reused, no second fact shuffle), and never joins the fact to
+    itself — where the literal EXISTS/NOT-EXISTS translation would
+    shuffle the fact three times and run two semi/anti joins against
+    its own scan. The supplier dim broadcasts into the ≤|suppliers|
+    aggregate output; top-k plans as TakeOrderedAndProject with
+    s_suppkey as the deterministic tiebreak.
+    """
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {int(late_days)} DAYS"
+    )
+    lines = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    )
+    per_order = (
+        lines.groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("n_late_supp"),
+            F.max(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("late_supp"),
+            F.sum(
+                F.when(F.col("is_late"), 1).otherwise(0)
+            ).alias("n_late_lines"),
+        )
+        .filter((F.col("n_late_supp") == 1) & (F.col("n_supp") >= 2))
+    )
+    blamed = per_order.groupBy(F.col("late_supp").alias("s_key")).agg(
+        F.sum("n_late_lines").alias("numwait")
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("s_key") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(top_k)
+    )

@@ -354,3 +354,43 @@ def test_price_quantiles_partial_agg_no_sort(tables):
         assert got[qt] == pytest.approx(
             np.quantile(np.array(vals), qt), abs=1e-3
         )
+
+
+def test_small_qty_revenue_reuses_partkey_shuffle_no_window(tables):
+    """Q17 shape: the correlated per-part AVG re-expression must plan
+    with NO Window over the fact, the part dim broadcast, and the
+    fact's l_partkey partitioning REUSED between the threshold
+    aggregate and the join-back — at most two non-broadcast exchanges
+    (partkey agg + final brand agg), never three."""
+    q = relational.small_quantity_revenue(
+        tables["lineitem"], tables["part"]
+    )
+    plan = _plan(q)
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the part dim
+    assert "CartesianProduct" not in plan, plan
+    import re as _re
+
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if _re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
+    ]
+    assert len(exchanges) <= 2, plan
+
+
+def test_waiting_suppliers_single_fact_pass_no_self_join(tables):
+    """Q21 shape: the EXISTS/NOT-EXISTS chain must collapse to ONE
+    per-order aggregate — the lineitem scan appears exactly once (no
+    fact self-join), no Window, supplier dim broadcast, top-k as
+    TakeOrderedAndProject."""
+    q = relational.waiting_suppliers(
+        tables["lineitem"], tables["orders"], tables["supplier"]
+    )
+    plan = _plan(q)
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    import re as _re
+
+    li_scans = len(_re.findall(r"Scan parquet[^\n]*lineitem", plan))
+    assert li_scans == 1, plan
