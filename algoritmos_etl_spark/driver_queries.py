@@ -1256,6 +1256,7 @@ REGISTRY_ORDER = (
                              # reference in test_bpe
     "small_qty_revenue",     # placed in-window by the r8 rotation below
     "waiting_suppliers",     # placed in-window by the r8 rotation below
+    "doc_quality_scores",    # placed in-window by the r8 rotation below
 )
 
 # In-window entries whose oracle is None BY DESIGN (the pipeline is a

@@ -3970,6 +3970,68 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+@register(
+    "doc_quality_scores",
+    f"""WITH wq AS (SELECT doc_id, {_W} AS ws FROM documents),
+    stats AS (
+        SELECT doc_id, len(ws) AS n_words,
+               round(CASE WHEN len(ws) > 0
+                     THEN CAST(len(list_filter(ws, x -> list_contains({list(text.STOPWORDS)!r}, x))) AS DOUBLE) / len(ws)
+                     ELSE 0.0 END, 6) AS sr
+        FROM wq
+    ),
+    p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+    lraw AS (SELECT doc_id,
+                 {_oracle_marker_count('en')} AS c_en,
+                 {_oracle_marker_count('es')} AS c_es,
+                 {_oracle_marker_count('de')} AS c_de,
+                 {_oracle_marker_count('fr')} AS c_fr
+          FROM p),
+    lab AS (
+        SELECT s.doc_id,
+               ((c_en > 0 OR c_es > 0 OR c_de > 0 OR c_fr > 0)
+                AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr
+                AND n_words >= 20 AND sr >= 0.02 AND sr <= 0.25) AS is_pos
+        FROM stats s JOIN lraw USING (doc_id)
+    ),
+    tk AS (SELECT doc_id, unnest({_W}) AS tok FROM documents),
+    tb AS (SELECT t.doc_id, {_h('tok')} % 1024 AS bucket, l.is_pos
+           FROM tk t JOIN lab l USING (doc_id)),
+    cnt AS (SELECT bucket,
+                   sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS n_p,
+                   sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS n_n
+            FROM tb GROUP BY 1),
+    grid AS (SELECT unnest(range(0, 1024)) AS bucket),
+    dist AS (SELECT g.bucket, coalesce(n_p, 0) AS n_p,
+                    coalesce(n_n, 0) AS n_n
+             FROM grid g LEFT JOIN cnt ON cnt.bucket = g.bucket),
+    tot AS (SELECT sum(n_p) AS tp, sum(n_n) AS tn FROM dist),
+    wt AS (SELECT bucket,
+                  CAST(floor(1000000 * (ln(n_p + 1) - ln(tp + 1024)
+                                        - ln(n_n + 1) + ln(tn + 1024)))
+                       AS BIGINT) AS w_e6
+           FROM dist, tot),
+    sc AS (SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(w_e6) AS BIGINT) AS score_e6
+           FROM tb JOIN wt ON wt.bucket = tb.bucket GROUP BY 1)
+    SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens, sc.score_e6,
+           CAST(floor(CAST(sc.score_e6 AS DOUBLE) / sc.n_tokens)
+                AS BIGINT) AS per_token_e6
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
+    "CCNet-style trained quality scorer (Wenzek 2020's classifier line, "
+    "as hashed-unigram Naive Bayes in closed form): curated-vs-raw labels "
+    "from the curation pipeline's own row-local quality∧lang gate, "
+    "add-one-smoothed per-class bucket distributions, 1e6 FIXED-POINT "
+    "integer weights (ln of integer args → cross-engine-stable floor) so "
+    "per-doc scores are order-independent integer sums; the weight table "
+    "broadcasts at any corpus size (M8)",
+)
+def q_doc_quality_scores(spark, sf_dir):
+    from .operators import corpus
+
+    return corpus.nb_quality_scores(load_table(spark, sf_dir, "documents"))
+
+
 _HYBRID_IDS = "(3, 17, 41)"
 
 

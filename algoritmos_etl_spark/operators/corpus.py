@@ -390,6 +390,105 @@ def bigram_lm_topk(docs: DataFrame, top_k: int = 200) -> DataFrame:
 DSIR_BUCKETS = 1024
 
 
+def nb_quality_scores(
+    docs: DataFrame,
+    is_pos: Column | None = None,
+    n_buckets: int = DSIR_BUCKETS,
+    scale: int = 10**6,
+) -> DataFrame:
+    """CCNet-style trained quality scorer (Wenzek et al. 2020 train a
+    Wikipedia-vs-crawl LM; the linear twin is a hashed-unigram Naive
+    Bayes): label each doc with a row-local curated-vs-raw predicate
+    (default: `text.curation_gate_col` — the curation pipeline's own
+    quality∧lang gate), fit add-one-smoothed per-class hashed-unigram
+    bucket distributions in closed form, and score every document by
+    Σ_tokens w_b where w_b = log p̂(b|pos) − log p̂(b|neg). This is
+    the COMPLEMENT to `dsir_weights`: DSIR reweights toward a target
+    SAMPLE, this trains a classifier from LABELS — together they are
+    the two published lines of quality scoring for LLM corpora.
+
+    Exactness contract: weights are 1e6 FIXED-POINT BIGINTs —
+    w_e6 = floor(1e6·(ln(n_p+1) − ln(T_p+B) − ln(n_n+1) + ln(T_n+B)))
+    — every ln argument is an INTEGER, so both engines evaluate the
+    same IEEE doubles and the floor is cross-engine stable; per-doc
+    scores are integer SUMS (order-independent, unlike double sums).
+    Output: (doc_id, n_tokens, score_e6, per_token_e6), NULL scores
+    for empty documents; per_token_e6 = floor(score/n) for a
+    length-normalized rank.
+
+    Scale shape: the label is row-local (no label-table join), both
+    class distributions reduce to `n_buckets` cells in ONE partial-agg
+    shuffle over the token explode, the weight table BROADCASTS at any
+    corpus size (B rows), and scoring is a map-side-combinable sum on
+    doc_id. The token explode is localCheckpointed so training and
+    scoring share one materialization instead of re-exploding 100 TB.
+    """
+    from .text import curation_gate_col, token_hash, words_col
+
+    if is_pos is None:
+        is_pos = curation_gate_col(F.col("text"))
+    toks = (
+        docs.select(
+            "doc_id",
+            is_pos.alias("_pos"),
+            F.explode(words_col(F.col("text"))).alias("tok"),
+        )
+        .withColumn(
+            "bucket", F.pmod(token_hash(F.col("tok")), F.lit(n_buckets))
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("n_p"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("n_n"),
+    )
+    grid = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    dist = grid.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_p", F.lit(0)).alias("n_p"),
+        F.coalesce("n_n", F.lit(0)).alias("n_n"),
+    )
+    totals = dist.agg(F.sum("n_p").alias("tp"), F.sum("n_n").alias("tn"))
+    weights = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(
+            scale
+            * (
+                F.log(F.col("n_p") + 1)
+                - F.log(F.col("tp") + n_buckets)
+                - F.log(F.col("n_n") + 1)
+                + F.log(F.col("tn") + n_buckets)
+            )
+        ).cast("long").alias("w_e6"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_e6").alias("score_e6"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            "score_e6",
+            # floor(double-div): identical IEEE ops on both engines
+            # (score magnitudes << 2^53, so the division is exact
+            # enough for a stable floor), unlike DIV whose negative
+            # truncation direction differs across engines
+            F.floor(
+                F.col("score_e6").cast("double") / F.col("n_tokens")
+            ).cast("long").alias("per_token_e6"),
+        )
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,

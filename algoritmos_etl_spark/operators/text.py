@@ -359,6 +359,35 @@ def text_quality_gate(docs: DataFrame) -> DataFrame:
     )
 
 
+def curation_gate_col(text: Column) -> Column:
+    """The curation quality∧language gate as ONE row-local boolean
+    Column (`plans.curation.curate_corpus`'s pre-dedup filter:
+    pred_lang = 'en', n_words >= 20, stopword ratio in [0.02, 0.25]).
+    Row-local on purpose: a labeler that needs no join can ride inside
+    any projection — `corpus.nb_quality_scores` uses it to tag the
+    token explode without shuffling a label table."""
+    words = words_col(text)
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    sr = F.round(
+        F.when(n_words > 0, stop_hits.cast("double") / n_words).otherwise(0.0),
+        6,
+    )
+    lowered = F.lower(text)
+    scores = {
+        lang: sum(
+            (_marker_count(lowered, m) for m in markers), F.lit(0).cast("long")
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    en, es, de, fr = (scores[lang] for lang in ("en", "es", "de", "fr"))
+    is_en = (
+        ((en > 0) | (es > 0) | (de > 0) | (fr > 0))
+        & (en >= es) & (en >= de) & (en >= fr)
+    )
+    return is_en & (n_words >= 20) & (sr >= 0.02) & (sr <= 0.25)
+
+
 def _repetition_py(ws: list, n: int) -> tuple[float, float]:
     """(top_frac, dup_frac) for word n-grams — Python twin of the
     `repetition_stats` SQL semantics, used by the fused bundle."""

@@ -340,3 +340,94 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     for r in rows.values():
         if r.log_weight is not None:
             assert math.isfinite(r.log_weight)
+
+
+class TestNBQualityScores:
+    def test_classifier_separates_gate_classes_in_curation_arm(self, spark):
+        """Curation-pipeline arm: train on the pipeline's own gate
+        labels over real documents, then check the classifier ranks
+        gate-passing docs above gate-failing docs on the
+        length-normalized score (a trained scorer must at least
+        recover its own training signal in aggregate)."""
+        from algoritmos_etl_spark.operators import text
+        from algoritmos_etl_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        scored = corpus.nb_quality_scores(docs)
+        labeled = docs.select(
+            "doc_id", text.curation_gate_col(F.col("text")).alias("is_pos")
+        )
+        rows = (
+            scored.join(labeled, "doc_id")
+            .filter(F.col("per_token_e6").isNotNull())
+            .groupBy("is_pos")
+            .agg(F.avg("per_token_e6").alias("m"), F.count("*").alias("n"))
+            .collect()
+        )
+        means = {r.is_pos: r.m for r in rows}
+        ns = {r.is_pos: r.n for r in rows}
+        assert ns[True] > 10 and ns[False] > 10, ns  # both classes present
+        assert means[True] > means[False], means
+
+    def test_fixed_point_scores_are_integer_sums(self, spark):
+        """score_e6 must equal the integer sum of the doc's bucket
+        weights — recomputed independently from the weight table — and
+        per_token_e6 = floor(score/n)."""
+        import math
+
+        from algoritmos_etl_spark.operators.text import token_hash, words_col
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat and the dog ran"),
+                (2, "zqx wvu tqp zqx zqx"),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in corpus.nb_quality_scores(
+            docs, is_pos=F.col("doc_id") == 1
+        ).collect()}
+        assert out[3].n_tokens == 0 and out[3].score_e6 is None
+        assert out[3].per_token_e6 is None
+        # independent recomputation in Python
+        toks = {
+            1: "the cat sat on the mat and the dog ran".split(),
+            2: "zqx wvu tqp zqx zqx".split(),
+        }
+        B = corpus.DSIR_BUCKETS
+        bk = {}
+        tdf = docs.select(
+            "doc_id", F.explode(words_col(F.col("text"))).alias("tok")
+        ).withColumn("b", F.pmod(token_hash(F.col("tok")), F.lit(B)))
+        for r in tdf.collect():
+            bk.setdefault(r.doc_id, []).append(r.b)
+        from collections import Counter
+
+        np_, nn = Counter(bk[1]), Counter(bk[2])
+        tp, tn = len(bk[1]), len(bk[2])
+        w = {
+            b: math.floor(
+                10**6
+                * (
+                    math.log(np_[b] + 1) - math.log(tp + B)
+                    - math.log(nn[b] + 1) + math.log(tn + B)
+                )
+            )
+            for b in set(np_) | set(nn)
+        }
+        for d in (1, 2):
+            want = sum(w[b] for b in bk[d])
+            assert out[d].score_e6 == want, (d, out[d].score_e6, want)
+            assert out[d].per_token_e6 == math.floor(
+                want / len(toks[d])
+            )
+
+    def test_no_positive_docs_still_finite(self, spark):
+        """Degenerate label split (no positives): every weight is the
+        uniform-vs-corpus ratio — finite, never a crash."""
+        docs = spark.createDataFrame(
+            [(1, "aa bb cc"), (2, "dd ee ff")], "doc_id long, text string"
+        )
+        out = corpus.nb_quality_scores(docs, is_pos=F.lit(False)).collect()
+        assert all(r.score_e6 is not None for r in out)
