@@ -1257,6 +1257,7 @@ REGISTRY_ORDER = (
     "small_qty_revenue",     # placed in-window by the r8 rotation below
     "waiting_suppliers",     # placed in-window by the r8 rotation below
     "doc_quality_scores",    # placed in-window by the r8 rotation below
+    "bpe_encode",            # placed in-window by the r8 rotation below
 )
 
 # In-window entries whose oracle is None BY DESIGN (the pipeline is a

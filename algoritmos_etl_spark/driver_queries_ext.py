@@ -3171,6 +3171,49 @@ def q_bpe_tokenize(spark, sf_dir):
     return bpe.bpe_segment(vocab, docs)
 
 
+# merges + alphabet are PLAIN PYTHON (deterministic per sf_dir — the
+# learner's tie-breaks make them engine/parallelism-independent), so
+# unlike the DataFrame cache above this one never holds JVM state and
+# is safe across sessions.
+_BPE_MODEL_CACHE: dict[str, tuple[list, list]] = {}
+
+
+def _bpe_model(spark, sf_dir):
+    from .operators import bpe
+
+    model = _BPE_MODEL_CACHE.get(sf_dir)
+    if model is None:
+        docs = load_table(spark, sf_dir, "documents")
+        merges, _vocab = bpe.learn_bpe(spark, docs, n_merges=8, min_freq=2)
+        model = (merges, bpe.bpe_alphabet(docs))
+        _BPE_MODEL_CACHE[sf_dir] = model
+    return model
+
+
+@register(
+    "bpe_encode",
+    # rows-only BY DESIGN: ordered token-ID encoding under an
+    # iteratively-learned merge table is not one SQL statement; exact
+    # parity (ids, order, byte fallback, losslessness) is pinned
+    # against a pure-Python reference in tests/test_bpe.py.
+    None,
+    "Ordered BPE token-ID sequences (Sennrich 2016 §3 application with "
+    "UTF-8 byte fallback — the SentencePiece byte_fallback / GPT-2 "
+    "byte-level OOV story): segmentation runs once per DISTINCT word "
+    "(Heaps-bounded, the training fold reused in learned order), token→id "
+    "is a literal map expression, per-doc reassembly is one "
+    "posexplode+sorted collect on doc_id; every string encodes "
+    "losslessly, feeding sequence packing real token counts (M8)",
+)
+def q_bpe_encode(spark, sf_dir):
+    from .operators import bpe
+
+    merges, alphabet = _bpe_model(spark, sf_dir)
+    return bpe.bpe_encode(
+        load_table(spark, sf_dir, "documents"), merges, alphabet
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-7 additions: reconciliation, CDC merge, anomaly detection,
 # record linkage

@@ -69,7 +69,9 @@ def _pair_counts(cur: DataFrame) -> DataFrame:
 
 def _apply_merge(cur: DataFrame, left: str, right: str) -> DataFrame:
     """Greedy left-to-right merge of (left, right) -> left+right inside
-    every token array, as one JVM fold — no Python in the loop."""
+    every token array, as one JVM fold — no Python in the loop.
+    Preserves every other column (training carries freq; encoding
+    carries only the word)."""
     merged = left + right
     folded = F.aggregate(
         F.col("toks"),
@@ -84,7 +86,7 @@ def _apply_merge(cur: DataFrame, left: str, right: str) -> DataFrame:
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
-    return cur.select("word", "freq", folded.alias("toks"))
+    return cur.withColumn("toks", folded)
 
 
 def learn_bpe(
@@ -121,7 +123,15 @@ def learn_bpe(
 
 def bpe_segment(tokens_vocab: DataFrame, docs: DataFrame) -> DataFrame:
     """Tokenize docs with a learned vocab: per-doc subword counts via a
-    broadcast join of the word->toks table (bounded vocabulary)."""
+    broadcast join of the word->toks table (bounded vocabulary).
+
+    COUNT-ONLY contract, and the inner join DROPS words absent from
+    the training vocabulary — fine for corpus statistics over the
+    training corpus itself, but it silently under-counts on unseen
+    text. For ordered token IDs with full OOV coverage (the sequence
+    the trainer actually consumes) use `bpe_encode`, which segments
+    the words OF THE INPUT with the learned merges instead of looking
+    them up."""
     return (
         docs.select(
             "doc_id", F.explode(words_col(F.lower(F.col("text")))).alias("word")
@@ -130,4 +140,146 @@ def bpe_segment(tokens_vocab: DataFrame, docs: DataFrame) -> DataFrame:
         .select("doc_id", F.explode("toks").alias("token"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+
+
+# --------------------------------------------------------------- encoding
+#
+# Vocabulary layout (fixed, deterministic):
+#   ids 0..255      reserved byte tokens <0x00>..<0xFF> (the fallback)
+#   ids 256..       the training alphabet (single chars + END), sorted
+#   ids 256+|A|..   merged tokens, in learned-merge order
+# Byte fallback is Sennrich 2016 §3's OOV story as modern tokenizers
+# ship it (SentencePiece byte_fallback, GPT-2 byte-level BPE): a
+# character outside the training alphabet decomposes into its UTF-8
+# bytes, so EVERY string encodes losslessly — no <unk>.
+
+N_BYTE_IDS = 256
+
+
+def bpe_alphabet(docs: DataFrame) -> list[str]:
+    """Sorted training alphabet: every distinct character of the
+    lowercased corpus words, plus END. One explode + distinct — the
+    result is bounded by the script's character set, the only
+    driver-side datum."""
+    chars = (
+        docs.select(F.explode(words_col(F.lower(F.col("text")))).alias("w"))
+        .select(F.explode(F.split(F.col("w"), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    return sorted({r.c for r in chars} | {END})
+
+
+def bpe_vocab_ids(
+    merges: list[tuple[str, str, int]], alphabet: list[str]
+) -> dict[str, int]:
+    """token -> id under the fixed layout above."""
+    vocab: dict[str, int] = {}
+    for i, ch in enumerate(sorted(alphabet)):
+        vocab[ch] = N_BYTE_IDS + i
+    base = N_BYTE_IDS + len(vocab)
+    for i, (left, right, _c) in enumerate(merges):
+        vocab.setdefault(left + right, base + i)
+    return vocab
+
+
+def segment_words(words: DataFrame, merges: list) -> DataFrame:
+    """Apply the learned merges IN ORDER (each greedy left-to-right —
+    the training fold reused verbatim) to any word table: (word) ->
+    (word, toks). This is Sennrich's encode: unseen words still
+    segment correctly because merges rewrite character sequences, not
+    vocabulary lookups."""
+    cur = words.select(
+        "word",
+        F.concat(
+            F.filter(F.split(F.col("word"), ""), lambda c: c != ""),
+            F.array(F.lit(END)),
+        ).alias("toks"),
+    ).localCheckpoint(eager=False)
+    for left, right, _c in merges:
+        cur = _apply_merge(cur, left, right).localCheckpoint(eager=False)
+    return cur
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list,
+    alphabet: list[str],
+) -> DataFrame:
+    """Encode documents to ORDERED token-ID sequences under a learned
+    tokenizer, with UTF-8 byte fallback for out-of-alphabet characters
+    — the sequence grain a training pipeline feeds to packing.
+    Output: (doc_id, n_tokens, token_ids array<int>); empty/NULL text
+    gives an empty array, and every document round-trips losslessly.
+
+    Scale shape: segmentation runs once per DISTINCT word of the
+    input (the Heaps'-law bounded grain, same premise as training),
+    not per occurrence; the token->id map is a LITERAL map expression
+    (vocabulary-sized, no join); per-doc reassembly is one
+    posexplode + join on word + collect_list sorted by position —
+    the single shuffle, on doc_id. The byte fallback is pure JVM
+    (hex + substring arithmetic), reached only for tokens outside
+    the vocab literal."""
+    vocab = bpe_vocab_ids(merges, alphabet)
+    vmap = F.create_map(
+        *[x for t, i in vocab.items() for x in (F.lit(t), F.lit(i))]
+    )
+
+    def byte_ids(tok):
+        hx = F.hex(F.encode(tok, "UTF-8"))
+        return F.transform(
+            F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
+            lambda i: F.conv(hx.substr(i * 2 - 1, F.lit(2)), 16, 10).cast(
+                "int"
+            ),
+        )
+
+    def ids_for(tok):
+        # try_: ANSI element_at throws on a missing map key; the miss
+        # IS the signal that routes to the byte fallback
+        mapped = F.try_element_at(vmap, tok)
+        return F.when(
+            mapped.isNotNull(), F.array(mapped.cast("int"))
+        ).otherwise(byte_ids(tok))
+
+    words_in_doc = docs.select(
+        "doc_id",
+        F.posexplode_outer(words_col(F.lower(F.col("text")))).alias(
+            "pos", "word"
+        ),
+    )
+    word_codes = segment_words(
+        words_in_doc.filter(F.col("word").isNotNull())
+        .select("word")
+        .distinct(),
+        merges,
+    ).select(
+        "word",
+        F.flatten(F.transform(F.col("toks"), ids_for)).alias("ids"),
+    )
+    per_doc = (
+        words_in_doc.join(word_codes, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("word").isNotNull(),
+                                F.struct("pos", "ids"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids")
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        "token_ids",
     )

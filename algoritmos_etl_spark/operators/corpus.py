@@ -141,7 +141,34 @@ def pack_sequences(
 
     Output per document: n_tokens (whitespace words), global
     token_start, pack_first/pack_last (window ids), n_packs_spanned.
+
+    Token grain: whitespace words. For TOKENIZER-aware packing feed
+    `bpe.bpe_encode` output through `pack_sequences_counted` instead —
+    same window math on the learned tokenizer's real counts.
     """
+    counted = docs.select(
+        "doc_id",
+        # NULL text = zero tokens (occupies no space in the stream) —
+        # without the coalesce a NULL doc gets all-NULL packing columns
+        # yet still counts in pack_stats n_docs
+        F.coalesce(F.size(words_col(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_sequences_counted(counted, ctx_len=ctx_len, n_buckets=n_buckets)
+
+
+def pack_sequences_counted(
+    counted: DataFrame,
+    ctx_len: int = 2048,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """`pack_sequences`' window math over PRECOMPUTED per-doc token
+    counts — the tokenizer-aware arm: feed it (doc_id, n_tokens) from
+    `bpe.bpe_encode` (or any tokenizer) and the packing windows are
+    sized by the model's real sequence lengths instead of whitespace
+    words. Same two-phase prefix sum, same split-on-boundary
+    semantics."""
     import math
 
     # order-preserving bucketing requires a KEY PREFIX, so the bucket
@@ -149,12 +176,9 @@ def pack_sequences(
     # capped at 16^4 so the offsets table stays trivially one-task
     hex_len = min(4, max(1, round(math.log(max(n_buckets, 16), 16))))
     skey = _pack_sort_key(F.col("doc_id"))
-    base = docs.select(
+    base = counted.select(
         "doc_id",
-        # NULL text = zero tokens (occupies no space in the stream) —
-        # without the coalesce a NULL doc gets all-NULL packing columns
-        # yet still counts in pack_stats n_docs
-        F.coalesce(F.size(words_col(F.col("text"))), F.lit(0))
+        F.coalesce(F.col("n_tokens"), F.lit(0))
         .cast("long")
         .alias("n_tokens"),
         skey.alias("_skey"),
