@@ -3214,6 +3214,124 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+# ------------------------- round 8: snapshot tables (mini time travel)
+
+# work dirs per (applicationId, sf_dir): same lifecycle discipline as
+# _MV_SETUP (atexit + dead-context eviction).
+_SNAP_SETUP: dict = {}
+
+
+def _snap_cleanup() -> None:
+    import shutil
+
+    for _, w in _SNAP_SETUP.values():
+        shutil.rmtree(w, ignore_errors=True)
+    _SNAP_SETUP.clear()
+
+
+atexit.register(_snap_cleanup)
+
+
+def _snap_setup(spark, sf_dir: str) -> str:
+    """Build the 4-version snapshot table once per (session, sf_dir):
+    v1 overwrite (keys %3==0), v2 append (%3==1), v3 compact,
+    v4 keyed upsert (+1.5 on %13==0 keys of the v1 slice)."""
+    import shutil
+    import tempfile
+
+    from .sources import snapshots as snap
+
+    for k in [
+        k for k, (ctx, _) in _SNAP_SETUP.items() if ctx._jsc is None
+    ]:
+        shutil.rmtree(_SNAP_SETUP.pop(k)[1], ignore_errors=True)
+    sc = spark.sparkContext
+    key = (sc.applicationId, sf_dir)
+    entry = _SNAP_SETUP.get(key)
+    if entry is None:
+        work = tempfile.mkdtemp(prefix="snap_table_")
+        table = f"{work}/orders_snap"
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        k3 = F.pmod(F.col("o_orderkey"), F.lit(3))
+        snap.snapshot_commit(
+            orders.filter(k3 == 0), table, mode="overwrite"
+        )
+        snap.snapshot_commit(orders.filter(k3 == 1), table, mode="append")
+        snap.snapshot_compact(spark, table)
+        updates = (
+            orders.filter(
+                (k3 == 0) & (F.pmod(F.col("o_orderkey"), F.lit(13)) == 0)
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1.5)
+        )
+        snap.snapshot_upsert(spark, table, updates, key_cols=["o_orderkey"])
+        _SNAP_SETUP[key] = (sc, work)
+    return f"{_SNAP_SETUP[key][1]}/orders_snap"
+
+
+@register(
+    "table_history",
+    """WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                   WHERE o_orderkey % 3 = 0),
+    v2 AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 3 IN (0, 1)),
+    v4 AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 13 = 0
+                       THEN o_totalprice + 1.5
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 3 IN (0, 1))
+    SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS op,
+           CAST((SELECT count(*) FROM v1) AS BIGINT) AS n_rows,
+           round(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                       FROM v1) AS DOUBLE), 2) AS total_price
+    UNION ALL
+    SELECT 2, 'append', CAST((SELECT count(*) FROM v2) AS BIGINT),
+           round(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                       FROM v2) AS DOUBLE), 2)
+    UNION ALL
+    SELECT 3, 'compact', CAST((SELECT count(*) FROM v2) AS BIGINT),
+           round(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                       FROM v2) AS DOUBLE), 2)
+    UNION ALL
+    SELECT 4, 'upsert', CAST((SELECT count(*) FROM v4) AS BIGINT),
+           round(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                       FROM v4) AS DOUBLE), 2)""",
+    "Snapshot-table time travel (manifest-based mini-Iceberg over the "
+    "WAP/compaction/upsert family): a real 4-version table is committed "
+    "(overwrite, append, compact, keyed upsert — each an atomic one-link "
+    "manifest publish), then EVERY retained version is read back as-of "
+    "and summarized; the oracle reconstructs each version's expected "
+    "content relationally, so history metadata AND per-version reads "
+    "must both match. Readers are isolated from concurrent "
+    "compaction by file immutability (pinned in test_snapshots)",
+)
+def q_table_history(spark, sf_dir):
+    from functools import reduce
+
+    from .sources import snapshots as snap
+
+    table = _snap_setup(spark, sf_dir)
+    hist = snap.table_history(spark, table)
+    reads = [
+        snap.read_as_of(spark, table, v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+        for v in (1, 2, 3, 4)
+    ]
+    totals = reduce(lambda a, b: a.unionByName(b), reads)
+    return hist.join(totals, "version").select(
+        "version", "op", "n_rows", "total_price"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-7 additions: reconciliation, CDC merge, anomaly detection,
 # record linkage

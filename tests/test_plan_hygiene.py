@@ -87,8 +87,13 @@ _COLLECT_BOUNDED = {
         "PCA Gram cells (D*D+D+1 rows)",
     ),
     "operators/bpe.py": (
+        2,
+        "one winning merge pair per BPE round (limit(1)); the training "
+        "alphabet (bounded by the script's character set)",
+    ),
+    "sources/snapshots.py": (
         1,
-        "one winning merge pair per BPE round (limit(1))",
+        "the snapshot-WAP gate's one-row-per-rule expectation report",
     ),
     "sources/compact.py": (
         2,

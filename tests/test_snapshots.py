@@ -1,0 +1,130 @@
+"""Snapshot tables: atomic manifest commits, time travel, reader
+isolation across concurrent maintenance (the mv torn-state test
+pattern applied to the table layer)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.sources import snapshots as snap
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v double")
+
+
+def test_commit_append_overwrite_and_history(spark, tmp_path):
+    t = str(tmp_path / "t")
+    assert snap.snapshot_commit(_df(spark, [(1, 1.0), (2, 2.0)]), t,
+                                mode="overwrite") == 1
+    assert snap.snapshot_commit(_df(spark, [(3, 3.0)]), t, mode="append") == 2
+    got = {r.k: r.v for r in snap.read_as_of(spark, t).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+    # time travel: v1 is still the two-row table
+    assert snap.read_as_of(spark, t, 1).count() == 2
+    hist = {r.version: (r.op, r.n_rows) for r in
+            snap.table_history(spark, t).collect()}
+    assert hist == {1: ("overwrite", 2), 2: ("append", 3)}
+    # overwrite drops the old file list going forward, keeps history
+    snap.snapshot_commit(_df(spark, [(9, 9.0)]), t, mode="overwrite")
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == {9}
+    assert snap.read_as_of(spark, t, 2).count() == 3
+
+
+def test_reader_isolated_across_compaction_and_vacuum(spark, tmp_path):
+    """The torn-state pin: a reader pinned at version N must return
+    N's exact content even after a compaction commits N+1 and a
+    vacuum (keep=2) runs — its files are immutable and still
+    referenced. Only when vacuum drops N itself does the read fail
+    LOUDLY (version not retained), never silently serve other data."""
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(i, float(i)) for i in range(10)]), t,
+                         mode="overwrite")
+    snap.snapshot_commit(_df(spark, [(10, 10.0)]), t, mode="append")
+    reader = snap.read_as_of(spark, t, 2)          # pinned, lazy
+    v3 = snap.snapshot_compact(spark, t)
+    assert v3 == 3
+    snap.snapshot_vacuum(t, keep=2)                # retains v2, v3
+    got = {r.k for r in reader.collect()}          # materialize AFTER both
+    assert got == set(range(11))
+    # compaction result identical content, fewer files
+    hist = {r.version: r for r in snap.table_history(spark, t).collect()}
+    assert set(hist) == {2, 3}
+    assert hist[3].n_files == 1 and hist[3].n_rows == 11
+    # v1 was vacuumed: loud failure
+    with pytest.raises(ValueError, match="not retained"):
+        snap.read_as_of(spark, t, 1)
+    # v2's files survived vacuum (still referenced by a retained manifest)
+    snap.read_as_of(spark, t, 2).count() == 11
+
+
+def test_crashed_commit_leaves_no_visible_state_and_vacuums(spark, tmp_path):
+    """A crash between data-write and manifest-link (simulated by
+    calling the data writer without publishing) is invisible to every
+    reader; vacuum retires the orphan files."""
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(1, 1.0)]), t, mode="overwrite")
+    snap._write_data(_df(spark, [(99, 99.0)]), t, version_hint=2)  # no publish
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == {1}
+    rep = snap.snapshot_vacuum(t, keep=2)
+    assert rep["commit_dirs_removed"] == 1
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == {1}
+
+
+def test_concurrent_commit_race_never_overwrites(spark, tmp_path):
+    """Two committers racing for the same version: os.link EEXIST
+    pushes the loser to the next slot — both commits survive."""
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(1, 1.0)]), t, mode="overwrite")
+    # adversary steals version 2 with a handwritten manifest
+    m2 = os.path.join(t, "_manifests", "v=2.json")
+    m1 = json.load(open(os.path.join(t, "_manifests", "v=1.json")))
+    json.dump({"version": 2, "op": "adversary", "files": m1["files"],
+               "n_rows": m1["n_rows"]}, open(m2, "w"))
+    v = snap.snapshot_commit(_df(spark, [(2, 2.0)]), t, mode="append")
+    assert v == 3  # retried past the stolen slot
+    hist = {r.version: r.op for r in snap.table_history(spark, t).collect()}
+    assert hist == {1: "overwrite", 2: "adversary", 3: "append"}
+    assert {r.k for r in snap.read_as_of(spark, t, 3).collect()} == {1, 2}
+
+
+def test_upsert_is_key_safe_and_versioned(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(1, 1.0), (2, 2.0), (3, 3.0)]), t,
+                         mode="overwrite")
+    snap.snapshot_upsert(
+        spark, t, _df(spark, [(2, 20.0), (4, 4.0)]), key_cols=["k"]
+    )
+    got = {r.k: r.v for r in snap.read_as_of(spark, t).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0, 4: 4.0}
+    # the pre-upsert version is intact
+    assert {r.k: r.v for r in snap.read_as_of(spark, t, 1).collect()} == {
+        1: 1.0, 2: 2.0, 3: 3.0
+    }
+
+
+def test_snapshot_publish_single_pointer_wap(spark, tmp_path):
+    """WAP on the snapshot layer: a failing audit publishes NOTHING
+    (no version, readers untouched, orphans vacuumable); a passing one
+    appears atomically as the next version."""
+    from algoritmos_etl_spark.operators import expectations as ex
+
+    t = str(tmp_path / "t")
+    rules = [ex.in_range("v", 0, 100)]
+    rep = snap.snapshot_publish(_df(spark, [(1, 10.0)]), t, rules)
+    assert rep["published"] is True and rep["version"] == 1
+    rep = snap.snapshot_publish(_df(spark, [(2, 999.0)]), t, rules)
+    assert rep["published"] is False and rep["version"] is None
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == {1}
+    # the rejected files are orphans: vacuum retires them
+    n_dirs = len(glob.glob(os.path.join(t, "data", "c*")))
+    rep = snap.snapshot_vacuum(t, keep=2)
+    assert rep["commit_dirs_removed"] == n_dirs - 1
+    rep = snap.snapshot_publish(_df(spark, [(3, 30.0)]), t, rules)
+    assert rep == {"published": True, "version": 2, "violations": []}
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == {3}
