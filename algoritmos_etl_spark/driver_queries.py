@@ -1259,6 +1259,7 @@ REGISTRY_ORDER = (
     "doc_quality_scores",    # placed in-window by the r8 rotation below
     "bpe_encode",            # placed in-window by the r8 rotation below
     "table_history",         # placed in-window by the r8 rotation below
+    "exact_repeat_runs",     # placed in-window by the r8 rotation below
 )
 
 # In-window entries whose oracle is None BY DESIGN (the pipeline is a

@@ -2959,11 +2959,14 @@ _PASSAGE_K = 8
     ),
     sh AS (
         SELECT doc_id, p,
+               array_to_string(ws[p+1:p+{_PASSAGE_K}], ' ') AS s,
                {_h(f"array_to_string(ws[p+1:p+{_PASSAGE_K}], ' ')")} AS h
         FROM pos
     ),
-    dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
-    dp AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
+    duph AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+    cand AS (SELECT sh.doc_id, sh.p, sh.s FROM sh JOIN duph USING (h)),
+    ver AS (SELECT s FROM cand GROUP BY s HAVING count(*) >= 2),
+    dp AS (SELECT doc_id, p FROM cand JOIN ver USING (s)),
     m AS (
         SELECT doc_id, p,
                max(p + {_PASSAGE_K - 1}) OVER (
@@ -2988,14 +2991,73 @@ _PASSAGE_K = 8
     FROM isl GROUP BY doc_id, island""",
     "Exact duplicated-passage spans (ExactSubstr dedup, Lee et al. 2022, "
     "at 8-word-shingle resolution): positions whose shingle occurs >= 2 "
-    "times corpus-wide, merged into maximal per-doc spans. Occurrence "
-    "count = partial-agg groupBy on the 60-bit shingle hash; flagged "
-    "positions return via one shuffle join on that hash (inverted index, "
-    "never all-pairs); the interval merge is a per-doc window (M8)",
+    "times corpus-wide, merged into maximal per-doc spans. The hash "
+    "groupBy only NARROWS candidates; occurrence is then verified on the "
+    "exact shingle STRING, so a hash collision can never flag a clean "
+    "position; the interval merge is a per-doc window (M8)",
 )
 def q_duplicate_passages(spark, sf_dir):
     return dedup.duplicate_passages(
         load_table(spark, sf_dir, "documents"), k=_PASSAGE_K, min_count=2
+    )
+
+
+@register(
+    "exact_repeat_runs",
+    f"""WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+    pos AS (
+        SELECT doc_id, unnest(range(0, len(ws) - {_PASSAGE_K - 1})) AS p, ws
+        FROM w WHERE len(ws) >= {_PASSAGE_K}
+    ),
+    sh AS (
+        SELECT doc_id, p,
+               array_to_string(ws[p+1:p+{_PASSAGE_K}], ' ') AS s
+        FROM pos
+    ),
+    pairable AS (
+        SELECT s FROM sh GROUP BY s
+        HAVING count(*) >= 2 AND count(*) <= 64
+    ),
+    cand AS (SELECT sh.doc_id, sh.p, sh.s FROM sh JOIN pairable USING (s)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, a.p AS pos_a, b.doc_id AS doc_b,
+               b.p - a.p AS diag
+        FROM cand a JOIN cand b
+          ON a.s = b.s
+         AND (a.doc_id < b.doc_id
+              OR (a.doc_id = b.doc_id AND a.p < b.p))
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               CASE WHEN lag(pos_a) OVER win IS NULL
+                         OR pos_a > lag(pos_a) OVER win + 1
+                    THEN 1 ELSE 0 END AS is_new
+        FROM pairs
+        WINDOW win AS (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               sum(is_new) OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run
+        FROM runs
+    )
+    SELECT doc_a, CAST(min(pos_a) AS INT) AS start_a, doc_b,
+           CAST(min(pos_a) + diag AS INT) AS start_b,
+           CAST(max(pos_a) - min(pos_a) + {_PASSAGE_K} AS INT) AS len_words,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM isl GROUP BY doc_a, doc_b, diag, run""",
+    "Maximal VERIFIED exact repeats (the Lee 2022 ExactSubstr contract at "
+    "word resolution, suffix-array-free): candidate pairs from k-shingle "
+    "STRING equality (hash only narrows), coalesced along alignment "
+    "diagonals into maximal runs — every output row is a byte-identical "
+    "repeated span, provably maximal; only shingles with 2..64 "
+    "occurrences enter the pair join (the boilerplate df-cap) (M8)",
+)
+def q_exact_repeat_runs(spark, sf_dir):
+    return dedup.exact_repeat_runs(
+        load_table(spark, sf_dir, "documents"), k=_PASSAGE_K, max_occ=64
     )
 
 

@@ -983,13 +983,15 @@ def keep_best_per_cluster(
 # ------------------------------------------------- duplicate passages
 
 def positional_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
-    """(doc_id, pos, h) — one row per k-word shingle POSITION.
+    """(doc_id, pos, h, shingle) — one row per k-word shingle POSITION.
 
     Unlike `doc_shingles` (the distinct inverted-index grain), this
-    keeps every position and hashes the shingle to a 60-bit md5-prefix
-    integer immediately, so downstream shuffles move a fixed-width long
-    instead of a k-word string. The word array is pre-projected for the
-    same codegen-CSE reason as `doc_shingles`.
+    keeps every position, with both the 60-bit md5-prefix hash (the
+    fixed-width shuffle key) and the shingle STRING (for the paths
+    that verify candidates exactly instead of trusting the hash —
+    Catalyst prunes the string away wherever only `h` is consumed).
+    The word array is pre-projected for the same codegen-CSE reason
+    as `doc_shingles`.
     """
     pre = docs.select("doc_id", words_col(F.col("text")).alias("_w"))
     shingles = F.when(
@@ -1006,6 +1008,83 @@ def positional_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
         .cast("long")
         .alias("h"),
+        "shingle",
+    )
+
+
+def exact_repeat_runs(
+    docs: DataFrame, k: int = 8, max_occ: int = 64
+) -> DataFrame:
+    """Maximal VERIFIED exact repeats — the Lee et al. 2022 ExactSubstr
+    contract at word resolution: every output row is a pair of
+    positions whose word spans are byte-identical for `len_words`
+    words (>= k), and maximal (extending one word in either direction
+    breaks the match or hits a document boundary).
+
+    Suffix-array-free distributed re-expression: candidate position
+    pairs come from k-shingle STRING equality (the hash only narrows
+    the candidate set; the join key is the exact string, so equality
+    of every aligned shingle pair along a run PROVES the full spans
+    match — overlapping-window induction). Pairs sharing an alignment
+    DIAGONAL (doc_a, doc_b, pos_b − pos_a) with consecutive positions
+    coalesce into one maximal run via the island window.
+
+    Scale shape: only shingles with 2..max_occ occurrences enter the
+    pair join (the df-cap that keeps boilerplate shingles from going
+    quadratic — same policy as `ngram_jaccard_pairs`; ultra-common
+    shingles are near-dup territory, not passage dedup). Output is
+    linear in TRUE repeat pairs; the window partitions on bounded
+    diagonals.
+
+    Output: (doc_a, start_a, doc_b, start_b, len_words, n_shingles)
+    with (doc_a, start_a) < (doc_b, start_b) lexicographically —
+    intra-doc self-repeats qualify (memorization fuel too).
+    """
+    sh = positional_shingles(docs, k).localCheckpoint(eager=False)
+    pairable = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_occ))
+        .select("shingle")
+    )
+    cand = sh.join(pairable, "shingle").select("doc_id", "pos", "shingle")
+    a, b = cand.alias("a"), cand.alias("b")
+    ordered = (F.col("a.doc_id") < F.col("b.doc_id")) | (
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.pos") < F.col("b.pos"))
+    )
+    pairs = a.join(
+        b, (F.col("a.shingle") == F.col("b.shingle")) & ordered
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    prev = F.lag("pos_a").over(w)
+    runs = (
+        pairs.withColumn(
+            "_new",
+            F.when(prev.isNull() | (F.col("pos_a") > prev + 1), 1).otherwise(0),
+        )
+        .withColumn("_run", F.sum("_new").over(w))
+        .groupBy("doc_a", "doc_b", "diag", "_run")
+        .agg(
+            F.min("pos_a").cast("int").alias("start_a"),
+            (F.max("pos_a") - F.min("pos_a") + k).cast("int").alias(
+                "len_words"
+            ),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+    )
+    return runs.select(
+        "doc_a",
+        "start_a",
+        "doc_b",
+        (F.col("start_a") + F.col("diag")).cast("int").alias("start_b"),
+        "len_words",
+        "n_shingles",
     )
 
 
@@ -1019,28 +1098,41 @@ def duplicate_passages(
     A position is *duplicated* when its k-word shingle occurs >=
     `min_count` times in the whole corpus (cross-doc boilerplate AND
     intra-doc repetition both qualify — both are memorization fuel).
+    Occurrences are counted on the EXACT shingle string: the 60-bit
+    hash only pre-narrows candidates (one partial-agg groupBy), and a
+    second count over the candidate subset verifies by string equality
+    — a hash collision can therefore never flag a clean position.
     Runs of duplicated positions are merged into maximal spans per doc
     (overlapping or adjacent intervals [pos, pos+k-1] coalesce), which
-    is what a passage-level scrubber deletes.
+    is what a passage-level scrubber deletes. Every position of every
+    reported span lies inside at least one verified exact repeat (the
+    run grain is `exact_repeat_runs`).
 
-    Scale shape: the occurrence count is a partial-agg groupBy on the
-    60-bit shingle hash; flagged positions come back via one shuffle
-    join on that hash (inverted-index pattern, never all-pairs); the
-    interval merge is a per-doc window (bounded by doc length). Output
-    is linear in duplicated positions.
+    Scale shape: the hash count is a partial-agg groupBy on the 60-bit
+    shingle hash; candidates come back via one shuffle join on that
+    hash (inverted-index pattern, never all-pairs); the string verify
+    touches only candidates; the interval merge is a per-doc window
+    (bounded by doc length). Output is linear in duplicated positions.
 
     Output: (doc_id, span_start, span_end, span_words, n_dup_shingles)
     — word-index span [start, end] inclusive, its width, and how many
     duplicated shingle positions support it.
     """
     sh = positional_shingles(docs, k).localCheckpoint(eager=False)
-    dup = (
+    dup_h = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
         .select("h")
     )
-    dpos = sh.join(dup, "h").select("doc_id", "pos")
+    cand = sh.join(dup_h, "h")
+    verified = (
+        cand.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("shingle")
+    )
+    dpos = cand.join(verified, "shingle").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -361,3 +361,82 @@ def test_duplicate_passages_spans_are_disjoint_on_corpus(tables):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 > e1 + 1  # maximal: disjoint and non-adjacent
+
+
+def test_exact_repeat_runs_are_exact_and_maximal(tables):
+    """The Lee-2022 contract, property-tested on the real corpus:
+    every reported run's word spans are byte-identical for len_words
+    words, len_words >= k, and the run is MAXIMAL (one more word on
+    either side breaks the match or crosses a doc boundary)."""
+    k = 8
+    docs = tables["documents"]
+    runs = dedup.exact_repeat_runs(docs, k=k, max_occ=64).collect()
+    assert runs, "corpus must contain repeats"
+    words = {
+        r.doc_id: (r.text or "").strip().split()
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for r in runs:
+        wa, wb = words[r.doc_a], words[r.doc_b]
+        assert r.len_words >= k
+        assert r.n_shingles == r.len_words - k + 1
+        span_a = wa[r.start_a : r.start_a + r.len_words]
+        span_b = wb[r.start_b : r.start_b + r.len_words]
+        assert len(span_a) == r.len_words and span_a == span_b, r
+        # maximal left
+        if r.start_a > 0 and r.start_b > 0:
+            assert wa[r.start_a - 1] != wb[r.start_b - 1], r
+        # maximal right
+        ea, eb = r.start_a + r.len_words, r.start_b + r.len_words
+        if ea < len(wa) and eb < len(wb):
+            assert wa[ea] != wb[eb], r
+
+
+def test_exact_repeat_runs_synthetic_spans_and_self_repeat(spark):
+    """Hand-built corpus: a 12-word shared passage reports as ONE
+    12-word run (not five 8-word fragments); an intra-doc self-repeat
+    qualifies; a hash-free near-miss (one word differs) caps the run."""
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    docs = spark.createDataFrame(
+        [
+            (1, f"start {shared} end one"),
+            (2, f"other prefix {shared} different tail"),
+            (3, f"{shared} and again {shared}"),
+            (4, "alpha bravo charlie delta echo foxtrot golf hotel XRAY "
+                "juliet kilo lima unrelated tail here now"),
+        ],
+        "doc_id long, text string",
+    )
+    runs = {
+        (r.doc_a, r.start_a, r.doc_b, r.start_b): r
+        for r in dedup.exact_repeat_runs(docs, k=8).collect()
+    }
+    r12 = runs[(1, 1, 2, 2)]
+    assert r12.len_words == 12 and r12.n_shingles == 5
+    # intra-doc self repeat in doc 3 (positions 0 and 14)
+    self_r = runs[(3, 0, 3, 14)]
+    assert self_r.len_words == 12
+    # doc 4 shares only the first 8 words with the passage, then XRAY
+    r14 = runs[(1, 1, 4, 0)]
+    assert r14.len_words == 8 and r14.n_shingles == 1
+
+
+def test_duplicate_passages_string_verified(spark):
+    """The verify pass counts exact shingle STRINGS, so only truly
+    repeated passages flag — the hash stage is a pure candidate
+    narrowing."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(12)) + " " +
+                " ".join(f"z{i}" for i in range(8))),
+            (2, " ".join(f"w{i}" for i in range(12))),
+            (3, " ".join(f"u{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    clean = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicate_passages(docs, k=8).collect()
+    }
+    # doc1+doc2 share w0..w11 → spans at [0, 11]; doc3 and z-block clean
+    assert clean == {(1, 0, 11), (2, 0, 11)}
