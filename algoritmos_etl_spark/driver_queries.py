@@ -1088,57 +1088,67 @@ CORRECTNESS_WINDOW = 50
 # entries into the tail. Rows-only-by-design flagships (oracle=None)
 # sit in-window too — the driver records their weaker rows-only row,
 # which is still a harder signal than no row at all.
+#
+# r8 rotation: the ten r7 tail flagships (variant_props_stats,
+# streaming_cdc_state, weekly_bars, order_value_drift, acf_report,
+# seasonal_decomposition, idle_rich_customers, attribution_outer,
+# incremental_distinct, top_parts_per_brand) moved IN per the standing
+# policy, alongside this round's six new flagships (small_qty_revenue,
+# waiting_suppliers, doc_quality_scores, bpe_encode, table_history,
+# exact_repeat_runs); sixteen hash-green-for-multiple-rounds entries
+# whose operator families stay evidenced in-window moved to the tail
+# (each annotated below).
 REGISTRY_ORDER = (
     # ---- §2 financial-ETL surface ----
     "bars_model",
     "cleaning_report",
-    "align_to_calendar",
     "interpolated_bars",
     "returns_model",
     "risk_classification",
     "streak_histograms",
     "pair_metrics",
-    "correlation_heatmap",
     "dtw_report",
     # ---- relational query shapes ----
-    "revenue_by_nation",
     "revenue_rollup",
-    "supplier_diversity",
-    "min_cost_supplier",
-    "trailing_revenue_7d",
+    "small_qty_revenue",      # r8 NEW: Q17 correlated-avg join-back
+    "waiting_suppliers",      # r8 NEW: Q21 EXISTS-chain collapse
+    "idle_rich_customers",    # r8 rotation: Q22 shape in-window
+    "top_parts_per_brand",    # r8 rotation
     "orders_table_diff",
     "cdc_merge_state",
-    "quality_expectations",
-    "scd2_user_history",
     "price_anomalies",
     "fuzzy_part_match",
-    "revenue_share",
-    "price_quantiles",
+    "weekly_bars",            # r8 rotation: OHLCV resample
+    "acf_report",             # r8 rotation
+    "seasonal_decomposition",  # r8 rotation
+    "order_value_drift",      # r8 rotation: PSI drift monitor
+    "table_history",          # r8 NEW: snapshot time travel
+    "variant_props_stats",    # r8 rotation: VARIANT tier
     # ---- text / dedup / corpus ----
     "text_stats",
     "textrank_keywords",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "duplicate_passages",
+    "exact_repeat_runs",      # r8 NEW: verified ExactSubstr runs
     "neardup_clusters",
     "corpus_curation",
-    "decontamination",
     "sequence_packing",
     "dsir_weights",
+    "doc_quality_scores",     # r8 NEW: NB quality classifier
+    "bpe_encode",             # r8 NEW: ordered token-ID encode
     "hybrid_rrf_topk",
     # ---- vectors ----
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
-    "semantic_dedup",
     "pca_projection",
     # ---- streaming / event-time ----
     "event_time_report",
-    "running_streaks",
     "streaming_neardup",
-    "attribution_join",
+    "attribution_outer",      # r8 rotation: LEFT OUTER stream join
     "incremental_revenue",
+    "streaming_cdc_state",    # r8 rotation: streaming CDC MERGE
+    "incremental_distinct",   # r8 rotation: HLL MV (rows-only by design)
     # ---- multimodal / profiling / joins ----
     "multimodal_report",
     "image_neardup",
@@ -1148,67 +1158,54 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
-    "top_parts_per_brand",   # sorting.top_k_per_group's own driver row
-                             # (window-rank top-k; the TopK operator is
-                             # in-window via hybrid/doc rankings); full oracle
-    "acf_report",            # self-lag Pearson: the in-window pair_metrics
-                             # corr (A7) on the lag axis; full oracle
-    "seasonal_decomposition",  # centered-MA + day-of-week means: window
-                               # machinery in-window via trailing_revenue/
-                               # price_anomalies; full oracle
-    "order_value_drift",     # PSI drift monitor: profiling family
-                             # in-window via table_profile; full oracle,
-                             # judge-verifiable via verify_local
-    "bm25_topk",             # Lucene-BM25 scoring: hash-green r5-r6 AND
+    "bm25_topk",             # Lucene-BM25 scoring: hash-green r5-r7 AND
                              # verified verbatim inside the in-window
                              # hybrid_rrf_topk oracle's lexical arm
     "doc_lm_scores",         # bigram-LM perplexity proxy: hash-green
-                             # r4-r6; the quality-scoring family stays
-                             # in-window via dsir_weights; test_retrieval
-    "weekly_bars",           # OHLCV resample: the SAME min_by/max_by agg
-                             # idiom as the in-window bars_model, one grain
-                             # coarser; full oracle
+                             # r4-r7; the quality-scoring family stays
+                             # in-window via dsir_weights +
+                             # doc_quality_scores; test_retrieval
     "rolling_features",      # W4 SMA + W6 gap windows; scalars in-window
-                             # via risk_classification; hash-green r1-r6
+                             # via risk_classification; hash-green r1-r7
     "kmeans_clusters",       # profile over the SAME k-means the in-window
-                             # ann_ivf_topk quantizer runs; hash-green r4-r6
+                             # ann_ivf_topk quantizer runs; hash-green r4-r7
     "interval_join_sessions",  # grid-bucket range join; asof_join_bars
                                # covers the range-join family in-window;
-                               # hash-green r4-r6; test_ranges
+                               # hash-green r4-r7; test_ranges
     "doc_fingerprints",      # exact-dedup md5 groupBy; incremental index
-                             # pinned in test_dedup; hash-green r3-r6
+                             # pinned in test_dedup; hash-green r3-r7
     "canonical_selection",   # one join + window on the in-window
-                             # neardup_clusters output; hash-green r4-r6
+                             # neardup_clusters output; hash-green r4-r7
     "corpus_mixture",        # partial agg on bounded stratum key;
-                             # hash-green r3-r6; test_corpus
-    "embedding_neardup_pairs",  # LSH banding in-window via ann_lsh_topk +
-                                # dedup_minhash_lsh; hash-green r3-r6
+                             # hash-green r3-r7; test_corpus
+    "embedding_neardup_pairs",  # LSH banding in-window via
+                                # dedup_minhash_lsh; hash-green r3-r7
     "drop_invalid_rows",     # P3 one-predicate filter; null handling covered
                              # in-window by cleaning_report/bars_model;
-                             # hash-green r1–r6; test_cleaning
+                             # hash-green r1-r7; test_cleaning
     "top15_by_value",        # W9 TakeOrderedAndProject shape in-window via
-                             # bm25_topk/doc_lm_scores; hash-green r1–r6;
-                             # test_sorting pins the plan
-    "wide_roundtrip",        # J3/S4 pivot↔melt edge; hash-green r1–r6;
+                             # waiting_suppliers/hybrid rankings; hash-green
+                             # r1-r7; test_sorting pins the plan
+    "wide_roundtrip",        # J3/S4 pivot-melt edge; hash-green r1-r7;
                              # test_alignment pins exact row parity
     "bar_slices",            # P8/O15 slices + F1/F2/F4 scalars; hash-green
-                             # r1–r6; test_sampling/test_scalars
+                             # r1-r7; test_sampling/test_scalars
     "multi_key_sort_rank",   # O13/O16 multi-key orderBy; embedded sorts in
-                             # every in-window query; hash-green r1–r6
+                             # every in-window query; hash-green r1-r7
     "pricing_summary",       # Q1 decimal agg — decimal-exact partial sums
-                             # in-window via revenue_rollup; hash-green r3–r6
+                             # in-window via revenue_rollup; hash-green r3-r7
     "behavioral_report",     # sessionization window algebra in-window via
-                             # event_time_report/running_streaks; hash-green
-                             # r5–r6; test_behavioral
+                             # event_time_report; hash-green r5-r7;
+                             # test_behavioral
     "corpus_sampling",       # deterministic hash-bucket splits; hash-green
-                             # r3–r6; test_sampling pins split determinism
-    "lm_topk",               # bigram-LM top-k; the LM itself is in-window
-                             # via doc_lm_scores; hash-green r3–r6
-    "rag_chunking",          # shuffle-free chunker; hash-green r3–r6;
+                             # r3-r7; test_sampling pins split determinism
+    "lm_topk",               # bigram-LM top-k; the LM itself stays pinned
+                             # via doc_lm_scores; hash-green r3-r7
+    "rag_chunking",          # shuffle-free chunker; hash-green r3-r7;
                              # test_retrieval pins chunk boundaries
     "ann_cosine_topk",       # brute-force ANN baseline; the ANN family is
-                             # in-window via lsh/ivf/pq; hash-green r3–r6
-    "skew_salted_join",      # salted ≡ plain join pinned in test_skew; the
+                             # in-window via ivf/pq; hash-green r3-r7
+    "skew_salted_join",      # salted == plain join pinned in test_skew; the
                              # joined SEMANTICS are covered by the in-window
                              # join queries — this entry's value is the plan
     "parts_per_size_bucket",  # W8 CASE bucketing evidenced in-window by
@@ -1219,54 +1216,94 @@ REGISTRY_ORDER = (
     "embedding_norms",       # consumed by the hash-green ann_* queries; test_vectors
     "late_shipment_priority",  # Q12 shape; plan pinned in test_plans
     "large_orders_topk",     # Q18 shape; plan pinned in test_plans
-    "top_customers_by_revenue",  # hash-green in r04+r05; broadcast-join +
+    "top_customers_by_revenue",  # hash-green r4-r7; broadcast-join +
                                  # top-k shape covered in-window by
-                                 # revenue_by_nation; test_plans
-    "order_priority_counts",  # hash-green in r04+r05; semi-join shape;
+                                 # revenue_rollup/waiting_suppliers
+    "order_priority_counts",  # hash-green r4-r7; semi-join shape;
                               # test_plans
     "shipping_priority",     # Q3 shape: semi-join + topk both covered
                              # in-window; plan pinned in test_plans
-    "attribution_outer",     # LEFT OUTER arm of the in-window
-                             # attribution_join (same range-join state
-                             # machinery); outer stream emission pinned in
-                             # test_streaming; full oracle
-    "variant_props_stats",   # Spark-4 VARIANT tier demo; the JSON
-                             # aggregation GRAIN is pytest-pinned and the
-                             # string-JSON twin (behavioral props arm) was
-                             # hash-green r5-r6; full oracle
     "pii_redaction",         # regexp_replace action chain; the SAME four
                              # PII patterns are hash-green in-window via
-                             # text_stats counts; hash-green r3-r6; test_text
-    "streaming_cdc_state",   # stream twin of the in-window
-                             # cdc_merge_state (same full oracle; the
-                             # MERGE operator itself is hash-green there);
-                             # versioned-state lifecycle in test_streaming
-    "idle_rich_customers",   # Q22 shape: scalar-subquery broadcast +
-                             # anti-join — both shapes in-window via
-                             # risk_classification (1-row thresholds) and
-                             # supplier_diversity (broadcast anti); full
-                             # oracle, judge-verifiable via verify_local
-    "incremental_distinct",  # HLL distinct MV: rows-only BY DESIGN
-                             # (DataSketches estimate); union==one-shot +
-                             # error bound pinned in test_streaming
+                             # text_stats counts; hash-green r3-r7; test_text
     "approx_profile",        # sketch tier: rows-only BY DESIGN (engine-specific
                              # internals); error bound vs exact tier pinned in tests
     "bpe_tokenize",          # iterative BPE learning: rows-only BY DESIGN;
                              # merge sequence + vocab pinned vs a pure-Python
-                             # reference in test_bpe
-    "small_qty_revenue",     # placed in-window by the r8 rotation below
-    "waiting_suppliers",     # placed in-window by the r8 rotation below
-    "doc_quality_scores",    # placed in-window by the r8 rotation below
-    "bpe_encode",            # placed in-window by the r8 rotation below
-    "table_history",         # placed in-window by the r8 rotation below
-    "exact_repeat_runs",     # placed in-window by the r8 rotation below
+                             # reference in test_bpe; the APPLICATION grain
+                             # is in-window via bpe_encode
+    # ---- displaced by the r8 rotation: hash-green r1-r7 (or since
+    # their landing round), operator families still evidenced in-window ----
+    "align_to_calendar",     # J1/J2 calendar union+broadcast join, W1 ffill:
+                             # hash-green r1-r7; fill family in-window via
+                             # interpolated_bars; test_alignment
+    "correlation_heatmap",   # J5 blocked-BLAS heatmap: hash-green r1-r7;
+                             # the similarity bundle (A7-A9) stays in-window
+                             # via pair_metrics; test_similarity pins
+                             # blocked==naive parity
+    "revenue_by_nation",     # Q5 join-agg: hash-green r3-r7; the
+                             # fact-dims-agg shape is in-window via
+                             # revenue_rollup; test_plans pins broadcasts
+    "supplier_diversity",    # Q16 distinct-agg + broadcast anti: hash-green
+                             # r6-r7; anti/semi chains in-window via
+                             # waiting_suppliers; test_plans
+    "min_cost_supplier",     # Q2 correlated argmin: hash-green r6-r7; the
+                             # correlated-subquery family is in-window via
+                             # small_qty_revenue; plan pinned in test_plans
+    "trailing_revenue_7d",   # RANGE-frame rolling sums: hash-green r6-r7;
+                             # window frames in-window via price_anomalies +
+                             # seasonal_decomposition
+    "revenue_share",         # percent-of-total windows over a bounded
+                             # rollup: hash-green r7; windows-over-agg
+                             # in-window via seasonal_decomposition/acf
+    "price_quantiles",       # exact multi-quantile partial agg: hash-green
+                             # r7; the same percentile machinery is
+                             # in-window via order_value_drift's bounds
+    "scd2_user_history",     # SCD2 windowed versioning: hash-green r6-r7;
+                             # the CDC/versioning family is in-window via
+                             # cdc_merge_state + streaming_cdc_state +
+                             # table_history; test_reconcile
+    "quality_expectations",  # declarative expectations gate: hash-green
+                             # r6-r7; the gate also runs in-window inside
+                             # table_history's WAP sibling tests;
+                             # test_expectations
+    "dedup_ngram_jaccard",   # exact-Jaccard near-dup: hash-green r3-r7;
+                             # the shingle-candidate-verify family stays
+                             # in-window via dedup_minhash_lsh +
+                             # duplicate_passages + exact_repeat_runs
+    "ann_lsh_topk",          # multi-table LSH ANN: hash-green r4-r7; the
+                             # ANN family is in-window via ivf/pq (the
+                             # scale path); banding also via minhash_lsh
+    "running_streaks",       # transformWithState streaks: hash-green
+                             # r5-r7; stateful streaming in-window via
+                             # streaming_cdc_state + event_time_report;
+                             # stream==batch parity in test_streaming
+    "semantic_dedup",        # SemDeDup cluster-local gram: hash-green
+                             # r4-r7; the vector family is in-window via
+                             # ann_ivf/pq + pca; test_vectors
+    "decontamination",       # benchmark-overlap gate: hash-green r4-r7;
+                             # the broadcast-shingle family is in-window
+                             # via corpus_curation; test_corpus
+    "attribution_join",      # INNER stream-stream join: hash-green r5-r7;
+                             # superseded in-window by attribution_outer
+                             # (same state machinery + outer emission);
+                             # stream==batch parity in test_streaming
 )
 
-# In-window entries whose oracle is None BY DESIGN (the pipeline is a
-# codec / an eigendecomposition no SQL engine reproduces); the driver
-# records rows-only rows for these — an explicit, reviewed exception.
+# In-window entries whose oracle is None BY DESIGN (codec /
+# eigendecomposition / sketch-estimate / iteratively-learned-encoding
+# pipelines no SQL engine reproduces); the driver records rows-only
+# rows for these — an explicit, reviewed exception. Each is pinned by
+# an exact non-SQL reference in pytest (numpy PCA parity, codec
+# round-trips, union==one-shot HLL, pure-Python BPE id parity).
 WINDOW_ROWS_ONLY = frozenset(
-    {"pca_projection", "image_neardup", "audio_features"}
+    {
+        "pca_projection",
+        "image_neardup",
+        "audio_features",
+        "incremental_distinct",
+        "bpe_encode",
+    }
 )
 
 assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER))

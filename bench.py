@@ -152,46 +152,44 @@ def main() -> None:
             fh,
             indent=1,
         )
-    # Compact separators: at 61+ queries the default-spaced line is
-    # ~1.8k chars against the harvester's ~2k tail — keep the margin.
-    # The tail buffer is EXACTLY 2000 chars (measured: BENCH_r05.json
-    # "tail" length); a line that doesn't fit whole in the tail fails
-    # the harvester's parse and the round loses its bench row entirely
-    # (that is what happened to round 5's line with inline trial
-    # arrays). Degrade gracefully as the registry grows: first shave
-    # per-query precision to 2 decimals, then drop the probe fields
-    # (both remain full-precision in the sidecar), and hard-fail if
-    # the line still can't fit rather than silently losing the round.
+    # Compact separators: the harvester tail buffer is EXACTLY 2000
+    # chars (measured: BENCH_r05.json "tail" length); a line that
+    # doesn't fit whole in the tail fails the harvester's parse and
+    # the round loses its bench row entirely (round 5's line with
+    # inline trial arrays did exactly that). Degrade gracefully as the
+    # registry grows, but stay SELF-CONTAINED: past the point where
+    # every full query name fits (~75 queries), the per-query medians
+    # ride as the positional array "qv" in REGISTRY_ORDER order — the
+    # 1-based index column of QUERIES.md is the name key — so EVERY
+    # registry query's timing is on the driver record even at 100+
+    # queries, with the top-slowest also named inline for one-glance
+    # reads. Full-precision per-name dicts stay in BENCH_TRIALS.json.
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1900:
         summary["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1900:
-        summary.pop("probe_med_s", None)
-        summary.pop("jvm_probe_med_s", None)
-        line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 1900:
-        summary["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 1900:
-        summary.pop("wall_clock_s", None)
-        line = json.dumps(summary, separators=(",", ":"))
-    # Past ~75 queries no precision shaving fits every name on the
-    # line: keep the TOP SLOWEST queries (the rows a perf reader acts
-    # on) and declare the cut; the full dict stays in the sidecar.
-    if len(line) > 1900:
+        summary["qv"] = [round(timings[k], 2) for k in headline]
+        summary["qv_order"] = "REGISTRY_ORDER;names=QUERIES.md #"
         by_cost = sorted(timings, key=timings.get, reverse=True)
-        for keep in (60, 50, 40, 30, 20):
+        for keep in (25, 20, 15, 10, 5, 0):
             summary["queries"] = {
-                k: round(timings[k], 2)
-                for k in sorted(by_cost[:keep])
+                k: round(timings[k], 2) for k in sorted(by_cost[:keep])
             }
             summary["queries_note"] = (
-                f"top{keep}_of_{len(timings)};full:BENCH_TRIALS.json"
+                f"top{keep}_of_{len(timings)};all_in_qv"
             )
             line = json.dumps(summary, separators=(",", ":"))
             if len(line) <= 1900:
                 break
+    if len(line) > 1900:
+        summary.pop("probe_med_s", None)
+        summary.pop("jvm_probe_med_s", None)
+        summary.pop("wall_clock_s", None)
+        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:
+        summary["qv"] = [round(timings[k], 1) for k in headline]
+        line = json.dumps(summary, separators=(",", ":"))
     assert len(line) <= 1950, (
         f"bench stdout line is {len(line)} chars; the harvester tail "
         "is 2000 — shrink the queries dict (registry too large for "

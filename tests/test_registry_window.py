@@ -24,37 +24,38 @@ from algoritmos_etl_spark.driver_queries import (
 MUST_BE_IN_WINDOW = {
     # §2 surface
     "bars_model", "cleaning_report",
-    "align_to_calendar", "interpolated_bars", "returns_model",
+    "interpolated_bars", "returns_model",
     "risk_classification", "streak_histograms", "pair_metrics",
-    "correlation_heatmap", "dtw_report",
-    # relational / OLAP (r6/r7 flagships included)
-    "revenue_by_nation", "revenue_rollup", "supplier_diversity",
-    "min_cost_supplier", "trailing_revenue_7d",
+    "dtw_report",
+    # relational / OLAP / warehouse (r7 rotations + r8 flagships)
+    "revenue_rollup", "small_qty_revenue", "waiting_suppliers",
+    "idle_rich_customers", "top_parts_per_brand",
     "orders_table_diff", "cdc_merge_state",
-    "quality_expectations", "scd2_user_history",
     "price_anomalies", "fuzzy_part_match",
-    "revenue_share", "price_quantiles",
+    "weekly_bars", "acf_report", "seasonal_decomposition",
+    "order_value_drift", "table_history", "variant_props_stats",
     # extensions
     "text_stats", "textrank_keywords",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "duplicate_passages", "neardup_clusters",
-    "corpus_curation", "decontamination",
-    "sequence_packing", "dsir_weights", "hybrid_rrf_topk",
-    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "semantic_dedup",
+    "dedup_minhash_lsh", "dedup_simhash",
+    "duplicate_passages", "exact_repeat_runs", "neardup_clusters",
+    "corpus_curation",
+    "sequence_packing", "dsir_weights", "doc_quality_scores",
+    "bpe_encode", "hybrid_rrf_topk",
+    "ann_ivf_topk", "ann_pq_topk",
     "pca_projection",
-    "event_time_report", "running_streaks", "streaming_neardup",
-    "attribution_join", "incremental_revenue",
+    "event_time_report", "streaming_neardup",
+    "attribution_outer", "incremental_revenue",
+    "streaming_cdc_state", "incremental_distinct",
     "multimodal_report", "image_neardup", "audio_features",
     "table_profile", "asof_join_bars",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
-# the notes in driver_queries.REGISTRY_ORDER). The r7 rotation moved
-# the ten r6 flagships in and these hash-green-for-multiple-rounds
-# simple entries out.
+# the notes in driver_queries.REGISTRY_ORDER). The r8 rotation moved
+# the ten r7 tail flagships plus this round's six new flagships in,
+# and these hash-green-for-multiple-rounds entries out.
 EXPECTED_TAIL = {
-    # displaced by the r7 rotation — all hash-green r1–r6 or r3–r6
+    # displaced by the r7 rotation — all hash-green r1–r7 or r3–r7
     "doc_fingerprints", "canonical_selection", "corpus_mixture",
     "embedding_neardup_pairs", "rolling_features", "kmeans_clusters",
     "interval_join_sessions",
@@ -62,16 +63,21 @@ EXPECTED_TAIL = {
     "bar_slices", "multi_key_sort_rank", "pricing_summary",
     "behavioral_report", "corpus_sampling", "lm_topk", "rag_chunking",
     "ann_cosine_topk",
+    # displaced by the r8 rotation — see REGISTRY_ORDER notes
+    "align_to_calendar", "correlation_heatmap", "revenue_by_nation",
+    "supplier_diversity", "min_cost_supplier", "trailing_revenue_7d",
+    "revenue_share", "price_quantiles", "scd2_user_history",
+    "quality_expectations", "dedup_ngram_jaccard", "ann_lsh_topk",
+    "running_streaks", "semantic_dedup", "decontamination",
+    "attribution_join",
     # long-standing declared tail
     "skew_salted_join", "parts_per_size_bucket",
     "keep_latest_event", "fk_violations_orders", "risk_summary",
     "embedding_norms", "late_shipment_priority", "large_orders_topk",
     "top_customers_by_revenue", "order_priority_counts",
     "shipping_priority", "approx_profile", "bpe_tokenize",
-    "idle_rich_customers", "streaming_cdc_state", "pii_redaction",
-    "variant_props_stats", "attribution_outer", "incremental_distinct",
-    "weekly_bars", "doc_lm_scores", "bm25_topk", "order_value_drift",
-    "acf_report", "seasonal_decomposition", "top_parts_per_brand",
+    "pii_redaction",
+    "doc_lm_scores", "bm25_topk",
 }
 
 
@@ -110,20 +116,24 @@ def test_window_queries_all_have_oracles():
     )
 
 
-def test_bench_line_fits_harvester_tail():
+def test_bench_line_fits_harvester_tail_and_stays_self_contained():
     # the driver keeps only the last ~2000 chars of bench stdout (EXACTLY
     # 2000, measured from BENCH_r05.json); round 5's line with inline
     # trial arrays blew past it and failed to parse. bench.py degrades
-    # gracefully as the registry grows (3-decimal → 2-decimal → drop the
-    # probe fields) and hard-fails past 1950; replicate that chain here
-    # on worst-case values and pin the final line inside the margin.
+    # gracefully as the registry grows but must stay SELF-CONTAINED:
+    # when full names no longer fit, every per-query median rides the
+    # positional "qv" array (REGISTRY_ORDER order = QUERIES.md's index
+    # column) with the top-slowest also named. Replicate the chain on
+    # worst-case values, pin the final line inside the margin, AND pin
+    # that every registry query's timing is on the line.
     import json
 
+    names = list(REGISTRY)
     summary = {
         "metric": "headline_suite_seconds",
         "value": 12345.678,
         "unit": "sec",
-        "queries": {n: 123.456 for n in REGISTRY},
+        "queries": {n: 123.456 for n in names},
         "n_trials": 3,
         "wall_clock_s": 12345.678,
         "probe_med_s": 123.456,
@@ -132,33 +142,32 @@ def test_bench_line_fits_harvester_tail():
     }
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1900:
-        summary["queries"] = {n: 123.46 for n in REGISTRY}
+        summary["queries"] = {n: 123.46 for n in names}
         line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1900:
-        summary.pop("probe_med_s")
-        summary.pop("jvm_probe_med_s")
-        line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 1900:
-        summary["queries"] = {n: 123.5 for n in REGISTRY}
-        line = json.dumps(summary, separators=(",", ":"))
-    if len(line) > 1900:
-        summary.pop("wall_clock_s")
-        line = json.dumps(summary, separators=(",", ":"))
-    # final fallback mirrors bench.py: top-K slowest only, full dict
-    # in the BENCH_TRIALS.json sidecar
-    if len(line) > 1900:
-        names = sorted(REGISTRY)
-        for keep in (60, 50, 40, 30, 20):
-            summary["queries"] = {n: 123.46 for n in names[:keep]}
-            summary["queries_note"] = (
-                f"top{keep}_of_{len(names)};full:BENCH_TRIALS.json"
-            )
+        summary["qv"] = [123.46 for _ in names]
+        summary["qv_order"] = "REGISTRY_ORDER;names=QUERIES.md #"
+        for keep in (25, 20, 15, 10, 5, 0):
+            summary["queries"] = {n: 123.46 for n in sorted(names)[:keep]}
+            summary["queries_note"] = f"top{keep}_of_{len(names)};all_in_qv"
             line = json.dumps(summary, separators=(",", ":"))
             if len(line) <= 1900:
                 break
+    if len(line) > 1900:
+        summary.pop("probe_med_s")
+        summary.pop("jvm_probe_med_s")
+        summary.pop("wall_clock_s")
+        line = json.dumps(summary, separators=(",", ":"))
     assert len(line) <= 1950, (
         f"registry too large for per-query stdout reporting: {len(line)}"
     )
+    # self-containment: every registry query's timing is on the line,
+    # by full name or positionally
+    parsed = json.loads(line)
+    if "qv" in parsed:
+        assert len(parsed["qv"]) == len(names)
+    else:
+        assert set(parsed["queries"]) == set(names)
 
 
 def test_query_catalog_in_sync():
