@@ -1070,6 +1070,105 @@ def q_waiting_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "bracket_revenue",
+    """WITH cand AS (
+        SELECT l.l_quantity, l.l_extendedprice, l.l_discount,
+               p.p_type, p.p_size
+        FROM lineitem l JOIN part p ON p_partkey = l_partkey
+        WHERE p_type IN ('PROMO', 'ECONOMY', 'SMALL')
+          AND p_size BETWEEN 1 AND 20
+    ),
+    tagged AS (
+        SELECT CASE
+            WHEN p_type = 'PROMO' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 1 AND 20 THEN 'b1_promo_small'
+            WHEN p_type = 'ECONOMY' AND p_size BETWEEN 5 AND 20
+                 AND l_quantity BETWEEN 10 AND 30 THEN 'b2_economy_mid'
+            WHEN p_type = 'SMALL' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 50 THEN 'b3_small_bulk'
+        END AS bracket, l_extendedprice, l_discount
+        FROM cand
+    )
+    SELECT bracket,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM tagged WHERE bracket IS NOT NULL GROUP BY bracket""",
+    "TPC-H Q19 shape: disjunctive (type, size, quantity) bracket "
+    "predicate — the part side of the OR-chain prunes the broadcast dim "
+    "BEFORE the join, the full bracket evaluates post-join as a CASE "
+    "tag; zero fact shuffles",
+)
+def q_bracket_revenue(spark, sf_dir):
+    return relational.bracket_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "important_parts",
+    """WITH pp AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10)) * 100)
+                    AS BIGINT) AS vc
+        FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(vc) AS BIGINT) AS tc,
+                 CAST(count(*) AS BIGINT) AS n FROM pp)
+    SELECT l_partkey, round(CAST(vc AS DOUBLE) / 100, 2) AS value
+    FROM pp, t
+    WHERE 3 * vc * n > 2 * tc
+    ORDER BY value DESC, l_partkey ASC LIMIT 50""",
+    "TPC-H Q11 shape: parts above 1.5x the MEAN part value — the "
+    "group-aggregate against a scalar-subquery threshold; the global "
+    "(total, n_parts) derives from the per-part aggregate (no second "
+    "fact pass), broadcasts as one row, and the threshold is an "
+    "all-integer cents cross-multiplication (prices carry exactly 2 "
+    "decimals, so values reduce to exact BIGINT cents); "
+    "TakeOrderedAndProject top-k",
+)
+def q_important_parts(spark, sf_dir):
+    return relational.important_parts(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "dominant_suppliers",
+    """WITH os AS (
+        SELECT l_orderkey, l_suppkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        FROM lineitem GROUP BY 1, 2
+    ),
+    oo AS (
+        SELECT l_orderkey, CAST(sum(sq) AS BIGINT) AS oq,
+               CAST(count(*) AS BIGINT) AS n_supp
+        FROM os GROUP BY 1
+    ),
+    dom AS (
+        SELECT os.l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_orders_dominated,
+               CAST(sum(os.sq) AS BIGINT) AS total_qty
+        FROM os JOIN oo USING (l_orderkey)
+        WHERE n_supp >= 2 AND 2 * os.sq > oq
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, n_orders_dominated, total_qty
+    FROM dom JOIN supplier ON s_suppkey = l_suppkey
+    ORDER BY n_orders_dominated DESC, s_suppkey ASC LIMIT 25""",
+    "TPC-H Q20 shape: suppliers shipping >50% of a multi-supplier order's "
+    "quantity — the nested correlated-aggregate chain on ONE fact shuffle "
+    "to the (order, supplier) grain; per-order totals derive from that "
+    "aggregate, the >50% test is integer cross-multiplied, the fact is "
+    "never re-scanned or self-joined",
+)
+def q_dominant_suppliers(spark, sf_dir):
+    return relational.dominant_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 # Training-data-pipeline extensions register themselves on import.
 from . import driver_queries_ext  # noqa: E402,F401  (registration side effect)
 
@@ -1288,6 +1387,16 @@ REGISTRY_ORDER = (
                              # superseded in-window by attribution_outer
                              # (same state machinery + outer emission);
                              # stream==batch parity in test_streaming
+    # ---- r8 tail additions: full oracles, judge-verifiable via
+    # verify_local; shapes covered in-window by siblings ----
+    "bracket_revenue",       # Q19 disjunctive brackets; broadcast-dim +
+                             # CASE-tag shapes in-window everywhere
+    "important_parts",       # Q11 global-share threshold; the 1-row
+                             # scalar-subquery shape is in-window via
+                             # idle_rich_customers
+    "dominant_suppliers",    # Q20 nested correlated aggregates; the
+                             # agg-join-back shape is in-window via
+                             # small_qty_revenue
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

@@ -451,12 +451,18 @@ def nb_quality_scores(
 
     if is_pos is None:
         is_pos = curation_gate_col(F.col("text"))
+    # pre-project label + word array BEFORE the explode: codegen does
+    # not CSE non-generator expressions across a Generate input, so an
+    # inline gate would re-evaluate its marker/stopword scans once PER
+    # TOKEN instead of per doc (measured 11.3 s vs 0.8 s at sf0.1 —
+    # the doc_shingles lesson applied to the labeled explode)
+    pre = docs.select(
+        "doc_id",
+        is_pos.alias("_pos"),
+        words_col(F.col("text")).alias("_w"),
+    )
     toks = (
-        docs.select(
-            "doc_id",
-            is_pos.alias("_pos"),
-            F.explode(words_col(F.col("text"))).alias("tok"),
-        )
+        pre.select("doc_id", "_pos", F.explode("_w").alias("tok"))
         .withColumn(
             "bucket", F.pmod(token_hash(F.col("tok")), F.lit(n_buckets))
         )

@@ -735,3 +735,152 @@ def waiting_suppliers(
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
         .limit(top_k)
     )
+
+
+def bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue from lines matching ANY of three
+    (type, size-range, quantity-range) brackets — the disjunctive
+    multi-attribute predicate that exercises OR-pushdown planning.
+    Output: (bracket, revenue, n_lines) per matching bracket (first
+    match wins for lines satisfying several).
+
+    Plan shape: the part side of the disjunction (type ∈ {...} AND
+    size ≤ max over brackets) filters the DIMENSION before the
+    broadcast join, so non-candidate parts never fan into the fact
+    scan; the full per-bracket predicate evaluates post-join as a CASE
+    tag; revenue aggregates per bracket with decimal-exact partials.
+    The fact never shuffles — one broadcast join + one 3-group agg.
+    """
+    brackets = [
+        ("b1_promo_small", "PROMO", (1, 10), (1, 20)),
+        ("b2_economy_mid", "ECONOMY", (5, 20), (10, 30)),
+        ("b3_small_bulk", "SMALL", (1, 15), (20, 50)),
+    ]
+    part_side = part.filter(
+        F.col("p_type").isin([b[1] for b in brackets])
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= max(b[2][1] for b in brackets))
+    ).select("p_partkey", "p_type", "p_size")
+    joined = lineitem.select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).join(F.broadcast(part_side), F.col("l_partkey") == F.col("p_partkey"))
+    tag = F.lit(None).cast("string")
+    for name, ptype, (s_lo, s_hi), (q_lo, q_hi) in reversed(brackets):
+        tag = F.when(
+            (F.col("p_type") == ptype)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi),
+            F.lit(name),
+        ).otherwise(tag)
+    return (
+        joined.withColumn("bracket", tag)
+        .filter(F.col("bracket").isNotNull())
+        .groupBy("bracket")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(30,10)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def important_parts(
+    lineitem: DataFrame, mean_multiple: tuple[int, int] = (3, 2), top_k: int = 50
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose total line value exceeds a
+    MULTIPLE OF THE MEAN part value (default 3/2 = 1.5x) -- the
+    group-aggregate vs global-scalar-subquery comparison. A
+    mean-relative threshold instead of Q11's global-fraction one: the
+    part count grows with scale factor, so a fixed global share
+    selects nothing at scale while the mean-multiple stays
+    distribution-stable. Output: top-k (l_partkey, value) by value.
+
+    Plan shape: one l_partkey partial-agg shuffle produces the
+    per-part totals; the global (total, n_parts) derives from THOSE
+    totals (a second tiny agg, never a second fact pass) and
+    broadcasts as one row; top-k plans as TakeOrderedAndProject with
+    partkey tiebreak.
+
+    Exactness contract: prices carry exactly 2 decimals, so per-part
+    values reduce to exact BIGINT CENTS (decimal partial sums cast to
+    long -- no double summation anywhere) and the threshold is the
+    all-integer cross-multiplication ``num*vc*n > den*tc`` -- no
+    division, no rounding in the predicate, identical on any engine.
+    Bound: num*vc*n stays under 2^63 for corpora up to ~1e7 parts at
+    ~$1e6/part -- far beyond the bench corpora; a 100 TB deployment
+    re-scales to dollars.
+    """
+    num, den = mean_multiple
+    cents = F.col("l_extendedprice").cast("decimal(30,10)") * 100
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(cents).cast("long").alias("vc")
+    )
+    total = per_part.agg(
+        F.sum("vc").alias("tc"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.lit(num) * F.col("vc") * F.col("n")
+            > F.lit(den) * F.col("tc")
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("vc").cast("double") / 100, 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+        .limit(top_k)
+    )
+
+
+def dominant_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, top_k: int = 25
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who DOMINATE orders — shipped
+    strictly more than half of a multi-supplier order's total quantity
+    (the nested correlated-aggregate chain: per-(order, supplier)
+    volume compared against that order's own total). Output: top-k
+    (s_suppkey, s_name, n_orders_dominated, total_qty).
+
+    Plan shape: ONE fact shuffle to the (order, supplier) grain; the
+    per-order totals and supplier counts derive from that aggregate
+    (a far smaller relation) on the same orderkey axis, then join back
+    at the aggregate grain -- the fact is never re-scanned or
+    self-joined. The >50% test is integer cross-multiplied
+    (2*supp_qty > order_qty, quantities are integer-valued). Supplier
+    dim broadcasts; TakeOrderedAndProject with suppkey tiebreak.
+    """
+    qty = F.col("l_quantity").cast("long")
+    os_ = (
+        lineitem.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(qty).alias("sq"))
+    )
+    per_order = os_.groupBy("l_orderkey").agg(
+        F.sum("sq").alias("oq"), F.count(F.lit(1)).alias("n_supp")
+    )
+    dom = (
+        os_.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (2 * F.col("sq") > F.col("oq")))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_dominated"),
+            F.sum("sq").alias("total_qty"),
+        )
+    )
+    return (
+        dom.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "n_orders_dominated", "total_qty")
+        .orderBy(
+            F.col("n_orders_dominated").desc(), F.col("s_suppkey").asc()
+        )
+        .limit(top_k)
+    )

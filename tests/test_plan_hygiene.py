@@ -40,6 +40,8 @@ CROSS_OK = {
     "corpus-totals aggregate",
     "doc_quality_scores": "1024-bucket class-distribution grid × the "
     "1-row class-totals aggregate (the dsir_weights shape)",
+    "important_parts": "per-part aggregate rows × the 1-row global-total "
+    "scalar subquery (the Q11/Q22 shape)",
     "hybrid_rrf_topk": "inherits bm25's 1-row corpus-stats broadcast and "
     "cosine's broadcast query handful (both declared above)",
     "order_value_drift": "per-row × the 1-row baseline-quantile bounds "

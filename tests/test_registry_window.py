@@ -70,6 +70,8 @@ EXPECTED_TAIL = {
     "quality_expectations", "dedup_ngram_jaccard", "ann_lsh_topk",
     "running_streaks", "semantic_dedup", "decontamination",
     "attribution_join",
+    # r8 tail additions (full oracles, judge-verifiable)
+    "bracket_revenue", "important_parts", "dominant_suppliers",
     # long-standing declared tail
     "skew_salted_join", "parts_per_size_bucket",
     "keep_latest_event", "fk_violations_orders", "risk_summary",
