@@ -1169,6 +1169,165 @@ def q_dominant_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "bi_nation_volume",
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3""",
+    "TPC-H Q7 shape: shipping volume between two named nations by year "
+    "and direction — both dimension chains collapse to filtered "
+    "broadcasts BEFORE the fact join (only two nations survive), one "
+    "fact shuffle, bounded 2x2xyears group key",
+)
+def q_bi_nation_volume(spark, sf_dir):
+    return relational.bi_nation_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "nation_market_share",
+    """WITH rn AS (
+        SELECT n_nationkey FROM nation
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    ),
+    j AS (
+        SELECT year(o_orderdate) AS order_year,
+               CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(30,10)) AS rev,
+               (sn.n_name = 'NATION_2') AS is_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN rn ON c_nationkey = rn.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+    )
+    SELECT CAST(order_year AS INT) AS order_year,
+           round(CAST(coalesce(sum(rev) FILTER (is_share), 0)
+                      AS DOUBLE), 2) AS share_nation_rev,
+           round(CAST(sum(rev) AS DOUBLE), 2) AS total_rev,
+           round(CAST(coalesce(sum(rev) FILTER (is_share), 0) AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+    FROM j GROUP BY 1""",
+    "TPC-H Q8 shape: one nation's share of a region's yearly revenue — "
+    "region filter prunes the customer chain pre-join, numerator and "
+    "denominator are sibling conditional aggregates in ONE fact pass, "
+    "the ratio divides decimal-exact sums on the bounded year rollup",
+)
+def q_nation_market_share(spark, sf_dir):
+    return relational.market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "returned_item_customers",
+    """WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,10))) AS rev,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1
+    )
+    SELECT c_custkey, c_name, n_name,
+           round(CAST(rev AS DOUBLE), 2) AS returned_rev, n_lines
+    FROM per_cust
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY returned_rev DESC, c_custkey ASC LIMIT 20""",
+    "TPC-H Q10 shape: top returned-revenue customers — returnflag "
+    "filter pushes to the scan, one fact shuffle, dims join the "
+    "|customers|-bounded AGGREGATE (not the fact), "
+    "TakeOrderedAndProject",
+)
+def q_returned_item_customers(spark, sf_dir):
+    return relational.returned_item_customers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           round(CAST(coalesce(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,10))) FILTER (p_type = 'PROMO'), 0)
+                      AS DOUBLE), 2) AS promo_rev,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,10))) AS DOUBLE), 2) AS total_rev,
+           round(100 * CAST(coalesce(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,10))) FILTER (p_type = 'PROMO'), 0) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,10))) AS DOUBLE), 6) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1""",
+    "TPC-H Q14 shape: PROMO parts' monthly revenue share — broadcast "
+    "part dim, sibling conditional aggregates in one pass on the "
+    "bounded month key, decimal-exact ratio operands",
+)
+def q_promo_revenue_share(spark, sf_dir):
+    return relational.promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "top_supplier_q15",
+    """WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(30,10))) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           round(CAST(rev AS DOUBLE), 2) AS total_revenue
+    FROM rev
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev = (SELECT max(rev) FROM rev)
+    ORDER BY s_suppkey""",
+    "TPC-H Q15 shape: the max-revenue supplier(s) over a quarter — the "
+    "aggregate joined against ITS OWN max (1-row broadcast, no second "
+    "fact pass); decimal-exact revenue makes tie semantics "
+    "deterministic cross-engine",
+)
+def q_top_supplier(spark, sf_dir):
+    return relational.top_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 # Training-data-pipeline extensions register themselves on import.
 from . import driver_queries_ext  # noqa: E402,F401  (registration side effect)
 
@@ -1397,6 +1556,19 @@ REGISTRY_ORDER = (
     "dominant_suppliers",    # Q20 nested correlated aggregates; the
                              # agg-join-back shape is in-window via
                              # small_qty_revenue
+    "bi_nation_volume",      # Q7 double-dimension-chain pair filter;
+                             # broadcast-dim shapes in-window everywhere
+    "nation_market_share",   # Q8 conditional-ratio over a grouped agg;
+                             # sibling-conditional-agg shape in-window
+                             # via risk_classification
+    "returned_item_customers",  # Q10 churn report; agg-then-dim-join +
+                                # topk shapes in-window via
+                                # waiting_suppliers
+    "promo_revenue_share",   # Q14 conditional-sum ratio; same family
+                             # as nation_market_share
+    "top_supplier_q15",      # Q15 aggregate-vs-own-max; the 1-row
+                             # scalar broadcast shape is in-window via
+                             # idle_rich_customers/important_parts
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

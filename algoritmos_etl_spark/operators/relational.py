@@ -884,3 +884,273 @@ def dominant_suppliers(
         )
         .limit(top_k)
     )
+
+
+def bi_nation_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume BETWEEN two named nations by
+    year and direction — the double-dimension-chain join where the
+    (supplier nation, customer nation) PAIR filter must prune both
+    chains before the fact join. Output: (supp_nation, cust_nation,
+    ship_year, revenue, n_lines) for the two directions.
+
+    Plan shape: customer→nation and supplier→nation each collapse to
+    a filtered broadcast (only the two named nations survive, so the
+    fact joins against two tiny key sets — at 100 TB the anti-pattern
+    is joining the full dims then filtering); the lineitem⋈orders
+    join is the one fact shuffle; the group key (2×2×years) is
+    bounded. Decimal-exact revenue.
+    """
+    n_a = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    cust_n = customer.join(
+        F.broadcast(n_a),
+        customer["c_nationkey"] == n_a["n_nationkey"],
+    ).select(
+        F.col("c_custkey").alias("ck"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    supp_n = supplier.join(
+        F.broadcast(n_a),
+        supplier["s_nationkey"] == n_a["n_nationkey"],
+    ).select(
+        F.col("s_suppkey").alias("sk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    joined = (
+        lineitem.join(
+            F.broadcast(supp_n), F.col("l_suppkey") == F.col("sk")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("ck"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").alias("ship_year"),
+    ).agg(
+        F.round(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(30,10)")
+            ).cast("double"),
+            2,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    share_nation: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly order
+    revenue — the conditional-numerator / total-denominator ratio
+    over a grouped aggregate. Output: (order_year, share_nation_rev,
+    total_rev, mkt_share) per year.
+
+    Plan shape: customers restrict to the region via the broadcast
+    nation→region chain BEFORE the fact join; the supplier-nation tag
+    rides the broadcast supplier dim; numerator and denominator are
+    sibling conditional aggregates in ONE pass (no second scan, no
+    join of two aggregates); the share division happens on the
+    bounded per-year rollup with decimal-exact operands.
+    """
+    region_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation["n_regionkey"] == region["r_regionkey"],
+    ).select("n_nationkey")
+    cust_r = customer.join(
+        F.broadcast(region_nations),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+    ).select(F.col("c_custkey").alias("ck"))
+    supp_tag = supplier.join(
+        F.broadcast(nation),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select(
+        F.col("s_suppkey").alias("sk"),
+        (F.col("n_name") == share_nation).alias("is_share_nation"),
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("ck"))
+        .join(F.broadcast(supp_tag), F.col("l_suppkey") == F.col("sk"))
+    )
+    per_year = joined.groupBy(
+        F.year("o_orderdate").alias("order_year")
+    ).agg(
+        F.sum(F.when(F.col("is_share_nation"), rev)).alias("num"),
+        F.sum(rev).alias("den"),
+    )
+    return per_year.select(
+        "order_year",
+        F.round(F.coalesce(F.col("num"), F.lit(0)).cast("double"), 2).alias(
+            "share_nation_rev"
+        ),
+        F.round(F.col("den").cast("double"), 2).alias("total_rev"),
+        F.round(
+            F.coalesce(F.col("num"), F.lit(0)).cast("double")
+            / F.col("den").cast("double"),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+def returned_item_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    top_k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue — the
+    classic churn-risk report: fact filtered to returned lines
+    (l_returnflag = 'R'), joined to orders/customer, grouped per
+    customer, top-k. Output: (c_custkey, c_name, n_name,
+    returned_rev, n_lines).
+
+    Plan shape: the returnflag filter pushes to the parquet scan;
+    lineitem⋈orders is the one fact shuffle; customer/nation
+    broadcast AFTER the per-custkey aggregate (the rollup is
+    |customers|-bounded, so dims join the aggregate, not the fact);
+    TakeOrderedAndProject with custkey tiebreak.
+    """
+    returned = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(30,10)")
+            ).alias("rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return (
+        returned.join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("rev").cast("double"), 2).alias("returned_rev"),
+            "n_lines",
+        )
+        .orderBy(F.col("returned_rev").desc(), F.col("c_custkey").asc())
+        .limit(top_k)
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q14 shape: PROMO parts' share of monthly revenue — the
+    conditional-sum ratio (100 · promo / total) per month. Output:
+    (ship_month, promo_rev, total_rev, promo_share_pct).
+
+    Plan shape: part type broadcasts into the fact scan; numerator
+    and denominator are sibling conditional aggregates in one pass on
+    the bounded month key; the ratio divides decimal-exact sums cast
+    to double at the edge.
+    """
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    joined = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_month = joined.groupBy(
+        F.to_date(F.date_trunc("month", F.col("l_shipdate"))).alias(
+            "ship_month"
+        )
+    ).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo"),
+        F.sum(rev).alias("total"),
+    )
+    return per_month.select(
+        "ship_month",
+        F.round(
+            F.coalesce(F.col("promo"), F.lit(0)).cast("double"), 2
+        ).alias("promo_rev"),
+        F.round(F.col("total").cast("double"), 2).alias("total_rev"),
+        F.round(
+            100
+            * F.coalesce(F.col("promo"), F.lit(0)).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("promo_share_pct"),
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    quarter_start: str = "1997-01-01",
+    quarter_end: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM revenue over a
+    window — the aggregate-vs-its-own-max pattern (Q15's view +
+    `total_revenue = (SELECT max(...))`). Output: every supplier
+    tying the max (s_suppkey, s_name, total_revenue).
+
+    Plan shape: one fact shuffle to the per-supplier rollup (the date
+    filter pushes to the scan); the max derives from that rollup (a
+    1-row broadcast, never a second fact pass); the equality join
+    back runs at the rollup grain. Decimal-exact revenue makes the
+    tie semantics deterministic cross-engine.
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(quarter_start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(quarter_end).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(30,10)")
+            ).alias("rev")
+        )
+    )
+    best = rev.agg(F.max("rev").alias("best"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("rev") == F.col("best"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev").cast("double"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
