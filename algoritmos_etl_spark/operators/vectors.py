@@ -602,6 +602,50 @@ def ivf_write_index(
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_append_index(spark, new_embeddings: DataFrame, path: str) -> dict:
+    """Append a new vector batch to a materialized `ivf_write_index`
+    WITHOUT retraining — the IVF maintenance story every standing ANN
+    deployment runs (FAISS `add` semantics): the coarse quantizer is
+    FROZEN at index-build time, each new vector is assigned to its
+    max-cosine existing centroid, and the batch lands as new files in
+    the touched centroid partitions. Existing files are never
+    rewritten, so concurrent probes keep reading a consistent index
+    (parquet append = new files only) and untouched partitions stay
+    byte-identical. Quantizer drift under heavy append is a REBUILD
+    decision (`ivf_write_index` again), not an append-path concern —
+    same division as the dedup family's standing indexes.
+
+    Contract: `new_embeddings` vec_ids must be new (the caller dedups
+    against the corpus — an exact-dedup fingerprint pass — before
+    appending; duplicate ids would double-count in probe reranks).
+    Returns {"appended": n, "centroids_touched": c}.
+
+    Scale shape: one broadcast join of the batch's quantized flat rows
+    against the tiny frozen centroid table + one (vec_id, centroid)
+    partial agg — cost is |batch|, never |corpus|.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    base = with_dvec(new_embeddings)
+    flat = _quantized_flat(base, "vec_id").localCheckpoint(eager=False)
+    vec_norms = flat.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2")
+    )
+    assign = _ivf_assign(flat, vec_norms, cents).localCheckpoint(
+        eager=False
+    )
+    (
+        new_embeddings.join(assign, "vec_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/corpus")
+    )
+    stats = assign.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("centroid_id").alias("c"),
+    ).first()
+    return {"appended": int(stats["n"]), "centroids_touched": int(stats["c"])}
+
+
 def ivf_probe_topk(
     spark,
     path: str,

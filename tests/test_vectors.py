@@ -527,3 +527,64 @@ def test_pq_written_index_exhaustive_probe_equals_full_scan(emb, spark, tmp_path
     }
     for r in rows:
         assert full_all[(r.query_id, r.neighbor_id)] == r.adist
+
+
+def test_ivf_append_index_frozen_quantizer_and_probe_parity(
+    emb, spark, tmp_path
+):
+    """FAISS-add semantics: build the index on HALF the corpus, append
+    the other half under the frozen quantizer. (1) Probes of the
+    appended index equal the inline ivf_topk over the FULL corpus with
+    those same frozen centroids; (2) existing index files are never
+    rewritten (append = new files only, concurrent readers stay
+    consistent); (3) appended assignments equal a reference
+    re-assignment under the frozen centroids."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ivf_index")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    newb = emb.filter(F.col("vec_id") % 2 == 1)
+    vectors.ivf_write_index(base, path, n_centroids=8, iters=1)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{path}/corpus/centroid_id=*/*.parquet")
+    }
+    rep = vectors.ivf_append_index(spark, newb, path)
+    assert rep["appended"] == newb.count()
+    assert 1 <= rep["centroids_touched"] <= 8
+    # old files intact, byte-for-byte untouched
+    for p, mt in before.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == mt, p
+    # corpus now holds everything exactly once
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert corpus.count() == emb.count()
+    assert corpus.select("vec_id").distinct().count() == emb.count()
+    # appended assignments == reference assignment under frozen cents
+    cents = spark.read.parquet(f"{path}/centroids")
+    flat = vectors._quantized_flat(vectors.with_dvec(newb), "vec_id")
+    norms = flat.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2")
+    )
+    want_assign = {
+        r.vec_id: r.centroid_id
+        for r in vectors._ivf_assign(flat, norms, cents).collect()
+    }
+    got_assign = {
+        r.vec_id: r.centroid_id
+        for r in corpus.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert got_assign == want_assign
+    # probe parity vs inline ivf_topk with the SAME frozen centroids
+    got = vectors.ivf_probe_topk(spark, path, [0, 1, 2], k=10, nprobe=3)
+    want = vectors.ivf_topk(
+        emb, [0, 1, 2], k=10, nprobe=3, cents=cents
+    )
+    as_rows = lambda df: sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank) for r in df.collect()
+    )
+    assert as_rows(got) == as_rows(want)
