@@ -1569,6 +1569,9 @@ REGISTRY_ORDER = (
     "top_supplier_q15",      # Q15 aggregate-vs-own-max; the 1-row
                              # scalar broadcast shape is in-window via
                              # idle_rich_customers/important_parts
+    "snapshot_changes",      # time travel x keyed diff; both halves
+                             # in-window via table_history +
+                             # orders_table_diff
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

@@ -3394,6 +3394,45 @@ def q_table_history(spark, sf_dir):
     )
 
 
+@register(
+    "snapshot_changes",
+    """WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                   WHERE o_orderkey % 3 = 0),
+    v4 AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 13 = 0
+                       THEN o_totalprice + 1.5
+                       ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 3 IN (0, 1))
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS diff_type,
+           CASE WHEN a.o_orderkey IS NOT NULL
+                     AND b.o_orderkey IS NOT NULL
+                THEN 'o_totalprice' END AS changed_cols
+    FROM v1 a FULL OUTER JOIN v4 b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice IS DISTINCT FROM b.o_totalprice""",
+    "Incremental read between two retained snapshot versions — time "
+    "travel composed with the keyed diff (the Iceberg/Delta 'changes "
+    "since snapshot N' surface): a consumer syncs v1→head with ONE "
+    "|v1|+|v4| diff instead of reprocessing the table; the oracle "
+    "reconstructs both versions relationally, so the manifest reads "
+    "AND the diff must match",
+)
+def q_snapshot_changes(spark, sf_dir):
+    from .sources import snapshots as snap
+
+    table = _snap_setup(spark, sf_dir)
+    return snap.snapshot_changes(
+        spark, table, from_version=1, to_version=4,
+        key_cols=["o_orderkey"],
+    )
+
+
+
+
+
 # ---------------------------------------------------------------------------
 # Round-7 additions: reconciliation, CDC merge, anomaly detection,
 # record linkage

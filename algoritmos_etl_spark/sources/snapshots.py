@@ -288,6 +288,37 @@ def snapshot_publish(
     return {"published": True, "version": v, "violations": []}
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental read between two RETAINED versions — time travel
+    composed with the keyed diff: (key…, diff_type ∈ {added, removed,
+    changed}, changed_cols) for everything that changed between
+    `from_version` and `to_version` (default: newest). This is the
+    Iceberg/Delta "read the changes since snapshot N" surface: a
+    downstream consumer syncs from v_N to head by ONE diff instead of
+    reprocessing the table; `reconcile.diff_as_changes` over the same
+    two reads ships it as a mergeable CDC changeset.
+
+    Cost is |v_from| + |v_to| through one full-outer key join — both
+    snapshots are plain file lists, so at 100 TB this is the same
+    plan as any two-table diff (bucketed layouts make it
+    exchange-free). `key_cols` must key both versions (the table_diff
+    contract).
+    """
+    from ..operators.reconcile import table_diff
+
+    if key_cols is None:
+        raise ValueError("snapshot_changes: key_cols is required")
+    left = read_as_of(spark, table_dir, from_version)
+    right = read_as_of(spark, table_dir, to_version)
+    return table_diff(left, right, key_cols)
+
+
 def snapshot_vacuum(table_dir: str, keep: int = 2) -> dict:
     """Retire manifests beyond the `keep` newest (>= 1 — the current
     version always survives) plus every data file no retained manifest
