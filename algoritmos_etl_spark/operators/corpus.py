@@ -447,6 +447,15 @@ def nb_quality_scores(
     doc_id. The token explode is localCheckpointed so training and
     scoring share one materialization instead of re-exploding 100 TB.
     """
+    toks, weights = _nb_train(docs, is_pos, n_buckets, scale)
+    return nb_score_with_weights(
+        docs, weights, n_buckets=n_buckets, toks=toks
+    )
+
+
+def _nb_train(docs, is_pos, n_buckets, scale):
+    """(labeled token table, weight table) — the shared training pass
+    behind `nb_quality_scores` and `nb_write_weights`."""
     from .text import curation_gate_col, token_hash, words_col
 
     if is_pos is None:
@@ -493,6 +502,32 @@ def nb_quality_scores(
             )
         ).cast("long").alias("w_e6"),
     )
+    return toks, weights
+
+
+def nb_score_with_weights(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """The scoring half of `nb_quality_scores` against a GIVEN
+    (bucket, w_e6) weight table — the train-offline / score-anywhere
+    split: a nightly job trains and persists weights
+    (`nb_write_weights`), and any batch or micro-batch scores against
+    them with one token explode + broadcast join + integer sum, no
+    training pass. Output schema identical to `nb_quality_scores`."""
+    from .text import token_hash, words_col
+
+    if toks is None:
+        pre = docs.select(
+            "doc_id", words_col(F.col("text")).alias("_w")
+        )
+        toks = pre.select(
+            "doc_id", F.explode("_w").alias("tok")
+        ).withColumn(
+            "bucket", F.pmod(token_hash(F.col("tok")), F.lit(n_buckets))
+        )
     scored = (
         toks.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
@@ -517,6 +552,24 @@ def nb_quality_scores(
             ).cast("long").alias("per_token_e6"),
         )
     )
+
+
+def nb_write_weights(
+    docs: DataFrame,
+    path: str,
+    is_pos: Column | None = None,
+    n_buckets: int = DSIR_BUCKETS,
+    scale: int = 10**6,
+) -> None:
+    """Train the NB quality classifier and persist its (bucket, w_e6)
+    weight table — the standing-model path (same division as the dedup
+    family's write_index functions): the training corpus is read once,
+    the B-row weight table lands as one parquet file, and every later
+    batch or STREAM scores against it via `nb_score_with_weights` /
+    `streaming.streams.streaming_quality_scores` without touching the
+    training data again."""
+    _toks, weights = _nb_train(docs, is_pos, n_buckets, scale)
+    weights.coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def dsir_weights(

@@ -465,3 +465,54 @@ def attribution_join_outer(
         ).alias("lag_us"),
         "purchase_value",
     )
+
+
+def streaming_quality_scores(
+    docs_stream: DataFrame,
+    weights_path: str,
+    out_path: str,
+    checkpoint: str,
+    timeout_sec: int = 300,
+):
+    """Score a document STREAM against the frozen NB quality weights
+    persisted by `corpus.nb_write_weights` — the train-offline /
+    score-online split every production curation pipeline runs (the
+    CCNet classifier is trained nightly; ingestion scores each batch
+    as it lands). Per micro-batch: one token explode + broadcast join
+    of the B-row weight table + integer sum per doc, appended to
+    `out_path/batch_id=N`.
+
+    `foreachBatch` is the right boundary: scoring is a stateless batch
+    transformation (no streaming state, no watermark needed — the
+    model is FROZEN, so scores are pure per-doc functions), and the
+    per-batch-subdirectory overwrite makes replays idempotent (a
+    re-run batch rewrites its own directory with identical content —
+    integer scores, so bit-identical). Stream output ≡ batch
+    `nb_score_with_weights` over the same rows, pinned in tests.
+    """
+    from ..operators.corpus import nb_score_with_weights
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=False)
+        if not batch_df.take(1):
+            return
+        weights = spark.read.parquet(weights_path)
+        scored = nb_score_with_weights(batch_df, weights)
+        scored.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    query = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming_quality_scores: availableNow run exceeded "
+            f"{timeout_sec}s; scores at {out_path} are incomplete"
+        )
+    return query

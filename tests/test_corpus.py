@@ -431,3 +431,78 @@ class TestNBQualityScores:
         )
         out = corpus.nb_quality_scores(docs, is_pos=F.lit(False)).collect()
         assert all(r.score_e6 is not None for r in out)
+
+
+class TestStandingQualityModel:
+    def test_write_weights_then_score_equals_inline(self, spark, tmp_path):
+        """Train-offline/score-anywhere: persisted weights + the
+        scoring half reproduce nb_quality_scores exactly, including on
+        UNSEEN documents (every bucket has a weight, so OOV text
+        scores finitely)."""
+        from algoritmos_etl_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        w_path = str(tmp_path / "weights")
+        corpus.nb_write_weights(docs, w_path)
+        weights = spark.read.parquet(w_path)
+        assert weights.count() == corpus.DSIR_BUCKETS
+        got = {
+            r.doc_id: (r.n_tokens, r.score_e6, r.per_token_e6)
+            for r in corpus.nb_score_with_weights(docs, weights).collect()
+        }
+        want = {
+            r.doc_id: (r.n_tokens, r.score_e6, r.per_token_e6)
+            for r in corpus.nb_quality_scores(docs).collect()
+        }
+        assert got == want
+        # unseen docs score finitely against the frozen model
+        new = spark.createDataFrame(
+            [(9001, "totally unseen zebra text crossing the gate"),
+             (9002, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in
+               corpus.nb_score_with_weights(new, weights).collect()}
+        assert out[9001].score_e6 is not None
+        assert out[9002].n_tokens == 0 and out[9002].score_e6 is None
+
+    def test_streaming_scores_equal_batch(self, spark, tmp_path):
+        """Stream ≡ batch: a 2-micro-batch file stream scored against
+        the frozen weights equals one-shot nb_score_with_weights over
+        the union of both batches."""
+        from algoritmos_etl_spark.streaming.streams import (
+            streaming_quality_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"the quick brown fox number {i} jumps " * (1 + i % 3))
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        w_path = str(tmp_path / "weights")
+        corpus.nb_write_weights(docs, w_path)
+        src = tmp_path / "src"
+        for b in (0, 1):
+            docs.filter(F.col("doc_id") % 2 == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"b{b}"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src / "b*"))
+        )
+        streaming_quality_scores(
+            stream, w_path, str(tmp_path / "scores"),
+            checkpoint=str(tmp_path / "ck"),
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.score_e6)
+            for r in spark.read.parquet(str(tmp_path / "scores")).collect()
+        }
+        weights = spark.read.parquet(w_path)
+        want = {
+            r.doc_id: (r.n_tokens, r.score_e6)
+            for r in corpus.nb_score_with_weights(docs, weights).collect()
+        }
+        assert got == want
