@@ -1572,6 +1572,9 @@ REGISTRY_ORDER = (
     "snapshot_changes",      # time travel x keyed diff; both halves
                              # in-window via table_history +
                              # orders_table_diff
+    "mixture_sample",        # token-budget mixture sampling; the
+                             # bounded-stratum + hash-gate shapes are
+                             # in-window via dsir/doc_quality/sampling
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

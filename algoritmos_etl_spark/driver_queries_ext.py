@@ -3395,6 +3395,41 @@ def q_table_history(spark, sf_dir):
 
 
 @register(
+    "mixture_sample",
+    f"""WITH base AS (
+        SELECT doc_id, source, len({_W}) AS n_tokens FROM documents
+    ),
+    tot AS (SELECT source, sum(n_tokens) AS t FROM base
+            GROUP BY 1 HAVING sum(n_tokens) > 0),
+    rates AS (
+        SELECT source,
+               LEAST(1000000,
+                     (1000000 * CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1
+                                          THEN 300 ELSE 600 END AS BIGINT)) // t
+               ) AS rate_ppm
+        FROM tot
+    )
+    SELECT b.doc_id, b.source, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(r.rate_ppm AS BIGINT) AS rate_ppm
+    FROM base b JOIN rates r ON b.source = r.source
+    WHERE {_h("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm""",
+    "Deterministic token-budget mixture sampling (the Pile/LLaMA-style "
+    "mixture table turned into an actual sampled corpus): per-source "
+    "keep-rate = min(1, budget/available) as an exact integer-ppm DIV, "
+    "gated by a seeded md5 hash — reproducible on any engine or "
+    "partitioning, no RNG state; per-source totals are one bounded-key "
+    "partial agg, rates broadcast, the corpus never shuffles (M8)",
+)
+def q_mixture_sample(spark, sf_dir):
+    from .operators import corpus
+
+    budgets = {f"src{i}": 300 if i % 2 else 600 for i in range(20)}
+    return corpus.mixture_sample(
+        load_table(spark, sf_dir, "documents"), budgets
+    )
+
+
+@register(
     "snapshot_changes",
     """WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders
                    WHERE o_orderkey % 3 = 0),

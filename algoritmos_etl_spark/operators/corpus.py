@@ -652,3 +652,69 @@ def dsir_weights(
             "log_weight",
         )
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    ppm_scale: int = 10**6,
+) -> DataFrame:
+    """Deterministic token-budget mixture sampling — the "data mixing"
+    step that turns per-source budgets (the published mixture tables:
+    Pile/LLaMA-style sampling proportions) into an actual sampled
+    corpus: per source s with available tokens T_s and budget B_s,
+    keep each doc with probability min(1, B_s/T_s), realized as an
+    exact integer-ppm rate and a deterministic md5 hash gate — so the
+    sample is reproducible on any engine/partitioning and needs no
+    RNG state. Sources absent from `budgets` are excluded.
+
+    Output: (doc_id, source, n_tokens, rate_ppm) for KEPT docs;
+    realized per-source token mass concentrates around min(B_s, T_s)
+    with doc-granularity variance (rate-based sampling is the
+    scale-safe choice: exact knapsack per source would need a global
+    sort; the law of large numbers does the budgeting at corpus
+    scale).
+
+    Scale shape: per-source totals are ONE partial-agg shuffle on the
+    bounded source key; rates broadcast back; the keep decision is a
+    row-local hash compare — the corpus itself never shuffles. The
+    ppm rate uses integer DIV on positives (floor on both engines);
+    `least` caps oversubscribed budgets at keep-everything.
+    """
+    from .text import token_hash
+
+    n_tok = (
+        F.coalesce(F.size(words_col(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    base = docs.select("doc_id", "source", n_tok)
+    budget_map = F.create_map(
+        *[x for s, b in budgets.items() for x in (F.lit(s), F.lit(int(b)))]
+    )
+    # budget rides as a column so the DIV expression sees it
+    rates = (
+        base.groupBy("source")
+        .agg(F.sum("n_tokens").alias("t"))
+        .filter(F.col("t") > 0)
+        .withColumn(
+            "budget", F.try_element_at(budget_map, F.col("source"))
+        )
+        .filter(F.col("budget").isNotNull())
+        .select(
+            "source",
+            F.least(
+                F.lit(ppm_scale).cast("long"),
+                F.expr(f"({ppm_scale} * CAST(budget AS BIGINT)) DIV t"),
+            ).alias("rate_ppm"),
+        )
+    )
+    gate = F.pmod(
+        token_hash(F.lit("mix"), F.col("doc_id").cast("string")),
+        F.lit(ppm_scale),
+    )
+    return (
+        base.join(F.broadcast(rates), "source")
+        .filter(gate < F.col("rate_ppm"))
+        .select("doc_id", "source", "n_tokens", "rate_ppm")
+    )

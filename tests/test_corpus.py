@@ -506,3 +506,51 @@ class TestStandingQualityModel:
             for r in corpus.nb_score_with_weights(docs, weights).collect()
         }
         assert got == want
+
+
+class TestMixtureSample:
+    def test_budgets_realized_and_deterministic(self, spark):
+        """Realized per-source token mass lands near min(budget, T_s);
+        oversubscribed budgets keep the whole source; absent sources
+        are excluded; two runs are identical (hash gate, no RNG)."""
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        did = 0
+        for s, n_docs in (("a", 400), ("b", 400), ("c", 50)):
+            for _ in range(n_docs):
+                n = rng.randint(5, 15)
+                rows.append((did, " ".join(f"w{i}" for i in range(n)), s))
+                did += 1
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        avail = {
+            r.source: r.t
+            for r in docs.groupBy("source")
+            .agg(F.sum(F.size(F.split(F.col("text"), " "))).alias("t"))
+            .collect()
+        }
+        budgets = {"a": avail["a"] // 2, "c": 10 ** 9}  # b absent
+        out = corpus.mixture_sample(docs, budgets)
+        got = out.collect()
+        # b excluded entirely
+        assert all(r.source != "b" for r in got)
+        # c oversubscribed: every doc kept at the ppm cap
+        c_rows = [r for r in got if r.source == "c"]
+        assert len(c_rows) == 50 and all(
+            r.rate_ppm == 10 ** 6 for r in c_rows
+        )
+        # a: realized tokens within 20% of the half budget (hash-gate
+        # variance over 400 docs)
+        a_tokens = sum(r.n_tokens for r in got if r.source == "a")
+        assert abs(a_tokens - budgets["a"]) < 0.2 * budgets["a"], (
+            a_tokens, budgets["a"]
+        )
+        # deterministic: identical output on a second run
+        again = {
+            (r.doc_id, r.rate_ppm)
+            for r in corpus.mixture_sample(docs, budgets).collect()
+        }
+        assert again == {(r.doc_id, r.rate_ppm) for r in got}

@@ -74,7 +74,7 @@ EXPECTED_TAIL = {
     "bracket_revenue", "important_parts", "dominant_suppliers",
     "bi_nation_volume", "nation_market_share",
     "returned_item_customers", "promo_revenue_share",
-    "top_supplier_q15", "snapshot_changes",
+    "top_supplier_q15", "snapshot_changes", "mixture_sample",
     # long-standing declared tail
     "skew_salted_join", "parts_per_size_bucket",
     "keep_latest_event", "fk_violations_orders", "risk_summary",
