@@ -1575,6 +1575,9 @@ REGISTRY_ORDER = (
     "mixture_sample",        # token-budget mixture sampling; the
                              # bounded-stratum + hash-gate shapes are
                              # in-window via dsir/doc_quality/sampling
+    "priority_drift_categorical",  # categorical PSI arm; the numeric
+                                   # arm is in-window via
+                                   # order_value_drift
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

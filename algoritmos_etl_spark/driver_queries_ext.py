@@ -3395,6 +3395,72 @@ def q_table_history(spark, sf_dir):
 
 
 @register(
+    "priority_drift_categorical",
+    """WITH b AS (
+        SELECT coalesce(CAST(o_orderpriority AS VARCHAR), '__NULL__')
+               AS category
+        FROM orders WHERE year(o_orderdate) <= 1997
+    ),
+    c AS (
+        SELECT coalesce(CAST(o_orderpriority AS VARCHAR), '__NULL__')
+               AS category
+        FROM orders WHERE year(o_orderdate) > 1997
+    ),
+    bc AS (SELECT category, count(*) AS n FROM b GROUP BY 1),
+    top AS (SELECT category FROM bc
+            ORDER BY n DESC, category ASC LIMIT 100),
+    grid AS (SELECT DISTINCT category FROM
+             (SELECT category FROM top UNION ALL SELECT '__OTHER__')),
+    fb AS (SELECT CASE WHEN t.category IS NOT NULL THEN b.category
+                       ELSE '__OTHER__' END AS category,
+                  count(*) AS n_base
+           FROM b LEFT JOIN top t ON b.category = t.category GROUP BY 1),
+    fc AS (SELECT CASE WHEN t.category IS NOT NULL THEN c.category
+                       ELSE '__OTHER__' END AS category,
+                  count(*) AS n_cur
+           FROM c LEFT JOIN top t ON c.category = t.category GROUP BY 1),
+    hist AS (
+        SELECT g.category,
+               coalesce(fb.n_base, 0) AS n_base,
+               coalesce(fc.n_cur, 0) AS n_cur
+        FROM grid g
+        LEFT JOIN fb ON fb.category = g.category
+        LEFT JOIN fc ON fc.category = g.category
+    ),
+    tot AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc,
+                   count(*) AS k FROM hist)
+    SELECT category, CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round((n_base + 0.5) / (tb + 0.5 * k), 6) AS p_base,
+           round((n_cur + 0.5) / (tc + 0.5 * k), 6) AS p_cur,
+           round(((n_cur + 0.5) / (tc + 0.5 * k)
+                  - (n_base + 0.5) / (tb + 0.5 * k))
+                 * ln(((n_cur + 0.5) / (tc + 0.5 * k))
+                      / ((n_base + 0.5) / (tb + 0.5 * k))), 6) AS contrib,
+           round(sum(((n_cur + 0.5) / (tc + 0.5 * k)
+                      - (n_base + 0.5) / (tb + 0.5 * k))
+                     * ln(((n_cur + 0.5) / (tc + 0.5 * k))
+                          / ((n_base + 0.5) / (tb + 0.5 * k))))
+                 OVER (), 6) AS psi_total
+    FROM hist, tot""",
+    "Categorical PSI drift (the other half of the production drift "
+    "monitor): order-priority frequencies 1995-1997 vs 1998+ — "
+    "baseline top-N categories kept (deterministic tiebreak), the rest "
+    "folded to __OTHER__, same half-count smoothing as the numeric arm; "
+    "each side reduces map-side to its bounded category counts",
+)
+def q_priority_drift_categorical(spark, sf_dir):
+    from .operators import profiling
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.drift_psi_categorical(
+        orders.filter(F.year("o_orderdate") <= 1997),
+        orders.filter(F.year("o_orderdate") > 1997),
+        "o_orderpriority",
+    )
+
+
+@register(
     "mixture_sample",
     f"""WITH base AS (
         SELECT doc_id, source, len({_W}) AS n_tokens FROM documents

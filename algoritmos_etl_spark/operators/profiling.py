@@ -193,3 +193,96 @@ def drift_psi(
         ).alias("psi_total"),
     )
     return scored
+
+
+def drift_psi_categorical(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    max_categories: int = 100,
+) -> DataFrame:
+    """`drift_psi`'s CATEGORICAL arm — the other half of a production
+    drift monitor (status codes, priorities, country/source columns):
+    category frequencies replace quantile buckets, with the
+    BASELINE's top-`max_categories` categories kept as-is (count
+    desc, value asc tiebreak — deterministic cross-engine) and
+    everything else folded into '__OTHER__' so unbounded-cardinality
+    columns stay bounded. NULL is its own category ('__NULL__').
+    Same half-count smoothing and Σ(p_cur−p_base)·ln(p_cur/p_base)
+    as the numeric arm; a category unseen in one side contributes
+    through the smoothing term instead of dividing by zero.
+
+    Output: one row per kept category — (category, n_base, n_cur,
+    p_base, p_cur, contrib, psi_total).
+
+    Scale shape: each side reduces map-side to its category counts
+    (bounded after the top-N fold), the kept-category list is a
+    broadcast of ≤ max_categories+2 rows, and the PSI itself runs on
+    that bounded grid — 100 TB costs two partial-agg passes.
+    """
+    from pyspark.sql import Window
+
+    cat = F.coalesce(F.col(value_col).cast("string"), F.lit("__NULL__"))
+
+    def counted(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(cat.alias("category"))
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    base_counts = counted(baseline, "n_base")
+    top = (
+        base_counts.orderBy(
+            F.col("n_base").desc(), F.col("category").asc()
+        )
+        .limit(max_categories)
+        .select("category")
+    )
+
+    def folded(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(cat.alias("category"))
+            .join(F.broadcast(top.withColumn("_keep", F.lit(1))),
+                  "category", "left")
+            .select(
+                F.when(
+                    F.col("_keep").isNotNull(), F.col("category")
+                ).otherwise(F.lit("__OTHER__")).alias("category")
+            )
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    grid = top.unionByName(
+        baseline.sparkSession.createDataFrame(
+            [("__OTHER__",)], "category string"
+        )
+    ).distinct()
+    hist = (
+        grid.join(folded(baseline, "n_base"), "category", "left")
+        .join(folded(current, "n_cur"), "category", "left")
+        .select(
+            "category",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    totals = hist.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    n_cells = F.count(F.lit(1)).over(Window.partitionBy())
+    p_base = (F.col("n_base") + 0.5) / (F.col("tb") + 0.5 * n_cells)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("tc") + 0.5 * n_cells)
+    contrib = (p_cur - p_base) * F.log(p_cur / p_base)
+    return hist.crossJoin(F.broadcast(totals)).select(
+        "category",
+        "n_base",
+        "n_cur",
+        F.round(p_base, 6).alias("p_base"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round(contrib, 6).alias("contrib"),
+        F.round(
+            F.sum(contrib).over(Window.partitionBy()), 6
+        ).alias("psi_total"),
+    )

@@ -90,3 +90,40 @@ def test_drift_psi_empty_baseline_reads_as_max_drift(spark):
     # empty vs empty: PSI == 0 (both sides smoothing-uniform)
     rows3 = profiling.drift_psi(empty, empty, "v").collect()
     assert all(abs(r.psi_total) < 1e-9 for r in rows3)
+
+
+def test_drift_psi_categorical_detects_category_shift(spark):
+    """Categorical PSI: same distribution reads ~0; a shifted category
+    mix reads > 0.25; NULLs get their own cell; long-tail categories
+    fold into __OTHER__ under max_categories; counts conserve."""
+    import math
+
+    base = spark.createDataFrame(
+        [(["a", "b", "c", None][i % 4],) for i in range(2000)], "v string"
+    )
+    same = spark.createDataFrame(
+        [(["c", "b", None, "a"][i % 4],) for i in range(2000)], "v string"
+    )
+    shifted = spark.createDataFrame(
+        [(["a", "a", "a", "d"][i % 4],) for i in range(2000)], "v string"
+    )
+    psi_same = profiling.drift_psi_categorical(base, same, "v").first().psi_total
+    assert abs(psi_same) < 0.01
+    rows = profiling.drift_psi_categorical(base, shifted, "v").collect()
+    assert rows[0].psi_total > 0.25
+    cats = {r.category for r in rows}
+    assert "__NULL__" in cats and "__OTHER__" in cats
+    assert sum(r.n_base for r in rows) == 2000
+    assert sum(r.n_cur for r in rows) == 2000
+    # 'd' is unseen in baseline → folded into __OTHER__ on the current side
+    other = next(r for r in rows if r.category == "__OTHER__")
+    assert other.n_base == 0 and other.n_cur == 500
+    assert all(math.isfinite(r.contrib) for r in rows)
+    # long tail folds under max_categories
+    wide = spark.createDataFrame(
+        [(f"cat{i % 50}",) for i in range(1000)], "v string"
+    )
+    out = profiling.drift_psi_categorical(wide, wide, "v", max_categories=10)
+    rows = out.collect()
+    assert len(rows) == 11  # top-10 + __OTHER__
+    assert abs(rows[0].psi_total) < 1e-9  # identical sides → 0 drift
