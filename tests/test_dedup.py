@@ -440,3 +440,65 @@ def test_duplicate_passages_string_verified(spark):
     }
     # doc1+doc2 share w0..w11 → spans at [0, 11]; doc3 and z-block clean
     assert clean == {(1, 0, 11), (2, 0, 11)}
+
+
+def test_exact_repeat_runs_match_bruteforce_reference(spark):
+    """Randomized cross-check: on small corpora from a tiny vocabulary
+    (repeats guaranteed), the distributed diagonal-run construction
+    must equal an O(n^2) brute-force enumeration of maximal aligned
+    exact repeats. Fixed seeds — deterministic, fast."""
+    import random
+
+    k = 3
+
+    def brute(words_by_doc):
+        out = set()
+        ids = sorted(words_by_doc)
+        for a in ids:
+            for b in ids:
+                if b < a:
+                    continue
+                wa, wb = words_by_doc[a], words_by_doc[b]
+                for d in range(-len(wa), len(wb) + 1):
+                    if a == b and d <= 0:
+                        continue  # ordering: same doc needs pos_a < pos_b
+                    i = 0
+                    run = 0
+                    start = None
+                    while i + k <= len(wa):
+                        j = i + d
+                        ok = (
+                            0 <= j and j + k <= len(wb)
+                            and wa[i:i + k] == wb[j:j + k]
+                        )
+                        if ok:
+                            if start is None:
+                                start = i
+                            run += 1
+                        elif start is not None:
+                            out.add((a, start, b, start + d,
+                                     run + k - 1, run))
+                            start, run = None, 0
+                        i += 1
+                    if start is not None:
+                        out.add((a, start, b, start + d, run + k - 1, run))
+        return out
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = ["u", "v", "w", "x"]
+        docs_py = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(k, 18))]
+            for d in range(6)
+        }
+        df = spark.createDataFrame(
+            [(d, " ".join(ws)) for d, ws in docs_py.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.start_a, r.doc_b, r.start_b, r.len_words,
+             r.n_shingles)
+            for r in dedup.exact_repeat_runs(df, k=k, max_occ=10**6)
+            .collect()
+        }
+        assert got == brute(docs_py), f"seed {seed}"

@@ -46,6 +46,9 @@ CROSS_OK = {
     "cosine's broadcast query handful (both declared above)",
     "order_value_drift": "per-row × the 1-row baseline-quantile bounds "
     "array, then 10-bucket grid × the 1-row totals aggregate",
+    "priority_drift_categorical": "bounded category grid (top-N + "
+    "__OTHER__) × the 1-row totals aggregate — the categorical twin of "
+    "order_value_drift's declared shape",
 }
 
 
