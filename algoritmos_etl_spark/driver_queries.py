@@ -1578,6 +1578,9 @@ REGISTRY_ORDER = (
     "priority_drift_categorical",  # categorical PSI arm; the numeric
                                    # arm is in-window via
                                    # order_value_drift
+    "quality_tiers",         # CCNet head/middle/tail over the trained
+                             # scorer; scoring is in-window via
+                             # doc_quality_scores (shared oracle SQL)
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

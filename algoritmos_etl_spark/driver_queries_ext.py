@@ -4395,6 +4395,56 @@ def q_doc_quality_scores(spark, sf_dir):
     return corpus.nb_quality_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _quality_tiers_oracle() -> str:
+    """Compose the tiers oracle from the registered doc_quality_scores
+    oracle (single source of truth for the scoring SQL): wrap its
+    final SELECT as a `scores` CTE, add the exact tercile cuts, and
+    CASE-tag the tiers."""
+    from .driver_queries import REGISTRY
+
+    dq = REGISTRY["doc_quality_scores"].oracle
+    idx = dq.index("SELECT d.doc_id")
+    ctes = dq[:idx].rstrip()
+    assert ctes.endswith(")")
+    return (
+        ctes
+        + """,
+    scores AS (
+    """
+        + dq[idx:]
+        + """
+    ),
+    cuts AS (
+        SELECT quantile_cont(per_token_e6, 1.0/3.0) AS t1,
+               quantile_cont(per_token_e6, 2.0/3.0) AS t2
+        FROM scores WHERE per_token_e6 IS NOT NULL
+    )
+    SELECT s.doc_id, s.n_tokens, s.per_token_e6,
+           CASE WHEN s.per_token_e6 IS NULL THEN NULL
+                WHEN s.per_token_e6 >= t2 THEN 'head'
+                WHEN s.per_token_e6 >= t1 THEN 'middle'
+                ELSE 'tail' END AS tier
+    FROM scores s, cuts"""
+    )
+
+
+@register(
+    "quality_tiers",
+    _quality_tiers_oracle(),
+    "CCNet head/middle/tail selection (Wenzek 2020 §4.3) closed over "
+    "the trained scorer: docs rank by the length-normalized classifier "
+    "score and split at the corpus's exact score terciles (ONE "
+    "interpolated-percentile aggregate, a 1-row broadcast — the "
+    "risk_classification idiom on the quality axis); tier assignment "
+    "is a row-local CASE. The oracle is COMPOSED from the "
+    "doc_quality_scores oracle, so both stay one source of truth (M8)",
+)
+def q_quality_tiers(spark, sf_dir):
+    from .operators import corpus
+
+    return corpus.quality_tiers(load_table(spark, sf_dir, "documents"))
+
+
 _HYBRID_IDS = "(3, 17, 41)"
 
 

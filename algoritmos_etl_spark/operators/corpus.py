@@ -718,3 +718,44 @@ def mixture_sample(
         .filter(gate < F.col("rate_ppm"))
         .select("doc_id", "source", "n_tokens", "rate_ppm")
     )
+
+
+def quality_tiers(
+    docs: DataFrame,
+    is_pos: Column | None = None,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """CCNet's head/middle/tail selection (Wenzek 2020 §4.3) closed
+    over the trained scorer: documents rank by the length-normalized
+    classifier score and split at the corpus's exact score TERCILES —
+    `head` is the best third (what CCNet keeps for pretraining),
+    `tail` the worst. Output: (doc_id, n_tokens, per_token_e6, tier);
+    unscoreable empty docs get tier NULL.
+
+    Scale shape: scoring is `nb_quality_scores` (one token-explode
+    shuffle + broadcast weights); the tercile thresholds are ONE exact
+    interpolated-percentile aggregate over the per-doc scores (a 1-row
+    broadcast — the `risk_classification` idiom on the quality axis);
+    tier assignment is a row-local CASE. Threshold comparisons happen
+    between exact integers and the interpolated double — deterministic
+    on both engines.
+    """
+    scored = nb_quality_scores(docs, is_pos=is_pos, n_buckets=n_buckets)
+    cuts = scored.filter(F.col("per_token_e6").isNotNull()).agg(
+        F.percentile(
+            F.col("per_token_e6"),
+            F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)),
+        ).alias("cuts")
+    )
+    t1 = F.element_at(F.col("cuts"), 1)
+    t2 = F.element_at(F.col("cuts"), 2)
+    tier = (
+        F.when(F.col("per_token_e6").isNull(), F.lit(None).cast("string"))
+        .when(F.col("per_token_e6") >= t2, F.lit("head"))
+        .when(F.col("per_token_e6") >= t1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "n_tokens", "per_token_e6", tier.alias("tier"))
+    )

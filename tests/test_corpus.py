@@ -554,3 +554,35 @@ class TestMixtureSample:
             for r in corpus.mixture_sample(docs, budgets).collect()
         }
         assert again == {(r.doc_id, r.rate_ppm) for r in got}
+
+
+class TestQualityTiers:
+    def test_terciles_order_and_proportions(self, spark):
+        """head >= middle >= tail on per-token score, each tier within
+        a tolerant third of scoreable docs, empty docs tier NULL."""
+        from algoritmos_etl_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = corpus.quality_tiers(docs).collect()
+        tiers = {}
+        for r in rows:
+            tiers.setdefault(r.tier, []).append(r.per_token_e6)
+        scoreable = sum(len(v) for t, v in tiers.items() if t is not None)
+        assert scoreable > 0
+        assert min(tiers["head"]) >= max(tiers["middle"])
+        assert min(tiers["middle"]) >= max(tiers["tail"])
+        for t in ("head", "middle", "tail"):
+            frac = len(tiers[t]) / scoreable
+            assert 0.2 < frac < 0.47, (t, frac)  # tie mass can skew a bit
+
+    def test_empty_doc_gets_null_tier(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the cat and the dog sat here together nicely today"),
+             (2, "an odd group of words arrived later that evening ok"),
+             (3, "few strange tokens remain on this line right now"),
+             (4, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.tier for r in corpus.quality_tiers(docs).collect()}
+        assert out[4] is None
+        assert all(out[d] is not None for d in (1, 2, 3))

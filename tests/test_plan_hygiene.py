@@ -49,6 +49,9 @@ CROSS_OK = {
     "priority_drift_categorical": "bounded category grid (top-N + "
     "__OTHER__) × the 1-row totals aggregate — the categorical twin of "
     "order_value_drift's declared shape",
+    "quality_tiers": "inherits doc_quality_scores' 1024-cell grid × "
+    "1-row totals cross, plus per-doc scores × the 1-row tercile-cuts "
+    "aggregate (the risk_classification threshold shape)",
 }
 
 

@@ -75,7 +75,7 @@ EXPECTED_TAIL = {
     "bi_nation_volume", "nation_market_share",
     "returned_item_customers", "promo_revenue_share",
     "top_supplier_q15", "snapshot_changes", "mixture_sample",
-    "priority_drift_categorical",
+    "priority_drift_categorical", "quality_tiers",
     # long-standing declared tail
     "skew_salted_join", "parts_per_size_bucket",
     "keep_latest_event", "fk_violations_orders", "risk_summary",
