@@ -1581,21 +1581,25 @@ REGISTRY_ORDER = (
     "quality_tiers",         # CCNet head/middle/tail over the trained
                              # scorer; scoring is in-window via
                              # doc_quality_scores (shared oracle SQL)
+    # ---- r9 flagships (placed by the r9 rotation below) ----
+    "exact_repeat_runs_tokens",  # Lee 2022 at the paper's 50-BPE-token
+                                 # grain; full oracle relearns the
+                                 # tokenizer in SQL
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /
-# eigendecomposition / sketch-estimate / iteratively-learned-encoding
-# pipelines no SQL engine reproduces); the driver records rows-only
-# rows for these — an explicit, reviewed exception. Each is pinned by
-# an exact non-SQL reference in pytest (numpy PCA parity, codec
-# round-trips, union==one-shot HLL, pure-Python BPE id parity).
+# eigendecomposition / sketch-estimate pipelines no SQL engine
+# reproduces); the driver records rows-only rows for these — an
+# explicit, reviewed exception. Each is pinned by an exact non-SQL
+# reference in pytest (numpy PCA parity, codec round-trips,
+# union==one-shot HLL). bpe_encode left this set in r9: its oracle now
+# RELEARNS the tokenizer in SQL (driver_queries_ext._bpe_sql_ctes).
 WINDOW_ROWS_ONLY = frozenset(
     {
         "pca_projection",
         "image_neardup",
         "audio_features",
         "incremental_distinct",
-        "bpe_encode",
     }
 )
 

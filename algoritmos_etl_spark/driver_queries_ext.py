@@ -3212,15 +3212,100 @@ def q_behavioral_report(spark, sf_dir):
 
 _BPE_CACHE: dict = {}
 
+_BPE_N_MERGES = 8
+_BPE_MIN_FREQ = 2
+
+
+def _bpe_sql_ctes(
+    n_merges: int = _BPE_N_MERGES, min_freq: int = _BPE_MIN_FREQ
+) -> str:
+    """DuckDB CTE chain reconstructing the ENTIRE BPE pipeline in SQL —
+    both training and application — so the 'iteratively-learned
+    encoding' queries carry FULL value oracles (r9; they were
+    rows-only through r8).
+
+    Training: the word-frequency table, then `n_merges` unrolled
+    rounds of (adjacent-pair count over the current tokenization →
+    argmax with the learner's exact count-desc/left-asc/right-asc
+    tiebreak and min_freq gate → greedy left-to-right merge). The
+    greedy fold (`operators/bpe._apply_merge`) maps onto
+    `list_reduce` with the accumulator encoded as a space-joined
+    token string: merge when the accumulator's LAST token equals
+    `left` and the element equals `right` — plain `replace()` would
+    diverge on odd runs of a self-pair ('a a a a a' must give
+    'aa aa a', not 'aa a aa'). An empty m{{i}} (best count below
+    min_freq) LEFT-JOINs as NULL and round i becomes a no-op,
+    matching the learner's early break.
+
+    Application: per-doc ordered token lists via the word join
+    (`doc_tokens`), and the fixed vocab-id layout of
+    `bpe.bpe_vocab_ids` (256 reserved byte ids, sorted alphabet,
+    merges in learned order, first-wins on duplicate merged strings)
+    as the `vocab` CTE. The training corpus is the encoding corpus,
+    so the byte fallback is unreachable and every token resolves in
+    `vocab`."""
+    parts = [
+        "docs_w AS (SELECT doc_id, "
+        "list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') "
+        "AS ws FROM documents)",
+        "bpe_words AS (SELECT w AS word, count(*) AS freq FROM "
+        "(SELECT unnest(ws) AS w FROM docs_w) GROUP BY w)",
+        "t0 AS (SELECT word, freq, array_to_string(list_append("
+        "list_filter(string_split(word, ''), c -> c <> ''), '</w>'), ' ') "
+        "AS s FROM bpe_words)",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"p{i} AS (SELECT tl[j] AS l, tl[j+1] AS r, sum(freq) AS c "
+            f"FROM (SELECT freq, string_split(s, ' ') AS tl FROM t{i - 1}), "
+            f"LATERAL (SELECT unnest(range(1, len(tl))) AS j) u "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT l, r FROM p{i} WHERE c >= {min_freq} "
+            f"ORDER BY c DESC, l ASC, r ASC LIMIT 1)"
+        )
+        parts.append(
+            f"t{i} AS (SELECT word, freq, CASE WHEN m{i}.l IS NULL THEN s "
+            f"ELSE list_reduce(string_split(s, ' '), (acc, x) -> "
+            f"CASE WHEN (acc = m{i}.l OR ends_with(acc, ' ' || m{i}.l)) "
+            f"AND x = m{i}.r THEN acc || x ELSE acc || ' ' || x END) END "
+            f"AS s FROM t{i - 1} LEFT JOIN m{i} ON TRUE)"
+        )
+    tn = f"t{n_merges}"
+    merge_union = " UNION ALL ".join(
+        f"SELECT {i} AS i, l, r FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    parts += [
+        "per_word_pos AS (SELECT doc_id, unnest(ws) AS word, "
+        "unnest(range(1, len(ws)+1)) AS wpos FROM docs_w)",
+        f"doc_tokens AS (SELECT doc_id, string_split(string_agg({tn}.s, "
+        f"' ' ORDER BY wpos), ' ') AS toks "
+        f"FROM per_word_pos JOIN {tn} USING (word) GROUP BY doc_id)",
+        "alpha AS (SELECT DISTINCT c FROM (SELECT "
+        "unnest(list_filter(string_split(word, ''), c -> c <> '')) AS c "
+        "FROM bpe_words) UNION SELECT '</w>')",
+        "alpha_ids AS (SELECT c AS tok, 255 + row_number() OVER "
+        "(ORDER BY c) AS id FROM alpha)",
+        f"bpe_merges AS ({merge_union})",
+        "vocab AS (SELECT tok, CAST(min(id) AS INT) AS id FROM ("
+        "SELECT tok, id FROM alpha_ids UNION ALL "
+        "SELECT l || r AS tok, 255 + (SELECT count(*) FROM alpha) + i "
+        "AS id FROM bpe_merges) GROUP BY tok)",
+    ]
+    return ",\n    ".join(parts)
+
 
 @register(
     "bpe_tokenize",
-    # rows-only BY DESIGN: BPE learning is an iterative algorithm
-    # (driver loop over merge rounds, distributed pair-count agg per
-    # round) — not expressible as one SQL statement. Correctness is
-    # pinned against a pure-Python reference implementation in
-    # tests/test_bpe.py (exact merge sequence + final vocab).
-    None,
+    # Full oracle since r9: the training loop unrolls into n_merges
+    # chained CTE rounds (pair-count argmax + list_reduce greedy
+    # merge), so DuckDB relearns the same tokenizer — see
+    # _bpe_sql_ctes. The pure-Python reference pin in tests/test_bpe.py
+    # (exact merge sequence + final vocab) stays as the third witness.
+    f"""WITH {_bpe_sql_ctes()}
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM doc_tokens""",
     "Distributed BPE tokenizer training + application (Sennrich 2016): "
     "one corpus pass reduces the text to the bounded word-frequency "
     "table, each merge round is a pair-count partial agg whose ONLY "
@@ -3262,11 +3347,32 @@ def _bpe_model(spark, sf_dir):
 
 @register(
     "bpe_encode",
-    # rows-only BY DESIGN: ordered token-ID encoding under an
-    # iteratively-learned merge table is not one SQL statement; exact
-    # parity (ids, order, byte fallback, losslessness) is pinned
-    # against a pure-Python reference in tests/test_bpe.py.
-    None,
+    # Full oracle since r9 (rows-only through r8): DuckDB relearns the
+    # merge table via _bpe_sql_ctes' unrolled training rounds, then
+    # reassembles per-doc ordered id sequences under the same fixed
+    # vocab layout. Empty/NULL-text docs keep their (0, '') row via
+    # the LEFT JOIN, matching bpe_encode's posexplode_outer contract.
+    # The byte fallback stays untestable here (training corpus ==
+    # encoding corpus, so it is unreachable) — it remains pinned by
+    # the pure-Python parity tests in tests/test_bpe.py.
+    f"""WITH {_bpe_sql_ctes()},
+    doc_tok_pos AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(1, len(toks)+1)) AS tpos
+        FROM doc_tokens
+    ),
+    ids AS (
+        SELECT doc_id, tpos, v.id
+        FROM doc_tok_pos JOIN vocab v USING (tok)
+    ),
+    enc AS (
+        SELECT doc_id, count(*) AS n,
+               string_agg(CAST(id AS VARCHAR), ',' ORDER BY tpos) AS csv
+        FROM ids GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(enc.n, 0) AS BIGINT) AS n_tokens,
+           coalesce(enc.csv, '') AS token_ids_csv
+    FROM documents d LEFT JOIN enc USING (doc_id)""",
     "Ordered BPE token-ID sequences (Sennrich 2016 §3 application with "
     "UTF-8 byte fallback — the SentencePiece byte_fallback / GPT-2 "
     "byte-level OOV story): segmentation runs once per DISTINCT word "
@@ -3293,6 +3399,83 @@ def q_bpe_encode(spark, sf_dir):
         "doc_id",
         "n_tokens",
         F.concat_ws(",", "token_ids").alias("token_ids_csv"),
+    )
+
+
+_TOKEN_RUN_K = 50  # Lee et al. 2022 §4.1: spans of >= 50 BPE tokens
+
+
+@register(
+    "exact_repeat_runs_tokens",
+    # Full oracle: _bpe_sql_ctes relearns the tokenizer and rebuilds
+    # per-doc ordered token lists, then the same diagonal-coalescing
+    # SQL as exact_repeat_runs runs at token grain. Token-STRING
+    # shingle equality == token-ID shingle equality (vocab maps each
+    # token string to exactly one id), so the two engines verify the
+    # same spans.
+    f"""WITH {_bpe_sql_ctes()},
+    pos AS (
+        SELECT doc_id, unnest(range(0, len(toks) - {_TOKEN_RUN_K - 1}))
+               AS p, toks
+        FROM doc_tokens WHERE len(toks) >= {_TOKEN_RUN_K}
+    ),
+    sh AS (
+        SELECT doc_id, p,
+               array_to_string(toks[p+1:p+{_TOKEN_RUN_K}], ' ') AS s
+        FROM pos
+    ),
+    pairable AS (
+        SELECT s FROM sh GROUP BY s
+        HAVING count(*) >= 2 AND count(*) <= 64
+    ),
+    cand AS (SELECT sh.doc_id, sh.p, sh.s FROM sh JOIN pairable USING (s)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, a.p AS pos_a, b.doc_id AS doc_b,
+               b.p - a.p AS diag
+        FROM cand a JOIN cand b
+          ON a.s = b.s
+         AND (a.doc_id < b.doc_id
+              OR (a.doc_id = b.doc_id AND a.p < b.p))
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               CASE WHEN lag(pos_a) OVER win IS NULL
+                         OR pos_a > lag(pos_a) OVER win + 1
+                    THEN 1 ELSE 0 END AS is_new
+        FROM pairs
+        WINDOW win AS (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               sum(is_new) OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run
+        FROM runs
+    )
+    SELECT doc_a, CAST(min(pos_a) AS INT) AS start_a, doc_b,
+           CAST(min(pos_a) + diag AS INT) AS start_b,
+           CAST(max(pos_a) - min(pos_a) + {_TOKEN_RUN_K} AS INT)
+               AS len_tokens,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM isl GROUP BY doc_a, doc_b, diag, run""",
+    "Maximal verified exact repeats at TOKEN resolution — the Lee 2022 "
+    "ExactSubstr contract as the paper states it (>= 50 BPE tokens), "
+    "composed from the two r8 pieces: exact_repeat_runs' diagonal "
+    "algorithm over bpe_encode's ordered token-ID sequences; the "
+    "comma-joined id window is the exact join key, the 2..64 df-cap "
+    "bounds the pair join, and the oracle RELEARNS the tokenizer in "
+    "SQL so the whole composition is value-verified (M8)",
+)
+def q_exact_repeat_runs_tokens(spark, sf_dir):
+    from .operators import bpe
+
+    merges, alphabet = _bpe_model(spark, sf_dir)
+    encoded = bpe.bpe_encode(
+        load_table(spark, sf_dir, "documents"), merges, alphabet
+    )
+    return dedup.exact_repeat_runs_tokens(
+        encoded, k=_TOKEN_RUN_K, max_occ=64
     )
 
 

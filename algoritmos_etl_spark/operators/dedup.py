@@ -1018,8 +1018,13 @@ def exact_repeat_runs(
     """Maximal VERIFIED exact repeats — the Lee et al. 2022 ExactSubstr
     contract at word resolution: every output row is a pair of
     positions whose word spans are byte-identical for `len_words`
-    words (>= k), and maximal (extending one word in either direction
-    breaks the match or hits a document boundary).
+    words (>= k), and maximal WITHIN THE DF-CAPPED SHINGLE SET:
+    extending one word in either direction breaks the match, hits a
+    document boundary, or crosses a shingle the 2..max_occ df-cap
+    excluded. A true repeat whose interior shingle occurs > max_occ
+    times therefore reports as fragments flanking the capped gap —
+    the deliberate price of bounding the pair join (ultra-common
+    shingles are boilerplate/near-dup territory, not passage dedup).
 
     Suffix-array-free distributed re-expression: candidate position
     pairs come from k-shingle STRING equality (the hash only narrows
@@ -1041,6 +1046,18 @@ def exact_repeat_runs(
     intra-doc self-repeats qualify (memorization fuel too).
     """
     sh = positional_shingles(docs, k).localCheckpoint(eager=False)
+    return _maximal_diagonal_runs(sh, k, max_occ, "len_words")
+
+
+def _maximal_diagonal_runs(
+    sh: DataFrame, k: int, max_occ: int, len_alias: str
+) -> DataFrame:
+    """Shared ExactSubstr core: coalesce string-verified k-shingle
+    matches into maximal runs along alignment diagonals. `sh` is any
+    (doc_id, pos, shingle) positional-shingle table — word grain
+    (`positional_shingles`) or token grain
+    (`positional_token_shingles`); `len_alias` names the output span
+    length in the grain's unit."""
     pairable = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1073,7 +1090,7 @@ def exact_repeat_runs(
         .agg(
             F.min("pos_a").cast("int").alias("start_a"),
             (F.max("pos_a") - F.min("pos_a") + k).cast("int").alias(
-                "len_words"
+                len_alias
             ),
             F.count(F.lit(1)).alias("n_shingles"),
         )
@@ -1083,9 +1100,56 @@ def exact_repeat_runs(
         "start_a",
         "doc_b",
         (F.col("start_a") + F.col("diag")).cast("int").alias("start_b"),
-        "len_words",
+        len_alias,
         "n_shingles",
     )
+
+
+def positional_token_shingles(encoded: DataFrame, k: int) -> DataFrame:
+    """Positional k-TOKEN shingles over ordered token-ID sequences
+    (`bpe.bpe_encode` output: doc_id, token_ids array<int>): one row
+    per window start, shingle = the comma-joined id window. The join
+    key is injective in the id sequence (ids are integers, ',' never
+    appears in one), so shingle string equality IS token-sequence
+    equality — the token-grain twin of `positional_shingles`' exact
+    verification story, no hash step needed."""
+    shingles = F.when(
+        F.size("token_ids") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("token_ids") - k),
+            lambda i: F.concat_ws(
+                ",", F.slice("token_ids", i + 1, k).cast("array<string>")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return encoded.select(
+        "doc_id", F.posexplode(shingles).alias("pos", "shingle")
+    )
+
+
+def exact_repeat_runs_tokens(
+    encoded: DataFrame, k: int = 50, max_occ: int = 64
+) -> DataFrame:
+    """Maximal verified exact repeats at TOKEN resolution — the Lee
+    et al. 2022 ExactSubstr contract as the paper states it (§4.1:
+    spans of >= 50 BPE tokens), not the word-grain approximation.
+    Input is `bpe.bpe_encode` output (doc_id, token_ids); every output
+    row is a pair of token positions whose id spans are identical for
+    `len_tokens` tokens (>= k) and maximal within the df-capped
+    shingle set (see `exact_repeat_runs` for the cap semantics).
+
+    Same suffix-array-free distributed shape as the word grain:
+    candidate pairs from k-token shingle equality (the comma-joined id
+    string is the exact join key — overlapping-window induction proves
+    full-span equality), coalesced along alignment diagonals; only
+    shingles with 2..max_occ occurrences enter the pair join.
+
+    Output: (doc_a, start_a, doc_b, start_b, len_tokens, n_shingles),
+    positions in TOKEN index space, (doc_a, start_a) < (doc_b,
+    start_b); intra-doc self-repeats qualify.
+    """
+    sh = positional_token_shingles(encoded, k).localCheckpoint(eager=False)
+    return _maximal_diagonal_runs(sh, k, max_occ, "len_tokens")
 
 
 def duplicate_passages(

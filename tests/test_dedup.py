@@ -502,3 +502,95 @@ def test_exact_repeat_runs_match_bruteforce_reference(spark):
             .collect()
         }
         assert got == brute(docs_py), f"seed {seed}"
+
+
+def test_exact_repeat_runs_tokens_match_bruteforce_reference(spark):
+    """Token-grain twin of the brute-force cross-check: the diagonal
+    construction over (doc_id, token_ids) must equal the O(n^2)
+    enumeration of maximal aligned exact id-sequence repeats."""
+    import random
+
+    k = 4
+
+    def brute(toks_by_doc):
+        out = set()
+        ids = sorted(toks_by_doc)
+        for a in ids:
+            for b in ids:
+                if b < a:
+                    continue
+                wa, wb = toks_by_doc[a], toks_by_doc[b]
+                for d in range(-len(wa), len(wb) + 1):
+                    if a == b and d <= 0:
+                        continue
+                    i, run, start = 0, 0, None
+                    while i + k <= len(wa):
+                        j = i + d
+                        ok = (
+                            0 <= j and j + k <= len(wb)
+                            and wa[i:i + k] == wb[j:j + k]
+                        )
+                        if ok:
+                            if start is None:
+                                start = i
+                            run += 1
+                        elif start is not None:
+                            out.add((a, start, b, start + d,
+                                     run + k - 1, run))
+                            start, run = None, 0
+                        i += 1
+                    if start is not None:
+                        out.add((a, start, b, start + d, run + k - 1, run))
+        return out
+
+    for seed in (11, 12):
+        rng = random.Random(seed)
+        toks_py = {
+            d: [rng.randint(256, 259) for _ in range(rng.randint(k, 20))]
+            for d in range(6)
+        }
+        df = spark.createDataFrame(
+            list(toks_py.items()), "doc_id long, token_ids array<int>"
+        )
+        got = {
+            (r.doc_a, r.start_a, r.doc_b, r.start_b, r.len_tokens,
+             r.n_shingles)
+            for r in dedup.exact_repeat_runs_tokens(df, k=k, max_occ=10**6)
+            .collect()
+        }
+        assert got == brute(toks_py), f"seed {seed}"
+
+
+def test_exact_repeat_runs_tokens_end_to_end_bpe(spark):
+    """Lee 2022 composition: a passage shared verbatim by two docs must
+    surface as a >= 50-token verified run at the positions bpe_encode
+    assigns, while unrelated docs stay silent."""
+    from algoritmos_etl_spark.operators import bpe
+
+    passage = " ".join(
+        f"shared{i % 7} token{i % 5} run" for i in range(30)
+    )  # 90 words -> well past 50 tokens under an 8-merge tokenizer
+    rows = [
+        (0, "unique opening words here " + passage),
+        (1, passage + " and a different tail entirely"),
+        (2, "completely unrelated filler text with no overlap at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, _ = bpe.learn_bpe(spark, docs, n_merges=8, min_freq=2)
+    alphabet = bpe.bpe_alphabet(docs)
+    encoded = bpe.bpe_encode(docs, merges, alphabet)
+
+    # reference id sequences from the (separately parity-pinned) encoder
+    enc = {r.doc_id: list(r.token_ids) for r in encoded.collect()}
+    runs = dedup.exact_repeat_runs_tokens(encoded, k=50, max_occ=64).collect()
+    cross = [r for r in runs if r.doc_a == 0 and r.doc_b == 1]
+    assert cross, "shared passage not found at token grain"
+    best = max(cross, key=lambda r: r.len_tokens)
+    assert best.len_tokens >= 50
+    # doc 2 never participates
+    assert all(2 not in (r.doc_a, r.doc_b) for r in runs)
+    # the reported spans are truly identical id sequences
+    assert (
+        enc[0][best.start_a:best.start_a + best.len_tokens]
+        == enc[1][best.start_b:best.start_b + best.len_tokens]
+    )

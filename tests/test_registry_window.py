@@ -84,6 +84,8 @@ EXPECTED_TAIL = {
     "shipping_priority", "approx_profile", "bpe_tokenize",
     "pii_redaction",
     "doc_lm_scores", "bm25_topk",
+    # r9 flagships parked in the tail until the r9 rotation
+    "exact_repeat_runs_tokens",
 }
 
 
