@@ -1585,6 +1585,8 @@ REGISTRY_ORDER = (
     "exact_repeat_runs_tokens",  # Lee 2022 at the paper's 50-BPE-token
                                  # grain; full oracle relearns the
                                  # tokenizer in SQL
+    "html_extraction",       # HTML -> text extraction (scale tier, full
+                             # oracle; parsed tier pytest-pinned)
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

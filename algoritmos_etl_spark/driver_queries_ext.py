@@ -4967,3 +4967,46 @@ def q_top_parts_per_brand(spark, sf_dir):
         "n_lines",
         "revenue",
     )
+
+
+# --------------------------- round 9: HTML -> text extraction (VERDICT #5)
+
+from .operators.html_text import (  # noqa: E402
+    html_to_text_sql,
+    synthesize_html_sql,
+)
+
+
+@register(
+    "html_extraction",
+    # Full oracle: the fixture synthesis is pure string concat and the
+    # scale-tier extraction chain is regex/replace — both reproduced
+    # verbatim in DuckDB by the sql twins that live NEXT TO the Spark
+    # chain in operators/html_text.py (RE2/Java dialect parity by
+    # construction). The robust html.parser tier + jusText-style
+    # boilerplate gate is pytest-pinned (tests/test_html_text.py).
+    f"""WITH pages AS (
+        SELECT doc_id, {synthesize_html_sql()} AS html FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, {html_to_text_sql("html")} AS text FROM pages
+    )
+    SELECT doc_id, text,
+           CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                AS INT) AS n_words
+    FROM ex""",
+    "HTML -> text extraction over a synthesized crawled-page corpus "
+    "(the first operator a CommonCrawl-shaped pipeline needs): drop "
+    "script/style/comments, strip tags, decode entities, collapse "
+    "whitespace — one JVM regexp projection, zero shuffles, map-only "
+    "at 100 TB; the robust stdlib-html.parser tier with jusText-style "
+    "link-density boilerplate removal ships alongside with a "
+    "quarantine contract (M8)",
+)
+def q_html_extraction(spark, sf_dir):
+    from .operators import html_text
+
+    pages = html_text.synthesize_html_corpus(
+        load_table(spark, sf_dir, "documents")
+    )
+    return html_text.html_to_text(pages)
