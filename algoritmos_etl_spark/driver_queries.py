@@ -1587,6 +1587,8 @@ REGISTRY_ORDER = (
                                  # tokenizer in SQL
     "html_extraction",       # HTML -> text extraction (scale tier, full
                              # oracle; parsed tier pytest-pinned)
+    "snapshot_evolution",    # row-level delete + add-column NULL
+                             # backfill over the manifest layer
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

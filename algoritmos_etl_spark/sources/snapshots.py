@@ -24,9 +24,18 @@ any retained historical version) and read EXACTLY its file list, so:
 
 Concurrency contract: os.link fails (EEXIST) when the target version
 was taken, so racing committers never silently overwrite each other —
-the loser retries against the next version number. Local-POSIX scope,
-same as the rest of the layout family (object stores want a
-conditional-PUT here).
+the loser RE-VALIDATES against the new head (Iceberg-style: an append
+recomputes the prior file list, compact/upsert/delete recompute their
+rewrite from the new head) and retries at the next version number.
+Local-POSIX scope, same as the rest of the layout family (object
+stores want a conditional-PUT here).
+
+Schema evolution (r9): every manifest records the snapshot's Spark
+schema; `read_as_of` reads with that EXPLICIT schema, so files written
+before an `snapshot_add_column` backfill the new column with NULLs at
+read time — no data rewrite. Row-level deletes (`snapshot_delete`) are
+copy-on-write of the touched files only; deleted rows stay visible
+as-of older versions until vacuum retires them.
 
 Reference anchor: the reference re-reads its whole CSV master per
 request (`app.py:109`, `main.py:118`) — no versioning, last-writer
@@ -62,31 +71,86 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
-def _publish_manifest(table_dir: str, manifest: dict) -> int:
-    """Atomically publish `manifest` at the next free version number.
+def _publish_at(table_dir: str, manifest: dict, version: int) -> bool:
+    """Single atomic publish ATTEMPT at exactly `version`.
 
     tmp-write + os.link: link is atomic AND fails with EEXIST if a
     racing committer took the version — content is fully durable
     before the pointer appears, and no commit ever overwrites another.
+    Returns False on a lost race so the CALLER re-validates its
+    manifest against the new head before retrying (an append's prior
+    file list, a compact/upsert/delete's rewrite — all are stale the
+    moment another commit lands; blindly re-linking the same manifest
+    at the next slot would silently drop the winner's changes).
     """
     mdir = _manifest_dir(table_dir)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
-    version = (_versions(table_dir) or [0])[-1] + 1
     try:
-        while True:
-            manifest["version"] = version
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                os.link(tmp, os.path.join(mdir, f"v={version}.json"))
-                return version
-            except FileExistsError:
-                version += 1  # lost the race; retry at the next slot
+        manifest["version"] = version
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, os.path.join(mdir, f"v={version}.json"))
+            return True
+        except FileExistsError:
+            return False
     finally:
         os.unlink(tmp)
+
+
+def _publish_manifest(table_dir: str, manifest: dict) -> int:
+    """Publish a PRIOR-INDEPENDENT manifest (its file list does not
+    derive from the head snapshot: overwrite, WAP publish) at the next
+    free version, retrying past stolen slots. Prior-DEPENDENT commits
+    must NOT use this — they re-validate via their own _publish_at
+    loops (see the concurrency contract in the module docstring)."""
+    version = (_versions(table_dir) or [0])[-1] + 1
+    while not _publish_at(table_dir, manifest, version):
+        version = _versions(table_dir)[-1] + 1
+    return manifest["version"]
+
+
+def _schema_json(df: DataFrame) -> dict:
+    return json.loads(df.schema.json())
+
+
+def _merge_schema(prior: dict | None, new: dict) -> dict:
+    """Append-time schema union: prior fields keep their order, new
+    fields append at the end; a name present in both with a different
+    type is a commit-time error (no implicit type evolution)."""
+    if prior is None:
+        return new
+    by_name = {f["name"]: f for f in prior["fields"]}
+    fields = list(prior["fields"])
+    for f in new["fields"]:
+        have = by_name.get(f["name"])
+        if have is None:
+            fields.append(f)
+        elif have["type"] != f["type"]:
+            raise ValueError(
+                f"snapshot schema conflict on {f['name']!r}: "
+                f"{have['type']} vs {f['type']}"
+            )
+    return {**prior, "fields": fields}
+
+
+def _read_manifest_df(
+    spark: SparkSession, table_dir: str, m: dict
+) -> DataFrame:
+    """Read exactly a manifest's file list, under its recorded schema
+    when present — files older than an add_column backfill the new
+    column with NULLs (schema-on-read evolution). Pre-r9 manifests
+    carry no schema and read bare."""
+    paths = [os.path.join(table_dir, f) for f in m["files"]]
+    reader = spark.read
+    if m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
+    return reader.parquet(*paths)
 
 
 def _write_data(df: DataFrame, table_dir: str, version_hint: int) -> list[str]:
@@ -127,18 +191,29 @@ def snapshot_commit(
     versions = _versions(table_dir)
     hint = (versions[-1] if versions else 0) + 1
     new_files = _write_data(df, table_dir, hint)
-    prior: list[str] = []
-    if mode == "append" and versions:
-        prior = _read_manifest(table_dir, versions[-1])["files"]
-    files = prior + new_files
-    return _publish_manifest(
-        table_dir,
-        {
+    new_schema = _schema_json(df)
+    while True:
+        # re-validated per attempt: a lost race means another commit
+        # moved the head, so the append's prior file list (and schema)
+        # must be recomputed from the NEW head — the already-written
+        # data files stay valid across retries
+        versions = _versions(table_dir)
+        head = versions[-1] if versions else 0
+        prior: list[str] = []
+        prior_schema = None
+        if mode == "append" and versions:
+            m = _read_manifest(table_dir, head)
+            prior = m["files"]
+            prior_schema = m.get("schema")
+        files = prior + new_files
+        manifest = {
             "op": op or mode,
             "files": files,
+            "schema": _merge_schema(prior_schema, new_schema),
             "n_rows": _count_rows(table_dir, files),
-        },
-    )
+        }
+        if _publish_at(table_dir, manifest, head + 1):
+            return head + 1
 
 
 def read_as_of(
@@ -160,9 +235,7 @@ def read_as_of(
     m = _read_manifest(table_dir, v)
     if not m["files"]:
         raise ValueError(f"version {v} of {table_dir} is empty")
-    return spark.read.parquet(
-        *[os.path.join(table_dir, f) for f in m["files"]]
-    )
+    return _read_manifest_df(spark, table_dir, m)
 
 
 def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -191,19 +264,25 @@ def snapshot_compact(
     versions keep their (still-present) files — snapshot isolation,
     where `compact.compact_table`'s in-place overwrite would race
     them."""
-    cur = read_as_of(spark, table_dir)
-    versions = _versions(table_dir)
-    files = _write_data(
-        cur.coalesce(target_files), table_dir, versions[-1] + 1
-    )
-    return _publish_manifest(
-        table_dir,
-        {
+    while True:
+        versions = _versions(table_dir)
+        if not versions:
+            raise ValueError(f"no snapshots under {table_dir}")
+        head = versions[-1]
+        m = _read_manifest(table_dir, head)
+        cur = _read_manifest_df(spark, table_dir, m)
+        files = _write_data(cur.coalesce(target_files), table_dir, head + 1)
+        manifest = {
             "op": "compact",
             "files": files,
+            "schema": m.get("schema") or _schema_json(cur),
             "n_rows": _count_rows(table_dir, files),
-        },
-    )
+        }
+        if _publish_at(table_dir, manifest, head + 1):
+            return head + 1
+        # lost the race: the head moved, so this rewrite no longer
+        # reflects it — recompact from the new head (the orphaned
+        # attempt's files retire via vacuum)
 
 
 def snapshot_upsert(
@@ -219,36 +298,46 @@ def snapshot_upsert(
     whole current snapshot participates."""
     from pyspark.sql import functions as F
 
-    cur = read_as_of(spark, table_dir)
-    cols = cur.columns
-    tagged = (
-        cur.select(*cols)
-        .withColumn("_src", F.lit(0))
-        .unionByName(updates.select(*cols).withColumn("_src", F.lit(1)))
-    )
-    merged = (
-        tagged.groupBy(*key_cols)
-        .agg(
-            F.max_by(
-                F.struct(*[c for c in cols if c not in key_cols]),
-                F.col("_src"),
-            ).alias("_w")
+    while True:
+        versions = _versions(table_dir)
+        if not versions:
+            raise ValueError(f"no snapshots under {table_dir}")
+        head = versions[-1]
+        m = _read_manifest(table_dir, head)
+        cur = _read_manifest_df(spark, table_dir, m)
+        cols = cur.columns
+        tagged = (
+            cur.select(*cols)
+            .withColumn("_src", F.lit(0))
+            .unionByName(updates.select(*cols).withColumn("_src", F.lit(1)))
         )
-        .select(
-            *key_cols,
-            *[F.col(f"_w.{c}").alias(c) for c in cols if c not in key_cols],
+        merged = (
+            tagged.groupBy(*key_cols)
+            .agg(
+                F.max_by(
+                    F.struct(*[c for c in cols if c not in key_cols]),
+                    F.col("_src"),
+                ).alias("_w")
+            )
+            .select(
+                *key_cols,
+                *[
+                    F.col(f"_w.{c}").alias(c)
+                    for c in cols
+                    if c not in key_cols
+                ],
+            )
         )
-    )
-    versions = _versions(table_dir)
-    files = _write_data(merged, table_dir, versions[-1] + 1)
-    return _publish_manifest(
-        table_dir,
-        {
+        files = _write_data(merged, table_dir, head + 1)
+        manifest = {
             "op": "upsert",
             "files": files,
+            "schema": m.get("schema") or _schema_json(cur),
             "n_rows": _count_rows(table_dir, files),
-        },
-    )
+        }
+        if _publish_at(table_dir, manifest, head + 1):
+            return head + 1
+        # lost the race: re-merge against the new head
 
 
 def snapshot_publish(
@@ -282,10 +371,123 @@ def snapshot_publish(
         {
             "op": "publish",
             "files": files,
+            "schema": _schema_json(df),
             "n_rows": _count_rows(table_dir, files),
         },
     )
     return {"published": True, "version": v, "violations": []}
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Row-level DELETE (the GDPR right-to-be-forgotten surface) as
+    COPY-ON-WRITE of the touched files only: files containing no
+    matching key carry over to the new manifest untouched; files with
+    at least one hit are rewritten minus the deleted keys. Deleted
+    rows remain visible as-of every OLDER version until
+    `snapshot_vacuum` retires those versions — time-travel semantics
+    are preserved, and `snapshot_changes` across the delete emits the
+    rows as `removed`.
+
+    Scale shape: the key set broadcasts (a delete batch is small by
+    contract), touched-file discovery is one semi-join carrying
+    `input_file_name`, and the rewrite cost is |touched files| — a
+    10-file delete on a 100k-file table costs 10 files, the
+    `compact.partition_upsert` discipline at row grain. A delete that
+    touches nothing still publishes (op='delete', same files), so the
+    audit trail records the attempt."""
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    def rel(uri: str) -> str:
+        p = uri
+        if p.startswith("file:"):
+            p = unquote(urlparse(p).path)
+        return os.path.relpath(p, os.path.abspath(table_dir))
+
+    key_set = keys.select(*key_cols).distinct()
+    while True:
+        versions = _versions(table_dir)
+        if not versions:
+            raise ValueError(f"no snapshots under {table_dir}")
+        head = versions[-1]
+        m = _read_manifest(table_dir, head)
+        cur = _read_manifest_df(spark, table_dir, m).withColumn(
+            "_file", F.input_file_name()
+        )
+        # bounded collect: one row per TOUCHED FILE (<= |delete batch|
+        # file spread), declared in test_plan_hygiene._COLLECT_BOUNDED
+        touched = sorted(
+            {
+                rel(r._file)
+                for r in cur.join(
+                    F.broadcast(key_set), key_cols, "left_semi"
+                )
+                .select("_file")
+                .distinct()
+                .collect()
+            }
+        )
+        rewritten: list[str] = []
+        if touched:
+            reader = spark.read
+            if m.get("schema"):
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(m["schema"]))
+            kept = reader.parquet(
+                *[os.path.join(table_dir, f) for f in touched]
+            ).join(F.broadcast(key_set), key_cols, "left_anti")
+            rewritten = _write_data(kept, table_dir, head + 1)
+        files = [f for f in m["files"] if f not in set(touched)] + rewritten
+        manifest = {
+            "op": "delete",
+            "files": files,
+            "schema": m.get("schema"),
+            "n_rows": _count_rows(table_dir, files),
+        }
+        if _publish_at(table_dir, manifest, head + 1):
+            return head + 1
+        # lost the race: recompute the touched split from the new head
+
+
+def snapshot_add_column(table_dir: str, name: str, dtype: str) -> int:
+    """METADATA-ONLY schema evolution: add a nullable column to the
+    table schema without touching a single data file. Readers at the
+    new version see the column NULL-backfilled (read_as_of applies
+    the manifest schema explicitly); readers at older versions see
+    the old schema — exactly the Iceberg/Delta add-column contract.
+    `dtype` is a Spark DDL type string ('double', 'string', ...)."""
+    from pyspark.sql.types import StructType
+
+    field = json.loads(StructType().add(name, dtype, True).json())["fields"][0]
+    while True:
+        versions = _versions(table_dir)
+        if not versions:
+            raise ValueError(f"no snapshots under {table_dir}")
+        head = versions[-1]
+        m = _read_manifest(table_dir, head)
+        schema = m.get("schema")
+        if schema is None:
+            raise ValueError(
+                "snapshot_add_column: head manifest predates schema "
+                "tracking — commit once with current code first"
+            )
+        if any(f["name"] == name for f in schema["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        manifest = {
+            "op": "add_column",
+            "files": m["files"],
+            "schema": {**schema, "fields": schema["fields"] + [field]},
+            "n_rows": m["n_rows"],
+        }
+        if _publish_at(table_dir, manifest, head + 1):
+            return head + 1
 
 
 def snapshot_changes(
@@ -319,12 +521,23 @@ def snapshot_changes(
     return table_diff(left, right, key_cols)
 
 
-def snapshot_vacuum(table_dir: str, keep: int = 2) -> dict:
+def snapshot_vacuum(
+    table_dir: str, keep: int = 2, min_age_seconds: float = 600.0
+) -> dict:
     """Retire manifests beyond the `keep` newest (>= 1 — the current
     version always survives) plus every data file no retained manifest
     references (including orphans from crashed commits). Readers of
-    retained versions are untouched: their files are all referenced."""
+    retained versions are untouched: their files are all referenced.
+
+    Unreferenced commit dirs YOUNGER than `min_age_seconds` survive
+    (mtime-based grace, the Iceberg/Delta vacuum convention): an
+    in-flight commit sits between _write_data and its manifest link
+    exactly in this state, and deleting its files would publish a
+    manifest pointing at nothing. The default 10-minute grace covers
+    any realistic commit; pass 0 ONLY when no writer can be active
+    (vacuum and writers are otherwise mutually exclusive)."""
     import shutil
+    import time
 
     keep = max(1, int(keep))
     versions = _versions(table_dir)
@@ -337,11 +550,19 @@ def snapshot_vacuum(table_dir: str, keep: int = 2) -> dict:
         live.update(_read_manifest(table_dir, v)["files"])
     data_dir = os.path.join(table_dir, "data")
     removed = 0
+    now = time.time()
     if os.path.isdir(data_dir):
         for sub in os.listdir(data_dir):
             subdir = os.path.join(data_dir, sub)
             rel = f"data/{sub}"
-            if not any(f.startswith(rel + "/") for f in live):
-                shutil.rmtree(subdir, ignore_errors=True)
-                removed += 1
+            if any(f.startswith(rel + "/") for f in live):
+                continue
+            try:
+                age = now - os.path.getmtime(subdir)
+            except OSError:
+                continue  # vanished under us (concurrent vacuum)
+            if age < min_age_seconds:
+                continue  # grace period: possibly an in-flight commit
+            shutil.rmtree(subdir, ignore_errors=True)
+            removed += 1
     return {"manifests_removed": len(doomed), "commit_dirs_removed": removed}

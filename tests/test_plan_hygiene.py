@@ -148,8 +148,10 @@ _COLLECT_BOUNDED = {
         "alphabet (bounded by the script's character set)",
     ),
     "sources/snapshots.py": (
-        1,
-        "the snapshot-WAP gate's one-row-per-rule expectation report",
+        2,
+        "the snapshot-WAP gate's one-row-per-rule expectation report; "
+        "the copy-on-write delete's touched-file list (bounded by the "
+        "delete batch's file spread)",
     ),
     "sources/compact.py": (
         2,

@@ -85,7 +85,7 @@ EXPECTED_TAIL = {
     "pii_redaction",
     "doc_lm_scores", "bm25_topk",
     # r9 flagships parked in the tail until the r9 rotation
-    "exact_repeat_runs_tokens", "html_extraction",
+    "exact_repeat_runs_tokens", "html_extraction", "snapshot_evolution",
 }
 
 

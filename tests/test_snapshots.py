@@ -49,7 +49,7 @@ def test_reader_isolated_across_compaction_and_vacuum(spark, tmp_path):
     reader = snap.read_as_of(spark, t, 2)          # pinned, lazy
     v3 = snap.snapshot_compact(spark, t)
     assert v3 == 3
-    snap.snapshot_vacuum(t, keep=2)                # retains v2, v3
+    snap.snapshot_vacuum(t, keep=2, min_age_seconds=0)                # retains v2, v3
     got = {r.k for r in reader.collect()}          # materialize AFTER both
     assert got == set(range(11))
     # compaction result identical content, fewer files
@@ -71,7 +71,7 @@ def test_crashed_commit_leaves_no_visible_state_and_vacuums(spark, tmp_path):
     snap.snapshot_commit(_df(spark, [(1, 1.0)]), t, mode="overwrite")
     snap._write_data(_df(spark, [(99, 99.0)]), t, version_hint=2)  # no publish
     assert {r.k for r in snap.read_as_of(spark, t).collect()} == {1}
-    rep = snap.snapshot_vacuum(t, keep=2)
+    rep = snap.snapshot_vacuum(t, keep=2, min_age_seconds=0)
     assert rep["commit_dirs_removed"] == 1
     assert {r.k for r in snap.read_as_of(spark, t).collect()} == {1}
 
@@ -123,7 +123,7 @@ def test_snapshot_publish_single_pointer_wap(spark, tmp_path):
     assert {r.k for r in snap.read_as_of(spark, t).collect()} == {1}
     # the rejected files are orphans: vacuum retires them
     n_dirs = len(glob.glob(os.path.join(t, "data", "c*")))
-    rep = snap.snapshot_vacuum(t, keep=2)
+    rep = snap.snapshot_vacuum(t, keep=2, min_age_seconds=0)
     assert rep["commit_dirs_removed"] == n_dirs - 1
     rep = snap.snapshot_publish(_df(spark, [(3, 30.0)]), t, rules)
     assert rep == {"published": True, "version": 2, "violations": []}
@@ -177,6 +177,122 @@ def test_snapshot_changes_between_versions(spark, tmp_path):
     }
     # vacuumed from_version: loud failure
     snap.snapshot_commit(_df(spark, [(9, 9.0)]), t, mode="overwrite")
-    snap.snapshot_vacuum(t, keep=2)
+    snap.snapshot_vacuum(t, keep=2, min_age_seconds=0)
     with _pt.raises(ValueError, match="not retained"):
         snap.snapshot_changes(spark, t, 1, 3, key_cols=["k"])
+
+
+def test_commit_race_lost_update_is_revalidated(spark, tmp_path,
+                                                monkeypatch):
+    """The ADVICE r8 scenario: an adversary append lands BETWEEN the
+    victim's prior-list read and its manifest publish. The victim must
+    re-validate from the new head on the EEXIST retry — the adversary's
+    rows may never silently vanish from the table head."""
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(1, 1.0)]), t, mode="overwrite")
+
+    orig = snap._write_data
+    fired = []
+
+    def hook(df, table_dir, hint):
+        files = orig(df, table_dir, hint)
+        if not fired:
+            fired.append(True)
+            # concurrent committer wins version 2 while the victim's
+            # files are already on disk but its manifest is not
+            snap.snapshot_commit(
+                _df(spark, [(7, 7.0)]), table_dir, mode="append"
+            )
+        return files
+
+    monkeypatch.setattr(snap, "_write_data", hook)
+    v = snap.snapshot_commit(_df(spark, [(2, 2.0)]), t, mode="append")
+    assert v == 3
+    head = {r.k: r.v for r in snap.read_as_of(spark, t).collect()}
+    assert head == {1: 1.0, 2: 2.0, 7: 7.0}  # adversary row SURVIVES
+
+
+def test_snapshot_delete_copy_on_write_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(1, 1.0), (2, 2.0)]), t,
+                         mode="overwrite")
+    snap.snapshot_commit(_df(spark, [(3, 3.0), (4, 4.0)]), t, mode="append")
+    m2 = json.load(open(os.path.join(t, "_manifests", "v=2.json")))
+    keys = spark.createDataFrame([(2,), (999,)], "k long")
+    v = snap.snapshot_delete(spark, t, keys, key_cols=["k"])
+    assert v == 3
+    # head: row gone
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == {1, 3, 4}
+    # time travel: pre-delete versions still show the row
+    assert {r.k for r in snap.read_as_of(spark, t, 2).collect()} == {
+        1, 2, 3, 4
+    }
+    # copy-on-write: only the file(s) containing k=2 were rewritten —
+    # v2's OTHER commit dir files carry over verbatim
+    m3 = json.load(open(os.path.join(t, "_manifests", "v=3.json")))
+    carried = set(m2["files"]) & set(m3["files"])
+    assert carried, "untouched files must carry over, not rewrite"
+    # changes across the delete emit the removed row
+    ch = snap.snapshot_changes(spark, t, 2, 3, key_cols=["k"]).collect()
+    assert [(r.k, r.diff_type) for r in ch] == [(2, "removed")]
+    # vacuum retires the pre-delete versions -> deleted data is gone
+    snap.snapshot_vacuum(t, keep=1, min_age_seconds=0)
+    with pytest.raises(ValueError, match="not retained"):
+        snap.read_as_of(spark, t, 2)
+
+
+def test_snapshot_delete_no_match_still_versions(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(1, 1.0)]), t, mode="overwrite")
+    v = snap.snapshot_delete(
+        spark, t, spark.createDataFrame([(42,)], "k long"), key_cols=["k"]
+    )
+    assert v == 2
+    hist = {r.version: r.op for r in snap.table_history(spark, t).collect()}
+    assert hist[2] == "delete"
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == {1}
+
+
+def test_snapshot_add_column_null_backfill(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(1, 1.0), (2, 2.0)]), t,
+                         mode="overwrite")
+    v = snap.snapshot_add_column(t, "tag", "string")
+    assert v == 2
+    head = snap.read_as_of(spark, t)
+    assert head.columns == ["k", "v", "tag"]
+    assert {(r.k, r.tag) for r in head.collect()} == {(1, None), (2, None)}
+    # old version: old schema
+    assert snap.read_as_of(spark, t, 1).columns == ["k", "v"]
+    # an append carrying the new column mixes with NULL-backfilled files
+    extra = spark.createDataFrame([(3, 3.0, "new")],
+                                  "k long, v double, tag string")
+    snap.snapshot_commit(extra, t, mode="append")
+    got = {r.k: r.tag for r in snap.read_as_of(spark, t).collect()}
+    assert got == {1: None, 2: None, 3: "new"}
+    # delete still works across mixed-schema files
+    snap.snapshot_delete(
+        spark, t, spark.createDataFrame([(1,)], "k long"), key_cols=["k"]
+    )
+    got = {r.k: r.tag for r in snap.read_as_of(spark, t).collect()}
+    assert got == {2: None, 3: "new"}
+    # duplicate add is an error
+    with pytest.raises(ValueError, match="already exists"):
+        snap.snapshot_add_column(t, "tag", "string")
+
+
+def test_vacuum_grace_period_spares_young_orphans(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(1, 1.0)]), t, mode="overwrite")
+    # orphan commit dir: data written, manifest never linked (crash /
+    # in-flight commit)
+    snap._write_data(_df(spark, [(9, 9.0)]), t, 99)
+    orphans = [d for d in os.listdir(os.path.join(t, "data"))
+               if d.startswith("c99-")]
+    assert len(orphans) == 1
+    rep = snap.snapshot_vacuum(t, keep=2)  # default grace: 10 min
+    assert rep["commit_dirs_removed"] == 0  # young orphan SURVIVES
+    assert os.path.isdir(os.path.join(t, "data", orphans[0]))
+    rep = snap.snapshot_vacuum(t, keep=2, min_age_seconds=0)
+    assert rep["commit_dirs_removed"] == 1  # explicit no-writer vacuum
+    assert not os.path.isdir(os.path.join(t, "data", orphans[0]))
