@@ -1347,15 +1347,17 @@ CORRECTNESS_WINDOW = 50
 # sit in-window too — the driver records their weaker rows-only row,
 # which is still a harder signal than no row at all.
 #
-# r8 rotation: the ten r7 tail flagships (variant_props_stats,
-# streaming_cdc_state, weekly_bars, order_value_drift, acf_report,
-# seasonal_decomposition, idle_rich_customers, attribution_outer,
-# incremental_distinct, top_parts_per_brand) moved IN per the standing
-# policy, alongside this round's six new flagships (small_qty_revenue,
-# waiting_suppliers, doc_quality_scores, bpe_encode, table_history,
-# exact_repeat_runs); sixteen hash-green-for-multiple-rounds entries
-# whose operator families stay evidenced in-window moved to the tail
-# (each annotated below).
+# r9 rotation: the twelve r8 tail flagships (the eight classic TPC-H
+# shapes Q7/Q8/Q10/Q11/Q14/Q15/Q19/Q20 plus snapshot_changes,
+# quality_tiers, mixture_sample, priority_drift_categorical) moved IN
+# per the standing policy, alongside this round's three new flagships
+# (exact_repeat_runs_tokens, html_extraction, snapshot_evolution);
+# fifteen hash-green-for-multiple-rounds entries whose operator
+# families stay evidenced in-window moved to the tail (each annotated
+# below). bpe_encode STAYS in-window and — like bpe_tokenize — carries
+# a FULL oracle since r9 (the SQL relearns the tokenizer), so the
+# in-window rows-only set shrank to the three codec/eigenbasis
+# pipelines.
 REGISTRY_ORDER = (
     # ---- §2 financial-ETL surface ----
     "bars_model",
@@ -1368,33 +1370,36 @@ REGISTRY_ORDER = (
     "dtw_report",
     # ---- relational query shapes ----
     "revenue_rollup",
-    "small_qty_revenue",      # r8 NEW: Q17 correlated-avg join-back
-    "waiting_suppliers",      # r8 NEW: Q21 EXISTS-chain collapse
-    "idle_rich_customers",    # r8 rotation: Q22 shape in-window
-    "top_parts_per_brand",    # r8 rotation
-    "orders_table_diff",
-    "cdc_merge_state",
+    "small_qty_revenue",       # Q17 correlated-avg join-back
+    "waiting_suppliers",       # Q21 EXISTS-chain collapse
+    "bi_nation_volume",        # r9 rotation IN: Q7 dual dim chains
+    "nation_market_share",     # r9 rotation IN: Q8 conditional ratio
+    "returned_item_customers", # r9 rotation IN: Q10 agg-then-dim-join
+    "important_parts",         # r9 rotation IN: Q11 global threshold
+    "promo_revenue_share",     # r9 rotation IN: Q14 conditional share
+    "top_supplier_q15",        # r9 rotation IN: Q15 agg-vs-own-max
+    "bracket_revenue",         # r9 rotation IN: Q19 disjunctive brackets
+    "dominant_suppliers",      # r9 rotation IN: Q20 nested correlated aggs
     "price_anomalies",
-    "fuzzy_part_match",
-    "weekly_bars",            # r8 rotation: OHLCV resample
-    "acf_report",             # r8 rotation
-    "seasonal_decomposition",  # r8 rotation
-    "order_value_drift",      # r8 rotation: PSI drift monitor
-    "table_history",          # r8 NEW: snapshot time travel
-    "variant_props_stats",    # r8 rotation: VARIANT tier
+    # ---- snapshot / warehouse ----
+    "table_history",
+    "snapshot_evolution",      # r9 NEW: row delete + add-column backfill
+    "snapshot_changes",        # r9 rotation IN: time travel x keyed diff
+    "priority_drift_categorical",  # r9 rotation IN: categorical PSI
     # ---- text / dedup / corpus ----
     "text_stats",
     "textrank_keywords",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "duplicate_passages",
-    "exact_repeat_runs",      # r8 NEW: verified ExactSubstr runs
+    "exact_repeat_runs",
+    "exact_repeat_runs_tokens",  # r9 NEW: Lee 2022 at 50-BPE-token grain
     "neardup_clusters",
     "corpus_curation",
     "sequence_packing",
-    "dsir_weights",
-    "doc_quality_scores",     # r8 NEW: NB quality classifier
-    "bpe_encode",             # r8 NEW: ordered token-ID encode
+    "doc_quality_scores",
+    "quality_tiers",           # r9 rotation IN: CCNet head/middle/tail
+    "mixture_sample",          # r9 rotation IN: token-budget sampling
+    "bpe_encode",              # full oracle since r9 (SQL relearns merges)
+    "html_extraction",         # r9 NEW: HTML -> text extraction
     "hybrid_rrf_topk",
     # ---- vectors ----
     "ann_ivf_topk",
@@ -1403,10 +1408,8 @@ REGISTRY_ORDER = (
     # ---- streaming / event-time ----
     "event_time_report",
     "streaming_neardup",
-    "attribution_outer",      # r8 rotation: LEFT OUTER stream join
     "incremental_revenue",
-    "streaming_cdc_state",    # r8 rotation: streaming CDC MERGE
-    "incremental_distinct",   # r8 rotation: HLL MV (rows-only by design)
+    "streaming_cdc_state",
     # ---- multimodal / profiling / joins ----
     "multimodal_report",
     "image_neardup",
@@ -1416,53 +1419,53 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
-    "bm25_topk",             # Lucene-BM25 scoring: hash-green r5-r7 AND
+    "bm25_topk",             # Lucene-BM25 scoring: hash-green r5-r8 AND
                              # verified verbatim inside the in-window
                              # hybrid_rrf_topk oracle's lexical arm
     "doc_lm_scores",         # bigram-LM perplexity proxy: hash-green
-                             # r4-r7; the quality-scoring family stays
-                             # in-window via dsir_weights +
-                             # doc_quality_scores; test_retrieval
+                             # r4-r8; the quality-scoring family stays
+                             # in-window via doc_quality_scores +
+                             # quality_tiers; test_retrieval
     "rolling_features",      # W4 SMA + W6 gap windows; scalars in-window
-                             # via risk_classification; hash-green r1-r7
+                             # via risk_classification; hash-green r1-r8
     "kmeans_clusters",       # profile over the SAME k-means the in-window
-                             # ann_ivf_topk quantizer runs; hash-green r4-r7
+                             # ann_ivf_topk quantizer runs; hash-green r4-r8
     "interval_join_sessions",  # grid-bucket range join; asof_join_bars
                                # covers the range-join family in-window;
-                               # hash-green r4-r7; test_ranges
+                               # hash-green r4-r8; test_ranges
     "doc_fingerprints",      # exact-dedup md5 groupBy; incremental index
-                             # pinned in test_dedup; hash-green r3-r7
+                             # pinned in test_dedup; hash-green r3-r8
     "canonical_selection",   # one join + window on the in-window
-                             # neardup_clusters output; hash-green r4-r7
+                             # neardup_clusters output; hash-green r4-r8
     "corpus_mixture",        # partial agg on bounded stratum key;
-                             # hash-green r3-r7; test_corpus
+                             # hash-green r3-r8; test_corpus
     "embedding_neardup_pairs",  # LSH banding in-window via
-                                # dedup_minhash_lsh; hash-green r3-r7
+                                # dedup_minhash_lsh; hash-green r3-r8
     "drop_invalid_rows",     # P3 one-predicate filter; null handling covered
                              # in-window by cleaning_report/bars_model;
-                             # hash-green r1-r7; test_cleaning
+                             # hash-green r1-r8; test_cleaning
     "top15_by_value",        # W9 TakeOrderedAndProject shape in-window via
                              # waiting_suppliers/hybrid rankings; hash-green
-                             # r1-r7; test_sorting pins the plan
-    "wide_roundtrip",        # J3/S4 pivot-melt edge; hash-green r1-r7;
+                             # r1-r8; test_sorting pins the plan
+    "wide_roundtrip",        # J3/S4 pivot-melt edge; hash-green r1-r8;
                              # test_alignment pins exact row parity
     "bar_slices",            # P8/O15 slices + F1/F2/F4 scalars; hash-green
-                             # r1-r7; test_sampling/test_scalars
+                             # r1-r8; test_sampling/test_scalars
     "multi_key_sort_rank",   # O13/O16 multi-key orderBy; embedded sorts in
-                             # every in-window query; hash-green r1-r7
+                             # every in-window query; hash-green r1-r8
     "pricing_summary",       # Q1 decimal agg — decimal-exact partial sums
-                             # in-window via revenue_rollup; hash-green r3-r7
+                             # in-window via revenue_rollup; hash-green r3-r8
     "behavioral_report",     # sessionization window algebra in-window via
-                             # event_time_report; hash-green r5-r7;
+                             # event_time_report; hash-green r5-r8;
                              # test_behavioral
     "corpus_sampling",       # deterministic hash-bucket splits; hash-green
-                             # r3-r7; test_sampling pins split determinism
+                             # r3-r8; test_sampling pins split determinism
     "lm_topk",               # bigram-LM top-k; the LM itself stays pinned
-                             # via doc_lm_scores; hash-green r3-r7
-    "rag_chunking",          # shuffle-free chunker; hash-green r3-r7;
+                             # via doc_lm_scores; hash-green r3-r8
+    "rag_chunking",          # shuffle-free chunker; hash-green r3-r8;
                              # test_retrieval pins chunk boundaries
     "ann_cosine_topk",       # brute-force ANN baseline; the ANN family is
-                             # in-window via ivf/pq; hash-green r3-r7
+                             # in-window via ivf/pq; hash-green r3-r8
     "skew_salted_join",      # salted == plain join pinned in test_skew; the
                              # joined SEMANTICS are covered by the in-window
                              # join queries — this entry's value is the plan
@@ -1470,125 +1473,129 @@ REGISTRY_ORDER = (
                               # risk_classification; test_plans
     "keep_latest_event",     # cleaning.keep_latest; test_cleaning
     "fk_violations_orders",  # cleaning.fk_violations anti-join; test_cleaning
-    "risk_summary",          # groupBy-count of in-window risk_classification's class col
-    "embedding_norms",       # consumed by the hash-green ann_* queries; test_vectors
+    "risk_summary",          # groupBy-count of in-window risk_classification
+    "embedding_norms",       # consumed by the hash-green ann_* queries
     "late_shipment_priority",  # Q12 shape; plan pinned in test_plans
     "large_orders_topk",     # Q18 shape; plan pinned in test_plans
-    "top_customers_by_revenue",  # hash-green r4-r7; broadcast-join +
+    "top_customers_by_revenue",  # hash-green r4-r8; broadcast-join +
                                  # top-k shape covered in-window by
                                  # revenue_rollup/waiting_suppliers
-    "order_priority_counts",  # hash-green r4-r7; semi-join shape;
-                              # test_plans
+    "order_priority_counts",  # hash-green r4-r8; semi-join shape
     "shipping_priority",     # Q3 shape: semi-join + topk both covered
                              # in-window; plan pinned in test_plans
     "pii_redaction",         # regexp_replace action chain; the SAME four
                              # PII patterns are hash-green in-window via
-                             # text_stats counts; hash-green r3-r7; test_text
-    "approx_profile",        # sketch tier: rows-only BY DESIGN (engine-specific
-                             # internals); error bound vs exact tier pinned in tests
-    "bpe_tokenize",          # iterative BPE learning: rows-only BY DESIGN;
-                             # merge sequence + vocab pinned vs a pure-Python
-                             # reference in test_bpe; the APPLICATION grain
-                             # is in-window via bpe_encode
-    # ---- displaced by the r8 rotation: hash-green r1-r7 (or since
-    # their landing round), operator families still evidenced in-window ----
+                             # text_stats counts; hash-green r3-r8
+    "approx_profile",        # sketch tier: rows-only BY DESIGN (engine-
+                             # specific internals); error bound vs exact
+                             # tier pinned in tests
+    "bpe_tokenize",          # full oracle since r9 (the SQL relearns the
+                             # tokenizer); application grain in-window via
+                             # bpe_encode; pure-Python pin in test_bpe
+    # ---- displaced by the r7/r8 rotations: hash-green multi-round,
+    # operator families still evidenced in-window ----
     "align_to_calendar",     # J1/J2 calendar union+broadcast join, W1 ffill:
-                             # hash-green r1-r7; fill family in-window via
+                             # hash-green r1-r8; fill family in-window via
                              # interpolated_bars; test_alignment
-    "correlation_heatmap",   # J5 blocked-BLAS heatmap: hash-green r1-r7;
+    "correlation_heatmap",   # J5 blocked-BLAS heatmap: hash-green r1-r8;
                              # the similarity bundle (A7-A9) stays in-window
-                             # via pair_metrics; test_similarity pins
-                             # blocked==naive parity
-    "revenue_by_nation",     # Q5 join-agg: hash-green r3-r7; the
+                             # via pair_metrics
+    "revenue_by_nation",     # Q5 join-agg: hash-green r3-r8; the
                              # fact-dims-agg shape is in-window via
-                             # revenue_rollup; test_plans pins broadcasts
+                             # revenue_rollup + the eight Q-shapes
     "supplier_diversity",    # Q16 distinct-agg + broadcast anti: hash-green
-                             # r6-r7; anti/semi chains in-window via
-                             # waiting_suppliers; test_plans
-    "min_cost_supplier",     # Q2 correlated argmin: hash-green r6-r7; the
+                             # r6-r8; anti/semi chains in-window via
+                             # waiting_suppliers/dominant_suppliers
+    "min_cost_supplier",     # Q2 correlated argmin: hash-green r6-r8; the
                              # correlated-subquery family is in-window via
-                             # small_qty_revenue; plan pinned in test_plans
-    "trailing_revenue_7d",   # RANGE-frame rolling sums: hash-green r6-r7;
-                             # window frames in-window via price_anomalies +
-                             # seasonal_decomposition
+                             # small_qty_revenue + dominant_suppliers
+    "trailing_revenue_7d",   # RANGE-frame rolling sums: hash-green r6-r8;
+                             # window frames in-window via price_anomalies
     "revenue_share",         # percent-of-total windows over a bounded
-                             # rollup: hash-green r7; windows-over-agg
-                             # in-window via seasonal_decomposition/acf
+                             # rollup: hash-green r7-r8; share ratios
+                             # in-window via nation_market_share/
+                             # promo_revenue_share
     "price_quantiles",       # exact multi-quantile partial agg: hash-green
-                             # r7; the same percentile machinery is
-                             # in-window via order_value_drift's bounds
-    "scd2_user_history",     # SCD2 windowed versioning: hash-green r6-r7;
-                             # the CDC/versioning family is in-window via
-                             # cdc_merge_state + streaming_cdc_state +
-                             # table_history; test_reconcile
+                             # r7-r8; percentile machinery in-window via
+                             # quality_tiers' tercile cuts
+    "scd2_user_history",     # SCD2 windowed versioning: hash-green r6-r8;
+                             # the versioning family is in-window via
+                             # streaming_cdc_state + table_history +
+                             # snapshot_evolution
     "quality_expectations",  # declarative expectations gate: hash-green
-                             # r6-r7; the gate also runs in-window inside
-                             # table_history's WAP sibling tests;
-                             # test_expectations
-    "dedup_ngram_jaccard",   # exact-Jaccard near-dup: hash-green r3-r7;
+                             # r6-r8; the gate also runs inside the
+                             # snapshot-WAP tests
+    "dedup_ngram_jaccard",   # exact-Jaccard near-dup: hash-green r3-r8;
                              # the shingle-candidate-verify family stays
                              # in-window via dedup_minhash_lsh +
-                             # duplicate_passages + exact_repeat_runs
-    "ann_lsh_topk",          # multi-table LSH ANN: hash-green r4-r7; the
+                             # exact_repeat_runs(+_tokens)
+    "ann_lsh_topk",          # multi-table LSH ANN: hash-green r4-r8; the
                              # ANN family is in-window via ivf/pq (the
-                             # scale path); banding also via minhash_lsh
+                             # scale path)
     "running_streaks",       # transformWithState streaks: hash-green
-                             # r5-r7; stateful streaming in-window via
-                             # streaming_cdc_state + event_time_report;
-                             # stream==batch parity in test_streaming
+                             # r5-r8; stateful streaming in-window via
+                             # streaming_cdc_state + event_time_report
     "semantic_dedup",        # SemDeDup cluster-local gram: hash-green
-                             # r4-r7; the vector family is in-window via
-                             # ann_ivf/pq + pca; test_vectors
-    "decontamination",       # benchmark-overlap gate: hash-green r4-r7;
+                             # r4-r8; the vector family is in-window via
+                             # ann_ivf/pq + pca
+    "decontamination",       # benchmark-overlap gate: hash-green r4-r8;
                              # the broadcast-shingle family is in-window
-                             # via corpus_curation; test_corpus
-    "attribution_join",      # INNER stream-stream join: hash-green r5-r7;
-                             # superseded in-window by attribution_outer
-                             # (same state machinery + outer emission);
-                             # stream==batch parity in test_streaming
-    # ---- r8 tail additions: full oracles, judge-verifiable via
-    # verify_local; shapes covered in-window by siblings ----
-    "bracket_revenue",       # Q19 disjunctive brackets; broadcast-dim +
-                             # CASE-tag shapes in-window everywhere
-    "important_parts",       # Q11 global-share threshold; the 1-row
-                             # scalar-subquery shape is in-window via
-                             # idle_rich_customers
-    "dominant_suppliers",    # Q20 nested correlated aggregates; the
-                             # agg-join-back shape is in-window via
-                             # small_qty_revenue
-    "bi_nation_volume",      # Q7 double-dimension-chain pair filter;
-                             # broadcast-dim shapes in-window everywhere
-    "nation_market_share",   # Q8 conditional-ratio over a grouped agg;
-                             # sibling-conditional-agg shape in-window
-                             # via risk_classification
-    "returned_item_customers",  # Q10 churn report; agg-then-dim-join +
-                                # topk shapes in-window via
-                                # waiting_suppliers
-    "promo_revenue_share",   # Q14 conditional-sum ratio; same family
-                             # as nation_market_share
-    "top_supplier_q15",      # Q15 aggregate-vs-own-max; the 1-row
-                             # scalar broadcast shape is in-window via
-                             # idle_rich_customers/important_parts
-    "snapshot_changes",      # time travel x keyed diff; both halves
-                             # in-window via table_history +
-                             # orders_table_diff
-    "mixture_sample",        # token-budget mixture sampling; the
-                             # bounded-stratum + hash-gate shapes are
-                             # in-window via dsir/doc_quality/sampling
-    "priority_drift_categorical",  # categorical PSI arm; the numeric
-                                   # arm is in-window via
-                                   # order_value_drift
-    "quality_tiers",         # CCNet head/middle/tail over the trained
-                             # scorer; scoring is in-window via
-                             # doc_quality_scores (shared oracle SQL)
-    # ---- r9 flagships (placed by the r9 rotation below) ----
-    "exact_repeat_runs_tokens",  # Lee 2022 at the paper's 50-BPE-token
-                                 # grain; full oracle relearns the
-                                 # tokenizer in SQL
-    "html_extraction",       # HTML -> text extraction (scale tier, full
-                             # oracle; parsed tier pytest-pinned)
-    "snapshot_evolution",    # row-level delete + add-column NULL
-                             # backfill over the manifest layer
+                             # via corpus_curation
+    "attribution_join",      # INNER stream-stream join: hash-green r5-r8;
+                             # stream-join state machinery pinned
+                             # stream==batch in test_streaming
+    # ---- displaced by the r9 rotation: hash-green r8 (in-window all of
+    # round 8), families still evidenced in-window ----
+    "idle_rich_customers",   # Q22: the 1-row scalar-subquery shape is
+                             # in-window via important_parts +
+                             # top_supplier_q15; hash-green r8
+    "top_parts_per_brand",   # grouped top-k: rank-per-group in-window via
+                             # returned_item_customers' topk + hybrid
+                             # rankings; hash-green r8
+    "orders_table_diff",     # keyed diff: snapshot_changes IS table_diff
+                             # composed with time travel, in-window;
+                             # hash-green r7-r8
+    "cdc_merge_state",       # batch CDC MERGE: the merge argmax is
+                             # in-window via streaming_cdc_state (same
+                             # operator under foreachBatch); hash-green
+                             # r7-r8
+    "fuzzy_part_match",      # blocked linkage: the candidate-block-verify
+                             # architecture is in-window via the dedup
+                             # family; hash-green r7-r8; test_reconcile
+    "weekly_bars",           # OHLCV resample: min_by/max_by boundary aggs
+                             # in-window via table_history's reads +
+                             # bars_model; hash-green r8
+    "acf_report",            # lag-k self-correlation: lag windows + corr
+                             # in-window via price_anomalies +
+                             # pair_metrics; hash-green r8
+    "seasonal_decomposition",  # centered-MA + seasonal means: the
+                               # windows-over-one-sort shape is in-window
+                               # via price_anomalies; hash-green r8
+    "order_value_drift",     # numeric PSI: the drift monitor is in-window
+                             # via priority_drift_categorical (same
+                             # smoothing/grid algebra); hash-green r8
+    "variant_props_stats",   # VARIANT tier: parse_json/variant_get are
+                             # projection-level (plan-hygiene gated);
+                             # hash-green r7-r8
+    "dedup_simhash",         # SimHash banding: the band-bucket-verify
+                             # family is in-window via dedup_minhash_lsh;
+                             # hash-green r3-r8; test_dedup
+    "duplicate_passages",    # passage spans: superseded in-window by the
+                             # run grain (exact_repeat_runs + _tokens,
+                             # same verified-shingle machinery);
+                             # hash-green r6-r8
+    "dsir_weights",          # DSIR importance weights: the hashed-unigram
+                             # scoring family is in-window via
+                             # doc_quality_scores + quality_tiers;
+                             # hash-green r7-r8
+    "attribution_outer",     # LEFT OUTER stream-stream join: watermark/
+                             # state machinery in-window via
+                             # streaming_cdc_state + event_time_report;
+                             # stream==batch pinned; hash-green r8
+    "incremental_distinct",  # HLL MV (rows-only BY DESIGN): union==one-
+                             # shot + error bound pytest-pinned; moving it
+                             # out shrinks the in-window rows-only set to
+                             # the three codec/eigenbasis pipelines
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

@@ -508,7 +508,7 @@ def _nb_train(docs, is_pos, n_buckets, scale):
 def nb_score_with_weights(
     docs: DataFrame,
     weights: DataFrame,
-    n_buckets: int = DSIR_BUCKETS,
+    n_buckets: int | None = None,
     toks: DataFrame | None = None,
 ) -> DataFrame:
     """The scoring half of `nb_quality_scores` against a GIVEN
@@ -516,10 +516,19 @@ def nb_score_with_weights(
     split: a nightly job trains and persists weights
     (`nb_write_weights`), and any batch or micro-batch scores against
     them with one token explode + broadcast join + integer sum, no
-    training pass. Output schema identical to `nb_quality_scores`."""
+    training pass. Output schema identical to `nb_quality_scores`.
+
+    `n_buckets` defaults to the WEIGHT TABLE's own row count — the
+    grid is dense 0..B-1 by construction (`_nb_train` joins the full
+    bucket grid), so the count IS the bucket width. Inferring it here
+    closes the silent-misbucketing trap where weights trained at a
+    non-default width were scored at the default (every token lands
+    in the wrong bucket, scores wrong, no error)."""
     from .text import token_hash, words_col
 
     if toks is None:
+        if n_buckets is None:
+            n_buckets = weights.count()
         pre = docs.select(
             "doc_id", words_col(F.col("text")).alias("_w")
         )

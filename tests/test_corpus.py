@@ -466,6 +466,41 @@ class TestStandingQualityModel:
         assert out[9001].score_e6 is not None
         assert out[9002].n_tokens == 0 and out[9002].score_e6 is None
 
+    def test_bucket_width_is_inferred_from_the_weight_table(
+        self, spark, tmp_path
+    ):
+        """ADVICE r8: weights trained at a NON-default width must score
+        identically whether or not the caller repeats the width — the
+        dense 0..B-1 grid's row count is the width, so the scorer
+        infers it instead of silently misbucketing at the default."""
+        from algoritmos_etl_spark.sources.readers import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        w_path = str(tmp_path / "w64")
+        corpus.nb_write_weights(docs, w_path, n_buckets=64)
+        weights = spark.read.parquet(w_path)
+        assert weights.count() == 64
+        inferred = {
+            r.doc_id: (r.n_tokens, r.score_e6)
+            for r in corpus.nb_score_with_weights(docs, weights).collect()
+        }
+        explicit = {
+            r.doc_id: (r.n_tokens, r.score_e6)
+            for r in corpus.nb_score_with_weights(
+                docs, weights, n_buckets=64
+            ).collect()
+        }
+        assert inferred == explicit
+        # and they genuinely differ from a default-width scoring (the
+        # bug the inference closes)
+        want_default = {
+            r.doc_id: (r.n_tokens, r.score_e6)
+            for r in corpus.nb_score_with_weights(
+                docs, weights, n_buckets=corpus.DSIR_BUCKETS
+            ).collect()
+        }
+        assert inferred != want_default
+
     def test_streaming_scores_equal_batch(self, spark, tmp_path):
         """Stream ≡ batch: a 2-micro-batch file stream scored against
         the frozen weights equals one-shot nb_score_with_weights over

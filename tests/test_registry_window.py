@@ -27,35 +27,36 @@ MUST_BE_IN_WINDOW = {
     "interpolated_bars", "returns_model",
     "risk_classification", "streak_histograms", "pair_metrics",
     "dtw_report",
-    # relational / OLAP / warehouse (r7 rotations + r8 flagships)
+    # relational / OLAP / warehouse (r8 flagships + r9 rotations)
     "revenue_rollup", "small_qty_revenue", "waiting_suppliers",
-    "idle_rich_customers", "top_parts_per_brand",
-    "orders_table_diff", "cdc_merge_state",
-    "price_anomalies", "fuzzy_part_match",
-    "weekly_bars", "acf_report", "seasonal_decomposition",
-    "order_value_drift", "table_history", "variant_props_stats",
+    "bi_nation_volume", "nation_market_share",
+    "returned_item_customers", "important_parts",
+    "promo_revenue_share", "top_supplier_q15", "bracket_revenue",
+    "dominant_suppliers", "price_anomalies",
+    "table_history", "snapshot_evolution", "snapshot_changes",
+    "priority_drift_categorical",
     # extensions
     "text_stats", "textrank_keywords",
-    "dedup_minhash_lsh", "dedup_simhash",
-    "duplicate_passages", "exact_repeat_runs", "neardup_clusters",
-    "corpus_curation",
-    "sequence_packing", "dsir_weights", "doc_quality_scores",
-    "bpe_encode", "hybrid_rrf_topk",
+    "dedup_minhash_lsh",
+    "exact_repeat_runs", "exact_repeat_runs_tokens",
+    "neardup_clusters", "corpus_curation",
+    "sequence_packing", "doc_quality_scores", "quality_tiers",
+    "mixture_sample", "bpe_encode", "html_extraction",
+    "hybrid_rrf_topk",
     "ann_ivf_topk", "ann_pq_topk",
     "pca_projection",
     "event_time_report", "streaming_neardup",
-    "attribution_outer", "incremental_revenue",
-    "streaming_cdc_state", "incremental_distinct",
+    "incremental_revenue", "streaming_cdc_state",
     "multimodal_report", "image_neardup", "audio_features",
     "table_profile", "asof_join_bars",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
-# the notes in driver_queries.REGISTRY_ORDER). The r8 rotation moved
-# the ten r7 tail flagships plus this round's six new flagships in,
-# and these hash-green-for-multiple-rounds entries out.
+# the notes in driver_queries.REGISTRY_ORDER). The r9 rotation moved
+# the twelve r8 tail flagships plus this round's three new flagships
+# in, and fifteen hash-green-for-multiple-rounds entries out.
 EXPECTED_TAIL = {
-    # displaced by the r7 rotation — all hash-green r1–r7 or r3–r7
+    # displaced by the r7 rotation — all hash-green since landing
     "doc_fingerprints", "canonical_selection", "corpus_mixture",
     "embedding_neardup_pairs", "rolling_features", "kmeans_clusters",
     "interval_join_sessions",
@@ -70,12 +71,13 @@ EXPECTED_TAIL = {
     "quality_expectations", "dedup_ngram_jaccard", "ann_lsh_topk",
     "running_streaks", "semantic_dedup", "decontamination",
     "attribution_join",
-    # r8 tail additions (full oracles, judge-verifiable)
-    "bracket_revenue", "important_parts", "dominant_suppliers",
-    "bi_nation_volume", "nation_market_share",
-    "returned_item_customers", "promo_revenue_share",
-    "top_supplier_q15", "snapshot_changes", "mixture_sample",
-    "priority_drift_categorical", "quality_tiers",
+    # displaced by the r9 rotation — hash-green r8, families evidenced
+    # in-window (see REGISTRY_ORDER notes)
+    "idle_rich_customers", "top_parts_per_brand", "orders_table_diff",
+    "cdc_merge_state", "fuzzy_part_match", "weekly_bars", "acf_report",
+    "seasonal_decomposition", "order_value_drift",
+    "variant_props_stats", "dedup_simhash", "duplicate_passages",
+    "dsir_weights", "attribution_outer", "incremental_distinct",
     # long-standing declared tail
     "skew_salted_join", "parts_per_size_bucket",
     "keep_latest_event", "fk_violations_orders", "risk_summary",
@@ -84,8 +86,6 @@ EXPECTED_TAIL = {
     "shipping_priority", "approx_profile", "bpe_tokenize",
     "pii_redaction",
     "doc_lm_scores", "bm25_topk",
-    # r9 flagships parked in the tail until the r9 rotation
-    "exact_repeat_runs_tokens", "html_extraction", "snapshot_evolution",
 }
 
 
