@@ -691,10 +691,13 @@ def q_pair_metrics(spark, sf_dir):
 
 
 # Emission knobs for the REGISTERED heatmap: τ on |corr| and per-symbol
-# kNN sparsification, both applied inside the block task. Values chosen
-# with measured cross-engine safety margins (nearest |corr| to τ and the
-# smallest top-k rank-boundary gap are both ≥ 2.4e-6 at sf0.01/sf0.1,
-# vs ~1e-9 one-pass/streaming corr divergence) — pinned by a test.
+# kNN sparsification, both applied inside the block task. Since r9 BOTH
+# decisions are made on the 4-decimal EMISSION grain (round(corr, 4)):
+# the sf1 sweep showed the raw rank-boundary gap shrinking below the
+# ~1e-9 one-pass/streaming corr divergence (2-pair rowcount mismatch at
+# 10x), and on the quantized grain a boundary is either an exact tie
+# (broken by partner id) or >= 1e-4 — decidable identically by any
+# engine at any scale.
 HEATMAP_MIN_ABS_CORR = 0.25
 HEATMAP_TOP_K = 10
 
@@ -719,7 +722,8 @@ HEATMAP_TOP_K = 10
                CAST(count(*) AS BIGINT) AS n_points
         FROM rets a JOIN rets b ON a.date = b.date AND a.symbol < b.symbol
         GROUP BY a.symbol, b.symbol
-        HAVING abs(coalesce(corr(a.ret, b.ret), 0.0)) >= {HEATMAP_MIN_ABS_CORR}
+        HAVING abs(round(coalesce(corr(a.ret, b.ret), 0.0), 4))
+               >= {HEATMAP_MIN_ABS_CORR}
     ),
     directed AS (
         SELECT psym_a AS sym, psym_b AS other, pearson, n_points FROM pairs
@@ -729,7 +733,8 @@ HEATMAP_TOP_K = 10
     ranked AS (
         SELECT sym, other, pearson, n_points,
                row_number() OVER (PARTITION BY sym
-                                  ORDER BY pearson DESC, other ASC) AS r
+                                  ORDER BY round(pearson, 4) DESC,
+                                           other ASC) AS r
         FROM directed
     )
     SELECT least(sym, other) AS sym_a, greatest(sym, other) AS sym_b,

@@ -383,7 +383,8 @@ toks AS (
     SELECT doc_id, shingle AS token FROM sh
 ),
 basehash AS (
-    SELECT doc_id, {_h("token")} % {dedup.MINHASH_PRIME} AS h FROM toks
+    SELECT doc_id, {_h("'mh:' || token")} % {dedup.MINHASH_PRIME} AS h
+    FROM toks
 ),
 sig AS (
     SELECT doc_id,

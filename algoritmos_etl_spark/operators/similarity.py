@@ -360,7 +360,15 @@ def correlation_heatmap_blocked(
                 else:
                     keep = np.ones(len(ia), dtype=bool)
                 if min_abs_corr is not None:
-                    keep &= np.abs(np.nan_to_num(corr[ia, jb])) >= min_abs_corr
+                    # threshold on the 4-decimal EMISSION grain (same
+                    # quantization as the ranking below): the raw
+                    # one-pass corr differs from a streaming corr by
+                    # ~1e-9, so any comparison that decides emission
+                    # must happen on a grain both engines agree on
+                    keep &= (
+                        np.abs(np.round(np.nan_to_num(corr[ia, jb]), 4))
+                        >= min_abs_corr
+                    )
                 ia, jb = ia[keep], jb[keep]
                 pear = np.nan_to_num(corr[ia, jb])
                 npts = n[ia, jb].astype(np.int64)
@@ -377,9 +385,16 @@ def correlation_heatmap_blocked(
                     )
                     continue
                 # per-symbol PARTIAL top-k within this block pair: emit
-                # both directions, sort by the global order (corr desc,
-                # partner asc), keep k per symbol — any global top-k
-                # partner is necessarily in its block-pair partial
+                # both directions, sort by the global order (QUANTIZED
+                # corr desc, partner asc), keep k per symbol — any
+                # global top-k partner is necessarily in its block-pair
+                # partial. Ranking on the 4-decimal emission grain
+                # (r9): at the 10x corpus the raw rank-boundary gap
+                # shrank below the ~1e-9 one-pass/streaming corr
+                # divergence and engines disagreed on which pair made
+                # a symbol's top-k; on the quantized grain the gap is
+                # either exactly 0 (tie, broken by partner id) or
+                # >= 1e-4 — decidable by any engine.
                 part = pd.DataFrame(
                     {
                         "sym": np.concatenate([sa[ia], sb[jb]]),
@@ -388,10 +403,13 @@ def correlation_heatmap_blocked(
                         "n_points": np.concatenate([npts, npts]),
                     }
                 )
+                part["_pq"] = np.round(part["pearson"], 4)
                 part = part.sort_values(
-                    ["sym", "pearson", "other"], ascending=[True, False, True]
+                    ["sym", "_pq", "other"], ascending=[True, False, True]
                 )
-                yield part.groupby("sym", sort=False).head(top_k_per_symbol)
+                yield part.groupby("sym", sort=False).head(
+                    top_k_per_symbol
+                ).drop(columns="_pq")
 
     if top_k_per_symbol is None:
         return joined.mapInPandas(
@@ -402,8 +420,10 @@ def correlation_heatmap_blocked(
         corr_blocks,
         schema="sym long, other long, pearson double, n_points long",
     )
+    # final rank on the same quantized grain as the block partials —
+    # see the r9 note inside corr_blocks
     w = Window.partitionBy("sym").orderBy(
-        F.col("pearson").desc(), F.col("other").asc()
+        F.round(F.col("pearson"), 4).desc(), F.col("other").asc()
     )
     survivors = (
         directed.withColumn("_r", F.row_number().over(w))

@@ -226,25 +226,21 @@ def test_blocked_heatmap_sparsified_emission(bars):
         (r.sym_a, r.sym_b): (r.pearson, r.n_points)
         for r in similarity.correlation_heatmap_blocked(bars, n_blocks=4).collect()
     }
+    # the r9 determinism contract: BOTH emission decisions are made on
+    # the 4-decimal quantized grain (a raw-corr rank boundary shrank
+    # below the ~1e-9 cross-engine divergence at the 10x corpus), so
+    # the reference selection quantizes identically
     neighbors = defaultdict(list)
     for (a, b), (p, n) in full.items():
-        if abs(p) >= tau:
-            neighbors[a].append((p, b))
-            neighbors[b].append((p, a))
+        pq = round(p, 4)
+        if abs(pq) >= tau:
+            neighbors[a].append((pq, b))
+            neighbors[b].append((pq, a))
     expected = set()
     for s, lst in neighbors.items():
         lst.sort(key=lambda t: (-t[0], t[1]))
         for p, o in lst[:k]:
             expected.add((min(s, o), max(s, o)))
-
-    # determinism margin the registered constants rely on: τ and every
-    # top-k rank boundary sit ≥ 1e-6 away from the data's corr values
-    # (cross-engine one-pass vs streaming corr divergence is ~1e-9)
-    for (_, _), (p, _) in full.items():
-        assert abs(abs(p) - tau) > 1e-6
-    for s, lst in neighbors.items():
-        if len(lst) > k:
-            assert lst[k - 1][0] - lst[k][0] > 1e-6
 
     sparse = {
         (r.sym_a, r.sym_b): (r.pearson, r.n_points)
