@@ -1601,6 +1601,13 @@ REGISTRY_ORDER = (
                              # shot + error bound pytest-pinned; moving it
                              # out shrinks the in-window rows-only set to
                              # the three codec/eigenbasis pipelines
+    # ---- r9 late additions (land in the tail; r10 rotation
+    # candidates) — bounded-state sketches + training-serving ops ----
+    "heavy_hitters",     # count-min grid, full cell-for-cell oracle
+    "pps_sample",        # integer systematic PPS token-budget sampling
+    "epoch_shards",      # deterministic per-epoch shard serving order
+    "bloom_join_prune",  # bloom semi-join prune; oracle = plain join
+    "triplet_mining",    # contrastive (a,p,n) triples, full oracle
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

@@ -5140,3 +5140,267 @@ def q_snapshot_evolution(spark, sf_dir):
     return hist.join(totals, "version").select(
         "version", "op", "n_rows", "total_price", "n_tagged"
     )
+
+
+# ------------------------------------- round 9 late additions:
+# bounded-state sketches, PPS token-budget sampling, epoch serving order
+
+_HH_TOPK = 30
+_HH_DEPTH = 4
+_HH_WIDTH = 1024
+
+
+def _oracle_heavy_hitters() -> str:
+    d_vals = ", ".join(f"({d})" for d in range(_HH_DEPTH))
+    return f"""WITH w AS (SELECT unnest({_W}) AS word FROM documents),
+    exact AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_n
+              FROM w GROUP BY word),
+    topk AS (SELECT word, exact_n FROM exact
+             ORDER BY exact_n DESC, word LIMIT {_HH_TOPK}),
+    cells AS (
+      SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT s.d,
+               CAST(('0x' || substr(md5('cm' || s.d || ':' || word), 1, 15))
+                 AS BIGINT) % {_HH_WIDTH} AS bucket
+        FROM w, (VALUES {d_vals}) s(d))
+      GROUP BY d, bucket),
+    est AS (
+      SELECT t.word, min(coalesce(c.cnt, 0)) AS cm_n
+      FROM topk t
+      CROSS JOIN (VALUES {d_vals}) s(d)
+      LEFT JOIN cells c
+        ON c.d = s.d
+       AND c.bucket = CAST(('0x' || substr(md5('cm' || s.d || ':' || t.word),
+                      1, 15)) AS BIGINT) % {_HH_WIDTH}
+      GROUP BY t.word)
+    SELECT t.word, t.exact_n, e.cm_n, e.cm_n - t.exact_n AS overcount
+    FROM topk t JOIN est e USING (word)"""
+
+
+@register(
+    "heavy_hitters",
+    _oracle_heavy_hitters(),
+    "Count-min sketch frequency estimation (Cormode & Muthukrishnan "
+    "2005): a 4x1024 counter grid built in ONE partially-aggregated "
+    "groupBy (map-side combine bounds every task's output at "
+    "depth*width cells however many tokens stream through), then the "
+    "top-30 exact tokens point-queried against the broadcast sketch — "
+    "estimate = min over the token's 4 cells, never an undercount. "
+    "Output (word, exact_n, cm_n, overcount) pins the sketch "
+    "cell-for-cell: md5-prefix hashing rebuilds the identical grid in "
+    "DuckDB. The sketch is the 100 TB answer to 'how often does X "
+    "occur' when the vocabulary itself doesn't fit anywhere",
+)
+def q_heavy_hitters(spark, sf_dir):
+    from .operators import sketches
+    from .operators.text import words_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+    sketch = sketches.count_min_build(
+        words, "word", depth=_HH_DEPTH, width=_HH_WIDTH
+    )
+    exact = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "word")
+        .limit(_HH_TOPK)
+    )
+    est = sketches.count_min_estimate(
+        sketch, exact.select("word"), "word", depth=_HH_DEPTH, width=_HH_WIDTH
+    )
+    return exact.join(est, "word").select(
+        "word",
+        "exact_n",
+        "cm_n",
+        (F.col("cm_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+_PPS_K = 64
+
+
+def _oracle_pps_sample() -> str:
+    return f"""WITH lined AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             sum(CAST(n_chars AS BIGINT)) OVER (
+               ORDER BY md5('pps:pps:' || CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_end
+      FROM documents),
+    tot AS (SELECT sum(w) AS tw FROM lined),
+    x AS (
+      SELECT doc_id, w, c_end, (c_end - w) AS c_start, tw,
+             CAST(('0x' || substr(md5('pps:o:pps'), 1, 15)) AS BIGINT)
+               % greatest(tw, 1) AS o
+      FROM lined, tot)
+    SELECT doc_id, w AS n_chars,
+           CAST(((c_end * {_PPS_K} - o - 1 + tw) // tw)
+              - ((c_start * {_PPS_K} - o - 1 + tw) // tw) AS BIGINT) AS n_hits
+    FROM x
+    WHERE ((c_end * {_PPS_K} - o - 1 + tw) // tw)
+        - ((c_start * {_PPS_K} - o - 1 + tw) // tw) >= 1"""
+
+
+@register(
+    "pps_sample",
+    _oracle_pps_sample(),
+    "Systematic probability-proportional-to-size sampling (Madow 1949): "
+    "exactly 64 threshold hits over the md5-shuffled document line, hit "
+    "probability proportional to n_chars — the token-budget corpus "
+    "selection where Bernoulli keep-rates only hit a budget in "
+    "expectation. ENTIRELY integer arithmetic (stride = total weight in "
+    "k-scaled space, offset = hash mod W), so the sample is "
+    "bit-reproducible across engines — no float log/pow keys whose last "
+    "ulp could flip a selection. Cumulative line = the two-phase "
+    "hashed_prefix_sum (no global sort); W is a 1-row broadcast from "
+    "the same pass",
+)
+def q_pps_sample(spark, sf_dir):
+    from .operators.sampling import pps_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pps_sample(docs, "doc_id", "n_chars", k=_PPS_K)
+
+
+def _oracle_epoch_shards() -> str:
+    return """WITH e AS (SELECT doc_id, s.epoch
+               FROM documents, (VALUES (0),(1)) s(epoch)),
+    h AS (SELECT doc_id, epoch,
+            CAST(('0x' || substr(md5('epoch:' || epoch || ':'
+                 || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
+          FROM e)
+    SELECT epoch, CAST(okey % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch, okey % 8
+                ORDER BY okey, doc_id) - 1 AS BIGINT) AS pos,
+           doc_id
+    FROM h"""
+
+
+@register(
+    "epoch_shards",
+    _oracle_epoch_shards(),
+    "Deterministic multi-epoch training-serving order: per epoch, every "
+    "document gets an independent md5 permutation key, a shard = key "
+    "mod 8, and a 0-based position within its shard — the (epoch, "
+    "shard, pos) triple a data loader consumes. Epochs present the "
+    "corpus in different orders yet every run and engine reproduces the "
+    "same order. The only sort is row_number WITHIN an (epoch, shard) "
+    "partition — exactly the per-output-file sort a sharded writer "
+    "needs, never a global order",
+)
+def q_epoch_shards(spark, sf_dir):
+    from .operators.sampling import epoch_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shards(docs, "doc_id", n_epochs=2, n_shards=8)
+
+
+@register(
+    "bloom_join_prune",
+    """SELECT p.p_brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 15
+    GROUP BY p.p_brand""",
+    "Bloom-filter semi-join pruning: the p_size=15 part keys hash into "
+    "3 bounded bit tables (<= 2^16 rows each) applied as consecutive "
+    "BROADCAST left-semi joins, pruning ~98% of lineitem map-side with "
+    "ZERO fact-table shuffle before the real broadcast join runs on "
+    "the survivors (sf0.01: 60000 -> ~1.1k rows). Bloom filters have "
+    "no false negatives and the real join removes the false positives, "
+    "so the oracle is the PLAIN join — result identity is the "
+    "correctness contract. The manual form of AQE's runtime row-level "
+    "filters, available on any join shape",
+)
+def q_bloom_join_prune(spark, sf_dir):
+    from .operators import sketches
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    keys = part.filter(F.col("p_size") == 15)
+    pruned = sketches.bloom_semi_join(lineitem, keys, "l_partkey", "p_partkey")
+    return (
+        pruned.join(
+            F.broadcast(keys.select("p_partkey", "p_brand")),
+            pruned.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _oracle_triplet_mining() -> str:
+    return f"""WITH {_SHINGLES},
+    kept AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_SHINGLE_DF_CAP}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a
+        JOIN kept k ON a.shingle = k.shingle
+        JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cands c
+        JOIN sh ta ON ta.doc_id = c.doc_a
+        JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                     / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+        FROM cands c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+              / (sa.n + sb.n - coalesce(i.n_inter, 0)) >= 0.2
+    ),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY md5('tm:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS rnk
+        FROM documents
+    ),
+    nd AS (SELECT count(*) AS n FROM documents),
+    trip AS (
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               CAST(('0x' || substr(md5('neg:' || p.doc_a || ':' || p.doc_b),
+                    1, 15)) AS BIGINT) % greatest(n.n, 1) AS r
+        FROM pairs p, nd n
+    )
+    SELECT t.doc_a AS anchor_id, t.doc_b AS positive_id,
+           rk.doc_id AS negative_id, t.jaccard
+    FROM trip t JOIN ranked rk ON rk.rnk = t.r
+    WHERE rk.doc_id <> t.doc_a AND rk.doc_id <> t.doc_b"""
+
+
+@register(
+    "triplet_mining",
+    _oracle_triplet_mining(),
+    "Contrastive training triplets: (anchor, positive) = every verified "
+    "3-shingle-Jaccard near-dup pair (the session's cached pair table), "
+    "negative = a hash-drawn random document via a 0-based md5-order "
+    "rank from hashed_prefix_sum (weight 1, no global sort) joined on "
+    "r = md5(neg:a:b) mod N with N a 1-row broadcast — the (a, p, n) "
+    "mining step of bi-encoder contrastive training, precomputed "
+    "corpus-wide and bit-identical across engines. A negative that "
+    "collides with its anchor/positive drops the triplet "
+    "(deterministic, ~2/N per pair) instead of re-rolling",
+)
+def q_triplet_mining(spark, sf_dir):
+    from .operators.corpus import mine_triplets
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _ngram_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    return mine_triplets(docs, pairs)

@@ -114,10 +114,76 @@ def contamination_against_index(
     )
 
 
-def _pack_sort_key(doc_id: Column) -> Column:
+def _pack_sort_key(doc_id: Column, salt: str = "pack:") -> Column:
     """Deterministic shuffle key: md5 over the salted doc id. Sorting
     by it is the engine-stable stand-in for 'shuffle the corpus'."""
-    return F.md5(F.concat(F.lit("pack:"), doc_id.cast("string")))
+    return F.md5(F.concat(F.lit(salt), doc_id.cast("string")))
+
+
+def hashed_prefix_sum(
+    counted: DataFrame,
+    val_col: str,
+    salt: str = "pack:",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exclusive prefix sum of `val_col` over the md5-shuffled global
+    doc order, WITHOUT a global sort — the two-phase idiom shared by
+    `pack_sequences_counted` (token stream offsets) and
+    `sampling.pps_sample` (cumulative weight): documents land in one of
+    ~`n_buckets` ordered buckets (a hex PREFIX of the md5 sort key, so
+    bucket order is consistent with the global key order), the
+    per-bucket cumulative sum runs partition-parallel, and only the
+    bucket-total table passes through a single-partition window before
+    broadcasting back. At any corpus size the serial step is
+    O(#buckets), not O(rows).
+
+    Input: (doc_id, `val_col`) — NULL values count as 0. Output:
+    (doc_id, `val_col`, _start) with _start = sum of `val_col` over
+    every doc ordered strictly before this one.
+    """
+    import math
+
+    # order-preserving bucketing requires a KEY PREFIX, so the bucket
+    # count is the nearest power of 16 (hex digits) to the request;
+    # capped at 16^4 so the offsets table stays trivially one-task
+    hex_len = min(4, max(1, round(math.log(max(n_buckets, 16), 16))))
+    skey = _pack_sort_key(F.col("doc_id"), salt)
+    base = counted.select(
+        "doc_id",
+        F.coalesce(F.col(val_col), F.lit(0)).cast("long").alias(val_col),
+        skey.alias("_skey"),
+        F.conv(F.substring(skey, 1, hex_len), 16, 10)
+        .cast("long")
+        .alias("_bucket"),
+    ).localCheckpoint(eager=False)  # feeds the window branch AND totals
+    in_bucket = Window.partitionBy("_bucket").orderBy("_skey", "doc_id")
+    base = base.withColumn(
+        "_cum_in_bucket", F.sum(val_col).over(in_bucket)
+    )
+    totals = base.groupBy("_bucket").agg(F.sum(val_col).alias("_total"))
+    # n_buckets rows total: the only single-partition window in the op
+    # (explicit non-foldable constant key, see scalars.one_partition)
+    offsets = totals.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_total").over(
+                Window.partitionBy(one_partition(F.col("_total")))
+                .orderBy("_bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_bucket", "_offset")
+    return (
+        base.join(F.broadcast(offsets), "_bucket")
+        .withColumn(
+            "_start",
+            (F.col("_offset") + F.col("_cum_in_bucket") - F.col(val_col)).cast(
+                "long"
+            ),
+        )
+        .select("doc_id", val_col, "_start")
+    )
 
 
 def pack_sequences(
@@ -169,43 +235,8 @@ def pack_sequences_counted(
     sized by the model's real sequence lengths instead of whitespace
     words. Same two-phase prefix sum, same split-on-boundary
     semantics."""
-    import math
-
-    # order-preserving bucketing requires a KEY PREFIX, so the bucket
-    # count is the nearest power of 16 (hex digits) to the request;
-    # capped at 16^4 so the offsets table stays trivially one-task
-    hex_len = min(4, max(1, round(math.log(max(n_buckets, 16), 16))))
-    skey = _pack_sort_key(F.col("doc_id"))
-    base = counted.select(
-        "doc_id",
-        F.coalesce(F.col("n_tokens"), F.lit(0))
-        .cast("long")
-        .alias("n_tokens"),
-        skey.alias("_skey"),
-        F.conv(F.substring(skey, 1, hex_len), 16, 10)
-        .cast("long")
-        .alias("_bucket"),
-    ).localCheckpoint(eager=False)  # feeds the window branch AND totals
-    in_bucket = Window.partitionBy("_bucket").orderBy("_skey", "doc_id")
-    base = base.withColumn(
-        "_cum_in_bucket", F.sum("n_tokens").over(in_bucket)
-    )
-    totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_total"))
-    # n_buckets rows total: the only single-partition window in the op
-    # (explicit non-foldable constant key, see scalars.one_partition)
-    offsets = totals.withColumn(
-        "_offset",
-        F.coalesce(
-            F.sum("_total").over(
-                Window.partitionBy(one_partition(F.col("_total")))
-                .orderBy("_bucket")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("_bucket", "_offset")
-    packed = base.join(F.broadcast(offsets), "_bucket")
-    token_start = F.col("_offset") + F.col("_cum_in_bucket") - F.col("n_tokens")
+    packed = hashed_prefix_sum(counted, "n_tokens", n_buckets=n_buckets)
+    token_start = F.col("_start")
     pack_first = F.floor(token_start / F.lit(ctx_len)).cast("long")
     pack_last = F.floor(
         (token_start + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
@@ -767,4 +798,65 @@ def quality_tiers(
     return (
         scored.crossJoin(F.broadcast(cuts))
         .select("doc_id", "n_tokens", "per_token_e6", tier.alias("tier"))
+    )
+
+
+def mine_triplets(
+    docs: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    salt: str = "tm",
+) -> DataFrame:
+    """Contrastive training triplets from a near-dup pair table:
+    (anchor, positive) = each verified near-dup pair (the two texts a
+    bi-encoder should embed close), negative = a hash-chosen random
+    document (far, in expectation) — the (a, p, n) mining step of
+    contrastive embedding training (SimCSE/E5-style in-batch negatives,
+    precomputed corpus-wide).
+
+    The negative draw is scale-safe AND engine-exact: every document
+    gets a 0-based rank in the md5-shuffled corpus order via
+    `hashed_prefix_sum` (weight 1 — rank = count of docs strictly
+    before; no global sort), the corpus size N rides as a 1-row
+    broadcast, and each pair draws rank r = md5(salt:anchor:positive)
+    mod N. A drawn negative that collides with the anchor or positive
+    drops the triplet (deterministic, rare: 2/N per pair) rather than
+    re-rolling — keeps both engines' selection identical with no
+    retry unrolling.
+
+    Output: (anchor_id, positive_id, negative_id) + every extra column
+    of `pairs` (e.g. jaccard). `pairs` must have doc_a < doc_b columns.
+    """
+    from .text import token_hash
+
+    ranked = hashed_prefix_sum(
+        docs.select(F.col(key).alias("doc_id"), F.lit(1).alias("_one")),
+        "_one",
+        salt=f"{salt}:",
+    ).select(F.col("doc_id").alias("_neg_id"), F.col("_start").alias("_rnk"))
+    nd = docs.agg(F.count(F.lit(1)).alias("_n"))
+    extras = [c for c in pairs.columns if c not in ("doc_a", "doc_b")]
+    trip = pairs.join(F.broadcast(nd)).withColumn(
+        "_r",
+        F.pmod(
+            token_hash(
+                F.lit("neg"),
+                F.col("doc_a").cast("string"),
+                F.col("doc_b").cast("string"),
+            ),
+            F.greatest(F.col("_n"), F.lit(1)),
+        ),
+    )
+    return (
+        trip.join(ranked, trip["_r"] == ranked["_rnk"])
+        .filter(
+            (F.col("_neg_id") != F.col("doc_a"))
+            & (F.col("_neg_id") != F.col("doc_b"))
+        )
+        .select(
+            F.col("doc_a").alias("anchor_id"),
+            F.col("doc_b").alias("positive_id"),
+            F.col("_neg_id").alias("negative_id"),
+            *extras,
+        )
     )

@@ -138,3 +138,116 @@ def stride_sample(
         .filter(F.col("_pos") % F.col("_step") == 0)
         .drop("_pos", "_step")
     )
+
+
+def pps_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "pps",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: draw
+    exactly `k` threshold hits with each row's hit probability
+    proportional to `weight_col` — the token-budget corpus selection a
+    training pipeline runs ("sample 10B tokens, long docs
+    proportionally more likely") where Bernoulli keep-rates
+    (`mixture_sample`) only hit a budget in expectation.
+
+    Classic systematic PPS (Madow 1949): lay the rows on a line in a
+    deterministically shuffled order (md5 sort key), each occupying a
+    segment of length = its weight; walk the line with stride
+    total_weight/k from a hash-chosen offset; every segment a step
+    lands in is sampled (rows with weight >= stride are guaranteed in,
+    possibly with multiplicity — exposed as n_hits).
+
+    ENTIRELY integer arithmetic — scaled by k, the stride is the
+    integer total weight W and the offset o = hash mod W — so DuckDB
+    reproduces the exact same sample (no float log/pow whose last ulp
+    could flip a selection across engines). The cumulative weight line
+    is `corpus.hashed_prefix_sum` (two-phase, no global sort); W comes
+    from the same pass as a 1-row broadcast. Envelope: W*k must stay
+    below 2^53 (exact doubles in the floor division) — at larger
+    scale, run per-stratum or lift the division to decimal.
+
+    Output: (key, weight, n_hits) for sampled rows (n_hits >= 1).
+    Zero/NULL-weight rows occupy no segment and are never sampled.
+    """
+    from .corpus import hashed_prefix_sum
+
+    counted = df.select(
+        F.col(key).alias("doc_id"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    pre = hashed_prefix_sum(
+        counted, "_w", salt=f"pps:{salt}:", n_buckets=n_buckets
+    )
+    total = pre.agg(F.sum("_w").alias("_W"))
+    # rename before the 1-row cross join: both sides descend from `pre`,
+    # so an un-aliased `_w` reference would be lineage-ambiguous
+    lined = pre.select(
+        "doc_id", F.col("_w").alias("_wv"), "_start"
+    ).join(F.broadcast(total))
+    w_safe = F.greatest(F.col("_W"), F.lit(1))
+    o = F.pmod(token_hash(F.lit(f"pps:o:{salt}")), w_safe)
+
+    def _g(x: Column) -> Column:
+        # floor(x / W) for x >= -W via a nonnegative-numerator floor
+        return F.floor((x + F.col("_W")) / w_safe) - 1
+
+    s_end = (F.col("_start") + F.col("_wv")) * F.lit(k)
+    s_start = F.col("_start") * F.lit(k)
+    hits = (_g(s_end - o - 1) - _g(s_start - o - 1)).cast("long")
+    return (
+        lined.withColumn("n_hits", hits)
+        .filter(F.col("n_hits") >= 1)
+        .select(
+            F.col("doc_id").alias(key),
+            F.col("_wv").alias(weight_col),
+            "n_hits",
+        )
+    )
+
+
+def epoch_shards(
+    df: DataFrame,
+    key: str,
+    n_epochs: int = 2,
+    n_shards: int = 8,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic multi-epoch training-serving order: every row gets,
+    per epoch, a shard assignment and a position within that shard —
+    the (epoch, shard, pos) triple a data loader consumes. Each epoch's
+    order is an independent hash permutation (md5 over salt:epoch:key),
+    so epochs present the corpus in different orders, every run/engine
+    reproduces the same order, and adding documents never reorders
+    existing (epoch, shard) files beyond the insertion points.
+
+    Scale shape: the explode is n_epochs small-int copies; shard
+    assignment is a projection; the only sort is row_number WITHIN an
+    (epoch, shard) partition — exactly the per-output-file sort a
+    sharded writer needs, never a global order.
+
+    Output: (epoch, shard, pos, key) — pos is 0-based within shard.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(key),
+        F.explode(F.array(*[F.lit(e) for e in range(n_epochs)])).alias(
+            "epoch"
+        ),
+    )
+    okey = token_hash(
+        F.lit(salt), F.col("epoch").cast("string"), F.col(key).cast("string")
+    )
+    shard = F.pmod(okey, F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("epoch", "shard").orderBy("_okey", key)
+    return (
+        base.withColumn("_okey", okey)
+        .withColumn("shard", shard)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select("epoch", "shard", "pos", key)
+    )

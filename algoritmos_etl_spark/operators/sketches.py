@@ -1,0 +1,165 @@
+"""Bounded-state sketches: count-min frequency estimation and
+Bloom-filter semi-join pruning.
+
+At 100 TB the full token vocabulary (or key set) of a corpus does not
+fit anywhere — the classic answer is a sketch whose size is fixed up
+front and independent of the data:
+
+- **Count-min** (Cormode & Muthukrishnan 2005): a depth×width grid of
+  counters; every item increments one counter per row (chosen by a
+  per-row hash) and a point query reads the MIN over its depth cells.
+  Estimates never undercount; the overcount is bounded by
+  2·N/width with probability 1 − 2^-depth. In Spark the whole build is
+  ONE partially-aggregated groupBy onto ≤ depth·width cells — map-side
+  combine collapses each partition to the sketch grid before the
+  shuffle, so shuffled bytes are O(depth·width·#partitions) no matter
+  how many tokens stream through. The finished sketch is a bounded
+  table that BROADCASTS to answer any number of point queries.
+
+- **Partitioned Bloom semi-join**: when a selective-but-not-tiny
+  dimension filters a huge fact table, shuffling the fact side to the
+  join is the dominant cost. Hashing the dimension's keys into
+  `n_hashes` independent bit tables (bounded: ≤ n_bits distinct rows
+  each) and applying them as consecutive BROADCAST left-semi joins
+  prunes the fact side map-side — zero fact-table shuffle — before the
+  real join runs on the survivors. False positives are removed by the
+  real join; Bloom filters have no false negatives, so the final
+  result is EXACTLY the plain join's (that identity is the registered
+  oracle). This is the manual form of the runtime row-level filters
+  Spark's AQE injects for DPP-eligible plans, available on any join
+  shape.
+
+All hashing is the engine-portable md5-prefix `token_hash`, so DuckDB
+rebuilds the identical sketch cell-for-cell in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import token_hash
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 3
+
+
+def cm_bucket(item: Column, d: int, width: int = CM_WIDTH) -> Column:
+    """Row-`d` counter index for `item`: md5("cm{d}:" + item) mod width."""
+    return F.pmod(token_hash(F.lit(f"cm{d}"), item), F.lit(width))
+
+
+def count_min_build(
+    items: DataFrame,
+    col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Build the count-min grid over `items[col]` (one row per
+    occurrence, pre-exploded by the caller).
+
+    Returns (d, bucket, cnt) — at most depth·width rows. The explode
+    to depth cells happens BEFORE the aggregation so map-side partial
+    aggregation bounds what each task emits at depth·width cells,
+    regardless of input size.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                cm_bucket(F.col(col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        items.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query `queries[col]` (distinct items) against a built
+    sketch: estimate = MIN over the item's depth cells.
+
+    The sketch is bounded (≤ depth·width rows) so it BROADCASTS; the
+    probe is a map-side broadcast join however many items are asked.
+    Items whose cells were never touched estimate 0 (empty-cell
+    coalesce), preserving the no-undercount guarantee. Returns
+    (col, cm_n).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                cm_bucket(F.col(col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probes = queries.select(col, F.explode(cells).alias("c")).select(
+        col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_n"))
+    )
+
+
+def bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    d: int,
+    n_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Distinct hash-`d` bit positions set by `keys[key_col]` — one of
+    the `n_hashes` bit tables of a partitioned Bloom filter. Bounded at
+    ≤ n_bits rows whatever the key count."""
+    return keys.select(
+        F.pmod(token_hash(F.lit(f"bloom{d}"), F.col(key_col)), F.lit(n_bits)).alias(
+            "bit"
+        )
+    ).distinct()
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    big_key: str,
+    keys_key: str | None = None,
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Prune `big` to rows whose `big_key` PROBABLY appears in
+    `keys[keys_key]`: `n_hashes` consecutive broadcast left-semi joins
+    against the partitioned Bloom bit tables.
+
+    Never drops a true match (no false negatives); survivors may
+    include false positives at rate ≈ (k_distinct/n_bits)^n_hashes, so
+    callers MUST still apply the real join/filter — whose result is
+    then exactly the unpruned plan's. `big` is never shuffled: each
+    semi-join broadcasts a ≤ n_bits-row bit table and filters map-side.
+    """
+    keys_key = keys_key or big_key
+    pruned = big
+    for d in range(n_hashes):
+        bits = bloom_bits(keys.select(keys_key), keys_key, d, n_bits)
+        probe = F.pmod(
+            token_hash(F.lit(f"bloom{d}"), F.col(big_key)), F.lit(n_bits)
+        )
+        pruned = (
+            pruned.withColumn("_bloom_bit", probe)
+            .join(F.broadcast(bits), F.col("_bloom_bit") == F.col("bit"), "left_semi")
+            .drop("_bloom_bit")
+        )
+    return pruned

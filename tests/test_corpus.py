@@ -621,3 +621,26 @@ class TestQualityTiers:
         out = {r.doc_id: r.tier for r in corpus.quality_tiers(docs).collect()}
         assert out[4] is None
         assert all(out[d] is not None for d in (1, 2, 3))
+
+
+def test_mine_triplets_contract(spark):
+    """Every near-dup pair yields at most one triplet; the negative is
+    never the anchor or positive; reruns are identical."""
+    from algoritmos_etl_spark.operators import dedup
+    from algoritmos_etl_spark.operators.corpus import mine_triplets
+    from algoritmos_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.2,
+                                      max_shingle_df=100)
+    trips = mine_triplets(docs, pairs.select("doc_a", "doc_b", "jaccard"))
+    rows = trips.collect()
+    n_pairs = pairs.count()
+    assert rows, "test corpus has near-dup pairs; triplets expected"
+    assert len(rows) <= n_pairs
+    assert len(rows) >= n_pairs - 2  # collision drops are ~2/N per pair
+    for r in rows:
+        assert r.negative_id not in (r.anchor_id, r.positive_id)
+    rerun = trips.collect()
+    key = lambda r: (r.anchor_id, r.positive_id)  # noqa: E731
+    assert sorted(rows, key=key) == sorted(rerun, key=key)

@@ -19,6 +19,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # with the boundedness argument
 CROSS_OK = {
     "bm25_topk": "postings × 1-row corpus stats (N, avgdl) broadcast",
+    "pps_sample": "weighted line × 1-row total-weight broadcast",
+    "triplet_mining": "near-dup pairs × 1-row corpus-count broadcast",
     "table_profile": "1-row plain-stats agg × 1-row distinct-counts agg",
     "pair_metrics": "1-row similarity × 1-row regression bundles",
     "risk_classification": "per-symbol rows × 1-row percentile thresholds",

@@ -86,6 +86,9 @@ EXPECTED_TAIL = {
     "shipping_priority", "approx_profile", "bpe_tokenize",
     "pii_redaction",
     "doc_lm_scores", "bm25_topk",
+    # r9 late additions — full oracles, r10 rotation candidates
+    "heavy_hitters", "pps_sample", "epoch_shards", "bloom_join_prune",
+    "triplet_mining",
 }
 
 

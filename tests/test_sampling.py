@@ -99,3 +99,53 @@ def test_balanced_sample_caps_dominant_stratum(spark):
         df, key="doc_id", strata_col="lang", target_per_stratum=100
     )
     assert out.exceptAll(again).isEmpty()
+
+
+def test_pps_sample_draws_exactly_k_hits(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    k = 64
+    rows = sampling.pps_sample(docs, "doc_id", "n_chars", k=k).collect()
+    assert sum(r.n_hits for r in rows) == k       # systematic PPS exactness
+    assert all(r.n_hits >= 1 for r in rows)
+    rerun = sampling.pps_sample(docs, "doc_id", "n_chars", k=k).collect()
+    assert sorted((r.doc_id, r.n_hits) for r in rows) == sorted(
+        (r.doc_id, r.n_hits) for r in rerun
+    )
+
+
+def test_pps_sample_weight_semantics(spark):
+    """Zero-weight rows are never drawn; a row holding >= 1/k of the
+    total weight is ALWAYS drawn (the PPS certainty region)."""
+    base = [(i, 10) for i in range(100)] + [(100, 0), (101, 5000)]
+    df = spark.createDataFrame(base, "doc_id long, w long")
+    k = 5  # total weight 6000, stride 1200 < 5000 -> doc 101 certain
+    got = {r.doc_id: r.n_hits for r in
+           sampling.pps_sample(df, "doc_id", "w", k=k).collect()}
+    assert sum(got.values()) == k
+    assert 100 not in got
+    assert got.get(101, 0) >= 4  # w*k/W = 4.16 -> floor 4 hits minimum
+
+
+def test_epoch_shards_is_a_per_epoch_permutation(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = sampling.epoch_shards(docs, "doc_id", n_epochs=2, n_shards=8)
+    rows = out.collect()
+    n = docs.count()
+    by_epoch: dict[int, list] = {0: [], 1: []}
+    for r in rows:
+        by_epoch[r.epoch].append(r)
+    for e, rs in by_epoch.items():
+        assert len(rs) == n                       # every doc, once
+        assert len({r.doc_id for r in rs}) == n
+        # positions are dense 0..count-1 within each shard
+        shards: dict[int, list] = {}
+        for r in rs:
+            shards.setdefault(r.shard, []).append(r.pos)
+        for poss in shards.values():
+            assert sorted(poss) == list(range(len(poss)))
+    # epochs order the corpus differently (independent permutations)
+    order0 = [(r.shard, r.pos, r.doc_id) for r in sorted(
+        by_epoch[0], key=lambda r: (r.shard, r.pos))]
+    order1 = [(r.shard, r.pos, r.doc_id) for r in sorted(
+        by_epoch[1], key=lambda r: (r.shard, r.pos))]
+    assert [d for _, _, d in order0] != [d for _, _, d in order1]
