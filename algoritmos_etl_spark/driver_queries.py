@@ -1608,6 +1608,8 @@ REGISTRY_ORDER = (
     "epoch_shards",      # deterministic per-epoch shard serving order
     "bloom_join_prune",  # bloom semi-join prune; oracle = plain join
     "triplet_mining",    # contrastive (a,p,n) triples, full oracle
+    "streaming_heavy_hitters",  # CM grid as incremental MV; cell-exact
+                                # fold keeps the FULL one-shot oracle
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

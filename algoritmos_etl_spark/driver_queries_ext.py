@@ -5404,3 +5404,92 @@ def q_triplet_mining(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = _ngram_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
     return mine_triplets(docs, pairs)
+
+
+# Two-batch staged documents stream for the count-min MV (mirror of
+# _mv_setup's orders staging; cached per (session, sf_dir))
+_DOCS_MV_SETUP: dict = {}
+
+
+def _docs_mv_setup(spark, sf_dir: str) -> str:
+    import shutil
+    import tempfile
+
+    for k in [
+        k for k, (ctx, _) in _DOCS_MV_SETUP.items() if ctx._jsc is None
+    ]:
+        shutil.rmtree(_DOCS_MV_SETUP.pop(k)[1], ignore_errors=True)
+    sc = spark.sparkContext
+    key = (sc.applicationId, sf_dir)
+    entry = _DOCS_MV_SETUP.get(key)
+    if entry is None:
+        work = tempfile.mkdtemp(prefix="cm_mv_")
+        docs = load_table(spark, sf_dir, "documents")
+        for i in (0, 1):
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{work}/stage/b{i}")
+        _DOCS_MV_SETUP[key] = (sc, work)
+    return _DOCS_MV_SETUP[key][1]
+
+
+@register(
+    "streaming_heavy_hitters",
+    _oracle_heavy_hitters(),
+    "Incremental count-min materialized view: the sketch grid "
+    "maintained by a real 2-micro-batch stream of per-batch cell "
+    "partials (mv.streaming_sketch_mv, delta+base layout), folded by "
+    "per-cell SUM — cell counts merge exactly, so unlike the HLL view "
+    "this streaming query keeps the FULL one-shot oracle: the "
+    "incremental grid IS the batch grid, and the top-30 point-query "
+    "report equals heavy_hitters bit-for-bit. The fourth measure "
+    "family (sum/count, HLL, CM) on the MV lifecycle",
+)
+def q_streaming_heavy_hitters(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .operators import sketches
+    from .operators.text import words_col
+    from .streaming import mv
+
+    work = _docs_mv_setup(spark, sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="cm_mv_run_")
+    try:
+        schema = load_table(spark, sf_dir, "documents").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{work}/stage/b*")
+            .select(F.explode(words_col(F.col("text"))).alias("word"))
+        )
+        mv.streaming_sketch_mv(
+            stream,
+            f"{run_dir}/mv",
+            "word",
+            checkpoint=f"{run_dir}/_checkpoint",
+            depth=_HH_DEPTH,
+            width=_HH_WIDTH,
+        )
+        # eager checkpoint: the folded grid must outlive run_dir
+        sketch = mv.read_sketch_mv(spark, f"{run_dir}/mv").localCheckpoint()
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+    exact = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "word")
+        .limit(_HH_TOPK)
+    )
+    est = sketches.count_min_estimate(
+        sketch, exact.select("word"), "word", depth=_HH_DEPTH, width=_HH_WIDTH
+    )
+    return exact.join(est, "word").select(
+        "word",
+        "exact_n",
+        "cm_n",
+        (F.col("cm_n") - F.col("exact_n")).alias("overcount"),
+    )

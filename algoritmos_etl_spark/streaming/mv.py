@@ -430,3 +430,94 @@ def compact_distinct_mv(spark: SparkSession, path: str) -> dict:
     )
     n_keys = spark.read.parquet(f"{path}/base/upto={max_bid}").count()
     return {"upto": int(max_bid), "keys": int(n_keys)}
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch MV: fourth measure family on the same delta+base
+# layout (sum/count, HLL, now CM). The partial is the sketch GRID
+# itself — (d, bucket) cell counts from operators/sketches — and the
+# fold is a plain per-cell SUM, which is commutative/associative/exact:
+# the incrementally-maintained grid equals the one-shot grid CELL FOR
+# CELL, so unlike the HLL view a CM-backed query keeps a full SQL
+# oracle. Per-batch cost is the batch's own bounded partial
+# (<= depth*width cells); the base is never read-modify-written.
+# --------------------------------------------------------------------------
+
+
+def streaming_sketch_mv(
+    stream: DataFrame,
+    path: str,
+    item_col: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 1024,
+    timeout_sec: int = 120,
+):
+    """Maintain a count-min grid over a stream of items: one bounded
+    (d, bucket, cnt_part) delta per micro-batch under
+    `path/delta/batch_id=N`, idempotent overwrite — identical
+    lifecycle to `streaming_agg_mv`, sketch cells instead of sums."""
+    from ..operators.sketches import count_min_build
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            count_min_build(batch_df, item_col, depth=depth, width=width)
+            .withColumnRenamed("cnt", "cnt_part")
+            .write.mode("overwrite")
+            .parquet(f"{path}/delta/batch_id={batch_id}")
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming_sketch_mv: availableNow run exceeded "
+            f"{timeout_sec}s; view at {path} is incomplete"
+        )
+    return query
+
+
+def read_sketch_mv(spark: SparkSession, path: str) -> DataFrame:
+    """The view: the folded count-min grid (d, bucket, cnt) — drop-in
+    for `sketches.count_min_build` output (feed it to
+    `sketches.count_min_estimate`). Base at max `upto` plus newer
+    deltas, re-summed per cell."""
+    deltas = _read_or_none(spark, f"{path}/delta", f"{path}/delta")
+    base = _read_or_none(spark, f"{path}/base", f"{path}/base")
+    upto = -1
+    if base is not None:
+        row = base.agg(F.max("upto")).first()
+        upto = row[0] if row[0] is not None else -1
+        base = base.filter(F.col("upto") == upto).drop("upto")
+    parts = []
+    if base is not None:
+        parts.append(base)
+    if deltas is not None:
+        parts.append(deltas.filter(F.col("batch_id") > upto).drop("batch_id"))
+    if not parts:
+        raise ValueError(f"no sketch-MV state under {path}")
+    all_parts = parts[0]
+    for p in parts[1:]:
+        all_parts = all_parts.unionByName(p)
+    return all_parts.groupBy("d", "bucket").agg(
+        F.sum("cnt_part").alias("cnt")
+    )
+
+
+def compact_sketch_mv(spark: SparkSession, path: str) -> dict:
+    """Fold deltas (+ previous base) into base/upto=N. Cell sums merge
+    losslessly; `vacuum_agg_mv` applies unchanged (same layout)."""
+    deltas = _read_or_none(spark, f"{path}/delta", f"{path}/delta")
+    if deltas is None:
+        raise ValueError(f"no deltas under {path}")
+    max_bid = deltas.agg(F.max("batch_id")).first()[0]
+    read_sketch_mv(spark, path).withColumnRenamed(
+        "cnt", "cnt_part"
+    ).write.mode("overwrite").parquet(f"{path}/base/upto={max_bid}")
+    n_cells = spark.read.parquet(f"{path}/base/upto={max_bid}").count()
+    return {"upto": int(max_bid), "cells": int(n_cells)}

@@ -88,7 +88,7 @@ EXPECTED_TAIL = {
     "doc_lm_scores", "bm25_topk",
     # r9 late additions — full oracles, r10 rotation candidates
     "heavy_hitters", "pps_sample", "epoch_shards", "bloom_join_prune",
-    "triplet_mining",
+    "triplet_mining", "streaming_heavy_hitters",
 }
 
 

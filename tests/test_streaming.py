@@ -829,3 +829,54 @@ def test_incremental_distinct_mv_lifecycle(spark, batch_events, tmp_path):
         "deltas_removed": 2, "bases_removed": 0,
     }
     assert view() == got
+
+
+def test_incremental_sketch_mv_lifecycle(spark, tmp_path):
+    """Count-min MV: the incrementally-maintained grid must equal the
+    one-shot grid CELL FOR CELL (sums are split-invariant — this is
+    what lets streaming_heavy_hitters keep a full oracle), and survive
+    compaction + vacuum unchanged."""
+    from pyspark.sql import functions as F
+
+    from algoritmos_etl_spark.operators import sketches
+    from algoritmos_etl_spark.operators.text import words_col
+    from algoritmos_etl_spark.streaming import mv
+
+    docs = load_table(spark, SF_DIR, "documents")
+    stage = str(tmp_path / "stage")
+    for i in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/b{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{stage}/b*")
+        .select(F.explode(words_col(F.col("text"))).alias("word"))
+    )
+    mv.streaming_sketch_mv(
+        stream, str(tmp_path / "mv"), "word",
+        checkpoint=str(tmp_path / "ck"),
+    )
+
+    def grid():
+        return {
+            (r.d, r.bucket): r.cnt
+            for r in mv.read_sketch_mv(spark, str(tmp_path / "mv")).collect()
+        }
+
+    got = grid()
+    words = docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+    oneshot = {
+        (r.d, r.bucket): r.cnt
+        for r in sketches.count_min_build(words, "word").collect()
+    }
+    assert got == oneshot
+    rep = mv.compact_sketch_mv(spark, str(tmp_path / "mv"))
+    assert rep["upto"] == 1
+    assert grid() == got
+    assert mv.vacuum_agg_mv(str(tmp_path / "mv")) == {
+        "deltas_removed": 2, "bases_removed": 0,
+    }
+    assert grid() == got
