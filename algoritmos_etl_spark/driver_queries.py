@@ -1610,6 +1610,10 @@ REGISTRY_ORDER = (
     "triplet_mining",    # contrastive (a,p,n) triples, full oracle
     "streaming_heavy_hitters",  # CM grid as incremental MV; cell-exact
                                 # fold keeps the FULL one-shot oracle
+    # ---- r9 TPC-H sweep completion: all 22 classic shapes covered ----
+    "forecast_revenue",         # Q6 pure-pushdown 1-row forecast
+    "product_profit",           # Q9 fact⋈fact year join, dims broadcast
+    "customer_distribution",    # Q13 LEFT OUTER count-0 histogram
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

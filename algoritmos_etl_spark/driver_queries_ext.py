@@ -5493,3 +5493,88 @@ def q_streaming_heavy_hitters(spark, sf_dir):
         "cm_n",
         (F.col("cm_n") - F.col("exact_n")).alias("overcount"),
     )
+
+
+# ------------------------------------- round 9: TPC-H sweep completion
+# (Q6 forecast, Q9 product profit, Q13 customer distribution — with
+# these, all 22 classic shapes have a registered, oracle-checked twin)
+
+
+@register(
+    "forecast_revenue",
+    """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                 AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE year(l_shipdate) = 1996
+      AND round(l_discount, 2) BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24""",
+    "TPC-H Q6 shape: one-year discount-band small-lot revenue forecast "
+    "— the suite's pure-pushdown query: every predicate (year, "
+    "2-decimal discount band, quantity cap) reaches the parquet scan, "
+    "one partial aggregate, a 1-row result; at 100 TB the shuffle "
+    "moves one combined row per task",
+)
+def q_forecast_revenue(spark, sf_dir):
+    return relational.forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "product_profit",
+    """SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(CAST(sum(CAST(
+               (l.l_extendedprice * (1 - l.l_discount))
+               - (0.6 * p.p_retailprice) * l.l_quantity
+               AS DECIMAL(30,10))) AS DOUBLE), 2) AS profit,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE contains(p.p_name, 'bolt')
+    GROUP BY 1, 2""",
+    "TPC-H Q9 shape: profit by supplier nation x order year for "
+    "name-matched parts (supply cost proxied as 0.6*p_retailprice/unit "
+    "— no partsupp table, same adaptation as Q2). The suite's one "
+    "deliberate FACT-to-FACT join: lineitem shuffles against orders on "
+    "the order key to fetch the year — the Q9 cost at scale, which "
+    "bucketized layouts make exchange-free — with the part name filter "
+    "broadcast-pruning the fact BEFORE that shuffle and the rollup "
+    "reducing map-side to the bounded (nation, year) grain",
+)
+def q_product_profit(spark, sf_dir):
+    return relational.product_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "customer_distribution",
+    """WITH cnt AS (
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+                   WHERE o_orderpriority <> '1-URGENT') o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM cnt GROUP BY c_count""",
+    "TPC-H Q13 shape: per-customer order-count distribution INCLUDING "
+    "zero-order customers — the suite's LEFT OUTER fact join (the "
+    "count-0 bucket exists only because unmatched customers survive); "
+    "priority-class exclusion stands in for the comment-pattern "
+    "filter. Two shrinking shuffles: custkey, then the bounded "
+    "c_count histogram grain",
+)
+def q_customer_distribution(spark, sf_dir):
+    return relational.customer_order_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )

@@ -1159,3 +1159,126 @@ def top_supplier(
         )
         .orderBy("s_suppkey")
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    year: int = 1996,
+    disc_lo: float = 0.04,
+    disc_hi: float = 0.06,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: the revenue-change forecast — what discounted
+    small-lot revenue would have been forgone in one year if discounts
+    in a band were eliminated. The simplest query in the suite, and
+    deliberately so: one parquet scan with EVERY predicate pushed down
+    (year, discount band, quantity cap), one partial aggregate, one
+    1-row result; at 100 TB the plan is a pure map-side scan whose
+    shuffle moves a single combined row per task.
+
+    Discounts compare at the 2-decimal grain (round before between) so
+    the band edges are exact on any engine. Output: (revenue, n_items).
+    """
+    amt = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        lineitem.filter(
+            (F.year("l_shipdate") == year)
+            & F.round(F.col("l_discount"), 2).between(disc_lo, disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(amt.cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    name_pattern: str = "bolt",
+    cost_frac: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year for parts
+    whose name matches a pattern. Supply cost is proxied as
+    `cost_frac · p_retailprice` per unit (this dataset has no partsupp
+    table — same adaptation as Q2's `min_cost_supplier`), so
+    amount = extprice·(1−disc) − cost_frac·retail·qty.
+
+    Plan shape this query exists to exercise: the suite's one
+    deliberate FACT⋈FACT join — lineitem⋈orders on the order key to
+    fetch the year (Q9's defining cost at scale; both sides shuffle on
+    l_orderkey/o_orderkey, which bucketed layouts would make
+    exchange-free, see sources/compact.bucketize_table). The part
+    filter broadcasts and prunes the fact BEFORE that shuffle (the
+    name-match survivors are a small fraction of parts), supplier →
+    nation broadcasts, and the final rollup reduces map-side to the
+    bounded (nation, year) grain.
+    """
+    matched = part.filter(F.col("p_name").contains(name_pattern)).select(
+        "p_partkey", "p_retailprice"
+    )
+    sup_nat = supplier.join(
+        F.broadcast(nation),
+        supplier["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - (F.lit(cost_frac) * F.col("p_retailprice")) * F.col("l_quantity")
+    return (
+        lineitem.join(
+            F.broadcast(matched), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(sup_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.round(F.sum(amount.cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = "1-URGENT",
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of per-customer order counts
+    INCLUDING customers with zero qualifying orders — the suite's one
+    LEFT OUTER fact join (the count-0 bucket only exists because
+    unmatched customers survive the join). Orders in one priority class
+    are excluded (stand-in for Q13's comment-pattern filter, which this
+    dataset's orders don't carry).
+
+    Two shuffles, both shrinking: customer⟕orders on custkey (filter
+    pushed below the join), then the per-customer counts reduce to the
+    bounded c_count histogram grain. count('o_orderkey') counts
+    non-NULL keys only, so outer-preserved customers land in bucket 0.
+    Output: (c_count, custdist) ordered custdist desc, c_count desc.
+    """
+    cnt = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != exclude_priority)
+            .select("o_orderkey", "o_custkey"),
+            customer["c_custkey"] == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        cnt.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

@@ -89,6 +89,8 @@ EXPECTED_TAIL = {
     # r9 late additions — full oracles, r10 rotation candidates
     "heavy_hitters", "pps_sample", "epoch_shards", "bloom_join_prune",
     "triplet_mining", "streaming_heavy_hitters",
+    # r9 TPC-H sweep completion (Q6/Q9/Q13) — full oracles
+    "forecast_revenue", "product_profit", "customer_distribution",
 }
 
 
