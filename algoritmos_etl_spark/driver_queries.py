@@ -1614,6 +1614,8 @@ REGISTRY_ORDER = (
     "forecast_revenue",         # Q6 pure-pushdown 1-row forecast
     "product_profit",           # Q9 fact⋈fact year join, dims broadcast
     "customer_distribution",    # Q13 LEFT OUTER count-0 histogram
+    "snapshot_file_skipping",   # manifest min/max scan pruning;
+                                # oracle = the plain filtered read
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

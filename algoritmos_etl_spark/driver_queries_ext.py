@@ -5578,3 +5578,84 @@ def q_customer_distribution(spark, sf_dir):
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "orders"),
     )
+
+
+# ------------------------------------- round 9: snapshot file skipping
+
+# One year-partitioned stats-carrying snapshot table per (session,
+# sf_dir): seven appends, one per o_orderdate year, each recording
+# per-file min/max metrics for the date column — so a date-range scan
+# can prove most files irrelevant from the manifest alone.
+_SNAP_SCAN_SETUP: dict = {}
+
+
+def _snap_scan_setup(spark, sf_dir: str) -> str:
+    import shutil
+    import tempfile
+
+    from .sources import snapshots as snap
+
+    for k in [
+        k for k, (ctx, _) in _SNAP_SCAN_SETUP.items() if ctx._jsc is None
+    ]:
+        shutil.rmtree(_SNAP_SCAN_SETUP.pop(k)[1], ignore_errors=True)
+    sc = spark.sparkContext
+    key = (sc.applicationId, sf_dir)
+    entry = _SNAP_SCAN_SETUP.get(key)
+    if entry is None:
+        work = tempfile.mkdtemp(prefix="snap_scan_")
+        table = f"{work}/orders_by_year"
+        orders = load_table(spark, sf_dir, "orders")
+        for y in range(1995, 2002):
+            snap.snapshot_commit(
+                orders.filter(F.year("o_orderdate") == y).coalesce(1),
+                table,
+                mode="append",
+                op=f"append_y{y}",
+                stats_cols=["o_orderdate"],
+            )
+        _SNAP_SCAN_SETUP[key] = (sc, work)
+    return _SNAP_SCAN_SETUP[key][1]
+
+
+@register(
+    "snapshot_file_skipping",
+    """SELECT o_orderpriority,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                 AS DOUBLE), 2) AS total_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <= TIMESTAMP '1998-12-31 23:59:59'
+    GROUP BY o_orderpriority""",
+    "Manifest-level file skipping (Iceberg scan planning): a 7-version "
+    "year-partitioned snapshot table whose commits record per-file "
+    "o_orderdate min/max metrics (parquet-footer reads, no Spark job); "
+    "a 2-year range scan opens ONLY the files whose recorded bounds "
+    "can intersect — 2 of 7 here, pytest-pinned — then the residual "
+    "row filter applies, so the result EQUALS the plain filtered read "
+    "(the oracle runs the plain filter over the source table). "
+    "Pruning is file-grain, correctness is row-grain; files without "
+    "metrics are conservatively read",
+)
+def q_snapshot_file_skipping(spark, sf_dir):
+    import datetime
+
+    from .sources import snapshots as snap
+
+    work = _snap_scan_setup(spark, sf_dir)
+    df = snap.snapshot_scan(
+        spark,
+        f"{work}/orders_by_year",
+        "o_orderdate",
+        lo=datetime.datetime(1997, 1, 1),
+        hi=datetime.datetime(1998, 12, 31, 23, 59, 59),
+    )
+    return df.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")), 2
+        )
+        .cast("double")
+        .alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -177,21 +177,77 @@ def _count_rows(table_dir: str, files: list[str]) -> int:
     )
 
 
+def _stat_value(v):
+    """Canonicalize a parquet statistics value for JSON storage and
+    cross-type-safe comparison: numbers stay numbers, bytes decode,
+    date/datetime become ISO strings (lexicographic == chronological)."""
+    import datetime
+
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return v
+
+
+def _file_stats(
+    table_dir: str, files: list[str], cols: list[str]
+) -> dict:
+    """Per-file min/max/null_count for `cols` from parquet footers —
+    local metadata reads, no Spark job (the Iceberg data-file metrics).
+    A column chunk without written statistics yields None bounds, which
+    readers treat as un-prunable (conservative)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for f in files:
+        md = pq.ParquetFile(os.path.join(table_dir, f)).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        per_col: dict = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            mn = mx = None
+            nulls = 0
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                else:
+                    v0, v1 = _stat_value(st.min), _stat_value(st.max)
+                    mn = v0 if mn is None or v0 < mn else mn
+                    mx = v1 if mx is None or v1 > mx else mx
+                nulls += st.null_count if st and st.null_count is not None else 0
+            per_col[c] = [mn if ok else None, mx if ok else None, nulls]
+        out[f] = per_col
+    return out
+
+
 def snapshot_commit(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     op: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit `df` as a new table version. mode='append' adds its
     files to the current snapshot; 'overwrite' replaces the file list.
-    Returns the committed version number."""
+    `stats_cols` records per-file min/max/null-count metrics in the
+    manifest (Iceberg-style) so `snapshot_scan` can skip whole files;
+    append carries the prior manifest's metrics forward. Returns the
+    committed version number."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_commit: unknown mode {mode!r}")
     versions = _versions(table_dir)
     hint = (versions[-1] if versions else 0) + 1
     new_files = _write_data(df, table_dir, hint)
     new_schema = _schema_json(df)
+    new_stats = (
+        _file_stats(table_dir, new_files, stats_cols) if stats_cols else {}
+    )
     while True:
         # re-validated per attempt: a lost race means another commit
         # moved the head, so the append's prior file list (and schema)
@@ -201,10 +257,12 @@ def snapshot_commit(
         head = versions[-1] if versions else 0
         prior: list[str] = []
         prior_schema = None
+        prior_stats: dict = {}
         if mode == "append" and versions:
             m = _read_manifest(table_dir, head)
             prior = m["files"]
             prior_schema = m.get("schema")
+            prior_stats = m.get("stats", {})
         files = prior + new_files
         manifest = {
             "op": op or mode,
@@ -212,6 +270,9 @@ def snapshot_commit(
             "schema": _merge_schema(prior_schema, new_schema),
             "n_rows": _count_rows(table_dir, files),
         }
+        stats = {**prior_stats, **new_stats}
+        if stats:
+            manifest["stats"] = stats
         if _publish_at(table_dir, manifest, head + 1):
             return head + 1
 
@@ -236,6 +297,83 @@ def read_as_of(
     if not m["files"]:
         raise ValueError(f"version {v} of {table_dir} is empty")
     return _read_manifest_df(spark, table_dir, m)
+
+
+def scan_plan(
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[list[str], list[str], dict]:
+    """File-skipping plan for a range predicate on `col`: which of the
+    manifest's files can contain a matching row, by the per-file
+    min/max metrics `snapshot_commit(stats_cols=...)` recorded.
+    Pure metadata — no Spark job, no file I/O beyond the manifest.
+
+    Conservative by construction: a file without metrics for `col`
+    (pre-stats commits, compaction/delete rewrites) is always kept; a
+    file is skipped ONLY when its recorded [min, max] provably misses
+    [lo, hi]. Rows with NULL `col` never match a range predicate, so
+    skipped files lose nothing. `lo`/`hi` MUST be the column's own
+    type (datetime bounds for a timestamp column, not a date or a
+    string) — metrics and bounds canonicalize through the same
+    `_stat_value` and a mixed-grain comparison ("1998-12-31" vs
+    "1998-12-31 00:00:00") would mis-prune the boundary file. Returns
+    (kept, all_files, manifest)."""
+    versions = _versions(table_dir)
+    if not versions:
+        raise ValueError(f"no snapshots under {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(
+            f"version {v} not retained (have {versions}) — vacuumed or "
+            "never committed"
+        )
+    m = _read_manifest(table_dir, v)
+    stats = m.get("stats", {})
+    qlo, qhi = _stat_value(lo), _stat_value(hi)
+    kept = []
+    for f in m["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is None or s[0] is None or s[1] is None:
+            kept.append(f)  # no metrics -> cannot prune
+            continue
+        fmin, fmax = s[0], s[1]
+        if qlo is not None and fmax < qlo:
+            continue
+        if qhi is not None and fmin > qhi:
+            continue
+        kept.append(f)
+    return kept, m["files"], m
+
+
+def snapshot_scan(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Range-filtered snapshot read with manifest-level file skipping:
+    only files whose recorded [min, max] can intersect [lo, hi] are
+    opened (Iceberg scan planning), then the residual row filter
+    applies — pruning is file-grain, correctness is row-grain, so the
+    result EQUALS `read_as_of(...).filter(lo <= col <= hi)` exactly
+    (that identity is the registered oracle's contract)."""
+    from pyspark.sql import functions as F
+
+    kept, _all, m = scan_plan(table_dir, col, lo, hi, version)
+    if not kept:
+        base = _read_manifest_df(spark, table_dir, m)  # schema only
+        return base.filter(F.lit(False))
+    df = _read_manifest_df(spark, table_dir, {**m, "files": kept})
+    if lo is not None:
+        df = df.filter(F.col(col) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(col) <= hi)
+    return df
 
 
 def table_history(spark: SparkSession, table_dir: str) -> DataFrame:

@@ -296,3 +296,91 @@ def test_vacuum_grace_period_spares_young_orphans(spark, tmp_path):
     rep = snap.snapshot_vacuum(t, keep=2, min_age_seconds=0)
     assert rep["commit_dirs_removed"] == 1  # explicit no-writer vacuum
     assert not os.path.isdir(os.path.join(t, "data", orphans[0]))
+
+
+def test_scan_plan_prunes_by_manifest_metrics(spark, tmp_path):
+    """Three stats-carrying commits with disjoint k ranges: a range
+    scan must keep only the overlapping files, read none of the
+    others, and still equal the plain filtered read row-for-row."""
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        snap.snapshot_commit(
+            _df(spark, [(lo + i, float(i)) for i in range(10)]).coalesce(1),
+            t, mode="append", stats_cols=["k"],
+        )
+    kept, all_files, _ = snap.scan_plan(t, "k", lo=100, hi=109)
+    assert len(all_files) == 3
+    assert len(kept) == 1
+    got = sorted(
+        tuple(r) for r in snap.snapshot_scan(spark, t, "k", 100, 109).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in snap.read_as_of(spark, t)
+        .filter((F.col("k") >= 100) & (F.col("k") <= 109))
+        .collect()
+    )
+    assert got == want and len(got) == 10
+    # boundary overlap: a range touching two files keeps exactly two
+    kept2, _, _ = snap.scan_plan(t, "k", lo=105, hi=205)
+    assert len(kept2) == 2
+    # fully out of range: zero files, empty result, schema preserved
+    kept3, _, _ = snap.scan_plan(t, "k", lo=900, hi=999)
+    assert kept3 == []
+    empty = snap.snapshot_scan(spark, t, "k", 900, 999)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_scan_plan_is_conservative_without_metrics(spark, tmp_path):
+    """Commits made without stats_cols (or rewritten by delete/compact)
+    carry no metrics and must ALWAYS be kept."""
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(
+        _df(spark, [(0, 0.0), (1, 1.0)]), t, mode="append"
+    )  # no stats
+    snap.snapshot_commit(
+        _df(spark, [(500, 5.0)]).coalesce(1), t, mode="append",
+        stats_cols=["k"],
+    )
+    kept, all_files, _ = snap.scan_plan(t, "k", lo=900, hi=999)
+    # stats-less files kept, the provably-out-of-range stats file pruned
+    assert len(kept) == len(all_files) - 1
+    got = snap.snapshot_scan(spark, t, "k", 0, 1).count()
+    assert got == 2
+
+
+def test_scan_stats_survive_append_carryover(spark, tmp_path):
+    """Append commits must carry prior files' metrics forward in the
+    new manifest (Iceberg semantics), so old files stay prunable."""
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(
+        _df(spark, [(0, 0.0)]).coalesce(1), t, mode="append",
+        stats_cols=["k"],
+    )
+    snap.snapshot_commit(
+        _df(spark, [(100, 1.0)]).coalesce(1), t, mode="append",
+        stats_cols=["k"],
+    )
+    kept, all_files, m = snap.scan_plan(t, "k", lo=0, hi=0)
+    assert len(all_files) == 2 and len(kept) == 1
+    assert set(m.get("stats", {})) == set(all_files)
+
+
+def test_registered_file_skipping_prunes(spark):
+    """The registered query's staged table must actually skip files:
+    2 of the 7 year-commits intersect the 1997-1998 scan."""
+    import datetime
+
+    # driver_queries must load first: ext is registration-order-coupled
+    # to it (the REGISTRY assert runs at the end of driver_queries)
+    from algoritmos_etl_spark import driver_queries  # noqa: F401
+    from algoritmos_etl_spark.driver_queries_ext import _snap_scan_setup
+
+    work = _snap_scan_setup(spark, "/root/testdata/sf0.001")
+    kept, all_files, _ = snap.scan_plan(
+        f"{work}/orders_by_year", "o_orderdate",
+        lo=datetime.datetime(1997, 1, 1),
+        hi=datetime.datetime(1998, 12, 31, 23, 59, 59),
+    )
+    assert len(all_files) == 7
+    assert len(kept) == 2
