@@ -29,8 +29,11 @@ front and independent of the data:
   Spark's AQE injects for DPP-eligible plans, available on any join
   shape.
 
-All hashing is the engine-portable md5-prefix `token_hash`, so DuckDB
-rebuilds the identical sketch cell-for-cell in the oracle.
+Count-min hashing is the engine-portable md5-prefix `token_hash`, so
+DuckDB rebuilds the identical grid cell-for-cell in the oracle. Bloom
+hashing is native xxhash64 — no oracle inspects Bloom internals (the
+contract is result identity with the plain join), so the cheap codegen
+intrinsic wins over a per-row crypto hash.
 """
 
 from __future__ import annotations
@@ -116,6 +119,16 @@ def count_min_estimate(
     )
 
 
+def _bloom_bit(col: Column, d: int, n_bits: int) -> Column:
+    """Hash-`d` bit position. Native xxhash64, NOT the md5 family: no
+    oracle ever inspects Bloom internals (the contract is result
+    identity with the plain join), and xxhash64 is a cheap codegen
+    intrinsic where md5 pays a crypto hash over a string cast per fact
+    row per hash function — measured ~1.5 s of pure overhead on a 600 k
+    row scan at n_hashes=3."""
+    return F.pmod(F.xxhash64(F.lit(d), col), F.lit(n_bits))
+
+
 def bloom_bits(
     keys: DataFrame,
     key_col: str,
@@ -126,9 +139,7 @@ def bloom_bits(
     the `n_hashes` bit tables of a partitioned Bloom filter. Bounded at
     ≤ n_bits rows whatever the key count."""
     return keys.select(
-        F.pmod(token_hash(F.lit(f"bloom{d}"), F.col(key_col)), F.lit(n_bits)).alias(
-            "bit"
-        )
+        _bloom_bit(F.col(key_col), d, n_bits).alias("bit")
     ).distinct()
 
 
@@ -154,9 +165,7 @@ def bloom_semi_join(
     pruned = big
     for d in range(n_hashes):
         bits = bloom_bits(keys.select(keys_key), keys_key, d, n_bits)
-        probe = F.pmod(
-            token_hash(F.lit(f"bloom{d}"), F.col(big_key)), F.lit(n_bits)
-        )
+        probe = _bloom_bit(F.col(big_key), d, n_bits)
         pruned = (
             pruned.withColumn("_bloom_bit", probe)
             .join(F.broadcast(bits), F.col("_bloom_bit") == F.col("bit"), "left_semi")
