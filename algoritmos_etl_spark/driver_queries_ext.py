@@ -5160,7 +5160,7 @@ def _oracle_heavy_hitters() -> str:
     cells AS (
       SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
         SELECT s.d,
-               CAST(('0x' || substr(md5('cm' || s.d || ':' || word), 1, 15))
+               CAST(('0x' || substr(md5('cm:' || word), 1 + 4 * s.d, 4))
                  AS BIGINT) % {_HH_WIDTH} AS bucket
         FROM w, (VALUES {d_vals}) s(d))
       GROUP BY d, bucket),
@@ -5170,8 +5170,8 @@ def _oracle_heavy_hitters() -> str:
       CROSS JOIN (VALUES {d_vals}) s(d)
       LEFT JOIN cells c
         ON c.d = s.d
-       AND c.bucket = CAST(('0x' || substr(md5('cm' || s.d || ':' || t.word),
-                      1, 15)) AS BIGINT) % {_HH_WIDTH}
+       AND c.bucket = CAST(('0x' || substr(md5('cm:' || t.word),
+                      1 + 4 * s.d, 4)) AS BIGINT) % {_HH_WIDTH}
       GROUP BY t.word)
     SELECT t.word, t.exact_n, e.cm_n, e.cm_n - t.exact_n AS overcount
     FROM topk t JOIN est e USING (word)"""

@@ -29,8 +29,10 @@ front and independent of the data:
   Spark's AQE injects for DPP-eligible plans, available on any join
   shape.
 
-Count-min hashing is the engine-portable md5-prefix `token_hash`, so
-DuckDB rebuilds the identical grid cell-for-cell in the oracle. Bloom
+Count-min hashing is ONE engine-portable md5 digest per item with the
+depth rows sliced from disjoint 16-bit hex windows (Kirsch–
+Mitzenmacher), so DuckDB rebuilds the identical grid cell-for-cell in
+the oracle at a quarter of the hash cost. Bloom
 hashing is native xxhash64 — no oracle inspects Bloom internals (the
 contract is result identity with the plain join), so the cheap codegen
 intrinsic wins over a per-row crypto hash.
@@ -41,7 +43,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import token_hash
 
 CM_DEPTH = 4
 CM_WIDTH = 1024
@@ -50,8 +51,38 @@ BLOOM_HASHES = 3
 
 
 def cm_bucket(item: Column, d: int, width: int = CM_WIDTH) -> Column:
-    """Row-`d` counter index for `item`: md5("cm{d}:" + item) mod width."""
-    return F.pmod(token_hash(F.lit(f"cm{d}"), item), F.lit(width))
+    """Row-`d` counter index for `item`: hex digits [4d, 4d+4) of ONE
+    md5("cm:" + item), mod width — d ≤ 8 independent-enough hash rows
+    from a single digest (the Kirsch–Mitzenmacher trick), so the build
+    pays ONE md5 per item instead of depth. 16 bits per slice and the
+    power-of-two width divide evenly, so the modulo is bias-free; the
+    DuckDB oracle slices the same digest."""
+    return _cm_slice(F.md5(F.concat(F.lit("cm:"), item)), d, width)
+
+
+def _cm_slice(digest: Column, d: int, width: int) -> Column:
+    assert d < 8, "_cm_slice: one md5 digest yields at most 8 16-bit rows"
+    return F.pmod(
+        F.conv(F.substring(digest, 1 + 4 * d, 4), 16, 10).cast("long"),
+        F.lit(width),
+    )
+
+
+def _cm_cells(digest: Column, depth: int, width: int) -> Column:
+    """(d, bucket) struct array from a PRE-PROJECTED digest column —
+    the digest must be materialized in a projection BELOW the explode:
+    repeated subtrees across a Generate input are not subexpression-
+    eliminated (see README codegen-boundary hygiene), so inlining the
+    md5 here would silently pay it `depth` times per row."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cm_slice(digest, d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
 
 
 def count_min_build(
@@ -68,17 +99,13 @@ def count_min_build(
     aggregation bounds what each task emits at depth·width cells,
     regardless of input size.
     """
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                cm_bucket(F.col(col), d, width).alias("bucket"),
-            )
-            for d in range(depth)
-        ]
+    digested = items.select(
+        F.md5(F.concat(F.lit("cm:"), F.col(col))).alias("_dig")
     )
     return (
-        items.select(F.explode(cells).alias("c"))
+        digested.select(
+            F.explode(_cm_cells(F.col("_dig"), depth, width)).alias("c")
+        )
         .groupBy(F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -100,18 +127,12 @@ def count_min_estimate(
     coalesce), preserving the no-undercount guarantee. Returns
     (col, cm_n).
     """
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                cm_bucket(F.col(col), d, width).alias("bucket"),
-            )
-            for d in range(depth)
-        ]
+    digested = queries.select(
+        col, F.md5(F.concat(F.lit("cm:"), F.col(col))).alias("_dig")
     )
-    probes = queries.select(col, F.explode(cells).alias("c")).select(
-        col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket")
-    )
+    probes = digested.select(
+        col, F.explode(_cm_cells(F.col("_dig"), depth, width)).alias("c")
+    ).select(col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
     return (
         probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(col)
