@@ -283,3 +283,53 @@ def bpe_encode(
         F.size("token_ids").cast("long").alias("n_tokens"),
         "token_ids",
     )
+
+
+def bpe_decode(
+    encoded: DataFrame,
+    merges: list,
+    alphabet: list[str],
+) -> DataFrame:
+    """Inverse of `bpe_encode`: ORDERED token-id sequences back to
+    text. Round-trip contract (pytest-pinned):
+    decode(encode(text)) == the encoder's normalized view of text
+    (lowercased, single-spaced words) for EVERY document, byte
+    fallback included.
+
+    Pure JVM, one projection, no shuffle: each id maps to the HEX of
+    its UTF-8 bytes — vocab ids through a literal map (with the `</w>`
+    end-of-word marker rewritten to a space), byte-fallback ids
+    (< 256) to their own two hex digits arithmetically — and the
+    concatenated hex stream is unhex'd and UTF-8-decoded ONCE per
+    document, so a multi-byte character split across several fallback
+    ids reassembles correctly (per-id decoding could never do this).
+    Output: (doc_id, text).
+    """
+    import binascii
+
+    vocab = bpe_vocab_ids(merges, alphabet)
+    hexmap = F.create_map(
+        *[
+            x
+            for t, i in vocab.items()
+            for x in (
+                F.lit(i),
+                F.lit(
+                    binascii.hexlify(
+                        t.replace(END, " ").encode("utf-8")
+                    ).decode("ascii")
+                ),
+            )
+        ]
+    )
+    id_hex = lambda i: F.coalesce(  # noqa: E731
+        F.try_element_at(hexmap, i),
+        F.lpad(F.lower(F.conv(i.cast("string"), 10, 16)), 2, "0"),
+    )
+    hex_stream = F.concat_ws(
+        "", F.transform(F.col("token_ids"), id_hex)
+    )
+    return encoded.select(
+        "doc_id",
+        F.rtrim(F.decode(F.unhex(hex_stream), "UTF-8")).alias("text"),
+    )

@@ -212,3 +212,37 @@ def test_sequence_packing_consumes_bpe_token_counts(spark):
         assert r.pack_first == r.token_start // 16
         last = max(r.token_start, r.token_start + r.n_tokens - 1)
         assert r.pack_last == last // 16
+
+
+def test_bpe_decode_inverts_encode_in_spark(spark):
+    """The JVM decoder (hex-stream reassembly) must reproduce the
+    encoder's normalized text for every document — unseen words,
+    multi-byte byte-fallback runs, empty and NULL text."""
+    train = _docs(spark, [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "low new lower newer",
+    ])
+    merges, _ = bpe.learn_bpe(spark, train, n_merges=10, min_freq=2)
+    alphabet = bpe.bpe_alphabet(train)
+    texts = {
+        0: "low lower newest",
+        1: "unseen zebra low",
+        2: "café über low",    # multi-byte chars through byte fallback
+        3: "",
+        4: None,
+        5: "LOW New",          # decoder returns the lowercased view
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    enc = bpe.bpe_encode(docs, merges, alphabet)
+    got = {
+        r.doc_id: r.text
+        for r in bpe.bpe_decode(enc, merges, alphabet).collect()
+    }
+    for d, text in texts.items():
+        expect = " ".join(
+            w for w in (text or "").lower().strip().split(" ") if w
+        )
+        assert got[d] == expect, d
