@@ -722,8 +722,8 @@ HEATMAP_TOP_K = 10
                CAST(count(*) AS BIGINT) AS n_points
         FROM rets a JOIN rets b ON a.date = b.date AND a.symbol < b.symbol
         GROUP BY a.symbol, b.symbol
-        HAVING abs(round(coalesce(corr(a.ret, b.ret), 0.0), 4))
-               >= {HEATMAP_MIN_ABS_CORR}
+        HAVING abs(floor(coalesce(corr(a.ret, b.ret), 0.0) * 10000 + 0.5))
+               >= {HEATMAP_MIN_ABS_CORR} * 10000
     ),
     directed AS (
         SELECT psym_a AS sym, psym_b AS other, pearson, n_points FROM pairs
@@ -733,12 +733,12 @@ HEATMAP_TOP_K = 10
     ranked AS (
         SELECT sym, other, pearson, n_points,
                row_number() OVER (PARTITION BY sym
-                                  ORDER BY round(pearson, 4) DESC,
+                                  ORDER BY floor(pearson * 10000 + 0.5) DESC,
                                            other ASC) AS r
         FROM directed
     )
     SELECT least(sym, other) AS sym_a, greatest(sym, other) AS sym_b,
-           round(max(pearson), 4) AS pearson,
+           floor(max(pearson) * 10000 + 0.5) / 10000.0 AS pearson,
            CAST(max(n_points) AS BIGINT) AS n_points
     FROM ranked WHERE r <= {HEATMAP_TOP_K}
     GROUP BY 1, 2""",
@@ -757,7 +757,15 @@ def q_heatmap(spark, sf_dir):
         top_k_per_symbol=HEATMAP_TOP_K,
     )
     return out.select(
-        "sym_a", "sym_b", F.round(F.col("pearson"), 4).alias("pearson"), "n_points"
+        "sym_a",
+        "sym_b",
+        # emission on the same IEEE quantizer as the rank/tau grain —
+        # floor(p*1e4 + 0.5)/1e4 is bit-identical across engines where
+        # F.round vs DuckDB round disagree on exact .xxxx5 doubles
+        (
+            F.floor(F.col("pearson") * 10000 + F.lit(0.5)) / F.lit(10000.0)
+        ).alias("pearson"),
+        "n_points",
     )
 
 

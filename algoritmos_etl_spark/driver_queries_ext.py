@@ -528,35 +528,54 @@ def q_streaming_neardup(spark, sf_dir):
 # idempotent index appends + pair writes. Unlike session_cached (whose
 # payloads die with the JVM), these entries own DISK trees — eviction
 # below and the atexit hook rmtree them.
-_STREAM_NEARDUP_SETUP: dict = {}
+# Shared lifecycle for every staged-ingest disk tree in this module:
+# one cached workdir per (applicationId, sf_dir), dead-context entries
+# evicted (tree removed) on access, every tree removed at interpreter
+# exit. Unlike `session_cached` (whose payloads die with the JVM),
+# these entries own DISK trees — hence the explicit rmtree lifecycle.
+_WORKDIR_CACHES: list[dict] = []
 
 
-def _stream_neardup_cleanup() -> None:
+def _workdirs_cleanup() -> None:
     import shutil
 
-    for _, w in _STREAM_NEARDUP_SETUP.values():
-        shutil.rmtree(w, ignore_errors=True)
-    _STREAM_NEARDUP_SETUP.clear()
+    for cache in _WORKDIR_CACHES:
+        for _, w in cache.values():
+            shutil.rmtree(w, ignore_errors=True)
+        cache.clear()
 
 
-atexit.register(_stream_neardup_cleanup)
+atexit.register(_workdirs_cleanup)
 
 
-def _stream_neardup_setup(spark, sf_dir: str) -> str:
+def _session_workdir(cache: dict, spark, sf_dir: str, prefix: str, populate) -> str:
+    """Return `cache`'s workdir for this (session, sf_dir), building it
+    with `populate(work)` exactly once per session."""
     import shutil
     import tempfile
 
-    # dead-context eviction, as in session_cached — plus the disk tree
-    for k in [
-        k for k, (ctx, _) in _STREAM_NEARDUP_SETUP.items() if ctx._jsc is None
-    ]:
-        shutil.rmtree(_STREAM_NEARDUP_SETUP.pop(k)[1], ignore_errors=True)
+    if not any(c is cache for c in _WORKDIR_CACHES):
+        _WORKDIR_CACHES.append(cache)
+    for k in [k for k, (ctx, _) in cache.items() if ctx._jsc is None]:
+        shutil.rmtree(cache.pop(k)[1], ignore_errors=True)
     sc = spark.sparkContext
     key = (sc.applicationId, sf_dir)
-    entry = _STREAM_NEARDUP_SETUP.get(key)
-    work = entry[1] if entry else None
-    if work is None:
-        work = tempfile.mkdtemp(prefix="streaming_neardup_")
+    if key not in cache:
+        work = tempfile.mkdtemp(prefix=prefix)
+        try:
+            populate(work)
+        except BaseException:
+            shutil.rmtree(work, ignore_errors=True)
+            raise
+        cache[key] = (sc, work)
+    return cache[key][1]
+
+
+_STREAM_NEARDUP_SETUP: dict = {}
+
+
+def _stream_neardup_setup(spark, sf_dir: str) -> str:
+    def populate(work: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         base = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
         dedup.minhash_write_index(base, f"{work}/index", k_shingle=3)
@@ -567,8 +586,10 @@ def _stream_neardup_setup(spark, sf_dir: str) -> str:
             docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i).coalesce(
                 1
             ).write.mode("overwrite").parquet(f"{work}/stage/b{i}")
-        _STREAM_NEARDUP_SETUP[key] = (sc, work)
-    return work
+
+    return _session_workdir(
+        _STREAM_NEARDUP_SETUP, spark, sf_dir, "streaming_neardup_", populate
+    )
 
 
 @register(
@@ -1681,37 +1702,15 @@ def q_trailing_revenue(spark, sf_dir):
 _MV_SETUP: dict = {}
 
 
-def _mv_cleanup() -> None:
-    import shutil
-
-    for _, w in _MV_SETUP.values():
-        shutil.rmtree(w, ignore_errors=True)
-    _MV_SETUP.clear()
-
-
-atexit.register(_mv_cleanup)
-
-
 def _mv_setup(spark, sf_dir: str) -> str:
-    import shutil
-    import tempfile
-
-    for k in [
-        k for k, (ctx, _) in _MV_SETUP.items() if ctx._jsc is None
-    ]:
-        shutil.rmtree(_MV_SETUP.pop(k)[1], ignore_errors=True)
-    sc = spark.sparkContext
-    key = (sc.applicationId, sf_dir)
-    entry = _MV_SETUP.get(key)
-    if entry is None:
-        work = tempfile.mkdtemp(prefix="agg_mv_")
+    def populate(work: str) -> None:
         orders = load_table(spark, sf_dir, "orders")
         for i in (0, 1):
             orders.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == i).coalesce(
                 1
             ).write.mode("overwrite").parquet(f"{work}/stage/b{i}")
-        _MV_SETUP[key] = (sc, work)
-    return _MV_SETUP[key][1]
+
+    return _session_workdir(_MV_SETUP, spark, sf_dir, "agg_mv_", populate)
 
 
 @register(
@@ -3487,35 +3486,13 @@ def q_exact_repeat_runs_tokens(spark, sf_dir):
 _SNAP_SETUP: dict = {}
 
 
-def _snap_cleanup() -> None:
-    import shutil
-
-    for _, w in _SNAP_SETUP.values():
-        shutil.rmtree(w, ignore_errors=True)
-    _SNAP_SETUP.clear()
-
-
-atexit.register(_snap_cleanup)
-
-
 def _snap_setup(spark, sf_dir: str) -> str:
     """Build the 4-version snapshot table once per (session, sf_dir):
     v1 overwrite (keys %3==0), v2 append (%3==1), v3 compact,
     v4 keyed upsert (+1.5 on %13==0 keys of the v1 slice)."""
-    import shutil
-    import tempfile
-
     from .sources import snapshots as snap
 
-    for k in [
-        k for k, (ctx, _) in _SNAP_SETUP.items() if ctx._jsc is None
-    ]:
-        shutil.rmtree(_SNAP_SETUP.pop(k)[1], ignore_errors=True)
-    sc = spark.sparkContext
-    key = (sc.applicationId, sf_dir)
-    entry = _SNAP_SETUP.get(key)
-    if entry is None:
-        work = tempfile.mkdtemp(prefix="snap_table_")
+    def populate(work: str) -> None:
         table = f"{work}/orders_snap"
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice"
@@ -3533,8 +3510,9 @@ def _snap_setup(spark, sf_dir: str) -> str:
             .withColumn("o_totalprice", F.col("o_totalprice") + 1.5)
         )
         snap.snapshot_upsert(spark, table, updates, key_cols=["o_orderkey"])
-        _SNAP_SETUP[key] = (sc, work)
-    return f"{_SNAP_SETUP[key][1]}/orders_snap"
+
+    work = _session_workdir(_SNAP_SETUP, spark, sf_dir, "snap_table_", populate)
+    return f"{work}/orders_snap"
 
 
 @register(
@@ -4130,27 +4108,8 @@ def q_idle_rich_customers(spark, sf_dir):
 _CDC_SETUP: dict = {}
 
 
-def _cdc_cleanup() -> None:
-    import shutil
-
-    for _, w in _CDC_SETUP.values():
-        shutil.rmtree(w, ignore_errors=True)
-    _CDC_SETUP.clear()
-
-
-atexit.register(_cdc_cleanup)
-
-
 def _cdc_setup(spark, sf_dir: str) -> str:
-    import shutil
-    import tempfile
-
-    for k in [k for k, (ctx, _) in _CDC_SETUP.items() if ctx._jsc is None]:
-        shutil.rmtree(_CDC_SETUP.pop(k)[1], ignore_errors=True)
-    sc = spark.sparkContext
-    key = (sc.applicationId, sf_dir)
-    if key not in _CDC_SETUP:
-        work = tempfile.mkdtemp(prefix="cdc_merge_")
+    def populate(work: str) -> None:
         ev = load_table(spark, sf_dir, "events").select(
             "user_id", "ts", "event_id", "event_type", "value"
         )
@@ -4158,8 +4117,8 @@ def _cdc_setup(spark, sf_dir: str) -> str:
             ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == i).coalesce(
                 1
             ).write.mode("overwrite").parquet(f"{work}/stage/b{i}")
-        _CDC_SETUP[key] = (sc, work)
-    return _CDC_SETUP[key][1]
+
+    return _session_workdir(_CDC_SETUP, spark, sf_dir, "cdc_merge_", populate)
 
 
 @register(
@@ -5018,36 +4977,14 @@ def q_html_extraction(spark, sf_dir):
 _SNAP_EVO_SETUP: dict = {}
 
 
-def _snap_evo_cleanup() -> None:
-    import shutil
-
-    for _, w in _SNAP_EVO_SETUP.values():
-        shutil.rmtree(w, ignore_errors=True)
-    _SNAP_EVO_SETUP.clear()
-
-
-atexit.register(_snap_evo_cleanup)
-
-
 def _snap_evo_setup(spark, sf_dir: str) -> str:
     """Build the 4-version evolution table once per (session, sf_dir):
     v1 overwrite (keys %5==0), v2 keyed DELETE (%35==0 — copy-on-write
     of touched files), v3 add_column note (metadata-only, NULL
     backfill on read), v4 append (%5==1 rows carrying note='late')."""
-    import shutil
-    import tempfile
-
     from .sources import snapshots as snap
 
-    for k in [
-        k for k, (ctx, _) in _SNAP_EVO_SETUP.items() if ctx._jsc is None
-    ]:
-        shutil.rmtree(_SNAP_EVO_SETUP.pop(k)[1], ignore_errors=True)
-    sc = spark.sparkContext
-    key = (sc.applicationId, sf_dir)
-    entry = _SNAP_EVO_SETUP.get(key)
-    if entry is None:
-        work = tempfile.mkdtemp(prefix="snap_evo_")
+    def populate(work: str) -> None:
         table = f"{work}/orders_evo"
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_totalprice"
@@ -5070,8 +5007,9 @@ def _snap_evo_setup(spark, sf_dir: str) -> str:
             table,
             mode="append",
         )
-        _SNAP_EVO_SETUP[key] = (sc, work)
-    return f"{_SNAP_EVO_SETUP[key][1]}/orders_evo"
+
+    work = _session_workdir(_SNAP_EVO_SETUP, spark, sf_dir, "snap_evo_", populate)
+    return f"{work}/orders_evo"
 
 
 @register(
@@ -5412,25 +5350,14 @@ _DOCS_MV_SETUP: dict = {}
 
 
 def _docs_mv_setup(spark, sf_dir: str) -> str:
-    import shutil
-    import tempfile
-
-    for k in [
-        k for k, (ctx, _) in _DOCS_MV_SETUP.items() if ctx._jsc is None
-    ]:
-        shutil.rmtree(_DOCS_MV_SETUP.pop(k)[1], ignore_errors=True)
-    sc = spark.sparkContext
-    key = (sc.applicationId, sf_dir)
-    entry = _DOCS_MV_SETUP.get(key)
-    if entry is None:
-        work = tempfile.mkdtemp(prefix="cm_mv_")
+    def populate(work: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         for i in (0, 1):
             docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == i).coalesce(
                 1
             ).write.mode("overwrite").parquet(f"{work}/stage/b{i}")
-        _DOCS_MV_SETUP[key] = (sc, work)
-    return _DOCS_MV_SETUP[key][1]
+
+    return _session_workdir(_DOCS_MV_SETUP, spark, sf_dir, "cm_mv_", populate)
 
 
 @register(
@@ -5590,20 +5517,9 @@ _SNAP_SCAN_SETUP: dict = {}
 
 
 def _snap_scan_setup(spark, sf_dir: str) -> str:
-    import shutil
-    import tempfile
-
     from .sources import snapshots as snap
 
-    for k in [
-        k for k, (ctx, _) in _SNAP_SCAN_SETUP.items() if ctx._jsc is None
-    ]:
-        shutil.rmtree(_SNAP_SCAN_SETUP.pop(k)[1], ignore_errors=True)
-    sc = spark.sparkContext
-    key = (sc.applicationId, sf_dir)
-    entry = _SNAP_SCAN_SETUP.get(key)
-    if entry is None:
-        work = tempfile.mkdtemp(prefix="snap_scan_")
+    def populate(work: str) -> None:
         table = f"{work}/orders_by_year"
         orders = load_table(spark, sf_dir, "orders")
         for y in range(1995, 2002):
@@ -5614,8 +5530,8 @@ def _snap_scan_setup(spark, sf_dir: str) -> str:
                 op=f"append_y{y}",
                 stats_cols=["o_orderdate"],
             )
-        _SNAP_SCAN_SETUP[key] = (sc, work)
-    return _SNAP_SCAN_SETUP[key][1]
+
+    return _session_workdir(_SNAP_SCAN_SETUP, spark, sf_dir, "snap_scan_", populate)
 
 
 @register(

@@ -179,6 +179,11 @@ def html_to_text_parsed(
         for pdf in batches:
             rows = []
             for doc_id, html in zip(pdf["doc_id"], pdf[html_col]):
+                # id conversion OUTSIDE the try: a NULL doc_id (NaN in
+                # the Arrow batch) must quarantine as id None — calling
+                # int() inside the except handler would re-raise and
+                # take the whole batch down with it
+                did = None if pd.isna(doc_id) else int(doc_id)
                 try:
                     blocks = _extract_blocks(html or "")
                     kept = [
@@ -188,7 +193,7 @@ def html_to_text_parsed(
                     ]
                     rows.append(
                         (
-                            int(doc_id),
+                            did,
                             " ".join(kept),
                             len(kept),
                             len(blocks) - len(kept),
@@ -198,7 +203,7 @@ def html_to_text_parsed(
                     )
                 except Exception as exc:  # quarantine, never fail the batch
                     rows.append(
-                        (int(doc_id), None, 0, 0, False, repr(exc)[:200])
+                        (did, None, 0, 0, False, repr(exc)[:200])
                     )
             yield pd.DataFrame(
                 rows,

@@ -172,13 +172,18 @@ def pps_sample(
     scale, run per-stratum or lift the division to decimal.
 
     Output: (key, weight, n_hits) for sampled rows (n_hits >= 1).
-    Zero/NULL-weight rows occupy no segment and are never sampled.
+    Zero/NULL/negative-weight rows occupy no segment and are never
+    sampled (negatives clamp to 0 — passing them through would corrupt
+    every later row's prefix offset).
     """
     from .corpus import hashed_prefix_sum
 
     counted = df.select(
         F.col(key).alias("doc_id"),
-        F.col(weight_col).cast("long").alias("_w"),
+        # negatives clamp to 0 (occupy no segment): a negative weight
+        # would shift every later row's prefix offset and silently
+        # break the exactly-k guarantee
+        F.greatest(F.col(weight_col).cast("long"), F.lit(0)).alias("_w"),
     )
     pre = hashed_prefix_sum(
         counted, "_w", salt=f"pps:{salt}:", n_buckets=n_buckets

@@ -364,10 +364,21 @@ def correlation_heatmap_blocked(
                     # quantization as the ranking below): the raw
                     # one-pass corr differs from a streaming corr by
                     # ~1e-9, so any comparison that decides emission
-                    # must happen on a grain both engines agree on
+                    # must happen on a grain both engines agree on.
+                    # The quantizer is floor(p*1e4 + 0.5) — pure IEEE
+                    # ops, BIT-IDENTICAL in numpy, Spark, and DuckDB.
+                    # np.round (half-even on the binary double) vs
+                    # Spark F.round (HALF_UP on the shortest decimal
+                    # repr) vs DuckDB round are THREE implementations
+                    # that disagree on exact .xxxx5 doubles; one shared
+                    # formula removes that divergence class entirely.
                     keep &= (
-                        np.abs(np.round(np.nan_to_num(corr[ia, jb]), 4))
-                        >= min_abs_corr
+                        np.abs(
+                            np.floor(
+                                np.nan_to_num(corr[ia, jb]) * 10000.0 + 0.5
+                            )
+                        )
+                        >= min_abs_corr * 10000.0
                     )
                 ia, jb = ia[keep], jb[keep]
                 pear = np.nan_to_num(corr[ia, jb])
@@ -403,7 +414,7 @@ def correlation_heatmap_blocked(
                         "n_points": np.concatenate([npts, npts]),
                     }
                 )
-                part["_pq"] = np.round(part["pearson"], 4)
+                part["_pq"] = np.floor(part["pearson"] * 10000.0 + 0.5)
                 part = part.sort_values(
                     ["sym", "_pq", "other"], ascending=[True, False, True]
                 )
@@ -421,9 +432,12 @@ def correlation_heatmap_blocked(
         schema="sym long, other long, pearson double, n_points long",
     )
     # final rank on the same quantized grain as the block partials —
-    # see the r9 note inside corr_blocks
+    # the shared floor(p*1e4 + 0.5) quantizer, see the note inside
+    # corr_blocks (F.round would be a DIFFERENT rounding than the
+    # numpy partial's on exact .xxxx5 doubles)
     w = Window.partitionBy("sym").orderBy(
-        F.round(F.col("pearson"), 4).desc(), F.col("other").asc()
+        F.floor(F.col("pearson") * 10000 + F.lit(0.5)).desc(),
+        F.col("other").asc(),
     )
     survivors = (
         directed.withColumn("_r", F.row_number().over(w))

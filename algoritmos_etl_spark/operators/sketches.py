@@ -185,11 +185,12 @@ def bloom_semi_join(
     keys_key = keys_key or big_key
     pruned = big
     for d in range(n_hashes):
+        # qualified references (bits[...]) rather than bare F.col: a
+        # big side that itself carries a column named `bit` would make
+        # an unqualified condition lineage-ambiguous
         bits = bloom_bits(keys.select(keys_key), keys_key, d, n_bits)
         probe = _bloom_bit(F.col(big_key), d, n_bits)
-        pruned = (
-            pruned.withColumn("_bloom_bit", probe)
-            .join(F.broadcast(bits), F.col("_bloom_bit") == F.col("bit"), "left_semi")
-            .drop("_bloom_bit")
+        pruned = pruned.join(
+            F.broadcast(bits), probe == bits["bit"], "left_semi"
         )
     return pruned

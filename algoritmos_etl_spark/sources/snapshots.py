@@ -589,6 +589,16 @@ def snapshot_delete(
             "schema": m.get("schema"),
             "n_rows": _count_rows(table_dir, files),
         }
+        # untouched files keep their still-valid min/max metrics;
+        # rewritten files carry none (conservatively re-read) until a
+        # stats-recording commit re-covers them
+        carried = {
+            f: s
+            for f, s in m.get("stats", {}).items()
+            if f not in set(touched)
+        }
+        if carried:
+            manifest["stats"] = carried
         if _publish_at(table_dir, manifest, head + 1):
             return head + 1
         # lost the race: recompute the touched split from the new head
@@ -624,6 +634,9 @@ def snapshot_add_column(table_dir: str, name: str, dtype: str) -> int:
             "schema": {**schema, "fields": schema["fields"] + [field]},
             "n_rows": m["n_rows"],
         }
+        if m.get("stats"):
+            # files unchanged -> every per-file metric stays valid
+            manifest["stats"] = m["stats"]
         if _publish_at(table_dir, manifest, head + 1):
             return head + 1
 

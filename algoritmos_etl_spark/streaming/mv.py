@@ -99,6 +99,15 @@ def _read_or_none(spark: SparkSession, pattern: str, base: str):
         return None  # dir exists but holds no parquet yet
 
 
+def _base_upto(spark: SparkSession, path: str) -> int:
+    """Highest compacted base layer under `path`, -1 if none."""
+    base = _read_or_none(spark, f"{path}/base", f"{path}/base")
+    if base is None:
+        return -1
+    row = base.agg(F.max("upto")).first()
+    return row[0] if row[0] is not None else -1
+
+
 def _fold_partials(spark: SparkSession, path: str) -> DataFrame:
     """base-at-max-upto + applicable deltas, re-reduced by key; sums
     stay decimal-exact (the only double cast is at the view edge)."""
@@ -144,6 +153,12 @@ def compact_agg_mv(spark: SparkSession, path: str) -> dict:
     if deltas is None:
         raise ValueError(f"no deltas under {path}")
     max_bid = deltas.agg(F.max("batch_id")).first()[0]
+    upto = _base_upto(spark, path)
+    if max_bid <= upto:
+        # nothing newer than the base: a rewrite would overwrite the
+        # very directory the fold lazily reads from — no-op instead
+        n = spark.read.parquet(f"{path}/base/upto={upto}").count()
+        return {"upto": int(upto), "keys": int(n)}
     _fold_partials(spark, path).write.mode("overwrite").parquet(
         f"{path}/base/upto={max_bid}"
     )
@@ -425,6 +440,12 @@ def compact_distinct_mv(spark: SparkSession, path: str) -> dict:
     if deltas is None:
         raise ValueError(f"no deltas under {path}")
     max_bid = deltas.agg(F.max("batch_id")).first()[0]
+    upto = _base_upto(spark, path)
+    if max_bid <= upto:
+        # no newer deltas: rewriting base/upto=N in place would race
+        # its own lazy read — no-op (same guard as compact_agg_mv)
+        n = spark.read.parquet(f"{path}/base/upto={upto}").count()
+        return {"upto": int(upto), "keys": int(n)}
     _fold_hll(spark, path).write.mode("overwrite").parquet(
         f"{path}/base/upto={max_bid}"
     )
@@ -516,6 +537,12 @@ def compact_sketch_mv(spark: SparkSession, path: str) -> dict:
     if deltas is None:
         raise ValueError(f"no deltas under {path}")
     max_bid = deltas.agg(F.max("batch_id")).first()[0]
+    upto = _base_upto(spark, path)
+    if max_bid <= upto:
+        # no newer deltas: rewriting base/upto=N in place would race
+        # its own lazy read — no-op (same guard as compact_agg_mv)
+        n = spark.read.parquet(f"{path}/base/upto={upto}").count()
+        return {"upto": int(upto), "cells": int(n)}
     read_sketch_mv(spark, path).withColumnRenamed(
         "cnt", "cnt_part"
     ).write.mode("overwrite").parquet(f"{path}/base/upto={max_bid}")

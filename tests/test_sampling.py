@@ -116,13 +116,15 @@ def test_pps_sample_draws_exactly_k_hits(spark):
 def test_pps_sample_weight_semantics(spark):
     """Zero-weight rows are never drawn; a row holding >= 1/k of the
     total weight is ALWAYS drawn (the PPS certainty region)."""
-    base = [(i, 10) for i in range(100)] + [(100, 0), (101, 5000)]
+    base = [(i, 10) for i in range(100)] + [
+        (100, 0), (101, 5000), (102, -7)]
     df = spark.createDataFrame(base, "doc_id long, w long")
     k = 5  # total weight 6000, stride 1200 < 5000 -> doc 101 certain
     got = {r.doc_id: r.n_hits for r in
            sampling.pps_sample(df, "doc_id", "w", k=k).collect()}
     assert sum(got.values()) == k
     assert 100 not in got
+    assert 102 not in got  # negative weight clamps to no segment
     assert got.get(101, 0) >= 4  # w*k/W = 4.16 -> floor 4 hits minimum
 
 

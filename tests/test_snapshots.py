@@ -384,3 +384,32 @@ def test_registered_file_skipping_prunes(spark):
     )
     assert len(all_files) == 7
     assert len(kept) == 2
+
+
+def test_scan_stats_survive_delete_and_add_column(spark, tmp_path):
+    """A copy-on-write delete keeps untouched files' metrics (only the
+    rewritten file loses them), and a metadata-only add_column keeps
+    every metric — file skipping stays effective across both."""
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        snap.snapshot_commit(
+            _df(spark, [(lo + i, float(i)) for i in range(10)]).coalesce(1),
+            t, mode="append", stats_cols=["k"],
+        )
+    # delete one key out of the middle file
+    snap.snapshot_delete(
+        spark, t, _df(spark, [(105, 0.0)]).select("k"), key_cols=["k"]
+    )
+    kept, all_files, m = snap.scan_plan(t, "k", lo=0, hi=9)
+    # 3 files total (one rewritten): the two untouched keep metrics, so
+    # the 200-file is pruned and the rewritten middle file is kept
+    # conservatively alongside the matching 0-file
+    assert len(all_files) == 3
+    assert len(kept) == 2
+    stats = m.get("stats", {})
+    assert len(stats) == 2  # untouched files only
+    # metadata-only evolution keeps everything
+    snap.snapshot_add_column(t, "note", "string")
+    kept2, all2, m2 = snap.scan_plan(t, "k", lo=0, hi=9)
+    assert (len(kept2), len(all2)) == (2, 3)
+    assert m2.get("stats", {}) == stats

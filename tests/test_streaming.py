@@ -876,6 +876,11 @@ def test_incremental_sketch_mv_lifecycle(spark, tmp_path):
     rep = mv.compact_sketch_mv(spark, str(tmp_path / "mv"))
     assert rep["upto"] == 1
     assert grid() == got
+    # re-compacting with no newer deltas is a no-op, NOT an in-place
+    # rewrite of the base directory the fold reads from
+    rep2 = mv.compact_sketch_mv(spark, str(tmp_path / "mv"))
+    assert rep2 == rep
+    assert grid() == got
     assert mv.vacuum_agg_mv(str(tmp_path / "mv")) == {
         "deltas_removed": 2, "bases_removed": 0,
     }
