@@ -151,3 +151,72 @@ def test_epoch_shards_is_a_per_epoch_permutation(spark):
     order1 = [(r.shard, r.pos, r.doc_id) for r in sorted(
         by_epoch[1], key=lambda r: (r.shard, r.pos))]
     assert [d for _, _, d in order0] != [d for _, _, d in order1]
+
+
+# ---- systematic-PPS integer math: property + cross-engine reference ----
+
+import hashlib
+
+from hypothesis import assume, given, settings, strategies as st
+
+
+def _pps_reference(rows, k, salt="pps"):
+    """Pure-Python twin of pps_sample: md5-shuffled line, k-scaled
+    integer thresholds — the engine-independent ground truth."""
+    rows = [(d, max(int(w), 0)) for d, w in rows]
+    ordered = sorted(
+        rows, key=lambda r: (hashlib.md5(
+            f"pps:{salt}:{r[0]}".encode()).hexdigest(), r[0])
+    )
+    W = sum(w for _, w in ordered)
+    if W == 0:
+        return {}
+    o = int(hashlib.md5(f"pps:o:{salt}".encode()).hexdigest()[:15], 16) % W
+
+    def g(x):
+        return (x + W) // W - 1
+
+    out, c = {}, 0
+    for d, w in ordered:
+        hits = g((c + w) * k - o - 1) - g(c * k - o - 1)
+        if hits >= 1:
+            out[d] = (w, hits)
+        c += w
+    return out
+
+
+@given(
+    ws=st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                max_size=40),
+    k=st.integers(min_value=1, max_value=20),
+    o=st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=300, deadline=None)
+def test_systematic_hits_always_sum_to_k(ws, k, o):
+    """The Madow identity the operator relies on: for ANY weights and
+    ANY offset in [0, W), the per-row hit counts sum to exactly k."""
+    W = sum(ws)
+    assume(W > 0)
+    o = o % W
+
+    def g(x):
+        return (x + W) // W - 1
+
+    total, c = 0, 0
+    for w in ws:
+        total += g((c + w) * k - o - 1) - g(c * k - o - 1)
+        c += w
+    assert total == k
+
+
+def test_pps_sample_matches_python_reference(spark):
+    """The distributed operator must equal the pure-Python twin row for
+    row — pins the md5 order, the offset draw, and the integer hit
+    formula against an engine-independent implementation."""
+    rows = [(i, (i * 37) % 101) for i in range(200)]  # varied weights
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r.doc_id: (r.w, r.n_hits)
+        for r in sampling.pps_sample(df, "doc_id", "w", k=17).collect()
+    }
+    assert got == _pps_reference(rows, k=17)
