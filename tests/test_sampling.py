@@ -220,3 +220,31 @@ def test_pps_sample_matches_python_reference(spark):
         for r in sampling.pps_sample(df, "doc_id", "w", k=17).collect()
     }
     assert got == _pps_reference(rows, k=17)
+
+
+def test_write_epoch_shards_layout_matches_computed_order(spark, tmp_path):
+    """The physical writer and the computed (epoch, shard, pos) table
+    must agree: every epoch=E/shard=S file holds exactly that shard's
+    docs IN SERVING ORDER (file row order == pos order)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    path = str(tmp_path / "shards")
+    sampling.write_epoch_shards(docs, "doc_id", path, n_epochs=2, n_shards=4)
+    computed = {}
+    for r in sampling.epoch_shards(
+        docs, "doc_id", n_epochs=2, n_shards=4
+    ).collect():
+        computed.setdefault((r.epoch, r.shard), []).append((r.pos, r.doc_id))
+    for (e, sh), rows in computed.items():
+        files = glob.glob(f"{path}/epoch={e}/shard={sh}/*.parquet")
+        assert len(files) == 1  # one file per shard — one task owned it
+        on_disk = pq.read_table(files[0], columns=["doc_id"])
+        got = [v.as_py() for v in on_disk["doc_id"]]
+        want = [d for _, d in sorted(rows)]
+        assert got == want, (e, sh)
+    # payload columns ride along
+    any_file = glob.glob(f"{path}/epoch=0/shard=0/*.parquet")[0]
+    assert "n_chars" in pq.read_schema(any_file).names
