@@ -1624,6 +1624,7 @@ REGISTRY_ORDER = (
     "customer_distribution",    # Q13 LEFT OUTER count-0 histogram
     "snapshot_file_skipping",   # manifest min/max scan pruning;
                                 # oracle = the plain filtered read
+    "passage_scrub",            # ExactSubstr ACTION arm: spans cut out
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

@@ -5575,3 +5575,83 @@ def q_snapshot_file_skipping(spark, sf_dir):
         .alias("total_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+def _oracle_passage_scrub() -> str:
+    pk = _PASSAGE_K
+    return f"""WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+    pos AS (
+        SELECT doc_id, unnest(range(0, len(ws) - {pk - 1})) AS p, ws
+        FROM w WHERE len(ws) >= {pk}
+    ),
+    sh AS (
+        SELECT doc_id, p,
+               array_to_string(ws[p+1:p+{pk}], ' ') AS s,
+               {_h(f"array_to_string(ws[p+1:p+{pk}], ' ')")} AS h
+        FROM pos
+    ),
+    duph AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+    cand AS (SELECT sh.doc_id, sh.p, sh.s FROM sh JOIN duph USING (h)),
+    ver AS (SELECT s FROM cand GROUP BY s HAVING count(*) >= 2),
+    dp AS (SELECT doc_id, p FROM cand JOIN ver USING (s)),
+    m AS (
+        SELECT doc_id, p,
+               max(p + {pk - 1}) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM dp
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               sum(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_id, min(p) AS s0, max(p) + {pk - 1} AS e0
+        FROM isl GROUP BY doc_id, island
+    ),
+    sl AS (
+        SELECT doc_id, list(struct_pack(s := s0, e := e0)) AS spl
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+           -- array_join([]) is '' (a fully-scrubbed doc must be '')
+           CASE WHEN d.ws IS NULL THEN NULL
+                WHEN sl.spl IS NULL
+                THEN coalesce(array_to_string(d.ws, ' '), '')
+                ELSE coalesce(array_to_string(list_filter(
+                       list_transform(range(1, len(d.ws) + 1),
+                         i -> CASE WHEN len(list_filter(sl.spl,
+                                x -> i - 1 >= x.s AND i - 1 <= x.e)) > 0
+                              THEN NULL ELSE d.ws[i] END),
+                       y -> y IS NOT NULL), ' '), '')
+           END AS clean_text,
+           CAST(coalesce(len(d.ws), 0) AS BIGINT) AS n_words,
+           CAST(CASE WHEN sl.spl IS NULL THEN 0
+                ELSE list_sum(list_transform(sl.spl, x -> x.e - x.s + 1))
+           END AS BIGINT) AS n_words_removed,
+           CAST(coalesce(len(sl.spl), 0) AS BIGINT) AS n_spans
+    FROM w d LEFT JOIN sl USING (doc_id)"""
+
+
+@register(
+    "passage_scrub",
+    _oracle_passage_scrub(),
+    "The ACTION arm of ExactSubstr dedup (Lee 2022 SS4): every verified "
+    "duplicated span from duplicate_passages CUT out of the text, all "
+    "occurrences. Array-native surgery — per-doc spans aggregate to one "
+    "bounded struct array, LEFT-join back, and a single JVM projection "
+    "drops covered word positions via filter's index lambda; no "
+    "explode, no per-row Python. Output text is the whitespace-"
+    "normalized reconstruction; untouched docs round-trip their word "
+    "sequence exactly",
+)
+def q_passage_scrub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.scrub_passages(docs, k=_PASSAGE_K, min_count=2)

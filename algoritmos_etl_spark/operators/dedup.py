@@ -1222,3 +1222,58 @@ def duplicate_passages(
             "n_dup_shingles",
         )
     )
+
+
+def scrub_passages(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The ACTION arm of ExactSubstr dedup (Lee et al. 2022 §4):
+    `duplicate_passages` finds the duplicated spans — this CUTS them
+    out of the text, every occurrence (the paper's policy: a span that
+    repeats anywhere is memorization fuel wherever it appears).
+
+    Array-native surgery, no explode: each doc's verified spans
+    aggregate to ONE bounded struct array (|spans| ≤ doc length),
+    LEFT-join back to the corpus, and a single JVM projection drops
+    covered word positions via `filter`'s index lambda, then rejoins
+    the survivors. Output text is therefore the whitespace-normalized
+    reconstruction (words joined by single spaces) — identical for
+    untouched docs to what `words_col` would re-tokenize.
+
+    Output: (doc_id, clean_text, n_words, n_words_removed, n_spans).
+    Pass a precomputed `spans` relation (doc_id, span_start, span_end)
+    to reuse a session's existing scan; default recomputes at (k,
+    min_count).
+    """
+    if spans is None:
+        spans = duplicate_passages(docs, k=k, min_count=min_count)
+    span_arrs = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    # the word array materializes as a column FIRST so the filter and
+    # the size/join expressions share one tokenization
+    kept = F.filter(F.col("_ws"), lambda w, i: ~covered(i))
+    base = docs.join(span_arrs, "doc_id", "left").withColumn(
+        "_ws", words_col(F.col("text"))
+    )
+    n_words = F.greatest(F.size("_ws"), F.lit(0))
+    clean = F.when(
+        F.col("_spans").isNull(), F.array_join(F.col("_ws"), " ")
+    ).otherwise(F.array_join(kept, " "))
+    n_kept = F.when(
+        F.col("_spans").isNull(), n_words
+    ).otherwise(F.greatest(F.size(kept), F.lit(0)))
+    return base.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_words.cast("long").alias("n_words"),
+        (n_words - n_kept).cast("long").alias("n_words_removed"),
+        F.coalesce(F.size("_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )

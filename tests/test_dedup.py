@@ -594,3 +594,38 @@ def test_exact_repeat_runs_tokens_end_to_end_bpe(spark):
         enc[0][best.start_a:best.start_a + best.len_tokens]
         == enc[1][best.start_b:best.start_b + best.len_tokens]
     )
+
+
+def test_scrub_passages_cuts_every_occurrence(spark):
+    """Lee 2022's action: a passage repeated across docs is removed
+    from BOTH; clean docs round-trip their word sequence; re-running
+    the detector on the scrubbed corpus finds nothing (fixpoint on
+    this corpus)."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "start one two three " + passage + " tail words here"),
+        (1, passage + " completely different ending text now"),
+        (2, "totally clean document with unique words only forever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.scrub_passages(docs, k=8).collect()}
+    assert out[0].clean_text == "start one two three tail words here"
+    assert out[1].clean_text == "completely different ending text now"
+    assert out[2].clean_text == rows[2][1]
+    assert out[0].n_words_removed == out[1].n_words_removed == 10
+    assert out[2].n_words_removed == 0 and out[2].n_spans == 0
+    clean = spark.createDataFrame(
+        [(d, r.clean_text) for d, r in out.items()], "doc_id long, text string"
+    )
+    assert dedup.duplicate_passages(clean, k=8).count() == 0
+
+
+def test_scrub_passages_accepts_precomputed_spans(spark):
+    """A session that already ran duplicate_passages reuses its spans."""
+    passage = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(0, passage), (1, passage)], "doc_id long, text string"
+    )
+    spans = dedup.duplicate_passages(docs, k=8)
+    out = dedup.scrub_passages(docs, spans=spans).collect()
+    assert all(r.clean_text == "" and r.n_words_removed == 10 for r in out)
