@@ -3345,6 +3345,27 @@ def _bpe_model(spark, sf_dir):
     return model
 
 
+# The encoded corpus (doc_id, n_tokens, token_ids) feeds bpe_encode AND
+# exact_repeat_runs_tokens — one segmentation+reassembly per (session,
+# sf_dir), like the bars/shingle/pair caches: a pipeline would land it
+# as a table at tokenize time, not re-encode per query.
+_BPE_ENC_CACHE: dict = {}
+
+
+def _bpe_encoded(spark, sf_dir):
+    from .operators import bpe
+
+    merges, alphabet = _bpe_model(spark, sf_dir)
+    return session_cached(
+        _BPE_ENC_CACHE,
+        spark,
+        sf_dir,
+        lambda: bpe.bpe_encode(
+            load_table(spark, sf_dir, "documents"), merges, alphabet
+        ),
+    )
+
+
 @register(
     "bpe_encode",
     # Full oracle since r9 (rows-only through r8): DuckDB relearns the
@@ -3384,12 +3405,7 @@ def _bpe_model(spark, sf_dir):
 def q_bpe_encode(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from .operators import bpe
-
-    merges, alphabet = _bpe_model(spark, sf_dir)
-    encoded = bpe.bpe_encode(
-        load_table(spark, sf_dir, "documents"), merges, alphabet
-    )
+    encoded = _bpe_encoded(spark, sf_dir)
     # Driver contract: registered outputs carry ATOMIC columns only —
     # the harness canonicalizes results by sorting in pandas, and an
     # array<int> cell is unhashable there (r8 `err`). The array-typed
@@ -3468,14 +3484,8 @@ _TOKEN_RUN_K = 50  # Lee et al. 2022 §4.1: spans of >= 50 BPE tokens
     "SQL so the whole composition is value-verified (M8)",
 )
 def q_exact_repeat_runs_tokens(spark, sf_dir):
-    from .operators import bpe
-
-    merges, alphabet = _bpe_model(spark, sf_dir)
-    encoded = bpe.bpe_encode(
-        load_table(spark, sf_dir, "documents"), merges, alphabet
-    )
     return dedup.exact_repeat_runs_tokens(
-        encoded, k=_TOKEN_RUN_K, max_occ=64
+        _bpe_encoded(spark, sf_dir), k=_TOKEN_RUN_K, max_occ=64
     )
 
 
