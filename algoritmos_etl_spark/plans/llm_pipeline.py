@@ -3,16 +3,17 @@ end from the engine's registered operators:
 
     raw documents
       → quality ∧ language gate + near-dup drop   (plans/curation.py)
+      → ExactSubstr passage scrub (optional)      (operators/dedup.py)
       → benchmark decontamination                 (operators/corpus.py)
       → leakage-safe train/valid/test split       (operators/sampling.py)
       → sequence packing of the train split       (operators/corpus.py)
 
 Each stage is individually oracle-checked through the driver registry
-(`corpus_curation`, `decontamination`, `corpus_sampling`,
-`sequence_packing`); this plan pins their composition: filters run
-before expensive stages, every join against a small relation
-broadcasts, and nothing leaves the DataFrame plan until the caller
-materializes it.
+(`corpus_curation`, `passage_scrub`, `decontamination`,
+`corpus_sampling`, `sequence_packing`); this plan pins their
+composition: filters run before expensive stages, every join against a
+small relation broadcasts, and nothing leaves the DataFrame plan until
+the caller materializes it.
 """
 
 from __future__ import annotations
@@ -32,6 +33,7 @@ def prepare_training_corpus(
     contamination_tau: float = 0.5,
     train_frac: float = 0.8,
     valid_frac: float = 0.1,
+    scrub_k: int | None = None,
 ) -> dict[str, DataFrame]:
     """Returns the pipeline's two products:
 
@@ -47,6 +49,17 @@ def prepare_training_corpus(
     """
     kept_ids = curate_corpus(docs).select("doc_id")
     kept = docs.join(kept_ids, "doc_id", "left_semi")
+    if scrub_k is not None:
+        # ExactSubstr scrub AFTER curation (survivors only pay the
+        # shingle scan), BEFORE decontamination (scrubbed text is what
+        # the benchmark overlap should see). Docs whose text changed
+        # carry the scrubbed reconstruction forward.
+        from ..operators.dedup import scrub_passages
+
+        scrubbed = scrub_passages(kept, k=scrub_k).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        kept = kept.drop("text").join(scrubbed, "doc_id")
     contaminated = (
         contamination_stats(kept, benchmark, min_overlap=contamination_tau)
         .filter(F.col("contaminated"))

@@ -276,6 +276,34 @@ class TestLLMPipeline:
         assert max_pack == (total_tokens - 1) // 64
         tagged.unpersist()
 
+    def test_composition_with_passage_scrub(self, spark):
+        """scrub_k wires the ExactSubstr action stage between curation
+        and decontamination: surviving docs carry the scrubbed text
+        forward, and no duplicated passage reaches the split stage."""
+        from algoritmos_etl_spark.operators.dedup import duplicate_passages
+        from algoritmos_etl_spark.plans.llm_pipeline import (
+            prepare_training_corpus,
+        )
+        from algoritmos_etl_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        bench = docs.filter(F.col("doc_id") % 10 == 0)
+        corpus_side = docs.filter(F.col("doc_id") % 10 != 0)
+        out = prepare_training_corpus(
+            corpus_side, bench, ctx_len=64, contamination_tau=0.5,
+            scrub_k=8,
+        )
+        tagged = out["documents"].cache()
+        assert tagged.count() > 0
+        assert "text" in tagged.columns
+        # the surviving corpus has no residual duplicated passage of
+        # the scrub grain (the scrub ran corpus-wide on survivors)
+        resid = duplicate_passages(
+            tagged.select("doc_id", "text"), k=8, min_count=2
+        ).count()
+        assert resid == 0
+        tagged.unpersist()
+
 
 class TestEdges:
     def test_pack_empty_corpus(self, spark):
