@@ -1625,6 +1625,7 @@ REGISTRY_ORDER = (
     "snapshot_file_skipping",   # manifest min/max scan pruning;
                                 # oracle = the plain filtered read
     "passage_scrub",            # ExactSubstr ACTION arm: spans cut out
+    "bpe_roundtrip",            # decode(encode(x)) == SQL-normalized x
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

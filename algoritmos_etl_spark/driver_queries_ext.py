@@ -5665,3 +5665,33 @@ def _oracle_passage_scrub() -> str:
 def q_passage_scrub(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.scrub_passages(docs, k=_PASSAGE_K, min_count=2)
+
+
+@register(
+    "bpe_roundtrip",
+    f"""SELECT doc_id,
+           coalesce(array_to_string({_W}, ' '), '') AS text,
+           CAST(coalesce(len({_W}), 0) AS BIGINT) AS n_words
+    FROM (SELECT doc_id, lower(text) AS text FROM documents)""",
+    "The tokenizer round-trip as a verified query: bpe_decode(bpe_encode"
+    "(corpus)) must equal the plain whitespace-normalized lowercased "
+    "text for EVERY document — the oracle is straight SQL normalization "
+    "with no tokenizer at all, so the hash match proves the entire "
+    "learned-merge encode (ordered merges, literal id map, UTF-8 byte "
+    "fallback) and the hex-stream decode are mutually inverse "
+    "corpus-wide, not just on test fixtures. Reuses the session's "
+    "cached encoded corpus; decode is one JVM projection",
+)
+def q_bpe_roundtrip(spark, sf_dir):
+    from .operators import bpe
+    from .operators.text import words_col
+
+    merges, alphabet = _bpe_model(spark, sf_dir)
+    decoded = bpe.bpe_decode(_bpe_encoded(spark, sf_dir), merges, alphabet)
+    return decoded.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.greatest(
+            F.size(words_col(F.col("text"))), F.lit(0)
+        ).cast("long").alias("n_words"),
+    )

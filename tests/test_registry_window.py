@@ -91,7 +91,7 @@ EXPECTED_TAIL = {
     "triplet_mining", "streaming_heavy_hitters",
     # r9 TPC-H sweep completion (Q6/Q9/Q13) — full oracles
     "forecast_revenue", "product_profit", "customer_distribution",
-    "snapshot_file_skipping", "passage_scrub",
+    "snapshot_file_skipping", "passage_scrub", "bpe_roundtrip",
 }
 
 
