@@ -1382,7 +1382,9 @@ REGISTRY_ORDER = (
     "pair_metrics",
     "dtw_report",
     # ---- relational query shapes ----
-    "revenue_rollup",
+    "forecast_revenue",        # r9 LATE IN: Q6 pure-pushdown forecast
+    "product_profit",          # r9 LATE IN: Q9 fact⋈fact year join
+    "customer_distribution",   # r9 LATE IN: Q13 LEFT OUTER count-0
     "small_qty_revenue",       # Q17 correlated-avg join-back
     "waiting_suppliers",       # Q21 EXISTS-chain collapse
     "bi_nation_volume",        # r9 rotation IN: Q7 dual dim chains
@@ -1394,32 +1396,31 @@ REGISTRY_ORDER = (
     "bracket_revenue",         # r9 rotation IN: Q19 disjunctive brackets
     "dominant_suppliers",      # r9 rotation IN: Q20 nested correlated aggs
     "price_anomalies",
+    "bloom_join_prune",        # r9 LATE IN: bloom semi-join pruning
     # ---- snapshot / warehouse ----
     "table_history",
     "snapshot_evolution",      # r9 NEW: row delete + add-column backfill
     "snapshot_changes",        # r9 rotation IN: time travel x keyed diff
     "priority_drift_categorical",  # r9 rotation IN: categorical PSI
+    "snapshot_file_skipping",  # r9 LATE IN: manifest min/max pruning
     # ---- text / dedup / corpus ----
-    "text_stats",
-    "textrank_keywords",
-    "dedup_minhash_lsh",
     "exact_repeat_runs",
     "exact_repeat_runs_tokens",  # r9 NEW: Lee 2022 at 50-BPE-token grain
-    "neardup_clusters",
-    "corpus_curation",
-    "sequence_packing",
-    "doc_quality_scores",
+    "passage_scrub",           # r9 LATE IN: ExactSubstr action arm
+    "triplet_mining",          # r9 LATE IN: contrastive (a,p,n) mining
+    "heavy_hitters",           # r9 LATE IN: count-min frequency grid
+    "pps_sample",              # r9 LATE IN: integer systematic PPS
+    "epoch_shards",            # r9 LATE IN: per-epoch serving order
     "quality_tiers",           # r9 rotation IN: CCNet head/middle/tail
     "mixture_sample",          # r9 rotation IN: token-budget sampling
     "bpe_encode",              # full oracle since r9 (SQL relearns merges)
+    "bpe_roundtrip",           # r9 LATE IN: decode∘encode == SQL norm
     "html_extraction",         # r9 NEW: HTML -> text extraction
-    "hybrid_rrf_topk",
     # ---- vectors ----
     "ann_ivf_topk",
-    "ann_pq_topk",
     "pca_projection",
     # ---- streaming / event-time ----
-    "event_time_report",
+    "streaming_heavy_hitters",  # r9 LATE IN: CM grid as incremental MV
     "streaming_neardup",
     "incremental_revenue",
     "streaming_cdc_state",
@@ -1428,7 +1429,6 @@ REGISTRY_ORDER = (
     "image_neardup",
     "audio_features",
     "table_profile",
-    "asof_join_bars",
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
@@ -1609,23 +1609,44 @@ REGISTRY_ORDER = (
                              # shot + error bound pytest-pinned; moving it
                              # out shrinks the in-window rows-only set to
                              # the three codec/eigenbasis pipelines
-    # ---- r9 late additions (land in the tail; r10 rotation
-    # candidates) — bounded-state sketches + training-serving ops ----
-    "heavy_hitters",     # count-min grid, full cell-for-cell oracle
-    "pps_sample",        # integer systematic PPS token-budget sampling
-    "epoch_shards",      # deterministic per-epoch shard serving order
-    "bloom_join_prune",  # bloom semi-join prune; oracle = plain join
-    "triplet_mining",    # contrastive (a,p,n) triples, full oracle
-    "streaming_heavy_hitters",  # CM grid as incremental MV; cell-exact
-                                # fold keeps the FULL one-shot oracle
-    # ---- r9 TPC-H sweep completion: all 22 classic shapes covered ----
-    "forecast_revenue",         # Q6 pure-pushdown 1-row forecast
-    "product_profit",           # Q9 fact⋈fact year join, dims broadcast
-    "customer_distribution",    # Q13 LEFT OUTER count-0 histogram
-    "snapshot_file_skipping",   # manifest min/max scan pruning;
-                                # oracle = the plain filtered read
-    "passage_scrub",            # ExactSubstr ACTION arm: spans cut out
-    "bpe_roundtrip",            # decode(encode(x)) == SQL-normalized x
+    # ---- displaced by the r9 LATE rotation (the session's 12 new
+    # flagships enter the window the round they land, per policy):
+    # every entry below is hash-green for MULTIPLE rounds and its
+    # operator family stays evidenced in-window ----
+    "revenue_rollup",        # ROLLUP/grouping-sets: hash-green r5-r8;
+                             # OLAP family in-window via 11 classic
+                             # TPC-H shapes incl. the new Q6/Q9/Q13
+    "text_stats",            # 22-col text bundle: hash-green r5-r8;
+                             # text family in-window via html_extraction
+    "textrank_keywords",     # integer PageRank: hash-green r7-r8;
+                             # full-oracle 10-iteration fixed point
+                             # stays value-checked here in the tail
+    "dedup_minhash_lsh",     # hash-green r1-r8; dedup family in-window
+                             # via exact_repeat_runs(+tokens) and the
+                             # new passage_scrub; streaming_neardup
+                             # exercises the SAME minhash index
+    "neardup_clusters",      # CC resolution: hash-green r7-r8;
+                             # cluster consumers pinned via
+                             # canonical_selection + triplet_mining
+    "corpus_curation",       # hash-green r5-r8; the curation gate is
+                             # ALSO the label source of the in-window
+                             # quality family and the llm_pipeline test
+    "sequence_packing",      # hash-green r5-r8; packing math exercised
+                             # in-window via bpe_encode's counted arm
+                             # (pack_sequences_counted shares
+                             # hashed_prefix_sum with pps_sample)
+    "doc_quality_scores",    # hash-green r8; quality_tiers stays
+                             # in-window and its oracle COMPOSES the
+                             # scorer oracle verbatim
+    "hybrid_rrf_topk",       # hash-green r7-r8; both fusion arms stay
+                             # tail-green (bm25_topk, ann_cosine_topk)
+    "ann_pq_topk",           # hash-green r6-r8; ANN family in-window
+                             # via ann_ivf_topk (same coarse quantizer)
+    "event_time_report",     # hash-green r6-r8; streaming family
+                             # in-window via streaming_neardup / CDC /
+                             # incremental_revenue / streaming_heavy_hitters
+    "asof_join_bars",        # hash-green r5-r8; DuckDB-native-ASOF
+                             # oracle stays value-checked in the tail
 )
 
 # In-window entries whose oracle is None BY DESIGN (codec /

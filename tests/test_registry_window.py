@@ -27,28 +27,29 @@ MUST_BE_IN_WINDOW = {
     "interpolated_bars", "returns_model",
     "risk_classification", "streak_histograms", "pair_metrics",
     "dtw_report",
-    # relational / OLAP / warehouse (r8 flagships + r9 rotations)
-    "revenue_rollup", "small_qty_revenue", "waiting_suppliers",
+    # relational / OLAP / warehouse (r8 flagships + r9 rotations
+    # + the r9 LATE TPC-H completions)
+    "forecast_revenue", "product_profit", "customer_distribution",
+    "small_qty_revenue", "waiting_suppliers",
     "bi_nation_volume", "nation_market_share",
     "returned_item_customers", "important_parts",
     "promo_revenue_share", "top_supplier_q15", "bracket_revenue",
     "dominant_suppliers", "price_anomalies",
     "table_history", "snapshot_evolution", "snapshot_changes",
-    "priority_drift_categorical",
-    # extensions
-    "text_stats", "textrank_keywords",
-    "dedup_minhash_lsh",
+    "priority_drift_categorical", "snapshot_file_skipping",
+    "bloom_join_prune",
+    # extensions (r9 late flagships rotated in the round they landed)
     "exact_repeat_runs", "exact_repeat_runs_tokens",
-    "neardup_clusters", "corpus_curation",
-    "sequence_packing", "doc_quality_scores", "quality_tiers",
-    "mixture_sample", "bpe_encode", "html_extraction",
-    "hybrid_rrf_topk",
-    "ann_ivf_topk", "ann_pq_topk",
+    "passage_scrub", "triplet_mining",
+    "heavy_hitters", "pps_sample", "epoch_shards",
+    "quality_tiers",
+    "mixture_sample", "bpe_encode", "bpe_roundtrip", "html_extraction",
+    "ann_ivf_topk",
     "pca_projection",
-    "event_time_report", "streaming_neardup",
+    "streaming_heavy_hitters", "streaming_neardup",
     "incremental_revenue", "streaming_cdc_state",
     "multimodal_report", "image_neardup", "audio_features",
-    "table_profile", "asof_join_bars",
+    "table_profile",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
@@ -86,12 +87,12 @@ EXPECTED_TAIL = {
     "shipping_priority", "approx_profile", "bpe_tokenize",
     "pii_redaction",
     "doc_lm_scores", "bm25_topk",
-    # r9 late additions — full oracles, r10 rotation candidates
-    "heavy_hitters", "pps_sample", "epoch_shards", "bloom_join_prune",
-    "triplet_mining", "streaming_heavy_hitters",
-    # r9 TPC-H sweep completion (Q6/Q9/Q13) — full oracles
-    "forecast_revenue", "product_profit", "customer_distribution",
-    "snapshot_file_skipping", "passage_scrub", "bpe_roundtrip",
+    # displaced by the r9 LATE rotation — all hash-green for multiple
+    # rounds, families evidenced in-window (see REGISTRY_ORDER notes)
+    "revenue_rollup", "text_stats", "textrank_keywords",
+    "dedup_minhash_lsh", "neardup_clusters", "corpus_curation",
+    "sequence_packing", "doc_quality_scores", "hybrid_rrf_topk",
+    "ann_pq_topk", "event_time_report", "asof_join_bars",
 }
 
 
