@@ -248,3 +248,37 @@ def test_write_epoch_shards_layout_matches_computed_order(spark, tmp_path):
     # payload columns ride along
     any_file = glob.glob(f"{path}/epoch=0/shard=0/*.parquet")[0]
     assert "n_chars" in pq.read_schema(any_file).names
+
+
+def test_epoch_shards_matches_python_reference(spark):
+    """The distributed (epoch, shard, pos) assignment must equal a
+    pure-Python twin — pins the md5 permutation key, the shard mod,
+    and the within-shard ordering against an engine-independent
+    implementation."""
+    ids = list(range(150))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r.epoch, r.shard, r.pos): r.doc_id
+        for r in sampling.epoch_shards(
+            df, "doc_id", n_epochs=2, n_shards=4, salt="epoch"
+        ).collect()
+    }
+    want = {}
+    for e in range(2):
+        keyed = sorted(
+            (
+                int(
+                    hashlib.md5(f"epoch:{e}:{d}".encode()).hexdigest()[:15],
+                    16,
+                ),
+                d,
+            )
+            for d in ids
+        )
+        pos_per_shard: dict[int, int] = {}
+        for okey, d in keyed:
+            sh = okey % 4
+            p = pos_per_shard.get(sh, 0)
+            pos_per_shard[sh] = p + 1
+            want[(e, sh, p)] = d
+    assert got == want
