@@ -5246,7 +5246,8 @@ def q_epoch_shards(spark, sf_dir):
 @register(
     "bloom_join_prune",
     """SELECT p.p_brand,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(30,10))) AS DOUBLE), 2) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size = 15
@@ -5276,7 +5277,12 @@ def q_bloom_join_prune(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,10)"
+                    )
+                ).cast("double"),
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -5323,7 +5329,7 @@ def _oracle_triplet_mining() -> str:
     nd AS (SELECT count(*) AS n FROM documents),
     trip AS (
         SELECT p.doc_a, p.doc_b, p.jaccard,
-               CAST(('0x' || substr(md5('neg:' || p.doc_a || ':' || p.doc_b),
+               CAST(('0x' || substr(md5('tm:neg:' || p.doc_a || ':' || p.doc_b),
                     1, 15)) AS BIGINT) % greatest(n.n, 1) AS r
         FROM pairs p, nd n
     )
@@ -5340,8 +5346,8 @@ def _oracle_triplet_mining() -> str:
     "3-shingle-Jaccard near-dup pair (the session's cached pair table), "
     "negative = a hash-drawn random document via a 0-based md5-order "
     "rank from hashed_prefix_sum (weight 1, no global sort) joined on "
-    "r = md5(neg:a:b) mod N with N a 1-row broadcast — the (a, p, n) "
-    "mining step of bi-encoder contrastive training, precomputed "
+    "r = md5(tm:neg:a:b) mod N with N a 1-row broadcast — the (a, p, "
+    "n) mining step of bi-encoder contrastive training, precomputed "
     "corpus-wide and bit-identical across engines. A negative that "
     "collides with its anchor/positive drops the triplet "
     "(deterministic, ~2/N per pair) instead of re-rolling",

@@ -818,8 +818,9 @@ def mine_triplets(
     gets a 0-based rank in the md5-shuffled corpus order via
     `hashed_prefix_sum` (weight 1 — rank = count of docs strictly
     before; no global sort), the corpus size N rides as a 1-row
-    broadcast, and each pair draws rank r = md5(salt:anchor:positive)
-    mod N. A drawn negative that collides with the anchor or positive
+    broadcast, and each pair draws rank r = md5(salt:neg:anchor:positive)
+    mod N — the salt parameterizes BOTH the rank order and the draw,
+    so two mining runs with different salts are independent. A drawn negative that collides with the anchor or positive
     drops the triplet (deterministic, rare: 2/N per pair) rather than
     re-rolling — keeps both engines' selection identical with no
     retry unrolling.
@@ -840,7 +841,7 @@ def mine_triplets(
         "_r",
         F.pmod(
             token_hash(
-                F.lit("neg"),
+                F.lit(f"{salt}:neg"),
                 F.col("doc_a").cast("string"),
                 F.col("doc_b").cast("string"),
             ),

@@ -1057,14 +1057,46 @@ def _maximal_diagonal_runs(
     (doc_id, pos, shingle) positional-shingle table — word grain
     (`positional_shingles`) or token grain
     (`positional_token_shingles`); `len_alias` names the output span
-    length in the grain's unit."""
+    length in the grain's unit.
+
+    Exchange discipline (the 100 TB shape): the only FULL-CORPUS
+    shuffle keys on an 8-byte engine-internal `xxhash64` of the
+    shingle — (hash, partial count) rows, ~20x narrower than the raw
+    ~k·width shingle string the old plan exchanged (sf1 measured:
+    199 B avg token shingle). The >= 2 hash count narrows `sh` to
+    duplicate candidates via a semi-join against the hot-hash table,
+    materialized once (eager checkpoint — it is needed for the size
+    decision anyway) and BROADCAST while it fits the bounded budget
+    (8 B/hash: sf1 has 663k hot hashes ≈ 5 MB; the guard trips only
+    past ~32M distinct duplicated shingles, where the fallback
+    partitioned semi-join still keys on the 8-byte hash). No upper
+    df-cap on the hash count: a collision-merged count above max_occ
+    must never exclude a string that is under the cap. Raw strings
+    are exchanged only for the narrowed candidate subset (sf1: 9% of
+    positions), where the exact 2..max_occ df-cap recount and the
+    pair self-join key on the literal string — string equality IS the
+    verification, and the candidate join + self-join reuse one string
+    partitioning (a hash collision can therefore never flag a clean
+    position; the hash only ever narrows)."""
+    sh = sh.select(
+        "doc_id", "pos", "shingle", F.xxhash64("shingle").alias("_h")
+    )
+    hot = (
+        sh.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+        .filter(F.col("_nh") >= 2)
+        .select("_h")
+        .localCheckpoint()
+    )
+    hot_side = F.broadcast(hot) if hot.count() <= 32_000_000 else hot
+    cand0 = sh.join(hot_side, "_h", "left_semi").drop("_h")
     pairable = (
-        sh.groupBy("shingle")
+        cand0.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter((F.col("n") >= 2) & (F.col("n") <= max_occ))
         .select("shingle")
     )
-    cand = sh.join(pairable, "shingle").select("doc_id", "pos", "shingle")
+    cand = cand0.join(pairable, "shingle").select("doc_id", "pos", "shingle")
     a, b = cand.alias("a"), cand.alias("b")
     ordered = (F.col("a.doc_id") < F.col("b.doc_id")) | (
         (F.col("a.doc_id") == F.col("b.doc_id"))

@@ -167,9 +167,10 @@ def pps_sample(
     reproduces the exact same sample (no float log/pow whose last ulp
     could flip a selection across engines). The cumulative weight line
     is `corpus.hashed_prefix_sum` (two-phase, no global sort); W comes
-    from the same pass as a 1-row broadcast. Envelope: W*k must stay
-    below 2^53 (exact doubles in the floor division) — at larger
-    scale, run per-stratum or lift the division to decimal.
+    from the same pass as a 1-row broadcast. The walk's floor
+    divisions run in Spark's integral `div` (and DuckDB's `//`), so
+    the arithmetic is exact for any W*k that fits a 64-bit long — no
+    2^53 double envelope.
 
     Output: (key, weight, n_hits) for sampled rows (n_hits >= 1).
     Zero/NULL/negative-weight rows occupy no segment and are never
@@ -197,15 +198,24 @@ def pps_sample(
     w_safe = F.greatest(F.col("_W"), F.lit(1))
     o = F.pmod(token_hash(F.lit(f"pps:o:{salt}")), w_safe)
 
-    def _g(x: Column) -> Column:
-        # floor(x / W) for x >= -W via a nonnegative-numerator floor
-        return F.floor((x + F.col("_W")) / w_safe) - 1
-
+    # floor((x + W) / W) for x >= -W via Spark's integral `div` —
+    # exact at any long magnitude, unlike a double `/` whose quotient
+    # drifts once W*k exceeds 2^53; the DuckDB oracle's integer `//`
+    # is the same exact arithmetic, so both engines agree at every
+    # scale (numerators are >= 0 by the +W shift, where div == floor)
     s_end = (F.col("_start") + F.col("_wv")) * F.lit(k)
     s_start = F.col("_start") * F.lit(k)
-    hits = (_g(s_end - o - 1) - _g(s_start - o - 1)).cast("long")
+    lined = lined.withColumns(
+        {
+            "_ne": (s_end - o - 1 + F.col("_W")).cast("long"),
+            "_ns": (s_start - o - 1 + F.col("_W")).cast("long"),
+            "_ws": w_safe.cast("long"),
+        }
+    )
+    hits = F.expr("(_ne div _ws) - (_ns div _ws)").cast("long")
     return (
         lined.withColumn("n_hits", hits)
+        .drop("_ne", "_ns", "_ws")
         .filter(F.col("n_hits") >= 1)
         .select(
             F.col("doc_id").alias(key),

@@ -492,19 +492,20 @@ def streaming_quality_scores(
     """
     from ..operators.corpus import nb_score_with_weights
 
-    # the weight grid is dense by construction, so its row count IS
-    # n_buckets — resolved ONCE at stream setup, not re-counted per
-    # micro-batch (the model is frozen; a per-batch count() would add
-    # a full job to every batch just to rediscover a constant)
-    n_buckets = docs_stream.sparkSession.read.parquet(weights_path).count()
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=False)
         if not batch_df.take(1):
             return
         weights = spark.read.parquet(weights_path)
-        scored = nb_score_with_weights(batch_df, weights, n_buckets=n_buckets)
+        # the weight grid is dense by construction, so its row count IS
+        # n_buckets — derived from the SAME DataFrame this batch scores
+        # with, so a mid-stream weight rewrite at a different width can
+        # never mis-bucket (the count is one job over a small
+        # broadcastable table the batch reads anyway)
+        scored = nb_score_with_weights(
+            batch_df, weights, n_buckets=weights.count()
+        )
         scored.write.mode("overwrite").parquet(
             f"{out_path}/batch_id={batch_id}"
         )
