@@ -1416,22 +1416,31 @@ REGISTRY_ORDER = (
     "bpe_encode",              # full oracle since r9 (SQL relearns merges)
     "bpe_roundtrip",           # r9 LATE IN: decode∘encode == SQL norm
     "html_extraction",         # r9 NEW: HTML -> text extraction
+    "warc_extraction",         # r10 NEW: WARC crawl-archive source tier
+    "lang_id_trained",         # r10 NEW: trained char-trigram lang-ID
     # ---- vectors ----
     "ann_ivf_topk",
     "pca_projection",
     # ---- streaming / event-time ----
     "streaming_heavy_hitters",  # r9 LATE IN: CM grid as incremental MV
     "streaming_neardup",
-    "incremental_revenue",
     "streaming_cdc_state",
     # ---- multimodal / profiling / joins ----
     "multimodal_report",
     "image_neardup",
     "audio_features",
-    "table_profile",
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "table_profile",         # displaced by r10 warc_extraction:
+                             # hash-green r8-r9; the profiling family
+                             # stays in-window via
+                             # priority_drift_categorical (PSI twin)
+    "incremental_revenue",   # displaced by r10 lang_id_trained:
+                             # hash-green r6-r9; the incremental-MV
+                             # family stays in-window via
+                             # streaming_heavy_hitters (the count-min
+                             # MV with the same merge contract)
     "bm25_topk",             # Lucene-BM25 scoring: hash-green r5-r8 AND
                              # verified verbatim inside the in-window
                              # hybrid_rrf_topk oracle's lexical arm

@@ -5701,3 +5701,181 @@ def q_bpe_roundtrip(spark, sf_dir):
             F.size(words_col(F.col("text"))), F.lit(0)
         ).cast("long").alias("n_words"),
     )
+
+
+# ------------------- round 10: WARC crawl-archive source tier (VERDICT #1)
+
+from .sources.warc import (  # noqa: E402
+    DOCS_PER_FILE as _WARC_DPF,
+    ERR_TORN as _WARC_ERR_TORN,
+    TORN_EVERY as _WARC_TORN,
+)
+
+
+def _oracle_warc_extraction() -> str:
+    from .operators.html_text import html_to_text_sql, synthesize_html_sql
+
+    return f"""WITH laid AS (
+        SELECT doc_id, text,
+               row_number() OVER (ORDER BY doc_id) - 1 AS seq
+        FROM documents
+    ),
+    filed AS (
+        SELECT doc_id, text, seq, seq // {_WARC_DPF} AS file_no,
+               max(seq) OVER (PARTITION BY seq // {_WARC_DPF}) AS max_seq
+        FROM laid
+    ),
+    named AS (
+        SELECT doc_id, {synthesize_html_sql()} AS html,
+               'warc-' || lpad(CAST(file_no AS VARCHAR), 5, '0')
+                   || '.warc.gz' AS warc_file,
+               (file_no % {_WARC_TORN} = {_WARC_TORN - 1}
+                AND seq = max_seq) AS torn
+        FROM filed
+    ),
+    ex AS (
+        SELECT warc_file, doc_id,
+               {html_to_text_sql("html")} AS text
+        FROM named WHERE NOT torn
+    ),
+    good AS (
+        SELECT warc_file,
+               'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               200 AS http_status, text,
+               CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                    AS INT) AS n_words,
+               TRUE AS ok, CAST(NULL AS VARCHAR) AS err
+        FROM ex
+    ),
+    torn_rows AS (
+        SELECT warc_file, CAST(NULL AS VARCHAR) AS url,
+               CAST(NULL AS INT) AS http_status,
+               CAST(NULL AS VARCHAR) AS text, CAST(NULL AS INT) AS n_words,
+               FALSE AS ok, '{_WARC_ERR_TORN}' AS err
+        FROM named WHERE torn
+    )
+    SELECT * FROM good UNION ALL SELECT * FROM torn_rows"""
+
+
+@register(
+    "warc_extraction",
+    # Full oracle: the fixture lays documents into WARC files by pure
+    # integer arithmetic (row_number // docs_per_file), the HTML shell
+    # and extraction chain have SQL twins (html_text), and the torn-
+    # member rule is deterministic (last member of every TORN_EVERY-th
+    # file) — so DuckDB reproduces the ENTIRE pipeline's output
+    # without gzip: a framing bug, an HTTP-strip bug, or a lost/extra
+    # record anywhere in the binary path breaks the hash.
+    _oracle_warc_extraction(),
+    "WARC (ISO 28500) crawl-archive ingestion — the CommonCrawl edge: "
+    "synthesize real gzip'd WARC response records (member-per-record, "
+    "full HTTP/1.1 envelopes, every 5th file torn mid-member), parse "
+    "them back with the member-walking binary parser (Arrow-batched "
+    "mapInPandas, quarantine contract instead of task failure), strip "
+    "the HTTP envelope, and run the scale-tier html_to_text chain. "
+    "Map-only over files — zero shuffles at 100 TB beyond the "
+    "fixture's own layout",
+)
+def q_warc_extraction(spark, sf_dir):
+    from .sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synthesize_warc_corpus(docs)
+    return warc.warc_extract_pages(warc.parse_warc_records(files))
+
+
+# -------------------- round 10: trained language-ID (VERDICT #2)
+
+
+def _oracle_lang_id_trained() -> str:
+    B = text.LANGID_BUCKETS
+    langs = text.LANGS
+    mc = _oracle_marker_count
+    n_cols = ", ".join(
+        f"sum(CASE WHEN lbl = '{lg}' THEN 1 ELSE 0 END) AS n_{lg}"
+        for lg in langs
+    )
+    dist_cols = ", ".join(f"coalesce(n_{lg}, 0) AS n_{lg}" for lg in langs)
+    tot_cols = ", ".join(f"sum(n_{lg}) AS t_{lg}" for lg in langs)
+    w_cols = ", ".join(
+        f"CAST(floor(1000000 * (ln(n_{lg} + 1) - ln(t_{lg} + {B}))) AS BIGINT)"
+        f" AS w_{lg}"
+        for lg in langs
+    )
+    s_cols = ", ".join(
+        f"CAST(sum(w_{lg}) AS BIGINT) AS s_{lg}_e6" for lg in langs
+    )
+    return f"""WITH p AS (
+        SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+    ),
+    ls AS (SELECT doc_id, {mc('en')} AS c_en, {mc('es')} AS c_es,
+                  {mc('de')} AS c_de, {mc('fr')} AS c_fr FROM p),
+    seed AS (
+        SELECT doc_id,
+               CASE WHEN c_en = 0 AND c_es = 0 AND c_de = 0 AND c_fr = 0
+                         THEN 'und'
+                    WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr
+                         THEN 'en'
+                    WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                    WHEN c_de >= c_fr THEN 'de'
+                    ELSE 'fr' END AS lbl
+        FROM ls
+    ),
+    nt AS (
+        SELECT n.doc_id, s.lbl,
+               trim(regexp_replace(lower(n.text), '[^a-z]+', ' ', 'g')) AS t
+        FROM documents n JOIN seed s USING (doc_id)
+    ),
+    grams AS (
+        SELECT nt.doc_id, nt.lbl,
+               CAST(('0x' || substr(md5(substr(nt.t, CAST(u.i AS INT), 3)),
+                    1, 15)) AS BIGINT) % {B} AS bucket
+        FROM nt, unnest(generate_series(1, len(nt.t) - 2)) AS u(i)
+    ),
+    counts AS (
+        SELECT bucket, {n_cols} FROM grams WHERE lbl <> 'und' GROUP BY bucket
+    ),
+    grid AS (SELECT unnest(generate_series(0, {B - 1})) AS bucket),
+    dist AS (
+        SELECT g.bucket, {dist_cols} FROM grid g
+        LEFT JOIN counts c ON c.bucket = g.bucket
+    ),
+    tot AS (SELECT {tot_cols} FROM dist),
+    w AS (SELECT bucket, {w_cols} FROM dist, tot),
+    sc AS (
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, {s_cols}
+        FROM grams g JOIN w ON w.bucket = g.bucket
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+           sc.s_en_e6, sc.s_es_e6, sc.s_de_e6, sc.s_fr_e6,
+           CASE WHEN sc.n_grams IS NULL THEN 'und'
+                WHEN s_en_e6 >= s_es_e6 AND s_en_e6 >= s_de_e6
+                     AND s_en_e6 >= s_fr_e6 THEN 'en'
+                WHEN s_es_e6 >= s_de_e6 AND s_es_e6 >= s_fr_e6 THEN 'es'
+                WHEN s_de_e6 >= s_fr_e6 THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id"""
+
+
+@register(
+    "lang_id_trained",
+    # Full oracle: DuckDB RELEARNS the model — seed labels from the
+    # marker-heuristic twin, char-trigram explode via lateral
+    # generate_series, md5-prefix bucket hash, the same
+    # floor(1e6·(ln(n+1) − ln(T+B))) fixed-point weights, integer
+    # score sums — so every weight, score, and argmax prediction must
+    # match bit-for-bit (the bpe_encode relearn-in-SQL policy).
+    _oracle_lang_id_trained(),
+    "Trained language-ID (fastText/CLD3 shape): multiclass NB over "
+    "2048 hashed char-trigrams, distantly supervised by the marker "
+    "heuristic's confident rows, scoring EVERY document — including "
+    "the 'und' docs the 3-marker floor cannot reach. One gram explode "
+    "(checkpoint shared by train+score), training = one partial-agg "
+    "shuffle onto 2048x4 cells, B-row weight broadcast, map-side "
+    "score sums — zero corpus-sized joins at 100 TB. Integer "
+    "fixed-point end-to-end",
+)
+def q_lang_id_trained(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id_trained(docs)

@@ -121,6 +121,140 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return s.select("doc_id", pred.alias("pred_lang"))
 
 
+# ------------------------------------------- trained language-ID
+
+LANGS = ("en", "es", "de", "fr")
+LANGID_BUCKETS = 2048
+LANGID_N = 3
+
+
+def char_ngrams_col(text: Column, n: int = LANGID_N) -> Column:
+    """Character n-grams over the ASCII-normalized text — the
+    fastText/CLD3 feature space (hashed char-n-grams), restricted to
+    [a-z ] so Java and DuckDB normalize byte-identically (non-ASCII
+    signals like accents fold into the space separator — the
+    documented feature floor of the stdlib-only tier). Normalization:
+    lower → every non-[a-z] run becomes one space → trim."""
+    norm = F.trim(F.regexp_replace(F.lower(text), "[^a-z]+", " "))
+    return F.when(
+        F.length(norm) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            lambda i: F.substr(norm, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def lang_id_trained(
+    docs: DataFrame,
+    n: int = LANGID_N,
+    n_buckets: int = LANGID_BUCKETS,
+    scale: int = 10**6,
+) -> DataFrame:
+    """TRAINED language-ID: a multiclass Naive Bayes over hashed
+    char-n-grams (the fastText/CLD3 shape), distantly supervised by
+    the marker heuristic — `lang_id`'s confident rows (pred != 'und')
+    become the seed labels, and the learned model then scores EVERY
+    document, including the ones the 3-marker heuristic cannot reach
+    (a Spanish doc that never says 'el la que' still reeks of Spanish
+    trigrams). This replaces the 4-language marker floor as the
+    quality ceiling of the curation gate's language signal
+    (`plans.curation.curate_corpus_trained_lang` composes it).
+
+    Exactness contract (the `corpus.nb_quality_scores` policy,
+    multiclass): per-class bucket weights are 1e6 fixed-point BIGINTs
+    w = floor(1e6·(ln(n_cb+1) − ln(T_c+B))) — every ln argument is an
+    INTEGER so both engines evaluate identical IEEE doubles — and
+    per-doc class scores are integer SUMS over the gram stream
+    (order-independent), so a DuckDB oracle RELEARNS the model and
+    reproduces every score and prediction bit-for-bit.
+
+    Scale shape: one gram explode, localCheckpointed so training and
+    scoring share the materialization; training reduces to B cells ×
+    4 classes in ONE partial-agg shuffle; the B-row weight table
+    BROADCASTS at any corpus size; scoring is a map-side-combinable
+    sum on doc_id. Zero joins against anything corpus-sized.
+
+    Output: (doc_id, n_grams, s_<lang>_e6 × 4, pred_lang) — 'und'
+    with NULL scores for docs with no grams; argmax tie-break is the
+    heuristic's fixed order (en > es > de > fr).
+    """
+    seed_pred = lang_id(docs)
+    grams = (
+        docs.join(seed_pred, "doc_id")
+        .select(
+            "doc_id",
+            F.col("pred_lang").alias("_lbl"),
+            F.explode(char_ngrams_col(F.col("text"), n)).alias("g"),
+        )
+        .withColumn("bucket", F.pmod(token_hash(F.col("g")), F.lit(n_buckets)))
+        .drop("g")
+        .localCheckpoint(eager=False)
+    )
+    counts = grams.filter(F.col("_lbl") != "und").groupBy("bucket").agg(
+        *[
+            F.sum(F.when(F.col("_lbl") == lang, 1).otherwise(0)).alias(
+                f"n_{lang}"
+            )
+            for lang in LANGS
+        ]
+    )
+    grid = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    dist = grid.join(counts, "bucket", "left").select(
+        "bucket",
+        *[F.coalesce(f"n_{lang}", F.lit(0)).alias(f"n_{lang}") for lang in LANGS],
+    )
+    totals = dist.agg(
+        *[F.sum(f"n_{lang}").alias(f"t_{lang}") for lang in LANGS]
+    )
+    weights = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        *[
+            F.floor(
+                scale
+                * (
+                    F.log(F.col(f"n_{lang}") + 1)
+                    - F.log(F.col(f"t_{lang}") + n_buckets)
+                )
+            )
+            .cast("long")
+            .alias(f"w_{lang}")
+            for lang in LANGS
+        ],
+    )
+    scored = (
+        grams.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            *[
+                F.sum(f"w_{lang}").alias(f"s_{lang}_e6")
+                for lang in LANGS
+            ],
+        )
+    )
+    en, es, de, fr = (F.col(f"s_{lang}_e6") for lang in LANGS)
+    pred = (
+        F.when(F.col("n_grams").isNull(), F.lit("und"))
+        .when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+        .when((es >= de) & (es >= fr), F.lit("es"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            *[f"s_{lang}_e6" for lang in LANGS],
+            pred.alias("pred_lang"),
+        )
+    )
+
+
 # Regex pre-tokenizer classes (GPT-2-style category split, simplified
 # to explicit character classes so the Java and RE2 regex dialects
 # agree byte-for-byte): alpha runs, digit runs, symbol runs.

@@ -47,9 +47,10 @@ MUST_BE_IN_WINDOW = {
     "ann_ivf_topk",
     "pca_projection",
     "streaming_heavy_hitters", "streaming_neardup",
-    "incremental_revenue", "streaming_cdc_state",
+    "streaming_cdc_state",
     "multimodal_report", "image_neardup", "audio_features",
-    "table_profile",
+    # r10 flagships (rotated in the round they landed)
+    "warc_extraction", "lang_id_trained",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
@@ -57,6 +58,9 @@ MUST_BE_IN_WINDOW = {
 # the twelve r8 tail flagships plus this round's three new flagships
 # in, and fifteen hash-green-for-multiple-rounds entries out.
 EXPECTED_TAIL = {
+    # displaced by the r10 rotation — hash-green r8-r9, family
+    # evidenced in-window (see REGISTRY_ORDER notes)
+    "table_profile", "incremental_revenue",
     # displaced by the r7 rotation — all hash-green since landing
     "doc_fingerprints", "canonical_selection", "corpus_mixture",
     "embedding_neardup_pairs", "rolling_features", "kmeans_clusters",

@@ -226,3 +226,96 @@ def test_text_quality_tolerates_null_text(spark):
     assert rows[2]["top_2gram_frac"] == 0.0
     assert rows[2]["dup_3gram_frac"] == 0.0
     assert rows[1]["top_2gram_frac"] > 0.0
+
+
+# ------------------------------------------- trained language-ID
+
+_LANG_FIXTURE = [
+    # (doc_id, true_lang, text) — seeds carry the marker words, the
+    # 1xx held-out docs share stems/trigrams but NO markers, so the
+    # heuristic returns 'und' on them while the trained model reaches
+    # the right language through character evidence alone
+    (1, "en", "the cat and the dog is running through the garden with"
+              " the children playing"),
+    (2, "es", "el perro la casa que corre por el jardin con la pelota"
+              " roja que brilla"),
+    (3, "de", "der hund die katze und der garten mit die kinder"
+              " spielen und lachen"),
+    (4, "fr", "le chien les enfants et le jardin avec les fleurs et"
+              " le matin bleu"),
+    (101, "en", "cat dog running through garden with children playing"
+                " happily today"),
+    (102, "es", "perro casa corre por jardin con pelota roja brilla"
+                " mucho"),
+    (103, "de", "hund katze garten mit kinder spielen lachen heute"
+                " schnell"),
+    (104, "fr", "chien enfants jardin avec fleurs matin bleu avec"
+                " chien fleurs"),
+    (200, "und", ""),
+    (201, "und", "12345 6789 000"),
+]
+
+
+@pytest.fixture(scope="module")
+def lang_docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, _, t in _LANG_FIXTURE], "doc_id long, text string"
+    )
+
+
+def test_lang_id_trained_agrees_on_seeds_and_generalizes(spark, lang_docs):
+    trained = {
+        r["doc_id"]: r for r in text.lang_id_trained(lang_docs).collect()
+    }
+    heur = {
+        r["doc_id"]: r["pred_lang"] for r in text.lang_id(lang_docs).collect()
+    }
+    truth = {i: lang for i, lang, _ in _LANG_FIXTURE}
+    # the marker heuristic is blind to every held-out doc
+    for i in (101, 102, 103, 104):
+        assert heur[i] == "und", i
+    # the trained model agrees with the heuristic wherever it is
+    # confident, and resolves the held-out docs correctly
+    for i, row in trained.items():
+        if heur[i] != "und":
+            assert row["pred_lang"] == heur[i], i
+        if i in (101, 102, 103, 104):
+            assert row["pred_lang"] == truth[i], (i, dict(row.asDict()))
+    # no-gram docs stay 'und' with NULL scores and n_grams = 0
+    assert trained[200]["pred_lang"] == "und"
+    assert trained[200]["n_grams"] == 0 and trained[200]["s_en_e6"] is None
+    assert trained[201]["pred_lang"] == "und"
+
+
+def test_lang_id_trained_accuracy_beats_heuristic(spark, lang_docs):
+    truth = {i: lang for i, lang, _ in _LANG_FIXTURE}
+    trained = {
+        r["doc_id"]: r["pred_lang"]
+        for r in text.lang_id_trained(lang_docs).collect()
+    }
+    heur = {
+        r["doc_id"]: r["pred_lang"] for r in text.lang_id(lang_docs).collect()
+    }
+    acc = lambda pred: sum(pred[i] == truth[i] for i in truth) / len(truth)
+    assert acc(trained) == 1.0
+    assert acc(heur) < acc(trained)  # 'und' on all four held-out docs
+
+
+def test_curation_trained_lang_gate(spark, lang_docs):
+    from algoritmos_etl_spark.plans import curation
+
+    kw = dict(
+        min_words=5, min_stopword_ratio=0.0, max_stopword_ratio=1.0,
+        neardup_threshold=0.99,
+    )
+    plain = {r["doc_id"] for r in curation.curate_corpus(
+        lang_docs, **kw).collect()}
+    trained = {r["doc_id"] for r in curation.curate_corpus_trained_lang(
+        lang_docs, **kw).collect()}
+    # the marker-free English doc 101 passes ONLY the trained gate
+    assert 101 not in plain
+    assert 101 in trained
+    # marker-rich English seeds pass both; non-English drops from both
+    assert 1 in plain and 1 in trained
+    for i in (2, 3, 4, 102, 103, 104, 200, 201):
+        assert i not in trained, i
