@@ -1395,7 +1395,6 @@ REGISTRY_ORDER = (
     "top_supplier_q15",        # r9 rotation IN: Q15 agg-vs-own-max
     "bracket_revenue",         # r9 rotation IN: Q19 disjunctive brackets
     "dominant_suppliers",      # r9 rotation IN: Q20 nested correlated aggs
-    "price_anomalies",
     "bloom_join_prune",        # r9 LATE IN: bloom semi-join pruning
     # ---- snapshot / warehouse ----
     "table_history",
@@ -1403,6 +1402,7 @@ REGISTRY_ORDER = (
     "snapshot_changes",        # r9 rotation IN: time travel x keyed diff
     "priority_drift_categorical",  # r9 rotation IN: categorical PSI
     "snapshot_file_skipping",  # r9 LATE IN: manifest min/max pruning
+    "snapshot_delete_mor",     # r10 NEW: merge-on-read equality deletes
     # ---- text / dedup / corpus ----
     "exact_repeat_runs",
     "exact_repeat_runs_tokens",  # r9 NEW: Lee 2022 at 50-BPE-token grain
@@ -1441,6 +1441,11 @@ REGISTRY_ORDER = (
                              # family stays in-window via
                              # streaming_heavy_hitters (the count-min
                              # MV with the same merge contract)
+    "price_anomalies",       # displaced by r10 snapshot_delete_mor:
+                             # hash-green r8-r9; the windowed z-score
+                             # shape stays evidenced via
+                             # risk_classification's percentile/rank
+                             # machinery and 13 in-window TPC-H shapes
     "bm25_topk",             # Lucene-BM25 scoring: hash-green r5-r8 AND
                              # verified verbatim inside the in-window
                              # hybrid_rrf_topk oracle's lexical arm

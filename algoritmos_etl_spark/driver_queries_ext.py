@@ -5879,3 +5879,101 @@ def _oracle_lang_id_trained() -> str:
 def q_lang_id_trained(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return text.lang_id_trained(docs)
+
+
+# ------------- round 10: merge-on-read snapshot deletes (VERDICT #4)
+
+_SNAP_MOR_SETUP: dict = {}
+
+
+def _snap_mor_setup(spark, sf_dir: str) -> str:
+    """Build the 4-version MoR lifecycle table once per (session,
+    sf_dir): v1 overwrite (keys %4==0, 4 files), v2 MERGE-ON-READ
+    delete (%44==0 — one key file committed, zero data files
+    rewritten), v3 append (%4==1 rows PLUS the deleted keys
+    re-inserted — visible again because appended files are outside the
+    delete entry's applies_to scope), v4 compact (folds the delete
+    entry into plain data files)."""
+    from .sources import snapshots as snap
+
+    def populate(work: str) -> None:
+        table = f"{work}/orders_mor"
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        k4 = F.pmod(F.col("o_orderkey"), F.lit(4))
+        k44 = F.pmod(F.col("o_orderkey"), F.lit(44))
+        snap.snapshot_commit(
+            orders.filter(k4 == 0).repartition(4), table, mode="overwrite"
+        )
+        snap.snapshot_delete_mor(
+            spark, table,
+            orders.filter(k44 == 0).select("o_orderkey"),
+            key_cols=["o_orderkey"],
+        )
+        snap.snapshot_commit(
+            orders.filter((k4 == 1) | (k44 == 0)), table, mode="append"
+        )
+        snap.snapshot_compact(spark, table)
+
+    work = _session_workdir(_SNAP_MOR_SETUP, spark, sf_dir, "snap_mor_", populate)
+    return f"{work}/orders_mor"
+
+
+@register(
+    "snapshot_delete_mor",
+    """WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                   WHERE o_orderkey % 4 = 0),
+    v2 AS (SELECT * FROM v1 WHERE o_orderkey % 44 <> 0),
+    adds AS (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_orderkey % 4 = 1 OR o_orderkey % 44 = 0),
+    v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM adds)
+    SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS op,
+           CAST((SELECT count(*) FROM v1) AS BIGINT) AS n_rows,
+           round(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                       FROM v1) AS DOUBLE), 2) AS total_price
+    UNION ALL
+    SELECT 2, 'delete_mor', CAST((SELECT count(*) FROM v2) AS BIGINT),
+           round(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                       FROM v2) AS DOUBLE), 2)
+    UNION ALL
+    SELECT 3, 'append', CAST((SELECT count(*) FROM v3) AS BIGINT),
+           round(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                       FROM v3) AS DOUBLE), 2)
+    UNION ALL
+    SELECT 4, 'compact', CAST((SELECT count(*) FROM v3) AS BIGINT),
+           round(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                       FROM v3) AS DOUBLE), 2)""",
+    "MERGE-ON-READ row deletes (the Iceberg equality-delete other "
+    "half of the r9 copy-on-write path): a delete commits ONE key "
+    "file and readers anti-join it — no data-file rewrite — scoped by "
+    "applies_to so a later append RE-INSERTS the deleted keys; "
+    "compact folds the entry into plain files. Every version is read "
+    "back as-of and summarized (live rows + decimal total) against a "
+    "relational reconstruction — the delete suppression, the scope "
+    "rule, and the fold must all be exact for the hash to match",
+)
+def q_snapshot_delete_mor(spark, sf_dir):
+    from functools import reduce
+
+    from .sources import snapshots as snap
+
+    table = _snap_mor_setup(spark, sf_dir)
+    hist = snap.table_history(spark, table)
+    reads = []
+    for v in (1, 2, 3, 4):
+        reads.append(
+            snap.read_as_of(spark, table, v).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.round(
+                    F.sum(
+                        F.col("o_totalprice").cast("decimal(30,10)")
+                    ).cast("double"),
+                    2,
+                ).alias("total_price"),
+            )
+        )
+    totals = reduce(lambda a, b: a.unionByName(b), reads)
+    return hist.join(totals, "version").select(
+        "version", "op", "n_rows", "total_price"
+    )

@@ -138,19 +138,80 @@ def _merge_schema(prior: dict | None, new: dict) -> dict:
 
 
 def _read_manifest_df(
-    spark: SparkSession, table_dir: str, m: dict
+    spark: SparkSession, table_dir: str, m: dict, file_col: str | None = None
 ) -> DataFrame:
     """Read exactly a manifest's file list, under its recorded schema
     when present — files older than an add_column backfill the new
     column with NULLs (schema-on-read evolution). Pre-r9 manifests
-    carry no schema and read bare."""
+    carry no schema and read bare.
+
+    Merge-on-read deletes (r10): when the manifest carries `deletes`
+    entries (`snapshot_delete_mor`), each entry's key file anti-joins
+    the rows of the data files it `applies_to` — the Iceberg equality-
+    delete read path. Scoping by `applies_to` (the data files present
+    when the delete committed) is what lets a later append RE-INSERT a
+    deleted key: new files are not in any earlier entry's scope. Key
+    files broadcast (delete batches are small by the same contract as
+    the CoW path)."""
+    from pyspark.sql import functions as F
+
     paths = [os.path.join(table_dir, f) for f in m["files"]]
     reader = spark.read
     if m.get("schema"):
         from pyspark.sql.types import StructType
 
         reader = reader.schema(StructType.fromJson(m["schema"]))
-    return reader.parquet(*paths)
+    df = reader.parquet(*paths)
+    deletes = m.get("deletes") or []
+    # the table-relative provenance column must attach BEFORE any
+    # delete anti-join (input_file_name is only unambiguous next to
+    # the scan); `file_col` keeps it in the output for callers that
+    # need touched-file discovery (snapshot_delete). input_file_name
+    # emits a URI whose scheme slashes vary (file:/ vs file:///) —
+    # normalize the scheme first, then strip the absolute table dir
+    # (local-POSIX paths, no URL-escaping concerns — same scope as
+    # the rest of the layout family)
+    if file_col is not None or deletes:
+        local = F.regexp_replace(
+            F.input_file_name(), "^file:/+", "/"
+        )
+        df = df.withColumn(
+            "_mor_file",
+            F.replace(
+                local, F.lit(os.path.abspath(table_dir) + "/"), F.lit("")
+            ),
+        )
+    if not deletes:
+        return (
+            df.withColumnRenamed("_mor_file", file_col) if file_col else df
+        )
+    present = set(m["files"])
+    for d in deletes:
+        applies = sorted(set(d["applies_to"]) & present)
+        if not applies:
+            continue
+        keys = (
+            spark.read.parquet(
+                *[os.path.join(table_dir, f) for f in d["files"]]
+            )
+            .select(*d["key_cols"])
+            .withColumn("_mor_hit", F.lit(True))
+        )
+        df = (
+            df.join(F.broadcast(keys), d["key_cols"], "left")
+            .filter(
+                ~(
+                    F.coalesce(F.col("_mor_hit"), F.lit(False))
+                    & F.col("_mor_file").isin(*applies)
+                )
+            )
+            .drop("_mor_hit")
+        )
+    return (
+        df.withColumnRenamed("_mor_file", file_col)
+        if file_col
+        else df.drop("_mor_file")
+    )
 
 
 def _write_data(df: DataFrame, table_dir: str, version_hint: int) -> list[str]:
@@ -263,13 +324,26 @@ def snapshot_commit(
             prior = m["files"]
             prior_schema = m.get("schema")
             prior_stats = m.get("stats", {})
+        prior_deletes = (
+            (m.get("deletes") or []) if mode == "append" and versions else []
+        )
         files = prior + new_files
         manifest = {
             "op": op or mode,
             "files": files,
             "schema": _merge_schema(prior_schema, new_schema),
-            "n_rows": _count_rows(table_dir, files),
+            # pending MoR deletes make footer counts overstate the live
+            # table: carry the prior LIVE count and add only the new
+            # files' rows (appended files are outside every delete
+            # entry's applies_to scope, so all their rows are live)
+            "n_rows": (
+                m["n_rows"] + _count_rows(table_dir, new_files)
+                if prior_deletes
+                else _count_rows(table_dir, files)
+            ),
         }
+        if prior_deletes:
+            manifest["deletes"] = prior_deletes
         stats = {**prior_stats, **new_stats}
         if stats:
             manifest["stats"] = stats
@@ -537,16 +611,14 @@ def snapshot_delete(
     10-file delete on a 100k-file table costs 10 files, the
     `compact.partition_upsert` discipline at row grain. A delete that
     touches nothing still publishes (op='delete', same files), so the
-    audit trail records the attempt."""
-    from urllib.parse import unquote, urlparse
+    audit trail records the attempt.
 
+    MoR interplay: touched-file discovery and the rewrite both read
+    through the manifest's pending equality-delete entries (a MoR-
+    suppressed row can neither mark a file touched nor resurrect in a
+    rewrite); surviving entries carry forward with their `applies_to`
+    pruned to the files that remain."""
     from pyspark.sql import functions as F
-
-    def rel(uri: str) -> str:
-        p = uri
-        if p.startswith("file:"):
-            p = unquote(urlparse(p).path)
-        return os.path.relpath(p, os.path.abspath(table_dir))
 
     key_set = keys.select(*key_cols).distinct()
     while True:
@@ -555,14 +627,12 @@ def snapshot_delete(
             raise ValueError(f"no snapshots under {table_dir}")
         head = versions[-1]
         m = _read_manifest(table_dir, head)
-        cur = _read_manifest_df(spark, table_dir, m).withColumn(
-            "_file", F.input_file_name()
-        )
+        cur = _read_manifest_df(spark, table_dir, m, file_col="_file")
         # bounded collect: one row per TOUCHED FILE (<= |delete batch|
         # file spread), declared in test_plan_hygiene._COLLECT_BOUNDED
         touched = sorted(
             {
-                rel(r._file)
+                r._file
                 for r in cur.join(
                     F.broadcast(key_set), key_cols, "left_semi"
                 )
@@ -573,22 +643,30 @@ def snapshot_delete(
         )
         rewritten: list[str] = []
         if touched:
-            reader = spark.read
-            if m.get("schema"):
-                from pyspark.sql.types import StructType
-
-                reader = reader.schema(StructType.fromJson(m["schema"]))
-            kept = reader.parquet(
-                *[os.path.join(table_dir, f) for f in touched]
+            kept = _read_manifest_df(
+                spark, table_dir, {**m, "files": touched}
             ).join(F.broadcast(key_set), key_cols, "left_anti")
             rewritten = _write_data(kept, table_dir, head + 1)
-        files = [f for f in m["files"] if f not in set(touched)] + rewritten
+        untouched = [f for f in m["files"] if f not in set(touched)]
+        files = untouched + rewritten
+        new_deletes = []
+        for d in m.get("deletes") or []:
+            remaining = [f for f in d["applies_to"] if f in set(untouched)]
+            if remaining:
+                new_deletes.append({**d, "applies_to": remaining})
         manifest = {
             "op": "delete",
             "files": files,
             "schema": m.get("schema"),
-            "n_rows": _count_rows(table_dir, files),
+            "n_rows": (
+                m["n_rows"]
+                - cur.join(F.broadcast(key_set), key_cols, "left_semi").count()
+                if new_deletes
+                else _count_rows(table_dir, files)
+            ),
         }
+        if new_deletes:
+            manifest["deletes"] = new_deletes
         # untouched files keep their still-valid min/max metrics;
         # rewritten files carry none (conservatively re-read) until a
         # stats-recording commit re-covers them
@@ -602,6 +680,76 @@ def snapshot_delete(
         if _publish_at(table_dir, manifest, head + 1):
             return head + 1
         # lost the race: recompute the touched split from the new head
+
+
+def snapshot_delete_mor(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """Row-level DELETE as MERGE-ON-READ (the Iceberg equality-delete
+    / Delta deletion-vector other half of `snapshot_delete`): instead
+    of rewriting every touched data file, commit ONE small key file
+    and let readers anti-join it — a 10-row GDPR delete on a 100k-file
+    table writes one file instead of rewriting every file that holds a
+    matching row (the CoW table-rewrite tax at 100 TB).
+
+    The manifest entry records `applies_to` = the data files present
+    at delete time, so a LATER append can re-insert a deleted key (new
+    files are outside the scope — Iceberg's sequence-number rule at
+    explicit file-list grain; a production tier would compress the
+    list to a sequence number). Deletes stack; each adds one broadcast
+    anti-join to the read until `snapshot_compact` folds them into
+    plain data files — after which a CoW and a MoR table that saw the
+    same operations read identically (pinned in tests). Older versions
+    still see the rows (time travel), `snapshot_changes` across the
+    delete emits them as `removed`, and vacuum retires key files with
+    the manifests that reference them."""
+    key_set = keys.select(*key_cols).distinct()
+    from pyspark.sql import functions as F
+
+    delete_files: list[str] | None = None
+    while True:
+        versions = _versions(table_dir)
+        if not versions:
+            raise ValueError(f"no snapshots under {table_dir}")
+        head = versions[-1]
+        m = _read_manifest(table_dir, head)
+        if delete_files is None:
+            # one small file regardless of input partitioning (the key
+            # set is bounded by the delete-batch contract), written
+            # once — it stays valid across race retries
+            delete_files = _write_data(
+                key_set.coalesce(1), table_dir, head + 1
+            )
+        hits = (
+            _read_manifest_df(spark, table_dir, m)
+            .join(F.broadcast(key_set), key_cols, "left_semi")
+            .count()
+        )
+        manifest = {
+            "op": "delete_mor",
+            "files": m["files"],
+            "schema": m.get("schema"),
+            "n_rows": m["n_rows"] - hits,
+            "deletes": (m.get("deletes") or [])
+            + [
+                {
+                    "files": delete_files,
+                    "key_cols": list(key_cols),
+                    "applies_to": m["files"],
+                }
+            ],
+        }
+        if m.get("stats"):
+            # data files untouched -> every per-file metric stays a
+            # valid (conservative) bound for scan planning
+            manifest["stats"] = m["stats"]
+        if _publish_at(table_dir, manifest, head + 1):
+            return head + 1
+        # lost the race: recompute hits/scope from the new head (the
+        # written key file stays valid across retries)
 
 
 def snapshot_add_column(table_dir: str, name: str, dtype: str) -> int:
@@ -634,6 +782,9 @@ def snapshot_add_column(table_dir: str, name: str, dtype: str) -> int:
             "schema": {**schema, "fields": schema["fields"] + [field]},
             "n_rows": m["n_rows"],
         }
+        if m.get("deletes"):
+            # metadata-only: pending MoR deletes ride along unchanged
+            manifest["deletes"] = m["deletes"]
         if m.get("stats"):
             # files unchanged -> every per-file metric stays valid
             manifest["stats"] = m["stats"]
@@ -698,7 +849,10 @@ def snapshot_vacuum(
         os.unlink(os.path.join(_manifest_dir(table_dir), f"v={v}.json"))
     live: set[str] = set()
     for v in kept:
-        live.update(_read_manifest(table_dir, v)["files"])
+        m = _read_manifest(table_dir, v)
+        live.update(m["files"])
+        for d in m.get("deletes") or []:
+            live.update(d["files"])  # MoR key files are references too
     data_dir = os.path.join(table_dir, "data")
     removed = 0
     now = time.time()

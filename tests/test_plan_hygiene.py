@@ -54,6 +54,8 @@ CROSS_OK = {
     "quality_tiers": "inherits doc_quality_scores' 1024-cell grid × "
     "1-row totals cross, plus per-doc scores × the 1-row tercile-cuts "
     "aggregate (the risk_classification threshold shape)",
+    "lang_id_trained": "2048-bucket class-distribution grid × the 1-row "
+    "class-totals aggregate (the doc_quality_scores shape, multiclass)",
 }
 
 

@@ -34,9 +34,10 @@ MUST_BE_IN_WINDOW = {
     "bi_nation_volume", "nation_market_share",
     "returned_item_customers", "important_parts",
     "promo_revenue_share", "top_supplier_q15", "bracket_revenue",
-    "dominant_suppliers", "price_anomalies",
+    "dominant_suppliers",
     "table_history", "snapshot_evolution", "snapshot_changes",
     "priority_drift_categorical", "snapshot_file_skipping",
+    "snapshot_delete_mor",
     "bloom_join_prune",
     # extensions (r9 late flagships rotated in the round they landed)
     "exact_repeat_runs", "exact_repeat_runs_tokens",
@@ -60,7 +61,7 @@ MUST_BE_IN_WINDOW = {
 EXPECTED_TAIL = {
     # displaced by the r10 rotation — hash-green r8-r9, family
     # evidenced in-window (see REGISTRY_ORDER notes)
-    "table_profile", "incremental_revenue",
+    "table_profile", "incremental_revenue", "price_anomalies",
     # displaced by the r7 rotation — all hash-green since landing
     "doc_fingerprints", "canonical_selection", "corpus_mixture",
     "embedding_neardup_pairs", "rolling_features", "kmeans_clusters",

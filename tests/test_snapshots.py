@@ -413,3 +413,142 @@ def test_scan_stats_survive_delete_and_add_column(spark, tmp_path):
     kept2, all2, m2 = snap.scan_plan(t, "k", lo=0, hi=9)
     assert (len(kept2), len(all2)) == (2, 3)
     assert m2.get("stats", {}) == stats
+
+
+# --------------------------------------------- merge-on-read deletes
+
+
+def test_mor_delete_reads_and_history(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(i, float(i)) for i in range(10)]), t,
+                         mode="overwrite")
+    m1 = snap._read_manifest(t, 1)
+    v = snap.snapshot_delete_mor(
+        spark, t, _df(spark, [(3, 0.0), (7, 0.0), (99, 0.0)]), ["k"])
+    assert v == 2
+    # data files untouched: one new (key) file only, manifest files equal
+    m2 = snap._read_manifest(t, 2)
+    assert m2["files"] == m1["files"]
+    assert len(m2["deletes"]) == 1
+    assert len(m2["deletes"][0]["files"]) == 1
+    # head read excludes the keys; time travel still sees them; the
+    # missing key 99 deletes nothing
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == (
+        set(range(10)) - {3, 7})
+    assert snap.read_as_of(spark, t, 1).count() == 10
+    hist = {r.version: (r.op, r.n_rows) for r in
+            snap.table_history(spark, t).collect()}
+    assert hist[2] == ("delete_mor", 8)
+
+
+def test_mor_applies_to_scope_allows_reinsert(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(1, 1.0), (2, 2.0)]), t,
+                         mode="overwrite")
+    snap.snapshot_delete_mor(spark, t, _df(spark, [(2, 0.0)]), ["k"])
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == {1}
+    # re-insert the deleted key: the append's files are OUTSIDE the
+    # delete entry's applies_to scope, so the new row is visible
+    snap.snapshot_commit(_df(spark, [(2, 22.0)]), t, mode="append")
+    got = {r.k: r.v for r in snap.read_as_of(spark, t).collect()}
+    assert got == {1: 1.0, 2: 22.0}
+    hist = {r.version: r.n_rows for r in
+            snap.table_history(spark, t).collect()}
+    assert hist == {1: 2, 2: 1, 3: 2}
+
+
+def test_mor_stacks_and_compact_folds_to_cow_equality(spark, tmp_path):
+    rows = [(i, float(i * i)) for i in range(20)]
+    mor, cow = str(tmp_path / "mor"), str(tmp_path / "cow")
+    for t in (mor, cow):
+        snap.snapshot_commit(_df(spark, rows), t, mode="overwrite")
+    d1 = _df(spark, [(2, 0.0), (4, 0.0)])
+    d2 = _df(spark, [(4, 0.0), (11, 0.0)])
+    snap.snapshot_delete_mor(spark, mor, d1, ["k"])
+    snap.snapshot_delete_mor(spark, mor, d2, ["k"])
+    snap.snapshot_delete(spark, cow, d1, ["k"])
+    snap.snapshot_delete(spark, cow, d2, ["k"])
+    def read(t):
+        return {(r.k, r.v) for r in snap.read_as_of(spark, t).collect()}
+    assert read(mor) == read(cow) == {
+        (k, v) for k, v in rows if k not in (2, 4, 11)}
+    # compact folds the delete entries into plain data files
+    snap.snapshot_compact(spark, mor)
+    m = snap._read_manifest(t := mor, snap._versions(mor)[-1])
+    assert "deletes" not in m
+    assert read(mor) == read(cow)
+    hist = {r.version: r.n_rows for r in
+            snap.table_history(spark, mor).collect()}
+    assert hist[3] == hist[4] == 17
+
+
+def test_mor_write_cost_beats_cow_for_small_deletes(spark, tmp_path):
+    """The reason MoR exists: a small delete writes ONE key file while
+    CoW rewrites every touched data file."""
+    rows = [(i, float(i)) for i in range(64)]
+    mor, cow = str(tmp_path / "mor"), str(tmp_path / "cow")
+    for t in (mor, cow):
+        # 8 data files so the delete's keys spread across several
+        snap.snapshot_commit(_df(spark, rows).repartition(8), t,
+                             mode="overwrite")
+    keys = _df(spark, [(5, 0.0), (23, 0.0), (41, 0.0), (59, 0.0)])
+
+    def files_written(t, before):
+        return len(glob.glob(os.path.join(t, "data", "*", "*.parquet"))) - before
+
+    b_mor = len(glob.glob(os.path.join(mor, "data", "*", "*.parquet")))
+    b_cow = len(glob.glob(os.path.join(cow, "data", "*", "*.parquet")))
+    snap.snapshot_delete_mor(spark, mor, keys, ["k"])
+    snap.snapshot_delete(spark, cow, keys, ["k"])
+    wrote_mor = files_written(mor, b_mor)
+    wrote_cow = files_written(cow, b_cow)
+    assert wrote_mor == 1
+    assert wrote_cow > wrote_mor  # rewrote every touched file
+    assert ({r.k for r in snap.read_as_of(spark, mor).collect()}
+            == {r.k for r in snap.read_as_of(spark, cow).collect()})
+
+
+def test_mor_then_cow_delete_interplay(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(
+        _df(spark, [(i, float(i)) for i in range(12)]).repartition(3), t,
+        mode="overwrite")
+    snap.snapshot_delete_mor(spark, t, _df(spark, [(1, 0.0)]), ["k"])
+    # CoW delete another key: the rewrite must not resurrect key 1,
+    # and the surviving entry's applies_to prunes to remaining files
+    snap.snapshot_delete(spark, t, _df(spark, [(5, 0.0)]), ["k"])
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == (
+        set(range(12)) - {1, 5})
+    m = snap._read_manifest(t, snap._versions(t)[-1])
+    for d in m.get("deletes", []):
+        assert set(d["applies_to"]) <= set(m["files"])
+    hist = {r.version: r.n_rows for r in
+            snap.table_history(spark, t).collect()}
+    assert hist == {1: 12, 2: 11, 3: 10}
+
+
+def test_mor_changes_and_scan_and_vacuum(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(i, float(i)) for i in range(10)]), t,
+                         mode="overwrite", stats_cols=["k"])
+    snap.snapshot_delete_mor(spark, t, _df(spark, [(4, 0.0)]), ["k"])
+    # changes-since sees the MoR-deleted row as removed
+    ch = {(r.k, r.diff_type) for r in
+          snap.snapshot_changes(spark, t, 1, 2, key_cols=["k"]).collect()}
+    assert ch == {(4, "removed")}
+    # file-skipping scan still applies the residual delete
+    got = {r.k for r in snap.snapshot_scan(spark, t, "k", lo=2, hi=6).collect()}
+    assert got == {2, 3, 5, 6}
+    # vacuum with the delete version retained keeps its key file
+    snap.snapshot_vacuum(t, keep=2, min_age_seconds=0.0)
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == (
+        set(range(10)) - {4})
+    # fold + vacuum to a single retained version: key file dir retires
+    snap.snapshot_compact(spark, t)
+    snap.snapshot_vacuum(t, keep=1, min_age_seconds=0.0)
+    m = snap._read_manifest(t, snap._versions(t)[-1])
+    live_dirs = {f.split("/")[1] for f in m["files"]}
+    on_disk = set(os.listdir(os.path.join(t, "data")))
+    assert on_disk == live_dirs
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == (
+        set(range(10)) - {4})
