@@ -1427,11 +1427,15 @@ REGISTRY_ORDER = (
     "streaming_cdc_state",
     # ---- multimodal / profiling / joins ----
     "multimodal_report",
-    "image_neardup",
+    "image_jpeg_neardup",      # r10 NEW: baseline-DCT JPEG decode tier
     "audio_features",
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "image_neardup",         # displaced by r10 image_jpeg_neardup: the
+                             # SAME dhash/banding chain now runs on the
+                             # dominant format in-window; the PNG arm
+                             # stays codec-pinned in test_multimodal
     "table_profile",         # displaced by r10 warc_extraction:
                              # hash-green r8-r9; the profiling family
                              # stays in-window via
@@ -1673,7 +1677,7 @@ REGISTRY_ORDER = (
 WINDOW_ROWS_ONLY = frozenset(
     {
         "pca_projection",
-        "image_neardup",
+        "image_jpeg_neardup",
         "audio_features",
         "incremental_distinct",
     }

@@ -5977,3 +5977,31 @@ def q_snapshot_delete_mor(spark, sf_dir):
     return hist.join(totals, "version").select(
         "version", "op", "n_rows", "total_price"
     )
+
+
+# ------------------- round 10: JPEG decode tier (VERDICT #5)
+
+
+@register(
+    "image_jpeg_neardup",
+    None,  # rows-only BY DESIGN (codec-family policy): the pipeline is
+    # a real baseline-DCT JPEG codec — marker walk, Huffman scan
+    # decode, dequant, IDCT — feeding the perceptual hash; no SQL
+    # engine reproduces it. The decode is pinned BIT-EXACTLY in
+    # test_multimodal against the encoder's predicted reconstruction,
+    # and banding completeness carries over from image_neardup.
+    "Perceptual near-dup on the DOMINANT real-corpus image format: "
+    "synthesize a clustered REAL-JPEG corpus (baseline-DCT grayscale "
+    "encoder — the fixture twin), stdlib+numpy Huffman/IDCT decode "
+    "under the PNG/WAV quarantine contract, 9×8 dHash, 16-bit-chunk "
+    "banding + one bit_count(XOR) verify. Same Arrow-batched map-only "
+    "scale shape as the PNG path (M8)",
+)
+def q_image_jpeg_neardup(spark, sf_dir):
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = multimodal.synthesize_jpeg_corpus(docs, cluster=5)
+    return multimodal.image_neardup_pairs(
+        multimodal.image_dhash(imgs), max_hamming=3
+    )

@@ -431,12 +431,15 @@ def synthesize_png_corpus(docs: DataFrame, cluster: int = 5) -> DataFrame:
 
 def image_dhash(images: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Perceptual difference-hash over a binary image column: REAL
-    stdlib PNG decode (`decode_png`) → integer-exact grayscale → 9×8
-    nearest-neighbor sample grid → 64-bit dHash (bit = left pixel >
-    right pixel). One Arrow-batched pass; undecodable rows survive as
-    (doc_id, NULL hash, error). Gray = integer mean over color
+    stdlib decode (PNG via `decode_png`, baseline-DCT JPEG via
+    `decode_jpeg` — sniffed by signature) → integer-exact grayscale →
+    9×8 nearest-neighbor sample grid → 64-bit dHash (bit = left pixel
+    > right pixel). One Arrow-batched pass; undecodable rows survive
+    as (doc_id, NULL hash, error). Gray = integer mean over color
     channels, sampling = floor(i·dim/grid) — every step exact, so the
-    hash is reproducible anywhere."""
+    hash is reproducible anywhere (and a PNG and a JPEG of SIMILAR
+    pixels land at small hamming distance — the cross-format near-dup
+    case real image corpora are full of)."""
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -444,11 +447,17 @@ def image_dhash(images: DataFrame, payload_col: str = "payload") -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 try:
                     data = bytes(payload)
-                    meta = decode_png(data)
-                    wd, ht, ch = meta["width"], meta["height"], meta["channels"]
-                    # re-decode pixels: decode_png returns stats only;
-                    # reuse its unfilter by calling the internal path
-                    px = _png_pixels(data)
+                    if data[:2] == b"\xff\xd8":
+                        wd, ht, px = _jpeg_pixels(data)
+                        ch = 1
+                    else:
+                        meta = decode_png(data)
+                        wd, ht, ch = (
+                            meta["width"], meta["height"], meta["channels"]
+                        )
+                        # decode_png returns stats only; reuse its
+                        # unfilter via the internal pixel path
+                        px = _png_pixels(data)
                     # integer grayscale over color channels (alpha excluded)
                     n_color = 3 if ch >= 3 else 1
                     gray = [
@@ -759,4 +768,440 @@ def audio_features(audio: DataFrame, payload_col: str = "payload") -> DataFrame:
             "duration_ms int, peak int, rms double, zero_crossings int, "
             "error string"
         ),
+    )
+
+
+# ------------------------------------------------ JPEG (baseline DCT)
+#
+# The dominant real-corpus image format, under the same contract as
+# the PNG/WAV codecs: pure stdlib+numpy, deterministic fixture
+# synthesizer (a real baseline ENCODER — the test twin), a marker-
+# walking DECODER for 8-bit GRAYSCALE baseline-DCT streams, and the
+# quarantine ValueError contract for everything else (progressive,
+# color, 16-bit quant tables, arithmetic coding, torn streams).
+# Reference layout: ITU-T T.81 (public spec); the Huffman/quant
+# constants below are its Annex K luminance examples — but the
+# decoder builds its tables FROM THE FILE's DQT/DHT segments, so any
+# legal baseline grayscale stream decodes, not just our own.
+
+_JPEG_QTABLE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    """The 64-entry zigzag scan order, generated (not transcribed):
+    anti-diagonal s walks y-ascending when s is odd, y-descending when
+    even — (0,0),(0,1),(1,0),(2,0),(1,1),(0,2),…"""
+    order = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(8) if 0 <= s - y < 8]
+        order.extend(diag if s % 2 == 1 else list(reversed(diag)))
+    return order
+
+
+_ZIGZAG = _zigzag()
+
+
+def _dct_basis():
+    import numpy as np
+
+    c = np.array([(0.5 / (2 ** 0.5)) if u == 0 else 0.5 for u in range(8)])
+    x = np.arange(8)
+    basis = c[:, None] * np.cos((2 * x[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
+    return basis  # forward: B @ block @ B.T ; inverse: B.T @ coef @ B
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman codes from a DHT (bits, values) pair:
+    {value: (code, length)}."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) of a coefficient — T.81 F.1.2.1: negative
+    values encode as v-1 in `size` low bits (one's complement range)."""
+    size = 0
+    a = abs(v)
+    while a:
+        size += 1
+        a >>= 1
+    return size, (v if v >= 0 else v - 1) & ((1 << size) - 1) if size else 0
+
+
+def encode_jpeg_gray(pixels: bytes, width: int, height: int) -> tuple[bytes, bytes]:
+    """Real baseline-DCT grayscale JPEG encoder (the fixture twin of
+    `decode_jpeg`, like `synthesize_png_corpus`'s zlib encoder for the
+    PNG path). Returns (jpeg_bytes, expected_pixels): the second
+    element is the EXACT reconstruction the decoder must produce —
+    dequantized coefficients through the same IDCT/rounding path — so
+    tests can pin the decode bit-for-bit without a second decoder.
+    Edge blocks pad by edge replication; quantization rounds
+    floor(x/q + 0.5) symmetrically via int(x/q + copysign(0.5, x))."""
+    import numpy as np
+
+    B = _dct_basis()
+    q = np.array(_JPEG_QTABLE, dtype=np.float64).reshape(8, 8)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    padded = np.pad(
+        img.astype(np.float64) - 128.0,
+        ((0, bh * 8 - height), (0, bw * 8 - width)),
+        mode="edge",
+    )
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _BitWriter()
+    recon = np.zeros_like(padded)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = B @ block @ B.T
+            qc = np.array(
+                [
+                    int(c / qq + (0.5 if c >= 0 else -0.5))
+                    for c, qq in zip(coef.ravel(), q.ravel())
+                ]
+            ).reshape(8, 8)
+            # the reconstruction the decoder must reproduce
+            rb = B.T @ (qc * q) @ B
+            recon[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rb
+            zz = [qc[y, x] for (y, x) in _ZIGZAG]
+            size, amp = _magnitude(int(zz[0]) - prev_dc)
+            prev_dc = int(zz[0])
+            w.write(*dc_codes[size])
+            if size:
+                w.write(amp, size)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        w.write(*ac_codes[0xF0])  # ZRL
+                        run = 0
+                    continue
+                s, a = _magnitude(v)
+                w.write(*ac_codes[(run << 4) | s])
+                w.write(a, s)
+                run = 0
+            if last_nz < 63:
+                w.write(*ac_codes[0x00])  # EOB
+    scan = w.flush()
+    expected = np.clip(
+        np.floor(recon + 128.0 + 0.5), 0, 255
+    ).astype(np.uint8)[:height, :width]
+
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    # DQT payload: Pq/Tq=0 then the 64 entries in ZIGZAG order
+    zz_q = bytes(int(q[zy, zx]) for (zy, zx) in _ZIGZAG)
+    dqt = seg(0xDB, bytes([0x00]) + zz_q)
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    dht_ac = seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    jpeg = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+    )
+    return jpeg, expected.tobytes()
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG scan")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError("unexpected marker inside JPEG scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        if (code, length) in table:
+            return table[(code, length)]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(amp: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: amplitude bits back to a signed value."""
+    if size == 0:
+        return 0
+    return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Pure stdlib+numpy baseline-DCT GRAYSCALE JPEG decode: marker
+    walk (DQT/SOF0/DHT/SOS), Huffman scan decode with byte-unstuffing,
+    dequantize, inverse zigzag, IDCT, +128 level shift,
+    floor(x+0.5)-round and clamp — the exact reconstruction
+    `encode_jpeg_gray` predicts. Supports 8-bit single-component
+    baseline streams (any dimensions; MCU padding cropped). Raises
+    ValueError on anything else — progressive (SOF2), color, 16-bit
+    quant tables, restart intervals, arithmetic coding, torn streams —
+    which callers quarantine rather than fail (the PNG/WAV contract)."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    try:
+        pos = 2
+        qtables: dict[int, list[int]] = {}
+        htables: dict[tuple[int, int], dict] = {}
+        sof = None
+        scan_comp = None
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("bad JPEG marker alignment")
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:
+                b = 0
+                while b < len(body):
+                    pq, tq = body[b] >> 4, body[b] & 0x0F
+                    if pq != 0:
+                        raise ValueError("unsupported 16-bit quant table")
+                    zz = list(body[b + 1 : b + 65])
+                    tbl = [0] * 64
+                    for i, (y, x) in enumerate(_ZIGZAG):
+                        tbl[y * 8 + x] = zz[i]
+                    qtables[tq] = tbl
+                    b += 65
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    f"unsupported JPEG mode (SOF marker 0x{marker:02x} — "
+                    "baseline sequential only)"
+                )
+            elif marker == 0xC0:
+                prec, h, w_, ncomp = struct.unpack(">BHHB", body[:6])
+                if prec != 8:
+                    raise ValueError("unsupported JPEG precision")
+                if ncomp != 1:
+                    raise ValueError(
+                        "unsupported JPEG color layout (grayscale only)"
+                    )
+                cid, sampling, tq = body[6], body[7], body[8]
+                if sampling != 0x11:
+                    raise ValueError("unsupported JPEG subsampling")
+                sof = (w_, h, cid, tq)
+            elif marker == 0xC4:
+                b = 0
+                while b < len(body):
+                    tc, th = body[b] >> 4, body[b] & 0x0F
+                    bits = list(body[b + 1 : b + 17])
+                    nv = sum(bits)
+                    vals = list(body[b + 17 : b + 17 + nv])
+                    codes = _huff_codes(bits, vals)
+                    htables[(tc, th)] = {
+                        (c, ln): v for v, (c, ln) in codes.items()
+                    }
+                    b += 17 + nv
+            elif marker == 0xDD:
+                raise ValueError("unsupported JPEG restart interval")
+            elif marker == 0xDA:
+                ns = body[0]
+                if ns != 1:
+                    raise ValueError(
+                        "unsupported JPEG color layout (grayscale only)"
+                    )
+                scan_comp = (body[1], body[2] >> 4, body[2] & 0x0F)
+                pos = pos + 2 + seglen
+                break
+            pos = pos + 2 + seglen
+        if sof is None or scan_comp is None:
+            raise ValueError("truncated JPEG (missing SOF/SOS)")
+        width, height, _cid, tq = sof
+        if tq not in qtables:
+            raise ValueError("missing JPEG quant table")
+        _sc, dc_id, ac_id = scan_comp
+        if (0, dc_id) not in htables or (1, ac_id) not in htables:
+            raise ValueError("missing JPEG Huffman table")
+        q = np.array(qtables[tq], dtype=np.float64).reshape(8, 8)
+        dc_tbl, ac_tbl = htables[(0, dc_id)], htables[(1, ac_id)]
+        B = _dct_basis()
+        bh, bw = (height + 7) // 8, (width + 7) // 8
+        out = np.zeros((bh * 8, bw * 8))
+        reader = _BitReader(data, pos)
+        prev_dc = 0
+        for by in range(bh):
+            for bx in range(bw):
+                zz = [0] * 64
+                size = _huff_decode(reader, dc_tbl)
+                prev_dc += _extend(reader.bits(size), size)
+                zz[0] = prev_dc
+                i = 1
+                while i < 64:
+                    rs = _huff_decode(reader, ac_tbl)
+                    run, s = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    i += run
+                    if i > 63:
+                        raise ValueError("JPEG AC run overflows block")
+                    zz[i] = _extend(reader.bits(s), s)
+                    i += 1
+                qc = np.zeros((8, 8))
+                for k, (y, x) in enumerate(_ZIGZAG):
+                    qc[y, x] = zz[k]
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    B.T @ (qc * q) @ B
+                )
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError) as e:
+        raise ValueError(f"corrupt JPEG stream: {e}") from e
+    pixels = np.clip(np.floor(out + 128.0 + 0.5), 0, 255).astype(np.uint8)[
+        :height, :width
+    ]
+    return {
+        "width": width,
+        "height": height,
+        "channels": 1,
+        "bit_depth": 8,
+        "mean_intensity": float(pixels.mean()) if pixels.size else 0.0,
+        "pixels": pixels.tobytes(),
+    }
+
+
+def _jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
+    m = decode_jpeg(data)
+    return m["width"], m["height"], m["pixels"]
+
+
+def synthesize_jpeg_corpus(docs: DataFrame, cluster: int = 5) -> DataFrame:
+    """Deterministic REAL-JPEG fixture corpus — `synthesize_png_corpus`
+    with the baseline-DCT encoder: same 16×16 md5-derived pixel grids,
+    same near-dup cluster structure (member j nudges j pixels by +32 —
+    larger than the PNG fixture's +8 because JPEG quantization rounds
+    small single-pixel deltas away), encoded with `encode_jpeg_gray`."""
+    import hashlib
+
+    w = h = 16
+
+    def jpeg_bytes(doc_id: int) -> bytes:
+        group, member = divmod(int(doc_id), cluster)
+        seed = hashlib.md5(f"img:{group}".encode()).digest()
+        px = bytearray(
+            b"".join(
+                hashlib.md5(seed + bytes([i])).digest() for i in range(16)
+            )
+        )
+        for j in range(member):
+            pos = hashlib.md5(f"nudge:{group}:{j}".encode()).digest()[0] % (w * h)
+            px[pos] = (px[pos] + 32) & 0xFF
+        return encode_jpeg_gray(bytes(px), w, h)[0]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [jpeg_bytes(d) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id bigint, payload binary"
     )

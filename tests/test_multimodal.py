@@ -315,3 +315,144 @@ def test_audio_features_end_to_end_and_quarantine(spark):
     )
     out = {r.doc_id: r for r in MM.audio_features(bad).collect()}
     assert all(r.rms is None and r.error for r in out.values())
+
+
+# ------------------------------------------------ JPEG (baseline DCT)
+
+
+def _md5_pixels(group=0, w=16, h=16):
+    import hashlib
+
+    seed = hashlib.md5(f"img:{group}".encode()).digest()
+    return b"".join(
+        hashlib.md5(seed + bytes([i])).digest() for i in range(w * h // 16)
+    )
+
+
+def test_jpeg_roundtrip_bit_exact():
+    """decode_jpeg must reproduce the encoder's predicted
+    reconstruction EXACTLY — same dequant, same IDCT basis, same
+    floor(x+0.5) rounding — for aligned and MCU-padded dimensions."""
+    from algoritmos_etl_spark.operators import multimodal as mm
+
+    px = _md5_pixels()
+    jpeg, expected = mm.encode_jpeg_gray(px, 16, 16)
+    m = mm.decode_jpeg(jpeg)
+    assert (m["width"], m["height"], m["channels"]) == (16, 16, 1)
+    assert m["pixels"] == expected
+    # non-multiple-of-8: edge-replicated MCU padding, cropped on read
+    jpeg2, exp2 = mm.encode_jpeg_gray(bytes(range(60)), 10, 6)
+    m2 = mm.decode_jpeg(jpeg2)
+    assert (m2["width"], m2["height"]) == (10, 6)
+    assert m2["pixels"] == exp2
+
+
+def test_jpeg_annex_k_tables_are_canonical():
+    from algoritmos_etl_spark.operators import multimodal as mm
+
+    assert sum(mm._JPEG_DC_BITS) == len(mm._JPEG_DC_VALS) == 12
+    assert sum(mm._JPEG_AC_BITS) == len(mm._JPEG_AC_VALS) == 162
+    for bits, vals in ((mm._JPEG_DC_BITS, mm._JPEG_DC_VALS),
+                       (mm._JPEG_AC_BITS, mm._JPEG_AC_VALS)):
+        codes = mm._huff_codes(bits, vals)
+        assert len(codes) == len(vals)
+        for code, length in codes.values():
+            assert code < (1 << length)  # canonical construction holds
+        # prefix property: no code is a prefix of a longer one
+        seen = sorted((ln, c) for c, ln in codes.values())
+        for i, (ln_a, c_a) in enumerate(seen):
+            for ln_b, c_b in seen[i + 1:]:
+                assert not (c_b >> (ln_b - ln_a)) == c_a or ln_a == ln_b
+
+
+def test_jpeg_quarantine_variants():
+    from algoritmos_etl_spark.operators import multimodal as mm
+
+    px = _md5_pixels()
+    jpeg, _ = mm.encode_jpeg_gray(px, 16, 16)
+    with pytest.raises(ValueError, match="SOI"):
+        mm.decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="corrupt|truncated"):
+        mm.decode_jpeg(jpeg[:40])
+    # progressive: flip the SOF0 marker to SOF2
+    prog = jpeg.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        mm.decode_jpeg(prog)
+    # truncated scan: cut before EOI
+    with pytest.raises(ValueError, match="truncated|corrupt|marker"):
+        mm.decode_jpeg(jpeg[:-20])
+
+
+def test_jpeg_color_and_16bit_tables_quarantine():
+    import struct
+
+    from algoritmos_etl_spark.operators import multimodal as mm
+
+    px = _md5_pixels()
+    jpeg, _ = mm.encode_jpeg_gray(px, 16, 16)
+    # craft a 3-component SOF0 (color) — decoder must refuse
+    i = jpeg.index(b"\xff\xc0")
+    old = jpeg[i : i + 4 + 9]
+    body = struct.pack(">BHHB", 8, 16, 16, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    new = b"\xff\xc0" + struct.pack(">H", len(body) + 2) + body
+    with pytest.raises(ValueError, match="color"):
+        mm.decode_jpeg(jpeg[:i] + new + jpeg[i + len(old):])
+    # 16-bit quant table (Pq=1)
+    j = jpeg.index(b"\xff\xdb")
+    patched = bytearray(jpeg)
+    patched[j + 4] = 0x10
+    with pytest.raises(ValueError, match="16-bit"):
+        mm.decode_jpeg(bytes(patched))
+
+
+def test_jpeg_corpus_determinism_and_neardup(spark):
+    from pyspark.sql import functions as F
+
+    from algoritmos_etl_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: bytes(r.payload) for r in
+         mm.synthesize_jpeg_corpus(docs).collect()}
+    b = {r.doc_id: bytes(r.payload) for r in
+         mm.synthesize_jpeg_corpus(docs).collect()}
+    assert a == b  # byte-deterministic fixture
+    assert all(v[:2] == b"\xff\xd8" and v[-2:] == b"\xff\xd9"
+               for v in a.values())
+    hashed = mm.image_dhash(mm.synthesize_jpeg_corpus(docs))
+    assert hashed.filter(F.col("error").isNotNull()).count() == 0
+    pairs = mm.image_neardup_pairs(hashed, max_hamming=3).collect()
+    assert pairs, "clustered JPEG corpus must yield near-dup pairs"
+    # clusters are doc_id//5 groups: every reported pair is intra-cluster
+    # (md5 noise across groups is far in dhash space)
+    for r in pairs:
+        assert r.doc_a // 5 == r.doc_b // 5, (r.doc_a, r.doc_b)
+
+
+def test_jpeg_png_cross_format_hash_proximity(spark):
+    """A JPEG and a PNG of the SAME pixels hash close: quantization
+    noise flips few dHash bits on a real gradient structure."""
+    from pyspark.sql import functions as F
+
+    from algoritmos_etl_spark.operators import multimodal as mm
+
+    # smooth gradient image (JPEG's favorable case, like real photos)
+    w = h = 16
+    px = bytes(((x * 255) // (w - 1) + y) % 256 for y in range(h) for x in range(w))
+    jpeg, _ = mm.encode_jpeg_gray(px, w, h)
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + px[y * w:(y + 1) * w] for y in range(h))
+    png = (mm._PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    df = spark.createDataFrame([(1, png), (2, jpeg)],
+                               "doc_id long, payload binary")
+    hs = {r.doc_id: r.dhash for r in mm.image_dhash(df).collect()}
+    ham = bin((hs[1] ^ hs[2]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 8, ham

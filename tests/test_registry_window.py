@@ -49,7 +49,7 @@ MUST_BE_IN_WINDOW = {
     "pca_projection",
     "streaming_heavy_hitters", "streaming_neardup",
     "streaming_cdc_state",
-    "multimodal_report", "image_neardup", "audio_features",
+    "multimodal_report", "image_jpeg_neardup", "audio_features",
     # r10 flagships (rotated in the round they landed)
     "warc_extraction", "lang_id_trained",
 }
@@ -62,6 +62,7 @@ EXPECTED_TAIL = {
     # displaced by the r10 rotation — hash-green r8-r9, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "table_profile", "incremental_revenue", "price_anomalies",
+    "image_neardup",
     # displaced by the r7 rotation — all hash-green since landing
     "doc_fingerprints", "canonical_selection", "corpus_mixture",
     "embedding_neardup_pairs", "rolling_features", "kmeans_clusters",
