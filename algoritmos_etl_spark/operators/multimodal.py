@@ -1202,6 +1202,11 @@ def synthesize_jpeg_corpus(docs: DataFrame, cluster: int = 5) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
-        gen, schema="doc_id bigint, payload binary"
+    # the DCT encode (and the downstream Huffman decode) are the
+    # per-row hot path; a 2-file doc_id read would pin them to 2
+    # cores — the repartition shuffles bare longs (a real binary
+    # ingest arrives already spread)
+    spread = docs.select("doc_id").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
     )
+    return spread.mapInPandas(gen, schema="doc_id bigint, payload binary")

@@ -179,13 +179,59 @@ def lang_id_trained(
     with NULL scores for docs with no grams; argmax tie-break is the
     heuristic's fixed order (en > es > de > fr).
     """
-    seed_pred = lang_id(docs)
+    # the seed label is a ROW-LOCAL projection (marker counts), so it
+    # rides inline on the gram explode — joining lang_id's output back
+    # would self-join the corpus on doc_id carrying full text for
+    # nothing (measured 20.2 s -> 8.9 s at sf0.1). Pre-projected
+    # before the explode so the marker scans run once per DOC, not
+    # once per gram (the _nb_train Generate-CSE lesson).
+    lowered = F.lower(F.col("text"))
+    scores = {
+        lang: sum(
+            (_marker_count(lowered, m) for m in markers),
+            F.lit(0).cast("long"),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    en0, es0, de0, fr0 = (scores[lang] for lang in LANGS)
+    seed_lbl = (
+        F.when((en0 == 0) & (es0 == 0) & (de0 == 0) & (fr0 == 0), F.lit("und"))
+        .when((en0 >= es0) & (en0 >= de0) & (en0 >= fr0), F.lit("en"))
+        .when((es0 >= de0) & (es0 >= fr0), F.lit("es"))
+        .when(de0 >= fr0, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    # TWO pre-projection levels: the regex normalization materializes
+    # per DOC first (a higher-order-function lambda re-evaluates any
+    # non-column subtree per ELEMENT — norm inside the substr lambda
+    # would run the regex once per gram), then the gram array slices
+    # the plain `_t` column, then the explode consumes the plain `_g`
+    # column (the codegen-boundary discipline from the module header).
+    # the explode generates ~300 gram rows per doc, so its INPUT
+    # partitioning is the whole query's parallelism — a 2-file corpus
+    # read would run the hot stage on 2 cores (measured 26.6 s -> 2.1 s
+    # at sf0.1); the repartition shuffles only the compact normalized
+    # projection. The generator emits integer POSITIONS (cheap), and
+    # the 3-char slice runs as a plain-column substr in the follow-up
+    # codegen projection — never inside a HOF lambda.
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " "))
+    pre = docs.select(
+        "doc_id", seed_lbl.alias("_lbl"), norm.alias("_t")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # guarded: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than
+    # being empty, so a doc shorter than n would fabricate empty-string
+    # grams and lose its 'und' contract (DuckDB's generate_series is
+    # empty there — a silent cross-engine divergence on short docs)
+    positions = F.when(
+        F.length("_t") >= n,
+        F.sequence(F.lit(1), F.length("_t") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     grams = (
-        docs.join(seed_pred, "doc_id")
+        pre.select("doc_id", "_lbl", "_t", F.explode(positions).alias("_i"))
         .select(
             "doc_id",
-            F.col("pred_lang").alias("_lbl"),
-            F.explode(char_ngrams_col(F.col("text"), n)).alias("g"),
+            "_lbl",
+            F.substr(F.col("_t"), F.col("_i"), F.lit(n)).alias("g"),
         )
         .withColumn("bucket", F.pmod(token_hash(F.col("g")), F.lit(n_buckets)))
         .drop("g")
