@@ -70,6 +70,14 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
+    # big-corpus sweeps (the 10x/30x notches) run the oracle next to a
+    # live Spark JVM: cap DuckDB below the default 80%-of-RAM so the
+    # two engines fit together, and give it a spill directory so the
+    # heavy pair-join CTE oracles offload instead of OOM-ing
+    import tempfile
+
+    con.sql(f"SET memory_limit = '{os.environ.get('VERIFY_DUCKDB_MEM', '48GB')}'")
+    con.sql(f"SET temp_directory = '{tempfile.mkdtemp(prefix='duck_spill_')}'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
