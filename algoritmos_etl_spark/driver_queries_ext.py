@@ -4754,12 +4754,14 @@ def q_hybrid_rrf_topk(spark, sf_dir):
     ),
     bb AS (
         SELECT (SELECT count(*) FROM (SELECT unnest(bs) AS b FROM bounds)
-                WHERE b <= x) AS bucket
+                WHERE floor(b * 10000 + 0.5) <= floor(x * 10000 + 0.5)
+               ) AS bucket
         FROM base
     ),
     cb AS (
         SELECT (SELECT count(*) FROM (SELECT unnest(bs) AS b FROM bounds)
-                WHERE b <= x) AS bucket
+                WHERE floor(b * 10000 + 0.5) <= floor(x * 10000 + 0.5)
+               ) AS bucket
         FROM cur
     ),
     grid AS (SELECT unnest(range(0, 10)) AS bucket),

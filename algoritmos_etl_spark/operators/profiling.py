@@ -126,7 +126,14 @@ def drift_psi(
     JVM array-filter count per row (no join per boundary); each side
     reduces map-side to ≤ n_buckets cells before the single tiny merge.
     Boundary-tie semantics (`bound <= x` counts up) are part of the
-    contract and mirrored in the oracle. An EMPTY side contributes the
+    contract and mirrored in the oracle — compared at the shared
+    floor(v·10⁴+0.5) integer grain, NOT on raw doubles: engines
+    interpolate the quantile with algebraically-equal but
+    IEEE-different formulas, and a last-ulp boundary difference flips
+    every row whose value sits exactly on a decile (the 30× notch
+    caught ±30-row bucket swaps — replicated corpora stack duplicate
+    values on the boundary; the r9 heatmap quantizer pattern applied
+    here). An EMPTY side contributes the
     smoothing-uniform distribution (every bucket 0.5/(0.5·B)) — so
     empty-vs-empty reads PSI = 0 and empty-current reads as a drift
     toward uniform, never a crash; gate empty batches upstream
@@ -148,6 +155,11 @@ def drift_psi(
         ).alias("bounds")
     )
 
+    def q4(c):
+        # exact while |v|·10⁴ < 2^53 — the pure-IEEE cross-engine
+        # quantizer (identical in Spark/DuckDB/numpy)
+        return F.floor(c * 10000 + F.lit(0.5)).cast("long")
+
     def bucketed(df: DataFrame, out: str) -> DataFrame:
         x = F.col(value_col)
         return (
@@ -155,7 +167,7 @@ def drift_psi(
             .crossJoin(F.broadcast(bounds))
             .select(
                 F.size(
-                    F.filter(F.col("bounds"), lambda b: b <= x)
+                    F.filter(F.col("bounds"), lambda b: q4(b) <= q4(x))
                 ).alias("bucket")
             )
             .groupBy("bucket")

@@ -84,7 +84,16 @@ def main() -> int:
         )
 
     failures, passed, rows_only = [], [], []
+    # oracles proven beyond the single-node SQL engine's memory at a
+    # big notch (the pair-join CTEs at 30x) can be demoted to the
+    # rows-only check for that run — the Spark side still executes
+    # and its row count is recorded, which IS the scale point
+    skip_oracle = set(
+        (os.environ.get("VERIFY_SKIP_ORACLE") or "").split(",")
+    ) - {""}
     for name, fn in qs.items():
+        if name in skip_oracle:
+            oracles = {k: v for k, v in oracles.items() if k != name}
         if only and name not in only:
             continue
         t0 = time.time()
