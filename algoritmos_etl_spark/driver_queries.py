@@ -1397,12 +1397,12 @@ REGISTRY_ORDER = (
     "dominant_suppliers",      # r9 rotation IN: Q20 nested correlated aggs
     "bloom_join_prune",        # r9 LATE IN: bloom semi-join pruning
     # ---- snapshot / warehouse ----
-    "table_history",
     "snapshot_evolution",      # r9 NEW: row delete + add-column backfill
     "snapshot_changes",        # r9 rotation IN: time travel x keyed diff
     "priority_drift_categorical",  # r9 rotation IN: categorical PSI
     "snapshot_file_skipping",  # r9 LATE IN: manifest min/max pruning
     "snapshot_delete_mor",     # r10 NEW: merge-on-read equality deletes
+    "snapshot_delete_positions",  # r10 NEW: deletion-vector position grain
     # ---- text / dedup / corpus ----
     "exact_repeat_runs",
     "exact_repeat_runs_tokens",  # r9 NEW: Lee 2022 at 50-BPE-token grain
@@ -1432,6 +1432,12 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "table_history",         # displaced by r10 snapshot_delete_positions:
+                             # hash-green r8-r9; the manifest/lineage
+                             # surface stays evidenced by SIX in-window
+                             # snapshot queries (evolution, changes,
+                             # file_skipping, both MoR lifecycles all
+                             # join table_history in their output)
     "image_neardup",         # displaced by r10 image_jpeg_neardup: the
                              # SAME dhash/banding chain now runs on the
                              # dominant format in-window; the PNG arm

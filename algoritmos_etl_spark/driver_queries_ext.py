@@ -6007,3 +6007,95 @@ def q_image_jpeg_neardup(spark, sf_dir):
     return multimodal.image_neardup_pairs(
         multimodal.image_dhash(imgs), max_hamming=3
     )
+
+
+# ----------- round 10: position-grain MoR deletes (deletion vectors)
+
+_SNAP_POS_SETUP: dict = {}
+
+
+def _snap_pos_setup(spark, sf_dir: str) -> str:
+    """3-version position-delete lifecycle on a DUPLICATE-KEY table:
+    v1 overwrite = (orders %6==0, price as-is) ∪ (orders %12==0, price
+    +1e6 — a distinguishable physical twin of every %12 key), v2
+    POSITION delete of the twin rows with %24 keys (physical-row
+    precise: the same-key original rows stay), v3 compact (folds the
+    position file into plain data)."""
+    from .sources import snapshots as snap
+
+    def populate(work: str) -> None:
+        table = f"{work}/orders_pos"
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        a = orders.filter(F.pmod(F.col("o_orderkey"), F.lit(6)) == 0)
+        b = orders.filter(
+            F.pmod(F.col("o_orderkey"), F.lit(12)) == 0
+        ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000000.0))
+        snap.snapshot_commit(a.unionByName(b), table, mode="overwrite")
+        snap.snapshot_delete_mor_positions(
+            spark, table,
+            "o_totalprice >= 1000000 AND o_orderkey % 24 = 0",
+        )
+        snap.snapshot_compact(spark, table)
+
+    work = _session_workdir(_SNAP_POS_SETUP, spark, sf_dir, "snap_pos_", populate)
+    return f"{work}/orders_pos"
+
+
+@register(
+    "snapshot_delete_positions",
+    """WITH v1 AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice + 1000000 FROM orders
+        WHERE o_orderkey % 12 = 0
+    ),
+    v2 AS (
+        SELECT * FROM v1
+        WHERE NOT (o_totalprice >= 1000000 AND o_orderkey % 24 = 0)
+    )
+    SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS op,
+           CAST((SELECT count(*) FROM v1) AS BIGINT) AS n_rows,
+           round(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                       FROM v1) AS DOUBLE), 2) AS total_price
+    UNION ALL
+    SELECT 2, 'delete_mor_pos', CAST((SELECT count(*) FROM v2) AS BIGINT),
+           round(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                       FROM v2) AS DOUBLE), 2)
+    UNION ALL
+    SELECT 3, 'compact', CAST((SELECT count(*) FROM v2) AS BIGINT),
+           round(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(30,10)))
+                       FROM v2) AS DOUBLE), 2)""",
+    "POSITION-grain merge-on-read deletes (the Delta deletion-vector "
+    "shape next to snapshot_delete_mor's equality shape): on a "
+    "duplicate-key table, one committed (file, row_index) file removes "
+    "EXACTLY the physically-matching rows — the same-key twins stay — "
+    "with no data-file rewrite; self-scoped by file path (appends can "
+    "re-insert), folded by compact. Every version read back as-of and "
+    "summarized against a relational reconstruction",
+)
+def q_snapshot_delete_positions(spark, sf_dir):
+    from functools import reduce
+
+    from .sources import snapshots as snap
+
+    table = _snap_pos_setup(spark, sf_dir)
+    hist = snap.table_history(spark, table)
+    reads = []
+    for v in (1, 2, 3):
+        reads.append(
+            snap.read_as_of(spark, table, v).agg(
+                F.lit(v).cast("long").alias("version"),
+                F.round(
+                    F.sum(
+                        F.col("o_totalprice").cast("decimal(30,10)")
+                    ).cast("double"),
+                    2,
+                ).alias("total_price"),
+            )
+        )
+    totals = reduce(lambda a, b: a.unionByName(b), reads)
+    return hist.join(totals, "version").select(
+        "version", "op", "n_rows", "total_price"
+    )

@@ -138,7 +138,11 @@ def _merge_schema(prior: dict | None, new: dict) -> dict:
 
 
 def _read_manifest_df(
-    spark: SparkSession, table_dir: str, m: dict, file_col: str | None = None
+    spark: SparkSession,
+    table_dir: str,
+    m: dict,
+    file_col: str | None = None,
+    pos_col: str | None = None,
 ) -> DataFrame:
     """Read exactly a manifest's file list, under its recorded schema
     when present — files older than an add_column backfill the new
@@ -152,7 +156,11 @@ def _read_manifest_df(
     when the delete committed) is what lets a later append RE-INSERT a
     deleted key: new files are not in any earlier entry's scope. Key
     files broadcast (delete batches are small by the same contract as
-    the CoW path)."""
+    the CoW path). Entries with grain='position'
+    (`snapshot_delete_mor_positions`) anti-join on (file, row_index)
+    instead — the Delta deletion-vector shape: physical-row precise,
+    key-free, self-scoped (a position row names its file, so rewritten
+    or appended files are never touched by stale positions)."""
     from pyspark.sql import functions as F
 
     paths = [os.path.join(table_dir, f) for f in m["files"]]
@@ -163,6 +171,9 @@ def _read_manifest_df(
         reader = reader.schema(StructType.fromJson(m["schema"]))
     df = reader.parquet(*paths)
     deletes = m.get("deletes") or []
+    need_pos = pos_col is not None or any(
+        d.get("grain") == "position" for d in deletes
+    )
     # the table-relative provenance column must attach BEFORE any
     # delete anti-join (input_file_name is only unambiguous next to
     # the scan); `file_col` keeps it in the output for callers that
@@ -181,19 +192,30 @@ def _read_manifest_df(
                 local, F.lit(os.path.abspath(table_dir) + "/"), F.lit("")
             ),
         )
-    if not deletes:
-        return (
-            df.withColumnRenamed("_mor_file", file_col) if file_col else df
-        )
+    if need_pos:
+        df = df.withColumn("_mor_pos", F.col("_metadata.row_index"))
     present = set(m["files"])
     for d in deletes:
+        dpaths = [os.path.join(table_dir, f) for f in d["files"]]
+        if d.get("grain") == "position":
+            # positions are self-scoped: each row names its file, so
+            # files rewritten/appended later can never match
+            pos = spark.read.parquet(*dpaths).select(
+                F.col("file").alias("_mor_file"),
+                F.col("pos").alias("_mor_pos"),
+                F.lit(True).alias("_mor_hit"),
+            )
+            df = (
+                df.join(F.broadcast(pos), ["_mor_file", "_mor_pos"], "left")
+                .filter(~F.coalesce(F.col("_mor_hit"), F.lit(False)))
+                .drop("_mor_hit")
+            )
+            continue
         applies = sorted(set(d["applies_to"]) & present)
         if not applies:
             continue
         keys = (
-            spark.read.parquet(
-                *[os.path.join(table_dir, f) for f in d["files"]]
-            )
+            spark.read.parquet(*dpaths)
             .select(*d["key_cols"])
             .withColumn("_mor_hit", F.lit(True))
         )
@@ -207,6 +229,10 @@ def _read_manifest_df(
             )
             .drop("_mor_hit")
         )
+    if pos_col:
+        df = df.withColumnRenamed("_mor_pos", pos_col)
+    elif need_pos:
+        df = df.drop("_mor_pos")
     return (
         df.withColumnRenamed("_mor_file", file_col)
         if file_col
@@ -651,6 +677,10 @@ def snapshot_delete(
         files = untouched + rewritten
         new_deletes = []
         for d in m.get("deletes") or []:
+            if d.get("grain") == "position":
+                # self-scoped: rows naming rewritten files are inert
+                new_deletes.append(d)
+                continue
             remaining = [f for f in d["applies_to"] if f in set(untouched)]
             if remaining:
                 new_deletes.append({**d, "applies_to": remaining})
@@ -750,6 +780,61 @@ def snapshot_delete_mor(
             return head + 1
         # lost the race: recompute hits/scope from the new head (the
         # written key file stays valid across retries)
+
+
+def snapshot_delete_mor_positions(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+) -> int:
+    """Row-level DELETE at POSITION grain (the Delta deletion-vector
+    shape, vs `snapshot_delete_mor`'s Iceberg equality shape): every
+    LIVE row matching `predicate` (a SQL expression over the table's
+    columns) is recorded as a (file, row_index) pair in one committed
+    position file; readers anti-join on physical position. Key-free —
+    it works on tables with duplicate or absent keys, where an
+    equality delete would be over- or under-inclusive — and
+    physical-row precise: a position row names its file, so it can
+    never touch a file rewritten or appended later (no applies_to
+    list needed; re-insert works by construction). `row_index` is the
+    parquet scan's `_metadata.row_index` — stable for immutable files,
+    which is exactly what the snapshot layout guarantees.
+
+    Matching runs against the LIVE view (pending MoR deletes applied),
+    so already-deleted rows are never re-recorded. Deletes stack until
+    `snapshot_compact` folds them; vacuum treats position files as
+    references; `snapshot_changes` reports the rows as removed."""
+    from pyspark.sql import functions as F
+
+    while True:
+        versions = _versions(table_dir)
+        if not versions:
+            raise ValueError(f"no snapshots under {table_dir}")
+        head = versions[-1]
+        m = _read_manifest(table_dir, head)
+        cur = _read_manifest_df(
+            spark, table_dir, m, file_col="_file", pos_col="_pos"
+        )
+        matches = cur.filter(F.expr(predicate)).select(
+            F.col("_file").alias("file"), F.col("_pos").alias("pos")
+        )
+        # recomputed per attempt (unlike the equality path's reusable
+        # key file): positions are only valid against THIS head's
+        # files; a lost race orphans the stale position file (vacuum)
+        delete_files = _write_data(matches.coalesce(1), table_dir, head + 1)
+        hits = _count_rows(table_dir, delete_files)
+        manifest = {
+            "op": "delete_mor_pos",
+            "files": m["files"],
+            "schema": m.get("schema"),
+            "n_rows": m["n_rows"] - hits,
+            "deletes": (m.get("deletes") or [])
+            + [{"files": delete_files, "grain": "position"}],
+        }
+        if m.get("stats"):
+            manifest["stats"] = m["stats"]
+        if _publish_at(table_dir, manifest, head + 1):
+            return head + 1
 
 
 def snapshot_add_column(table_dir: str, name: str, dtype: str) -> int:

@@ -24,9 +24,13 @@ synthesizer, quarantine instead of task failure):
   Content-Length framing), HTTP envelope strip (status line, headers,
   `\\r\\n\\r\\n` body split). Arrow-batched `mapInPandas`; a torn or
   malformed record yields a quarantine row (ok=false, err=<reason>)
-  and NEVER fails the task. A truncated gzip member ends that FILE's
-  parse (bytes after a torn member need magic-scan resync — real
-  readers do exactly this; documented, not silently skipped).
+  and NEVER fails the task. A truncated gzip member emits ONE
+  quarantine row for its torn region and the parser RESYNCS by
+  scanning for the next gzip magic (1f 8b 08) — one torn record costs
+  one record, not the file tail, exactly what real WARC readers do
+  (a chance magic inside compressed bytes fails the CRC-checked
+  decompress and is skipped without minting extra rows, so the
+  output is a pure function of the records, not the noise).
 - `read_warc_dir` — binds the parser to real files on disk via
   Spark's `binaryFile` source (one row per .warc.gz, whole-file
   content column) — the shape a 1000-executor cluster reads a crawl
@@ -253,8 +257,9 @@ def parse_warc_records(
 ) -> DataFrame:
     """(warc_file, url, warc_date, warc_type, http_status,
     content_type, html, ok, err) — one row per WARC record, quarantine
-    rows (ok=false, err) for torn/malformed records. See module doc
-    for the member-walk and the torn-member file-tail contract."""
+    rows (ok=false, err) for torn/malformed records, magic-scan resync
+    after torn members. See the module doc for the member-walk and
+    torn-region contracts."""
     src = files.select(
         F.col(file_col).alias("warc_file"), F.col(content_col).alias("content")
     )
@@ -267,6 +272,7 @@ def parse_warc_records(
             for fname, data in zip(pdf["warc_file"], pdf["content"]):
                 data = bytes(data) if data is not None else b""
                 pos = 0
+                in_torn = False
                 while pos < len(data):
                     d = zlib.decompressobj(wbits=31)
                     try:
@@ -274,8 +280,27 @@ def parse_warc_records(
                         if not d.eof:
                             raise zlib.error("truncated member")
                     except zlib.error:
-                        rows.append({"warc_file": fname, **_quarantine(ERR_TORN)})
-                        break  # past a torn member needs magic-scan resync
+                        # RESYNC: scan forward for the next gzip member
+                        # header (magic 1f 8b, deflate method 08) — what
+                        # real WARC readers do, so one torn record costs
+                        # one record, not the file tail. Exactly ONE
+                        # quarantine row per contiguous torn REGION:
+                        # compressed bytes can contain the magic by
+                        # chance (~2^-24/offset), and a false candidate
+                        # fails the CRC-checked decompress above — it
+                        # must not mint another quarantine row, or the
+                        # output would vary with compressed noise.
+                        if not in_torn:
+                            rows.append(
+                                {"warc_file": fname, **_quarantine(ERR_TORN)}
+                            )
+                            in_torn = True
+                        nxt = data.find(b"\x1f\x8b\x08", pos + 1)
+                        if nxt == -1:
+                            break
+                        pos = nxt
+                        continue
+                    in_torn = False
                     pos = len(data) - len(d.unused_data)
                     try:
                         rows.append({"warc_file": fname, **_parse_member(raw)})

@@ -35,9 +35,9 @@ MUST_BE_IN_WINDOW = {
     "returned_item_customers", "important_parts",
     "promo_revenue_share", "top_supplier_q15", "bracket_revenue",
     "dominant_suppliers",
-    "table_history", "snapshot_evolution", "snapshot_changes",
+    "snapshot_evolution", "snapshot_changes",
     "priority_drift_categorical", "snapshot_file_skipping",
-    "snapshot_delete_mor",
+    "snapshot_delete_mor", "snapshot_delete_positions",
     "bloom_join_prune",
     # extensions (r9 late flagships rotated in the round they landed)
     "exact_repeat_runs", "exact_repeat_runs_tokens",
@@ -62,7 +62,7 @@ EXPECTED_TAIL = {
     # displaced by the r10 rotation — hash-green r8-r9, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "table_profile", "incremental_revenue", "price_anomalies",
-    "image_neardup",
+    "image_neardup", "table_history",
     # displaced by the r7 rotation — all hash-green since landing
     "doc_fingerprints", "canonical_selection", "corpus_mixture",
     "embedding_neardup_pairs", "rolling_features", "kmeans_clusters",

@@ -552,3 +552,68 @@ def test_mor_changes_and_scan_and_vacuum(spark, tmp_path):
     assert on_disk == live_dirs
     assert {r.k for r in snap.read_as_of(spark, t).collect()} == (
         set(range(10)) - {4})
+
+
+# ------------------------------------------- position-grain deletes
+
+
+def test_position_delete_handles_duplicate_keys(spark, tmp_path):
+    """The case equality deletes cannot express: a table with
+    duplicate keys where only the physically-matching rows must go."""
+    t = str(tmp_path / "t")
+    rows = [(1, 1.0), (1, 1.0), (2, 2.0), (2, 9.0), (3, 3.0)]
+    snap.snapshot_commit(_df(spark, rows), t, mode="overwrite")
+    snap.snapshot_delete_mor_positions(spark, t, "k = 2 AND v = 9.0")
+    got = sorted((r.k, r.v) for r in snap.read_as_of(spark, t).collect())
+    # only the (2, 9.0) physical row is gone; the (2, 2.0) twin stays
+    assert got == [(1, 1.0), (1, 1.0), (2, 2.0), (3, 3.0)]
+    assert snap.read_as_of(spark, t, 1).count() == 5  # time travel
+    hist = {r.version: (r.op, r.n_rows) for r in
+            snap.table_history(spark, t).collect()}
+    assert hist[2] == ("delete_mor_pos", 4)
+
+
+def test_position_delete_is_self_scoped_and_folds(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(_df(spark, [(i, float(i)) for i in range(8)]), t,
+                         mode="overwrite")
+    snap.snapshot_delete_mor_positions(spark, t, "k IN (2, 5)")
+    # an appended row matching the same predicate is NOT touched by
+    # the stale positions (self-scoping via file path)
+    snap.snapshot_commit(_df(spark, [(2, 22.0)]), t, mode="append")
+    got = {(r.k, r.v) for r in snap.read_as_of(spark, t).collect()}
+    assert got == {(0, 0.0), (1, 1.0), (3, 3.0), (4, 4.0), (6, 6.0),
+                   (7, 7.0), (2, 22.0)}
+    # live-view matching: a second position delete on k=2 removes the
+    # re-inserted row only (the original k=2 row is already dead)
+    snap.snapshot_delete_mor_positions(spark, t, "k = 2")
+    m = snap._read_manifest(t, snap._versions(t)[-1])
+    assert sum(1 for d in m["deletes"] if d.get("grain") == "position") == 2
+    got = {r.k for r in snap.read_as_of(spark, t).collect()}
+    assert got == {0, 1, 3, 4, 6, 7}
+    # compact folds both position files into plain data
+    snap.snapshot_compact(spark, t)
+    m = snap._read_manifest(t, snap._versions(t)[-1])
+    assert "deletes" not in m
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == {
+        0, 1, 3, 4, 6, 7}
+
+
+def test_position_and_equality_deletes_stack_with_cow(spark, tmp_path):
+    t = str(tmp_path / "t")
+    snap.snapshot_commit(
+        _df(spark, [(i, float(i)) for i in range(12)]).repartition(3), t,
+        mode="overwrite")
+    snap.snapshot_delete_mor(spark, t, _df(spark, [(1, 0.0)]), ["k"])
+    snap.snapshot_delete_mor_positions(spark, t, "k = 4")
+    # CoW delete of a third key must resurrect neither
+    snap.snapshot_delete(spark, t, _df(spark, [(8, 0.0)]), ["k"])
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == (
+        set(range(12)) - {1, 4, 8})
+    hist = {r.version: r.n_rows for r in
+            snap.table_history(spark, t).collect()}
+    assert hist == {1: 12, 2: 11, 3: 10, 4: 9}
+    # changes-since across all three sees exactly the removed keys
+    ch = {(r.k, r.diff_type) for r in
+          snap.snapshot_changes(spark, t, 1, 4, key_cols=["k"]).collect()}
+    assert ch == {(1, "removed"), (4, "removed"), (8, "removed")}

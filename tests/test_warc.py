@@ -178,7 +178,7 @@ def test_non_response_records_frame_but_carry_no_body(spark):
     assert pages.first()["text"] == "hi there"
 
 
-def test_mid_file_torn_member_ends_file_parse(spark):
+def test_mid_file_torn_member_resyncs_on_gzip_magic(spark):
     good = _gz(
         b"WARC/1.0\r\nWARC-Type: response\r\n"
         b"WARC-Target-URI: https://example.com/doc/1\r\n"
@@ -189,9 +189,18 @@ def test_mid_file_torn_member_ends_file_parse(spark):
     rows = warc.parse_warc_records(
         _one_file_df(spark, good + torn + good)
     ).collect()
-    # good record, then torn quarantine, then STOP (no resync past it)
-    assert [r["ok"] for r in rows] == [True, False]
+    # good record, ONE torn-region quarantine, then the magic-scan
+    # resync recovers the record after the torn member
+    assert [r["ok"] for r in rows] == [True, False, True]
     assert rows[1]["err"] == warc.ERR_TORN
+    assert rows[2]["url"] == f"{warc._URL_PREFIX}1"
+    # two adjacent torn members = one contiguous region = ONE row,
+    # even with a planted false gzip magic inside the torn bytes
+    torn2 = torn + b"\x1f\x8b\x08" + b"\x00" * 16
+    rows = warc.parse_warc_records(
+        _one_file_df(spark, good + torn2 + torn + good)
+    ).collect()
+    assert [r["ok"] for r in rows] == [True, False, True]
 
 
 def test_empty_inputs(spark):
