@@ -1067,9 +1067,10 @@ def _maximal_diagonal_runs(
     duplicate candidates via a semi-join against the hot-hash table,
     materialized once (eager checkpoint — it is needed for the size
     decision anyway) and BROADCAST while it fits the bounded budget
-    (8 B/hash: sf1 has 663k hot hashes ≈ 5 MB; the guard trips only
-    past ~32M distinct duplicated shingles, where the fallback
-    partitioned semi-join still keys on the 8-byte hash). No upper
+    (sized for HashedRelation's real tens-of-bytes/row cost, not raw
+    8 B/hash: sf1 has 663k hot hashes; the guard trips past ~8M
+    distinct duplicated shingles ≈ 300-500 MB materialized, where the
+    fallback partitioned semi-join still keys on the 8-byte hash). No upper
     df-cap on the hash count: a collision-merged count above max_occ
     must never exclude a string that is under the cap. Raw strings
     are exchanged only for the narrowed candidate subset (sf1: 9% of
@@ -1088,7 +1089,14 @@ def _maximal_diagonal_runs(
         .select("_h")
         .localCheckpoint()
     )
-    hot_side = F.broadcast(hot) if hot.count() <= 32_000_000 else hot
+    # broadcast budget is HashedRelation-realistic, not 8 B/key: a
+    # LongHashedRelation costs tens of bytes per row (key + page +
+    # index overhead), so 8M hashes ≈ 300-500 MB materialized on the
+    # driver AND every executor — the ceiling before default driver
+    # memory is at risk. Past it, the fallback partitioned semi-join
+    # still keys on the 8-byte hash. (sf1 measures 663k hot hashes —
+    # two orders under the guard.)
+    hot_side = F.broadcast(hot) if hot.count() <= 8_000_000 else hot
     cand0 = sh.join(hot_side, "_h", "left_semi").drop("_h")
     pairable = (
         cand0.groupBy("shingle")

@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from urllib.parse import quote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -178,20 +179,27 @@ def _read_manifest_df(
     # delete anti-join (input_file_name is only unambiguous next to
     # the scan); `file_col` keeps it in the output for callers that
     # need touched-file discovery (snapshot_delete). input_file_name
-    # emits a URI whose scheme slashes vary (file:/ vs file:///) —
-    # normalize the scheme first, then strip the absolute table dir
-    # (local-POSIX paths, no URL-escaping concerns — same scope as
-    # the rest of the layout family)
+    # emits a URI whose scheme slashes vary (file:/ vs file:///) and
+    # whose path is PERCENT-ENCODED (a space in table_dir arrives as
+    # %20) — normalize the scheme, then strip the URI-encoded form of
+    # the absolute table dir first and the raw form second (equal for
+    # plain-ASCII dirs; the safe set reproduces Java URI path
+    # encoding — RFC 2396 pchar — so the encoded strip matches what
+    # input_file_name actually emits, and the raw strip is the
+    # belt-and-braces second pass). A prefix that failed to strip
+    # would silently match NOTHING in the delete anti-joins — deleted
+    # rows resurrecting — which is why this is pinned by a pytest on
+    # a table dir containing a space and a '%'.
     if file_col is not None or deletes:
+        raw_prefix = os.path.abspath(table_dir) + "/"
+        enc_prefix = quote(raw_prefix, safe="/!~*'():@&=+$,")
         local = F.regexp_replace(
             F.input_file_name(), "^file:/+", "/"
         )
-        df = df.withColumn(
-            "_mor_file",
-            F.replace(
-                local, F.lit(os.path.abspath(table_dir) + "/"), F.lit("")
-            ),
-        )
+        stripped = F.replace(local, F.lit(enc_prefix), F.lit(""))
+        if raw_prefix != enc_prefix:
+            stripped = F.replace(stripped, F.lit(raw_prefix), F.lit(""))
+        df = df.withColumn("_mor_file", stripped)
     if need_pos:
         df = df.withColumn("_mor_pos", F.col("_metadata.row_index"))
     present = set(m["files"])

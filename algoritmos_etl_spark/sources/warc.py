@@ -271,12 +271,20 @@ def parse_warc_records(
             rows = []
             for fname, data in zip(pdf["warc_file"], pdf["content"]):
                 data = bytes(data) if data is not None else b""
+                # zero-copy member walk: data[pos:] would memcpy the
+                # remaining file bytes PER MEMBER — O(members × size),
+                # tens of TB of copying on a CommonCrawl-geometry file
+                # (~1 GiB, ~100k members). memoryview slices are
+                # views; zlib accepts any buffer. data.find for the
+                # resync scan stays on the original bytes (find does
+                # not copy).
+                mv = memoryview(data)
                 pos = 0
                 in_torn = False
                 while pos < len(data):
                     d = zlib.decompressobj(wbits=31)
                     try:
-                        raw = d.decompress(data[pos:])
+                        raw = d.decompress(mv[pos:])
                         if not d.eof:
                             raise zlib.error("truncated member")
                     except zlib.error:

@@ -54,8 +54,6 @@ CROSS_OK = {
     "quality_tiers": "inherits doc_quality_scores' 1024-cell grid × "
     "1-row totals cross, plus per-doc scores × the 1-row tercile-cuts "
     "aggregate (the risk_classification threshold shape)",
-    "lang_id_trained": "2048-bucket class-distribution grid × the 1-row "
-    "class-totals aggregate (the doc_quality_scores shape, multiclass)",
 }
 
 
@@ -150,6 +148,12 @@ _COLLECT_BOUNDED = {
         2,
         "one winning merge pair per BPE round (limit(1)); the training "
         "alphabet (bounded by the script's character set)",
+    ),
+    "operators/text.py": (
+        1,
+        "lang_id_trained's B×4 class-count grid (n_buckets=2048 rows) — "
+        "the model codebook, collected so ln runs in CPython libm "
+        "(== DuckDB libm) instead of JVM Math.log (r10 ADVICE pin)",
     ),
     "sources/snapshots.py": (
         2,

@@ -617,3 +617,26 @@ def test_position_and_equality_deletes_stack_with_cow(spark, tmp_path):
     ch = {(r.k, r.diff_type) for r in
           snap.snapshot_changes(spark, t, 1, 4, key_cols=["k"]).collect()}
     assert ch == {(1, "removed"), (4, "removed"), (8, "removed")}
+
+
+def test_deletes_survive_uri_hostile_table_dir(spark, tmp_path):
+    """r10 ADVICE (medium): input_file_name() emits a PERCENT-ENCODED
+    URI, so a table dir containing a space or '%' used to defeat the
+    prefix strip that scopes delete anti-joins — MoR-deleted rows
+    silently resurrected and CoW touched-file discovery saw zero
+    files. Pin all three delete paths on a hostile dir."""
+    t = str(tmp_path / "sp ace%25 dir" / "t")
+    snap.snapshot_commit(_df(spark, [(i, float(i)) for i in range(10)]), t,
+                         mode="overwrite")
+    # equality-grain MoR: anti-join scoped by applies_to ∈ _mor_file
+    snap.snapshot_delete_mor(spark, t, _df(spark, [(3, 0.0)]), ["k"])
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == (
+        set(range(10)) - {3})
+    # position-grain MoR: anti-join keyed on (_mor_file, _mor_pos)
+    snap.snapshot_delete_mor_positions(spark, t, "k = 7")
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == (
+        set(range(10)) - {3, 7})
+    # CoW delete: touched-file discovery via the same provenance strip
+    snap.snapshot_delete(spark, t, _df(spark, [(5, 0.0)]), ["k"])
+    assert {r.k for r in snap.read_as_of(spark, t).collect()} == (
+        set(range(10)) - {3, 5, 7})
