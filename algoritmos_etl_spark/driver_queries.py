@@ -1406,9 +1406,9 @@ REGISTRY_ORDER = (
     # ---- text / dedup / corpus ----
     "exact_repeat_runs",
     "exact_repeat_runs_tokens",  # r9 NEW: Lee 2022 at 50-BPE-token grain
-    "passage_scrub",           # r9 LATE IN: ExactSubstr action arm
     "triplet_mining",          # r9 LATE IN: contrastive (a,p,n) mining
-    "heavy_hitters",           # r9 LATE IN: count-min frequency grid
+    "url_dedup",               # r11 NEW: URL-grain exact dedup over WARC
+    "domain_curation",         # r11 NEW: registrable-domain rollup + gate
     "pps_sample",              # r9 LATE IN: integer systematic PPS
     "epoch_shards",            # r9 LATE IN: per-epoch serving order
     "quality_tiers",           # r9 rotation IN: CCNet head/middle/tail
@@ -1432,6 +1432,17 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "passage_scrub",         # displaced by r11 url_dedup: hash-green
+                             # r9-r10; the ExactSubstr action arm's
+                             # machinery stays in-window via
+                             # exact_repeat_runs + _tokens (same
+                             # verified-shingle core, scrub pinned in
+                             # test_dedup)
+    "heavy_hitters",         # displaced by r11 domain_curation:
+                             # hash-green r9-r10; the count-min grid
+                             # stays in-window via
+                             # streaming_heavy_hitters (same sketch,
+                             # same cell-for-cell SQL oracle)
     "table_history",         # displaced by r10 snapshot_delete_positions:
                              # hash-green r8-r9; the manifest/lineage
                              # surface stays evidenced by SIX in-window

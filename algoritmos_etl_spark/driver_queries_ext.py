@@ -6099,3 +6099,129 @@ def q_snapshot_delete_positions(spark, sf_dir):
     return hist.join(totals, "version").select(
         "version", "op", "n_rows", "total_price"
     )
+
+
+# ---------------- round 11: URL/domain-grain curation (VERDICT #1)
+
+from .operators import url_ops  # noqa: E402
+from .sources.warc import messy_url_sql, warc_date_sql  # noqa: E402
+
+
+def _warc_live_urls_cte() -> str:
+    """Shared oracle fragment: rebuild the messy-URL WARC fixture's
+    LIVE records (torn members excluded) from `documents` by the same
+    integer arithmetic the Spark fixture uses — file layout from
+    `_oracle_warc_extraction`'s laid/filed logic, URL and fetch ts
+    from the `messy_url_sql`/`warc_date_sql` twins. Yields relation
+    `live` (doc_id, warc_file, url, warc_date)."""
+    return f"""laid AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS seq
+        FROM documents
+    ),
+    filed AS (
+        SELECT doc_id, seq, seq // {_WARC_DPF} AS file_no,
+               max(seq) OVER (PARTITION BY seq // {_WARC_DPF}) AS max_seq
+        FROM laid
+    ),
+    live AS (
+        SELECT doc_id,
+               'warc-' || lpad(CAST(file_no AS VARCHAR), 5, '0')
+                   || '.warc.gz' AS warc_file,
+               {messy_url_sql('doc_id')} AS url,
+               {warc_date_sql('doc_id')} AS warc_date
+        FROM filed
+        WHERE NOT (file_no % {_WARC_TORN} = {_WARC_TORN - 1}
+                   AND seq = max_seq)
+    )"""
+
+
+def _oracle_url_dedup() -> str:
+    return f"""WITH {_warc_live_urls_cte()},
+    {url_ops.normalize_url_cte('live')},
+    ranked AS (
+        SELECT url_norm, url, warc_date, warc_file,
+               row_number() OVER (PARTITION BY url_norm
+                                  ORDER BY warc_date, url) AS rn,
+               count(*) OVER (PARTITION BY url_norm) AS n_dups
+        FROM normed
+    )
+    SELECT url_norm, url, warc_date, warc_file,
+           CAST(n_dups AS BIGINT) AS n_dups
+    FROM ranked WHERE rn = 1"""
+
+
+@register(
+    "url_dedup",
+    # Full oracle: DuckDB rebuilds the ENTIRE pipeline — the WARC
+    # fixture's file layout and torn-member rule, the messy URL and
+    # fetch-ts integer twins, every normalization rule
+    # (url_ops.normalize_url_cte — the Column/SQL pair lives in one
+    # module so the dialects cannot drift), and the keep-first window
+    # — so a normalization bug, a lost record, or a tie-break flip
+    # anywhere breaks the hash.
+    _oracle_url_dedup(),
+    "URL-level exact dedup — the FIRST dedup real crawl pipelines "
+    "apply, before any content hash: parse the messy-URL WARC fixture "
+    "through the round-10 binary tier, canonicalize "
+    "(fragment/tracking-param strip, case, default ports, trailing "
+    "slash, param sort), keep the first fetch per canonical URL with "
+    "a total raw-url tiebreak. ONE hash shuffle on the normalized URL "
+    "(row_number + group count share the window pass) — the "
+    "100 TB-safe grain; normalization itself is whole-stage-codegen "
+    "projection",
+)
+def q_url_dedup(spark, sf_dir):
+    from .sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synthesize_warc_corpus(docs, messy_urls=True)
+    pages = warc.parse_warc_records(files).filter(
+        F.col("ok") & (F.col("warc_type") == "response")
+    )
+    return url_ops.url_dedup(pages, "url", "warc_date").select(
+        "url_norm", "url", "warc_date", "warc_file", "n_dups"
+    )
+
+
+# registrable-domain blocklist for the fixture's two junk domains —
+# the C4 bad-domain list shape (one entry covers all subdomains)
+_URL_BLOCKLIST = ["tracker.net", "clickfarm.biz"]
+
+
+def _oracle_domain_curation() -> str:
+    host = url_ops.url_host_sql("url_norm")
+    dom = url_ops.registrable_domain_sql("_h")
+    blocked = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+    return f"""WITH {_warc_live_urls_cte()},
+    {url_ops.normalize_url_cte('live')},
+    hosted AS (SELECT *, {host} AS _h FROM normed),
+    domained AS (SELECT *, {dom} AS domain FROM hosted)
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(count(DISTINCT _h) AS BIGINT) AS n_hosts,
+           CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+           domain IN ({blocked}) AS blocked
+    FROM domained GROUP BY domain"""
+
+
+@register(
+    "domain_curation",
+    # Full oracle: same fixture reconstruction as url_dedup, then the
+    # host/registrable-domain extraction twins and the per-domain
+    # rollup with the blocklist verdict — the C4 bad-domain gate.
+    _oracle_domain_curation(),
+    "Per-domain curation rollup over the crawl: registrable-domain "
+    "grain (naive 2-label cut, documented vs PSL), per-domain page / "
+    "host / canonical-URL counts, and the C4-shape blocklist verdict. "
+    "One partial-agg shuffle onto the bounded domain grain; the "
+    "blocklist is a literal predicate (a real pipeline broadcasts a "
+    "blocklist table)",
+)
+def q_domain_curation(spark, sf_dir):
+    from .sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synthesize_warc_corpus(docs, messy_urls=True)
+    pages = warc.parse_warc_records(files).filter(
+        F.col("ok") & (F.col("warc_type") == "response")
+    )
+    return url_ops.domain_rollup(pages, "url", blocklist=_URL_BLOCKLIST)

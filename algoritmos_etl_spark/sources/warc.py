@@ -97,7 +97,86 @@ def warc_date_sql(doc_id_expr: str) -> str:
     )
 
 
-def build_warc_member(doc_id: int, html: str) -> bytes:
+# messy-URL fixture pool (the `messy_urls=True` crawl): 8 hosts whose
+# CASE variants, default ports, tracking params, trailing slashes, and
+# fragments exercise every `url_ops.normalize_url_col` rule. Hosts 0
+# and 1 differ only by case, so docs with doc_id % 8 in {0, 1} COLLIDE
+# at the canonical grain — by the (i // 2) % 2 scheme rule and the
+# i // 16 page rule, each 16-doc block's {0, 1, 8, 9} residues share
+# one canonical URL (a 4-way duplicate group), which is what
+# `url_dedup`'s keep-first contract is graded on.
+_MESSY_HOSTS = [
+    "Example.COM",
+    "example.com",
+    "www.example.com",
+    "news.example.com",
+    "Sample.ORG",
+    "blog.sample.org",
+    "spam.tracker.NET",
+    "ads.clickfarm.biz",
+]
+
+
+def messy_url(doc_id: int) -> str:
+    """Deterministic messy crawl URL for a doc — pure integer
+    arithmetic so the DuckDB oracle rebuilds the exact string
+    (`messy_url_sql`). The '#r<i>' fragment makes every RAW url
+    globally unique (normalization strips it), so keep-first-by-
+    (fetch ts, raw url) is a total, engine-independent order even
+    when warc_date wraps its 86400-second day."""
+    i = int(doc_id)
+    https = (i // 2) % 2 == 0
+    scheme = "HTTPS" if https else "http"
+    host = _MESSY_HOSTS[i % 8]
+    if i % 8 == 7:
+        port = ":8080"
+    elif i % 5 == 0:
+        port = ":443" if https else ":80"
+    else:
+        port = ""
+    page = i // 16
+    slash = "/" if i % 3 == 0 else ""
+    if i % 2 == 0:
+        query = f"?utm_source=feed&v={page % 10}"
+    else:
+        query = f"?v={page % 10}&fbclid=x{i % 9}"
+    return f"{scheme}://{host}{port}/page/{page}{slash}{query}#r{i}"
+
+
+def messy_url_sql(e: str) -> str:
+    """DuckDB twin of `messy_url` — kept next to it so the dialects
+    cannot drift (the `warc_date_sql` pattern). `e` is a nonnegative
+    BIGINT expression (// and % agree across engines there)."""
+    host = (
+        f"(CASE ({e}) % 8"
+        " WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'example.com'"
+        " WHEN 2 THEN 'www.example.com' WHEN 3 THEN 'news.example.com'"
+        " WHEN 4 THEN 'Sample.ORG' WHEN 5 THEN 'blog.sample.org'"
+        " WHEN 6 THEN 'spam.tracker.NET' ELSE 'ads.clickfarm.biz' END)"
+    )
+    https = f"(({e}) // 2) % 2 = 0"
+    port = (
+        f"(CASE WHEN ({e}) % 8 = 7 THEN ':8080'"
+        f" WHEN ({e}) % 5 = 0 THEN"
+        f" (CASE WHEN {https} THEN ':443' ELSE ':80' END)"
+        " ELSE '' END)"
+    )
+    page = f"CAST(({e}) // 16 AS VARCHAR)"
+    vpar = f"CAST((({e}) // 16) % 10 AS VARCHAR)"
+    query = (
+        f"(CASE WHEN ({e}) % 2 = 0 THEN '?utm_source=feed&v=' || {vpar}"
+        f" ELSE '?v=' || {vpar} || '&fbclid=x' || CAST(({e}) % 9 AS VARCHAR)"
+        " END)"
+    )
+    return (
+        f"((CASE WHEN {https} THEN 'HTTPS' ELSE 'http' END) || '://' || "
+        f"{host} || {port} || '/page/' || {page} || "
+        f"(CASE WHEN ({e}) % 3 = 0 THEN '/' ELSE '' END) || {query} || "
+        f"'#r' || CAST({e} AS VARCHAR))"
+    )
+
+
+def build_warc_member(doc_id: int, html: str, url: str | None = None) -> bytes:
     """One gzip member holding one WARC/1.0 `response` record with a
     full HTTP/1.1 envelope around `html` — the real wire layout, built
     with stdlib zlib only. Deterministic: fixed compression level, no
@@ -112,7 +191,7 @@ def build_warc_member(doc_id: int, html: str) -> bytes:
     warc_headers = (
         "WARC/1.0\r\n"
         "WARC-Type: response\r\n"
-        f"WARC-Target-URI: {_URL_PREFIX}{doc_id}\r\n"
+        f"WARC-Target-URI: {url or f'{_URL_PREFIX}{doc_id}'}\r\n"
         f"WARC-Date: {warc_date(doc_id)}\r\n"
         f"WARC-Record-ID: <urn:md5:{doc_id}>\r\n"
         "Content-Type: application/http; msgtype=response\r\n"
@@ -128,6 +207,7 @@ def synthesize_warc_corpus(
     docs: DataFrame,
     docs_per_file: int = DOCS_PER_FILE,
     torn_every: int = TORN_EVERY,
+    messy_urls: bool = False,
 ) -> DataFrame:
     """(warc_file, content binary) — the fixture crawl drop (see
     module doc). Documents are laid out in doc_id order (global
@@ -135,7 +215,10 @@ def synthesize_warc_corpus(
     into files of `docs_per_file`, and every `torn_every`-th file's
     LAST gzip member is cut mid-stream (never shorter than the gzip
     header, always past the 8-byte trailer, so decompression is
-    guaranteed to fail rather than short-read)."""
+    guaranteed to fail rather than short-read). `messy_urls=True`
+    swaps the clean per-doc URI for `messy_url(doc_id)` — the
+    URL-curation fixture with case noise, default ports, tracking
+    params, and canonical-grain duplicate groups."""
     w = Window.partitionBy(one_partition(F.col("doc_id"))).orderBy("doc_id")
     laid = docs.select(
         "doc_id",
@@ -153,7 +236,9 @@ def synthesize_warc_corpus(
         pdf = pdf.sort_values("_seq")
         file_no = int(pdf["_file"].iloc[0])
         members = [
-            build_warc_member(int(d), h)
+            build_warc_member(
+                int(d), h, url=messy_url(int(d)) if messy_urls else None
+            )
             for d, h in zip(pdf["doc_id"], pdf["_html"])
         ]
         if torn_every and file_no % torn_every == torn_every - 1 and members:

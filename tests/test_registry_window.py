@@ -41,8 +41,8 @@ MUST_BE_IN_WINDOW = {
     "bloom_join_prune",
     # extensions (r9 late flagships rotated in the round they landed)
     "exact_repeat_runs", "exact_repeat_runs_tokens",
-    "passage_scrub", "triplet_mining",
-    "heavy_hitters", "pps_sample", "epoch_shards",
+    "triplet_mining",
+    "pps_sample", "epoch_shards",
     "quality_tiers",
     "mixture_sample", "bpe_encode", "bpe_roundtrip", "html_extraction",
     "ann_ivf_topk",
@@ -52,6 +52,8 @@ MUST_BE_IN_WINDOW = {
     "multimodal_report", "image_jpeg_neardup", "audio_features",
     # r10 flagships (rotated in the round they landed)
     "warc_extraction", "lang_id_trained",
+    # r11 flagships (rotated in the round they landed)
+    "url_dedup", "domain_curation",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
@@ -59,6 +61,9 @@ MUST_BE_IN_WINDOW = {
 # the twelve r8 tail flagships plus this round's three new flagships
 # in, and fifteen hash-green-for-multiple-rounds entries out.
 EXPECTED_TAIL = {
+    # displaced by the r11 rotation — hash-green r9-r10, family
+    # evidenced in-window (see REGISTRY_ORDER notes)
+    "passage_scrub", "heavy_hitters",
     # displaced by the r10 rotation — hash-green r8-r9, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "table_profile", "incremental_revenue", "price_anomalies",
