@@ -1410,7 +1410,7 @@ REGISTRY_ORDER = (
     "url_dedup",               # r11 NEW: URL-grain exact dedup over WARC
     "domain_curation",         # r11 NEW: registrable-domain rollup + gate
     "pps_sample",              # r9 LATE IN: integer systematic PPS
-    "epoch_shards",            # r9 LATE IN: per-epoch serving order
+    "pdf_extraction",          # r11 NEW: PDF text-extraction codec tier
     "quality_tiers",           # r9 rotation IN: CCNet head/middle/tail
     "mixture_sample",          # r9 rotation IN: token-budget sampling
     "bpe_encode",              # full oracle since r9 (SQL relearns merges)
@@ -1432,6 +1432,12 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "epoch_shards",          # displaced by r11 pdf_extraction:
+                             # hash-green r9-r10; the integer-hash
+                             # permutation machinery stays in-window
+                             # via pps_sample (shared
+                             # hashed_prefix_sum core) and is pinned
+                             # in test_sampling
     "passage_scrub",         # displaced by r11 url_dedup: hash-green
                              # r9-r10; the ExactSubstr action arm's
                              # machinery stays in-window via

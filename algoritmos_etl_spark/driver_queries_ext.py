@@ -6225,3 +6225,62 @@ def q_domain_curation(spark, sf_dir):
         F.col("ok") & (F.col("warc_type") == "response")
     )
     return url_ops.domain_rollup(pages, "url", blocklist=_URL_BLOCKLIST)
+
+
+# ---------------- round 11: PDF text-extraction codec tier (VERDICT #2)
+
+from .sources import pdf as pdf_src  # noqa: E402
+
+
+def _oracle_pdf_extraction() -> str:
+    wpl = pdf_src.WORDS_PER_LINE
+    lpp = pdf_src.LINES_PER_PAGE
+    torn = pdf_src.PDF_TORN_EVERY
+    return f"""WITH src AS (
+        SELECT doc_id,
+               regexp_replace(coalesce(text, ''), '[^\\x{{00}}-\\x{{ff}}]',
+                              '?', 'g') AS t,
+               doc_id % {torn} = 3 AS torn
+        FROM documents
+    ),
+    calc AS (
+        SELECT doc_id, t, torn,
+               len(string_split(t, ' ')) AS n_words
+        FROM src
+    )
+    SELECT doc_id,
+           CASE WHEN torn THEN CAST(NULL AS INT)
+                ELSE CAST(((n_words + {wpl - 1}) // {wpl} + {lpp - 1})
+                          // {lpp} AS INT) END AS n_pages,
+           CASE WHEN torn THEN CAST(NULL AS BIGINT)
+                ELSE CAST(len(t) AS BIGINT) END AS n_chars,
+           CASE WHEN torn THEN CAST(NULL AS VARCHAR) ELSE t END AS text,
+           NOT torn AS ok,
+           CASE WHEN torn THEN '{pdf_src.ERR_TRUNCATED}'
+                ELSE CAST(NULL AS VARCHAR) END AS err
+    FROM calc"""
+
+
+@register(
+    "pdf_extraction",
+    # FULL oracle — unusual for the codec family (PNG/JPEG/WAV are
+    # rows-only by policy) because text extraction is relational
+    # where DCT is not: the fixture's space-greedy wrap is an
+    # identity under single-space join, the page count is pure
+    # integer layout math (WORDS_PER_LINE / LINES_PER_PAGE twins),
+    # and latin-1 'replace' == the RE2 [^\x00-\xff] -> '?' rewrite.
+    # A framing bug anywhere in the xref walk, stream inflate,
+    # string unescape, or pagination breaks the hash.
+    _oracle_pdf_extraction(),
+    "PDF text extraction — the book/paper corpus edge: parse real "
+    "PDF 1.4 files written by the package's OWN pdf_report writer "
+    "(the encode_jpeg_gray fixture-twin pattern) via startxref/xref "
+    "walk, page-tree descent, FlateDecode inflate (even doc_ids; odd "
+    "stay raw so both reader paths run), and BT/ET text-operator "
+    "extraction; tail-truncated docs quarantine as ERR_TRUNCATED. "
+    "Map-only mapInPandas, zero shuffles at 100 TB",
+)
+def q_pdf_extraction(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pdfs = pdf_src.synthesize_pdf_corpus(docs)
+    return pdf_src.extract_pdf_text(pdfs)

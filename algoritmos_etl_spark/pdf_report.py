@@ -114,8 +114,12 @@ class PdfDoc:
         self.spacer(6)
 
     # ------------------------------------------------------------ assembly
-    def render(self) -> bytes:
-        """Assemble objects + xref into a complete PDF 1.4 byte stream."""
+    def render(self, compress: bool = False) -> bytes:
+        """Assemble objects + xref into a complete PDF 1.4 byte stream.
+        `compress=True` Flate-encodes each content stream (zlib,
+        `/Filter /FlateDecode`) — the layout the reading tier
+        (`sources/pdf.py`) must inflate, and the fixture twin of its
+        compressed-stream path (the `encode_jpeg_gray` pattern)."""
         self._flush_page()
         pages = self._pages or [""]
         n_pages = len(pages)
@@ -138,10 +142,17 @@ class PdfDoc:
         obj(4, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold >>")
         for i, content in enumerate(pages):
             data = content.encode("latin-1", "replace")
+            filt = b""
+            if compress:
+                import zlib
+
+                data = zlib.compress(data, 6)
+                filt = b" /Filter /FlateDecode"
             cid, pid = 5 + 2 * i, 6 + 2 * i
             obj(
                 cid,
-                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(data), data),
+                b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                % (len(data), filt, data),
             )
             obj(
                 pid,

@@ -42,7 +42,7 @@ MUST_BE_IN_WINDOW = {
     # extensions (r9 late flagships rotated in the round they landed)
     "exact_repeat_runs", "exact_repeat_runs_tokens",
     "triplet_mining",
-    "pps_sample", "epoch_shards",
+    "pps_sample",
     "quality_tiers",
     "mixture_sample", "bpe_encode", "bpe_roundtrip", "html_extraction",
     "ann_ivf_topk",
@@ -53,7 +53,7 @@ MUST_BE_IN_WINDOW = {
     # r10 flagships (rotated in the round they landed)
     "warc_extraction", "lang_id_trained",
     # r11 flagships (rotated in the round they landed)
-    "url_dedup", "domain_curation",
+    "url_dedup", "domain_curation", "pdf_extraction",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
@@ -63,7 +63,7 @@ MUST_BE_IN_WINDOW = {
 EXPECTED_TAIL = {
     # displaced by the r11 rotation — hash-green r9-r10, family
     # evidenced in-window (see REGISTRY_ORDER notes)
-    "passage_scrub", "heavy_hitters",
+    "passage_scrub", "heavy_hitters", "epoch_shards",
     # displaced by the r10 rotation — hash-green r8-r9, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "table_profile", "incremental_revenue", "price_anomalies",
