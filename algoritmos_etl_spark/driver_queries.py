@@ -1412,7 +1412,7 @@ REGISTRY_ORDER = (
     "pps_sample",              # r9 LATE IN: integer systematic PPS
     "pdf_extraction",          # r11 NEW: PDF text-extraction codec tier
     "quality_tiers",           # r9 rotation IN: CCNet head/middle/tail
-    "mixture_sample",          # r9 rotation IN: token-budget sampling
+    "quality_rules",           # r11 NEW: Gopher/Dolma rule-pack gate
     "bpe_encode",              # full oracle since r9 (SQL relearns merges)
     "bpe_roundtrip",           # r9 LATE IN: decode∘encode == SQL norm
     "html_extraction",         # r9 NEW: HTML -> text extraction
@@ -1432,6 +1432,11 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "mixture_sample",        # displaced by r11 quality_rules:
+                             # hash-green r9-r10; the integer-ppm
+                             # budgeted-sampling machinery stays
+                             # in-window via pps_sample and the
+                             # curation family via quality_tiers
     "epoch_shards",          # displaced by r11 pdf_extraction:
                              # hash-green r9-r10; the integer-hash
                              # permutation machinery stays in-window

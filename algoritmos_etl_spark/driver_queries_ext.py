@@ -6284,3 +6284,83 @@ def q_pdf_extraction(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pdfs = pdf_src.synthesize_pdf_corpus(docs)
     return pdf_src.extract_pdf_text(pdfs)
+
+
+# ---------------- round 11: Gopher/Dolma document rule pack (VERDICT #6)
+
+
+def _oracle_quality_rules() -> str:
+    stops = ", ".join(f"'{s}'" for s in text.GOPHER_STOPWORDS)
+    lines = "list_filter(string_split(text, chr(10)), l -> l <> '')"
+    sig = f"""WITH w AS (SELECT doc_id, {_W} AS ws, text FROM documents),
+    sig AS (
+        SELECT doc_id,
+            CAST(len(ws) AS BIGINT) AS n_words,
+            CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+                 AS BIGINT) AS total_chars,
+            CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+              + CAST((length(text) - length(replace(text, '...', ''))) // 3
+                     AS BIGINT) AS n_sym,
+            CAST(len({lines}) AS BIGINT) AS n_lines,
+            CAST(len(list_filter({lines},
+                 l -> regexp_matches(l, '^[ \t]*[-*•]')))
+                 AS BIGINT) AS n_bullet,
+            CAST(len(list_filter({lines},
+                 l -> regexp_matches(l, '(\\.\\.\\.|…)[ \t]*$')))
+                 AS BIGINT) AS n_ellipsis,
+            CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                 AS BIGINT) AS n_alpha,
+            CAST(len(list_intersect(
+                 list_distinct(list_transform(ws, x -> lower(x))),
+                 [{stops}])) AS BIGINT) AS n_stop
+        FROM w
+    )"""
+    arms = [
+        ("word_count", "n_words", "n_words >= 50 AND n_words <= 100000"),
+        (
+            "mean_word_length",
+            "total_chars",
+            "n_words > 0 AND 3 * n_words <= total_chars"
+            " AND total_chars <= 10 * n_words",
+        ),
+        ("symbol_word_ratio", "n_sym", "10 * n_sym <= n_words"),
+        ("bullet_line_ratio", "n_bullet", "10 * n_bullet <= n_lines"),
+        (
+            "ellipsis_line_ratio",
+            "n_ellipsis",
+            "10 * n_ellipsis <= 3 * n_lines",
+        ),
+        (
+            "alpha_word_ratio",
+            "n_alpha",
+            "n_words > 0 AND 5 * n_alpha >= 4 * n_words",
+        ),
+        ("stopword_floor", "n_stop", "n_stop >= 2"),
+    ]
+    assert [a[0] for a in arms] == [n for n, _ in text.QUALITY_RULES]
+    union = "\n    UNION ALL ".join(
+        f"SELECT doc_id, '{name}' AS rule, {val} AS value,"
+        f" {cond} AS passed FROM sig"
+        for name, val, cond in arms
+    )
+    return f"{sig}\n    {union}"
+
+
+@register(
+    "quality_rules",
+    # Full oracle: DuckDB recomputes every integer signal (word/char/
+    # symbol/line/bullet/ellipsis/alpha/stop counts) and every verdict
+    # — all comparisons are integer cross-multiplications, so there is
+    # no float grain to disagree on at any scale.
+    _oracle_quality_rules(),
+    "Gopher/Dolma published-threshold document rule pack (Rae 2021 "
+    "SA1.1.2): word-count bounds, mean-word-length band, "
+    "symbol-to-word ratio, bullet/ellipsis line ratios, alpha-word "
+    "floor, stop-word floor — compiled into ONE documents projection "
+    "emitting long-format (doc_id, rule, value, passed), the "
+    "expectations-report shape at document grain. Zero shuffles, "
+    "zero Python; verdict and gate share one expression builder",
+)
+def q_quality_rules(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_rules(docs)

@@ -319,3 +319,102 @@ def test_curation_trained_lang_gate(spark, lang_docs):
     assert 1 in plain and 1 in trained
     for i in (2, 3, 4, 102, 103, 104, 200, 201):
         assert i not in trained, i
+
+
+# ---------------------------------------- Gopher/Dolma rule pack (r11)
+
+
+def _rule_map(spark, text_val):
+    df = spark.createDataFrame([(0, text_val)], "doc_id long, text string")
+    return {
+        r["rule"]: (r["value"], r["passed"])
+        for r in text.quality_rules(df).collect()
+    }
+
+
+def test_quality_rules_good_doc_passes_all(spark):
+    good = " ".join(
+        ["the be to of and that have with"] + [f"word{i}" for i in range(60)]
+    )
+    rules = _rule_map(spark, good)
+    assert len(rules) == len(text.QUALITY_RULES)
+    assert all(passed for _v, passed in rules.values()), rules
+
+
+def test_quality_rules_each_rule_fails_on_its_own_pathology(spark):
+    base = " ".join(
+        ["the be to of and that have with"] + [f"word{i}" for i in range(60)]
+    )
+    cases = {
+        # 10 words < 50
+        "word_count": "the be to of and that have with tiny doc",
+        # single-char words -> mean word length < 3
+        "mean_word_length": " ".join(["a"] * 60 + ["the be to of"]),
+        # symbol storm: > 0.1 hashes per word
+        "symbol_word_ratio": base + " " + "#" * 20,
+        # every line is a bullet
+        "bullet_line_ratio": "\n".join(f"- {base}" for _ in range(3)),
+        # every line trails off...
+        "ellipsis_line_ratio": "\n".join(f"{base} ..." for _ in range(3)),
+        # digit soup: < 80% words alphabetic
+        "alpha_word_ratio": base + " " + " ".join(str(i) for i in range(80)),
+        # no gopher stop words at all
+        "stopword_floor": " ".join(f"word{i}" for i in range(60)),
+    }
+    for rule, doc in cases.items():
+        rules = _rule_map(spark, doc)
+        assert not rules[rule][1], f"{rule} should fail: {rules[rule]}"
+
+
+def test_quality_rules_values_are_the_raw_signals(spark):
+    doc = "the be to of # ... alpha beta\n- bullet line\nplain tail ..."
+    rules = _rule_map(spark, doc)
+    # '#' appears once and '...' appears twice (inline + line end)
+    assert rules["symbol_word_ratio"][0] == 3
+    assert rules["bullet_line_ratio"][0] == 1
+    assert rules["ellipsis_line_ratio"][0] == 1
+    assert rules["stopword_floor"][0] == 4  # the, be, to, of
+
+
+def test_quality_rules_keep_agrees_with_long_format(spark):
+    rows = [
+        (0, " ".join(["the be to of and that have with"]
+                     + [f"word{i}" for i in range(60)])),
+        (1, "tiny"),
+        (2, "\n".join("- bullet" for _ in range(5))),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keep = {r["doc_id"]: (r["n_failed"], r["keep"])
+            for r in text.quality_rules_keep(df).collect()}
+    long = text.quality_rules(df).collect()
+    failed = {}
+    for r in long:
+        failed.setdefault(r["doc_id"], 0)
+        failed[r["doc_id"]] += 0 if r["passed"] else 1
+    for d, (n_failed, k) in keep.items():
+        assert failed.get(d, 0) == n_failed, d
+        assert k == (n_failed == 0), d
+    assert keep[0] == (0, True)
+    assert not keep[1][1] and not keep[2][1]
+
+
+def test_quality_rules_gate_swaps_into_curation(spark):
+    """The rule pack composes as curation's quality gate: survivors
+    of the swap are exactly the docs the gate keeps that also pass
+    the language gate."""
+    from algoritmos_etl_spark.plans.curation import curate_corpus
+
+    rows = [
+        (i, " ".join(["the be to of and that have with it is"]
+                     + [f"word{i}x{j}" for j in range(55)]))
+        for i in range(6)
+    ] + [(6, "tiny doc"), (7, "\n".join("- b" for _ in range(9)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    keep = text.quality_rules_keep(docs)
+    gated = docs.join(keep.filter("keep").select("doc_id"), "doc_id")
+    curated = curate_corpus(
+        gated, min_words=1, min_stopword_ratio=0.0, max_stopword_ratio=1.0
+    )
+    got = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert got == set(range(6))
