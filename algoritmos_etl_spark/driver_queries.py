@@ -1423,7 +1423,7 @@ REGISTRY_ORDER = (
     "pca_projection",
     # ---- streaming / event-time ----
     "streaming_heavy_hitters",  # r9 LATE IN: CM grid as incremental MV
-    "streaming_neardup",
+    "streaming_warc_ingest",   # r11 NEW: crawl-file stream end-to-end
     "streaming_cdc_state",
     # ---- multimodal / profiling / joins ----
     "multimodal_report",
@@ -1432,6 +1432,15 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "streaming_neardup",     # displaced by r11 streaming_warc_ingest:
+                             # hash-green r8-r10; the SAME
+                             # _neardup_batch core + exactly-once
+                             # index-append contract now runs
+                             # in-window behind the real crawl-file
+                             # stream (binary WARC parse included) —
+                             # the clean-doc-stream variant stays
+                             # pinned by test_streaming's replay and
+                             # stream==batch tests
     "mixture_sample",        # displaced by r11 quality_rules:
                              # hash-green r9-r10; the integer-ppm
                              # budgeted-sampling machinery stays

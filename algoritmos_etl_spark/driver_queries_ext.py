@@ -6364,3 +6364,133 @@ def _oracle_quality_rules() -> str:
 def q_quality_rules(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return text.quality_rules(docs)
+
+
+# ------------- round 11: streaming WARC crawl ingestion (VERDICT #5)
+
+_STREAM_WARC_SETUP: dict = {}
+
+
+def _stream_warc_setup(spark, sf_dir: str) -> str:
+    """Staged ingest fixture: the base corpus (doc_id % 3 == 0) is
+    already in the standing LSH index; the increments arrive as TWO
+    real .warc.gz files on disk (half the increment docs each, the
+    second file torn mid-last-member), written executor-side. Cached
+    per (session, sf_dir) like every staged-ingest tree."""
+
+    def populate(work: str) -> None:
+        import os
+
+        from .sources import warc
+
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+        dedup.minhash_write_index(base, f"{work}/index", k_shingle=3)
+        inc = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+        n = inc.count()
+        files = warc.synthesize_warc_corpus(
+            inc, docs_per_file=max(1, (n + 1) // 2), torn_every=2
+        )
+        out_dir = os.path.join(work, "stream")
+        os.makedirs(out_dir, exist_ok=True)
+
+        def write_part(rows):
+            for r in rows:
+                with open(os.path.join(out_dir, r.warc_file), "wb") as f:
+                    f.write(bytes(r.content))
+
+        files.foreachPartition(write_part)
+
+    return _session_workdir(
+        _STREAM_WARC_SETUP, spark, sf_dir, "streaming_warc_", populate
+    )
+
+
+def _oracle_streaming_warc_ingest() -> str:
+    from .operators.html_text import html_to_text_sql, synthesize_html_sql
+
+    # the torn member is the LAST record of file 1 = the max increment
+    # doc_id (increments laid in doc_id order, two half-corpus files,
+    # torn_every=2 tears file_no 1)
+    mixed = f"""mixed AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, {html_to_text_sql('html')} AS text
+        FROM (SELECT doc_id, {synthesize_html_sql()} AS html
+              FROM documents
+              WHERE doc_id % 3 <> 0
+                AND doc_id <> (SELECT max(doc_id) FROM documents
+                               WHERE doc_id % 3 <> 0)) h
+    )"""
+    minhash_mixed = _MINHASH.replace("FROM documents", "FROM mixed", 1)
+    return f"""WITH {mixed},
+    {minhash_mixed},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+        WHERE NOT (a.doc_id % 3 = 0 AND b.doc_id % 3 = 0)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cands c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+    FROM cands c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.2"""
+
+
+@register(
+    "streaming_warc_ingest",
+    # Full oracle: the mixed corpus is base docs at RAW text plus
+    # increment docs passed through the synthesize-HTML -> html_to_text
+    # SQL twins (what the binary WARC round trip actually yields), the
+    # torn member excluded by the fixture's integer layout rule; then
+    # the streaming_neardup pair contract (no base-base pairs, exact
+    # jaccard verify at the 0.2 threshold). A framing bug in the
+    # stream-side parse, a lost record, or an index-append defect
+    # breaks the hash.
+    _oracle_streaming_warc_ingest(),
+    "End-to-end incremental crawl ingestion: a binaryFile STREAM of "
+    "real .warc.gz archives (one crawl file per micro-batch) -> "
+    "Arrow-batched WARC parse on the streaming DataFrame -> "
+    "quarantine split (torn member lands in out/quarantine, VISIBLE) "
+    "-> html_to_text -> incremental LSH near-dup against the standing "
+    "index with per-batch idempotent appends (the streaming_neardup "
+    "exactly-once contract, shared _neardup_batch core). The pair "
+    "table is the union of per-batch outputs",
+)
+def q_streaming_warc_ingest(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .streaming import streams
+
+    work = _stream_warc_setup(spark, sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="streaming_warc_run_")
+    try:
+        streams.streaming_warc_ingest(
+            spark, warc_dir=f"{work}/stream", index_path=f"{work}/index",
+            out_path=f"{run_dir}/out", threshold=0.2, max_bucket_size=None,
+        )
+        try:
+            pairs = spark.read.parquet(f"{run_dir}/out/pairs")
+        except Exception:  # no batch emitted any pair → no directory
+            return spark.createDataFrame(
+                [], "doc_a long, doc_b long, jaccard double"
+            )
+        return pairs.select(
+            "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

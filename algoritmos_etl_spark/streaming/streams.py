@@ -238,6 +238,63 @@ def enrich_with_dimension(
     return events.join(F.broadcast(dim), on, "left")
 
 
+def _neardup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    out_path: str,
+    threshold: float = 0.2,
+    max_bucket_size: int | None = 100,
+) -> None:
+    """One micro-batch of incremental LSH near-dup: emit the batch's
+    pairs against the standing corpus + itself, then append its band
+    signatures and shingle postings to the index. Shared by
+    `streaming_neardup_against_index` (clean doc stream) and
+    `streaming_warc_ingest` (crawl-file stream) — the exactly-once
+    contract (per-batch idempotent subdirectories, lookups strictly
+    below this batch_id) lives here, once."""
+    from ..operators import dedup as _dedup
+
+    spark = batch_df.sparkSession
+    # lazy: take(1) below materializes it once for all 3 consumers,
+    # avoiding a separate eager-checkpoint job per micro-batch
+    batch_df = batch_df.localCheckpoint(eager=False)
+    if not batch_df.take(1):
+        return
+    # shingle + min-hash the batch ONCE: the same two relations
+    # feed the near-dup lookup AND the index append (lazy
+    # localCheckpoints — computed at first action, reused after)
+    sh = _dedup.doc_shingles(batch_df, 3).localCheckpoint(eager=False)
+    bands = _dedup.minhash_bands(
+        _dedup._with_base_hash(sh).groupBy("doc_id").agg(
+            *_dedup._minhash_aggs()
+        )
+    ).localCheckpoint(eager=False)
+    pairs = _dedup.minhash_lsh_incremental(
+        spark, batch_df, index_path,
+        threshold=threshold, max_bucket_size=max_bucket_size,
+        # exclude this batch's own (possibly half-written, crashed-
+        # run) index partitions: a replayed batch must compute
+        # against exactly the pre-batch corpus or its pair output
+        # and bucket counts differ from the original run
+        max_batch_id_exclusive=batch_id,
+        sh_new=sh, bands_new=bands,
+    )
+    pairs.write.mode("overwrite").parquet(
+        f"{out_path}/pairs/batch_id={batch_id}"
+    )
+    # repartition by the partition column before the partitioned
+    # write: without it every upstream task opens a writer per band
+    # it touches (tasks × 16 tiny files per batch) — the file count
+    # later lookups must list and open. After it, one file per band.
+    bands.repartition("band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(f"{index_path}/bands/batch_id={batch_id}")
+    sh.write.mode("overwrite").parquet(
+        f"{index_path}/shingles/batch_id={batch_id}"
+    )
+
+
 def streaming_neardup_against_index(
     docs_stream: DataFrame,
     index_path: str,
@@ -266,50 +323,104 @@ def streaming_neardup_against_index(
     directories with identical content. Readers see `batch_id` as a
     discovered partition column on `{out,index}_path` datasets.
     """
-    from ..operators import dedup as _dedup
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # lazy: take(1) below materializes it once for all 3 consumers,
-        # avoiding a separate eager-checkpoint job per micro-batch
-        batch_df = batch_df.localCheckpoint(eager=False)
-        if not batch_df.take(1):
-            return
-        # shingle + min-hash the batch ONCE: the same two relations
-        # feed the near-dup lookup AND the index append (lazy
-        # localCheckpoints — computed at first action, reused after)
-        sh = _dedup.doc_shingles(batch_df, 3).localCheckpoint(eager=False)
-        bands = _dedup.minhash_bands(
-            _dedup._with_base_hash(sh).groupBy("doc_id").agg(
-                *_dedup._minhash_aggs()
-            )
-        ).localCheckpoint(eager=False)
-        pairs = _dedup.minhash_lsh_incremental(
-            spark, batch_df, index_path,
+        _neardup_batch(
+            batch_df, batch_id, index_path, out_path,
             threshold=threshold, max_bucket_size=max_bucket_size,
-            # exclude this batch's own (possibly half-written, crashed-
-            # run) index partitions: a replayed batch must compute
-            # against exactly the pre-batch corpus or its pair output
-            # and bucket counts differ from the original run
-            max_batch_id_exclusive=batch_id,
-            sh_new=sh, bands_new=bands,
-        )
-        pairs.write.mode("overwrite").parquet(
-            f"{out_path}/pairs/batch_id={batch_id}"
-        )
-        # repartition by the partition column before the partitioned
-        # write: without it every upstream task opens a writer per band
-        # it touches (tasks × 16 tiny files per batch) — the file count
-        # later lookups must list and open. After it, one file per band.
-        bands.repartition("band").write.mode("overwrite").partitionBy(
-            "band"
-        ).parquet(f"{index_path}/bands/batch_id={batch_id}")
-        sh.write.mode("overwrite").parquet(
-            f"{index_path}/shingles/batch_id={batch_id}"
         )
 
     query = (
         docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{out_path}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    return query
+
+
+def streaming_warc_ingest(
+    spark: SparkSession,
+    warc_dir: str,
+    index_path: str,
+    out_path: str,
+    doc_id_from_url: str = "doc/([0-9]+)$",
+    threshold: float = 0.2,
+    max_bucket_size: int | None = 100,
+    max_files_per_trigger: int = 1,
+    timeout_sec: int = 300,
+):
+    """End-to-end incremental crawl ingestion (VERDICT r10 task #5):
+    a file-source stream of `.warc.gz` archives → binary WARC parse
+    (`sources/warc.parse_warc_records`, Arrow `mapInPandas` on the
+    STREAMING DataFrame) → quarantine split → `html_to_text`
+    extraction → near-dup against the standing LSH index — so the
+    100 TB crawl story is incremental from the first byte: drop a new
+    crawl file in the directory and exactly its pages get parsed,
+    quarantined, extracted, and deduped against everything ingested
+    before.
+
+    Per micro-batch (one crawl file per trigger by default — the real
+    geometry, one ~1 GiB archive per unit of arrival): quarantine
+    rows land in `out_path/quarantine/batch_id=N` (torn/malformed
+    records stay VISIBLE to curation, the WARC contract), good pages
+    run the shared `_neardup_batch` (pairs to `out_path/pairs`, index
+    append) — inheriting its exactly-once replay contract. State
+    lives in index files, not executor memory; no watermark needed.
+
+    The binary parse + extraction run INSIDE foreachBatch (on the
+    batch DataFrame, fully consumed within the batch) rather than on
+    the streaming plan: a mapInPandas node living across micro-batches
+    leaves per-batch Python accumulators for the DAGScheduler to
+    update after their py4j handles are collected — harmless but it
+    spews GC'd-accumulator ERRORs into an otherwise clean driver log,
+    and per-batch parse is the same work on the same Arrow path."""
+    from ..sources.warc import parse_warc_records, warc_extract_pages
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources require an explicit schema; this is
+        # binaryFile's fixed one
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(warc_dir)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("warc_file"),
+            "content",
+        )
+    )
+
+    # hold per-batch DataFrame handles until the query ends: a py4j
+    # handle GC'd mid-stream invalidates its JVM accumulators while a
+    # late task-completion event still tries to update them —
+    # harmless, but it spews DAGScheduler ERRORs into a clean log
+    live_refs: list = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pages = warc_extract_pages(
+            parse_warc_records(batch_df)
+        ).localCheckpoint(eager=False)
+        pages.filter(~F.col("ok")).write.mode("overwrite").parquet(
+            f"{out_path}/quarantine/batch_id={batch_id}"
+        )
+        good = pages.filter(F.col("ok")).select(
+            F.regexp_extract(F.col("url"), doc_id_from_url, 1)
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+        )
+        live_refs.append((batch_df, pages, good))
+        _neardup_batch(
+            good, batch_id, index_path, out_path,
+            threshold=threshold, max_bucket_size=max_bucket_size,
+        )
+
+    query = (
+        raw.writeStream.foreachBatch(process)
         .option("checkpointLocation", f"{out_path}/_checkpoint")
         .trigger(availableNow=True)
         .start()

@@ -47,14 +47,14 @@ MUST_BE_IN_WINDOW = {
     "bpe_encode", "bpe_roundtrip", "html_extraction",
     "ann_ivf_topk",
     "pca_projection",
-    "streaming_heavy_hitters", "streaming_neardup",
+    "streaming_heavy_hitters",
     "streaming_cdc_state",
     "multimodal_report", "image_jpeg_neardup", "audio_features",
     # r10 flagships (rotated in the round they landed)
     "warc_extraction", "lang_id_trained",
     # r11 flagships (rotated in the round they landed)
     "url_dedup", "domain_curation", "pdf_extraction",
-    "quality_rules",
+    "quality_rules", "streaming_warc_ingest",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
@@ -65,7 +65,7 @@ EXPECTED_TAIL = {
     # displaced by the r11 rotation — hash-green r9-r10, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "passage_scrub", "heavy_hitters", "epoch_shards",
-    "mixture_sample",
+    "mixture_sample", "streaming_neardup",
     # displaced by the r10 rotation — hash-green r8-r9, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "table_profile", "incremental_revenue", "price_anomalies",

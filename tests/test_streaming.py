@@ -885,3 +885,67 @@ def test_incremental_sketch_mv_lifecycle(spark, tmp_path):
         "deltas_removed": 2, "bases_removed": 0,
     }
     assert grid() == got
+
+
+def test_streaming_warc_ingest_stream_equals_batch(tables, spark, tmp_path):
+    """End-to-end crawl stream (r11): real .warc.gz files on disk ->
+    binaryFile stream -> per-batch WARC parse -> quarantine split ->
+    html_to_text -> near-dup vs the standing index. Union of emitted
+    pairs == the full-batch pipeline over (raw seed docs + EXTRACTED
+    stream docs), minus seed-internal pairs and the torn member; the
+    torn member's quarantine row is VISIBLE in out/quarantine."""
+    import os
+
+    from algoritmos_etl_spark.operators import dedup
+    from algoritmos_etl_spark.sources import warc
+    from algoritmos_etl_spark.streaming.streams import streaming_warc_ingest
+
+    docs = tables["documents"].select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    rest = docs.filter(F.col("doc_id") % 3 != 0)
+    n = rest.count()
+    idx, out, src = (str(tmp_path / d) for d in ("idx", "out", "src"))
+    dedup.minhash_write_index(seed, idx)
+    os.makedirs(src)
+    files = warc.synthesize_warc_corpus(
+        rest, docs_per_file=max(1, (n + 1) // 2), torn_every=2
+    )
+    for r in files.collect():
+        with open(os.path.join(src, r.warc_file), "wb") as f:
+            f.write(bytes(r.content))
+
+    streaming_warc_ingest(spark, src, idx, out, max_bucket_size=100)
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    # the batch twin: seed docs at raw text, stream docs as the WARC
+    # round trip actually yields them (extracted from the same files)
+    extracted = warc.warc_extract_pages(
+        warc.parse_warc_records(files)
+    ).filter("ok").select(
+        F.regexp_extract("url", "doc/([0-9]+)$", 1).cast("long").alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    mixed = seed.unionByName(extracted)
+    seed_ids = {r.doc_id for r in seed.select("doc_id").collect()}
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_dedup(
+            mixed, threshold=0.2, max_bucket_size=100
+        ).collect()
+        if not (r.doc_a in seed_ids and r.doc_b in seed_ids)
+    }
+    assert got == want
+    assert got, "stream emitted no pairs — fixture no longer overlaps"
+    # the torn member quarantined, visibly: exactly one torn region,
+    # and the torn doc (max increment doc_id) never reached the index
+    quar = spark.read.parquet(f"{out}/quarantine")
+    assert quar.filter("err = 'torn_gzip_member'").count() == 1
+    torn_doc = rest.agg(F.max("doc_id")).first()[0]
+    assert not any(torn_doc in (a, b) for a, b, _ in got)
+    idx_sh = spark.read.parquet(f"{idx}/shingles")
+    assert idx_sh.filter(F.col("doc_id") == torn_doc).count() == 0
