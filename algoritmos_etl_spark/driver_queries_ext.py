@@ -6494,3 +6494,124 @@ def q_streaming_warc_ingest(spark, sf_dir):
         ).localCheckpoint()
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
+
+
+# -------------- round 11: sharded big-notch oracles (VERDICT #4)
+#
+# At the 30x notch, three oracles (dedup_ngram_jaccard,
+# neardup_clusters, canonical_selection) exceeded single-node DuckDB:
+# the df-capped shingle self-join spilled >78 GB. Their cost is ONE
+# pair-generation core, and a pair (a, b) with a < b is produced by
+# exactly one residue class of doc_a — so the core decomposes into
+# n_shards DISJOINT, COMPLETE shard queries (doc_a % S = s pushed into
+# the join's build side, peak memory ~1/S; the linear aggregates
+# repeat per shard, which is the cheap part). tools/verify_local.py
+# unions the shard outputs into a temp table and runs the light
+# combine query (identity / recursive-CTE components / the window) —
+# verifying the FULL output hash at the big notch, not a slice.
+# The two TIME-budget casualties (exact_repeat_runs_tokens,
+# triplet_mining) stay rows-only at 30x by documented design: their
+# oracles RELEARN a BPE tokenizer / replay integer sampling, and
+# sharding multiplies that linear relearn cost by S instead of
+# cutting the peak.
+
+
+def _ngram_pairs_shard_sql(s: int, n_shards: int, emit: str) -> str:
+    """One shard of the df-capped shingle-pair core: pairs whose
+    doc_a % n_shards == s. emit='jaccard' -> (doc_a, doc_b, jaccard)
+    past the 0.2 threshold (dedup_ngram_jaccard's final rows);
+    emit='edge' -> (doc_a, doc_b) only (the prs edge list the cluster
+    queries consume)."""
+    final = (
+        """SELECT p.doc_a, p.doc_b,
+           round(CAST(p.n_inter AS DOUBLE)
+                 / (p.na + p.nb - p.n_inter), 6) AS jaccard
+    FROM scored p
+    WHERE CAST(p.n_inter AS DOUBLE) / (p.na + p.nb - p.n_inter) >= 0.2"""
+        if emit == "jaccard"
+        else """SELECT p.doc_a, p.doc_b FROM scored p
+    WHERE CAST(p.n_inter AS DOUBLE) / (p.na + p.nb - p.n_inter) >= 0.2"""
+    )
+    return f"""WITH {_SHINGLES},
+    kept AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {_SHINGLE_DF_CAP}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a
+        JOIN kept k ON a.shingle = k.shingle
+        JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+        WHERE a.doc_id % {n_shards} = {s}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cands c
+        JOIN sh ta ON ta.doc_id = c.doc_a
+        JOIN sh tb ON tb.doc_id = c.doc_b AND tb.shingle = ta.shingle
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS na, sb.n AS nb
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    {final}"""
+
+
+_CLUSTER_COMBINE = """WITH RECURSIVE edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM _shard_union
+        UNION SELECT doc_b, doc_a FROM _shard_union
+    ),
+    reach AS (
+        SELECT src AS doc_id, src AS r FROM edges
+        UNION
+        SELECT reach.doc_id, edges.dst
+        FROM reach JOIN edges ON reach.r = edges.src
+    )"""
+
+SHARD_ORACLE_N = 8
+
+SHARDED_ORACLES = {
+    "dedup_ngram_jaccard": {
+        "n_shards": SHARD_ORACLE_N,
+        "shard_sql": lambda s: _ngram_pairs_shard_sql(
+            s, SHARD_ORACLE_N, "jaccard"
+        ),
+        "combine_sql": "SELECT doc_a, doc_b, jaccard FROM _shard_union",
+    },
+    "neardup_clusters": {
+        "n_shards": SHARD_ORACLE_N,
+        "shard_sql": lambda s: _ngram_pairs_shard_sql(
+            s, SHARD_ORACLE_N, "edge"
+        ),
+        "combine_sql": f"""{_CLUSTER_COMBINE}
+    SELECT doc_id, min(r) AS cluster_id, doc_id = min(r) AS is_canonical
+    FROM reach GROUP BY doc_id""",
+    },
+    "canonical_selection": {
+        "n_shards": SHARD_ORACLE_N,
+        "shard_sql": lambda s: _ngram_pairs_shard_sql(
+            s, SHARD_ORACLE_N, "edge"
+        ),
+        "combine_sql": f"""{_CLUSTER_COMBINE},
+    cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+    wq AS (SELECT doc_id, CAST(len({_W}) AS BIGINT) AS score FROM documents),
+    scored AS (
+        SELECT c.doc_id, c.cluster_id, w.score
+        FROM cl c JOIN wq w ON c.doc_id = w.doc_id
+    )
+    SELECT doc_id, cluster_id, score,
+           first_value(doc_id) OVER (
+               PARTITION BY cluster_id
+               ORDER BY score DESC, doc_id ASC
+           ) AS keep_doc_id,
+           doc_id = first_value(doc_id) OVER (
+               PARTITION BY cluster_id
+               ORDER BY score DESC, doc_id ASC
+           ) AS is_kept
+    FROM scored""",
+    },
+}

@@ -63,6 +63,34 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def cold_one(name: str) -> None:
+    """--cold-one <query>: fresh-JVM, fresh-session-cache single run.
+    The r10 verdict's round-over-round comparability fix: session-
+    shared caches (bars model, shingle scans, LSH staging) mean
+    whichever suite consumer runs FIRST pays the materialization, so
+    reordering the suite between rounds confounds per-query medians
+    (r10 saw three mutually disagreeing deltas for one query). A cold
+    number includes staging by construction and is therefore
+    order-independent — the trustworthy cross-round comparator."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("algoritmos-etl-bench-cold", cpus=cpus)
+    spark.range(1_000_000).select(F.sum("id")).collect()
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(cpus * 4, numPartitions=cpus).mapInPandas(
+        _noop, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    materialize(REGISTRY[name].build(spark, sf_dir))
+    dt = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    print(json.dumps({"cold_query": name, "cold_s": dt}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -118,6 +146,30 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in trials.items()
     }
 
+    # Fresh-JVM COLD record for the top-5 most expensive queries
+    # (VERDICT r10 task #3): one subprocess per query, so the number
+    # includes its session-cache staging and is order-independent —
+    # suite reorderings between rounds stop confounding comparison.
+    # Sidecar-only (BENCH_TRIALS.json): the stdout line's 2000-char
+    # budget is reserved for the medians.
+    cold: dict[str, float] = {}
+    if not only and os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") != "0":
+        import subprocess
+
+        for name in sorted(timings, key=timings.get, reverse=True)[:5]:
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--cold-one", name],
+                    capture_output=True, text=True, timeout=900,
+                ).stdout
+                for ln in reversed(out.strip().splitlines()):
+                    if ln.startswith('{"cold_query"'):
+                        cold[name] = json.loads(ln)["cold_s"]
+                        break
+            except Exception:
+                pass  # a cold probe must never cost the bench row
+
     wall_clock = round(time.perf_counter() - wall_t0, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -148,6 +200,13 @@ def main() -> None:
                 "probes": probes,
                 "jvm_probes": jvm_probes,
                 "trials": trials,
+                "cold": cold,
+                "cold_note": (
+                    "fresh-JVM single runs of the top-5 most expensive "
+                    "queries, one subprocess each — includes session-"
+                    "cache staging, so it is order-independent across "
+                    "rounds (the r10 comparability fix)"
+                ),
             },
             fh,
             indent=1,
@@ -214,4 +273,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--cold-one":
+        cold_one(sys.argv[2])
+    else:
+        main()

@@ -91,6 +91,40 @@ def main() -> int:
     skip_oracle = set(
         (os.environ.get("VERIFY_SKIP_ORACLE") or "").split(",")
     ) - {""}
+    # VERIFY_SHARD_ORACLE=a,b,c — run those queries' oracles in the
+    # sharded form (driver_queries_ext.SHARDED_ORACLES): the heavy
+    # pair-generation core runs once per doc_id-residue shard (peak
+    # memory ~1/n_shards — the 30x-notch fix), shard outputs union
+    # into a temp table, and the light combine query produces the
+    # FULL result for the normal hash compare.
+    shard_oracle = set(
+        (os.environ.get("VERIFY_SHARD_ORACLE") or "").split(",")
+    ) - {""}
+    from algoritmos_etl_spark.driver_queries_ext import SHARDED_ORACLES
+
+    unknown_shard = shard_oracle - set(SHARDED_ORACLES)
+    if unknown_shard:
+        raise SystemExit(
+            f"VERIFY_SHARD_ORACLE names without a shard spec: "
+            f"{sorted(unknown_shard)}"
+        )
+
+    def run_sharded(name: str):
+        spec = SHARDED_ORACLES[name]
+        con.sql("DROP TABLE IF EXISTS _shard_union")
+        for s in range(spec["n_shards"]):
+            sql = spec["shard_sql"](s)
+            if s == 0:
+                con.sql(f"CREATE TABLE _shard_union AS {sql}")
+            else:
+                con.sql(f"INSERT INTO _shard_union {sql}")
+            print(f"    [shard {s + 1}/{spec['n_shards']}] {name}", flush=True)
+        rel = con.sql(spec["combine_sql"])
+        ocols = [d[0] for d in rel.description]
+        orows = rel.fetchall()
+        con.sql("DROP TABLE IF EXISTS _shard_union")
+        return ocols, orows
+
     for name, fn in qs.items():
         if name in skip_oracle:
             oracles = {k: v for k, v in oracles.items() if k != name}
@@ -105,14 +139,17 @@ def main() -> int:
             failures.append((name, f"SPARK ERROR: {type(e).__name__}: {e}"))
             print(f"[FAIL-spark] {name}: {e}")
             continue
-        if name not in oracles:
+        if name not in oracles and name not in shard_oracle:
             rows_only.append(name)
             print(f"[rows-only] {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
             continue
         try:
-            rel = con.sql(oracles[name])
-            ocols = [d[0] for d in rel.description]
-            orows = rel.fetchall()
+            if name in shard_oracle:
+                ocols, orows = run_sharded(name)
+            else:
+                rel = con.sql(oracles[name])
+                ocols = [d[0] for d in rel.description]
+                orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"[FAIL-oracle] {name}: {e}")
