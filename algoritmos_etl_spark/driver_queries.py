@@ -1414,7 +1414,8 @@ REGISTRY_ORDER = (
     "quality_tiers",           # r9 rotation IN: CCNet head/middle/tail
     "quality_rules",           # r11 NEW: Gopher/Dolma rule-pack gate
     "bpe_encode",              # full oracle since r9 (SQL relearns merges)
-    "bpe_roundtrip",           # r9 LATE IN: decode∘encode == SQL norm
+    "crawl_corpus",            # r11 NEW: WARC->URL-dedup->gate->extract->
+                               # rule-pack, the C4 order in ONE oracle
     "html_extraction",         # r9 NEW: HTML -> text extraction
     "warc_extraction",         # r10 NEW: WARC crawl-archive source tier
     "lang_id_trained",         # r10 NEW: trained char-trigram lang-ID
@@ -1432,6 +1433,11 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "bpe_roundtrip",         # displaced by r11 crawl_corpus: hash-green
+                             # r9-r10; the tokenizer-relearn oracle
+                             # stays in-window via bpe_encode (same
+                             # merge table), decode∘encode == SQL norm
+                             # pinned in test_bpe
     "streaming_neardup",     # displaced by r11 streaming_warc_ingest:
                              # hash-green r8-r10; the SAME
                              # _neardup_batch core + exactly-once

@@ -6289,12 +6289,17 @@ def q_pdf_extraction(spark, sf_dir):
 # ---------------- round 11: Gopher/Dolma document rule pack (VERDICT #6)
 
 
-def _oracle_quality_rules() -> str:
+def _quality_sig_sql(src: str, id_col: str = "doc_id") -> str:
+    """Parametrized DuckDB twin of `text._quality_signals` over
+    relation `src` (must expose `id_col` and `text`): yields CTEs
+    `w` and `sig`. Shared by the quality_rules oracle and the
+    crawl_corpus composition oracle so the signal spelling exists
+    once."""
     stops = ", ".join(f"'{s}'" for s in text.GOPHER_STOPWORDS)
     lines = "list_filter(string_split(text, chr(10)), l -> l <> '')"
-    sig = f"""WITH w AS (SELECT doc_id, {_W} AS ws, text FROM documents),
+    return f"""w AS (SELECT {id_col} AS _qid, {_W} AS ws, text FROM {src}),
     sig AS (
-        SELECT doc_id,
+        SELECT _qid,
             CAST(len(ws) AS BIGINT) AS n_words,
             CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
                  AS BIGINT) AS total_chars,
@@ -6315,35 +6320,42 @@ def _oracle_quality_rules() -> str:
                  [{stops}])) AS BIGINT) AS n_stop
         FROM w
     )"""
-    arms = [
-        ("word_count", "n_words", "n_words >= 50 AND n_words <= 100000"),
-        (
-            "mean_word_length",
-            "total_chars",
-            "n_words > 0 AND 3 * n_words <= total_chars"
-            " AND total_chars <= 10 * n_words",
-        ),
-        ("symbol_word_ratio", "n_sym", "10 * n_sym <= n_words"),
-        ("bullet_line_ratio", "n_bullet", "10 * n_bullet <= n_lines"),
-        (
-            "ellipsis_line_ratio",
-            "n_ellipsis",
-            "10 * n_ellipsis <= 3 * n_lines",
-        ),
-        (
-            "alpha_word_ratio",
-            "n_alpha",
-            "n_words > 0 AND 5 * n_alpha >= 4 * n_words",
-        ),
-        ("stopword_floor", "n_stop", "n_stop >= 2"),
-    ]
-    assert [a[0] for a in arms] == [n for n, _ in text.QUALITY_RULES]
+
+
+# (rule name, value expr over sig, pass condition over sig) — the SQL
+# twin of text._quality_verdicts, order == text.QUALITY_RULES
+_QUALITY_ARMS = [
+    ("word_count", "n_words", "n_words >= 50 AND n_words <= 100000"),
+    (
+        "mean_word_length",
+        "total_chars",
+        "n_words > 0 AND 3 * n_words <= total_chars"
+        " AND total_chars <= 10 * n_words",
+    ),
+    ("symbol_word_ratio", "n_sym", "10 * n_sym <= n_words"),
+    ("bullet_line_ratio", "n_bullet", "10 * n_bullet <= n_lines"),
+    (
+        "ellipsis_line_ratio",
+        "n_ellipsis",
+        "10 * n_ellipsis <= 3 * n_lines",
+    ),
+    (
+        "alpha_word_ratio",
+        "n_alpha",
+        "n_words > 0 AND 5 * n_alpha >= 4 * n_words",
+    ),
+    ("stopword_floor", "n_stop", "n_stop >= 2"),
+]
+
+
+def _oracle_quality_rules() -> str:
+    assert [a[0] for a in _QUALITY_ARMS] == [n for n, _ in text.QUALITY_RULES]
     union = "\n    UNION ALL ".join(
-        f"SELECT doc_id, '{name}' AS rule, {val} AS value,"
+        f"SELECT _qid AS doc_id, '{name}' AS rule, {val} AS value,"
         f" {cond} AS passed FROM sig"
-        for name, val, cond in arms
+        for name, val, cond in _QUALITY_ARMS
     )
-    return f"{sig}\n    {union}"
+    return f"WITH {_quality_sig_sql('documents')}\n    {union}"
 
 
 @register(
@@ -6615,3 +6627,90 @@ SHARDED_ORACLES = {
     FROM scored""",
     },
 }
+
+
+# -------- round 11: crawl -> training-corpus composition (flagship)
+
+
+# the crawl source's rule-pack configuration (the Dolma per-source
+# shape): the full pack minus the stop-word floor — the synthetic
+# corpus vocabulary carries no English stop-word mass, exactly the
+# source-specific waiver the `rules` parameter exists for (a code
+# corpus waives the same rule in real deployments)
+_CRAWL_RULES = tuple(
+    n for n, _ in text.QUALITY_RULES if n != "stopword_floor"
+)
+
+
+def _oracle_crawl_corpus() -> str:
+    from .operators.html_text import html_to_text_sql, synthesize_html_sql
+
+    blocked = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+    host = url_ops.url_host_sql("url_norm")
+    dom = url_ops.registrable_domain_sql("_hh")
+    keep_cond = " AND ".join(
+        cond for n, _v, cond in _QUALITY_ARMS if n in _CRAWL_RULES
+    )
+    return f"""WITH {_warc_live_urls_cte()},
+    {url_ops.normalize_url_cte('live')},
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY url_norm
+                                  ORDER BY warc_date, url) AS rn,
+               count(*) OVER (PARTITION BY url_norm) AS n_dups
+        FROM normed
+    ),
+    kept1 AS (SELECT * FROM ranked WHERE rn = 1),
+    hosted AS (SELECT *, {host} AS _hh FROM kept1),
+    domained AS (SELECT *, {dom} AS domain FROM hosted),
+    gated AS (SELECT * FROM domained WHERE domain NOT IN ({blocked})),
+    withhtml AS (
+        SELECT g.url_norm, g.domain, g.warc_date, g.n_dups,
+               {synthesize_html_sql()} AS html
+        FROM gated g JOIN documents USING (doc_id)
+    ),
+    ext AS (
+        SELECT url_norm, domain, warc_date, n_dups,
+               {_h('url_norm')} AS doc_id,
+               {html_to_text_sql('html')} AS text
+        FROM withhtml
+    ),
+    {_quality_sig_sql('ext')},
+    qkeep AS (SELECT _qid AS doc_id FROM sig WHERE {keep_cond})
+    SELECT e.doc_id, e.url_norm, e.domain, e.warc_date,
+           CAST(e.n_dups AS BIGINT) AS n_dups,
+           CAST(len(list_filter(string_split(trim(e.text), ' '),
+                x -> x <> '')) AS BIGINT) AS n_words,
+           CAST(length(e.text) AS BIGINT) AS n_chars,
+           e.text
+    FROM ext e JOIN qkeep USING (doc_id)"""
+
+
+@register(
+    "crawl_corpus",
+    # Full oracle across the WHOLE composition: fixture file layout +
+    # torn rule, messy-URL and fetch-ts integer twins, every URL
+    # normalization rule, the keep-first window, the registrable-
+    # domain cut + blocklist, the synthesize-HTML -> html_to_text
+    # round trip, the md5-prefix doc key, and all seven Gopher
+    # thresholds (shared _QUALITY_ARMS). A defect in ANY stage of the
+    # crawl pipeline breaks this one hash.
+    _oracle_crawl_corpus(),
+    "The C4/RefinedWeb pipeline ORDER end to end in one plan "
+    "(plans/crawl.py): WARC binary parse -> URL-grain exact dedup "
+    "keep-first-by-fetch-ts (BEFORE extraction, so duplicate fetches "
+    "never pay HTML processing) -> registrable-domain blocklist gate "
+    "-> html_to_text -> Gopher/Dolma rule-pack gate. One shuffle "
+    "(the canonical-URL window) before corpus-grain dedup takes over",
+)
+def q_crawl_corpus(spark, sf_dir):
+    from .plans.crawl import crawl_to_corpus
+    from .sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synthesize_warc_corpus(docs, messy_urls=True)
+    return crawl_to_corpus(
+        warc.parse_warc_records(files),
+        blocklist=_URL_BLOCKLIST,
+        quality_rules=_CRAWL_RULES,
+    )

@@ -221,18 +221,27 @@ def quality_rules(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_rules_keep(docs: DataFrame) -> DataFrame:
+def quality_rules_keep(
+    docs: DataFrame, rules: tuple[str, ...] | None = None
+) -> DataFrame:
     """(doc_id, n_failed, keep) — the rule pack as a GATE: keep iff
-    every rule passes. Same verdict expressions as `quality_rules`
-    (one shared builder), so gate and report cannot drift; composes
-    in front of curation exactly like `curation_gate_col`."""
+    every selected rule passes. Same verdict expressions as
+    `quality_rules` (one shared builder), so gate and report cannot
+    drift; composes in front of curation exactly like
+    `curation_gate_col`. `rules` selects a subset by name (default
+    all) — the Dolma deployment shape, where each source ships its
+    own rule configuration (a code corpus waives the stop-word floor,
+    a books corpus waives the bullet ratio)."""
     sig = _quality_signals(docs)
     verdicts = _quality_verdicts(sig)
+    names = [n for n, _ in QUALITY_RULES]
+    if rules is not None:
+        unknown = set(rules) - set(names)
+        if unknown:
+            raise ValueError(f"unknown quality rules: {sorted(unknown)}")
+        names = [n for n in names if n in set(rules)]
     n_failed = sum(
-        (
-            F.when(verdicts[name][1], 0).otherwise(1)
-            for name, _ in QUALITY_RULES
-        ),
+        (F.when(verdicts[name][1], 0).otherwise(1) for name in names),
         F.lit(0),
     )
     return sig.select(

@@ -44,7 +44,7 @@ MUST_BE_IN_WINDOW = {
     "triplet_mining",
     "pps_sample",
     "quality_tiers",
-    "bpe_encode", "bpe_roundtrip", "html_extraction",
+    "bpe_encode", "html_extraction",
     "ann_ivf_topk",
     "pca_projection",
     "streaming_heavy_hitters",
@@ -54,7 +54,7 @@ MUST_BE_IN_WINDOW = {
     "warc_extraction", "lang_id_trained",
     # r11 flagships (rotated in the round they landed)
     "url_dedup", "domain_curation", "pdf_extraction",
-    "quality_rules", "streaming_warc_ingest",
+    "quality_rules", "streaming_warc_ingest", "crawl_corpus",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
@@ -65,7 +65,7 @@ EXPECTED_TAIL = {
     # displaced by the r11 rotation — hash-green r9-r10, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "passage_scrub", "heavy_hitters", "epoch_shards",
-    "mixture_sample", "streaming_neardup",
+    "mixture_sample", "streaming_neardup", "bpe_roundtrip",
     # displaced by the r10 rotation — hash-green r8-r9, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "table_profile", "incremental_revenue", "price_anomalies",

@@ -195,3 +195,72 @@ def test_warc_url_dedup_extract_curate_composition(spark):
     assert "spam.tracker.net" not in hosts
     assert "ads.clickfarm.biz" not in hosts
     assert kept.count() == 10  # 14 - 2x tracker - 2x clickfarm
+
+
+def test_crawl_to_corpus_composition(spark):
+    """plans/crawl.py end-to-end: parse -> URL dedup -> domain gate ->
+    extract -> rule-pack gate, with per-stage effects visible."""
+    from algoritmos_etl_spark.plans.crawl import crawl_to_corpus
+
+    rows = [
+        (
+            i,
+            " ".join(
+                f"word{i // 16}x{j}" for j in range(60)
+            ),  # >= 50 words, mean len ok; dup-group members share text
+        )
+        for i in range(64)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    files = warc.synthesize_warc_corpus(docs, torn_every=0, messy_urls=True)
+    out = crawl_to_corpus(
+        warc.parse_warc_records(files),
+        blocklist=["tracker.net", "clickfarm.biz"],
+        quality_rules=(
+            "word_count", "mean_word_length", "symbol_word_ratio",
+            "alpha_word_ratio",
+        ),
+    ).collect()
+    # 64 docs = 4 blocks x 7 canonical urls = 28, minus 2 junk domains
+    # per block = 20 survivors (every doc passes the rule subset)
+    assert len(out) == 20
+    doms = {r["domain"] for r in out}
+    assert doms == {"example.com", "sample.org"}
+    # keep-first: each 4-way group keeps its min doc_id's fetch, and
+    # n_dups records the group size
+    by_url = {r["url_norm"]: r for r in out}
+    g0 = by_url["https://example.com/page/0?v=0"]
+    assert g0["n_dups"] == 4 and g0["warc_date"] == warc.warc_date(0)
+    # the HTML shell contributes a fixed word overhead (title/footer
+    # boilerplate the scale tier keeps); all docs share one shape
+    n_words = {r["n_words"] for r in out}
+    assert len(n_words) == 1 and n_words.pop() >= 60
+    # doc_id is the canonical-url hash: deterministic + distinct
+    assert len({r["doc_id"] for r in out}) == 20
+
+
+def test_quality_rules_keep_subset_param(spark):
+    df = spark.createDataFrame(
+        [(0, " ".join(f"word{j}" for j in range(60)))],
+        "doc_id long, text string",
+    )
+    # full pack fails (no gopher stop words), the waived subset keeps
+    assert not text_quality_keep_all(df)
+    kept = text_rules_keep(df, ("word_count", "alpha_word_ratio"))
+    assert kept
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown quality rules"):
+        text_rules_keep(df, ("no_such_rule",))
+
+
+def text_rules_keep(df, rules):
+    from algoritmos_etl_spark.operators.text import quality_rules_keep
+
+    return [r for r in quality_rules_keep(df, rules=rules).collect() if r["keep"]]
+
+
+def text_quality_keep_all(df):
+    from algoritmos_etl_spark.operators.text import quality_rules_keep
+
+    return [r for r in quality_rules_keep(df).collect() if r["keep"]]
