@@ -6586,7 +6586,108 @@ _CLUSTER_COMBINE = """WITH RECURSIVE edges AS (
 
 SHARD_ORACLE_N = 8
 
+def _token_runs_shard_sql(s: int, n_shards: int) -> str:
+    """One shard of the token-grain ExactSubstr oracle: maximal runs
+    whose doc_a % n_shards == s (every (doc_a, doc_b, diag) window
+    group lives entirely in doc_a's shard, so shard outputs are final
+    rows). Reads the setup tables `_setup_sh` (the BPE-relearned
+    positional token shingles — built ONCE, the linear cost that a
+    per-shard repeat would multiply by S) and `_setup_pairable`
+    (the global 2..64 df-cap)."""
+    return f"""WITH cand AS (
+        SELECT sh.doc_id, sh.p, sh.s
+        FROM _setup_sh sh JOIN _setup_pairable USING (s)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, a.p AS pos_a, b.doc_id AS doc_b,
+               b.p - a.p AS diag
+        FROM (SELECT * FROM cand WHERE doc_id % {n_shards} = {s}) a
+        JOIN cand b
+          ON a.s = b.s
+         AND (a.doc_id < b.doc_id
+              OR (a.doc_id = b.doc_id AND a.p < b.p))
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               CASE WHEN lag(pos_a) OVER win IS NULL
+                         OR pos_a > lag(pos_a) OVER win + 1
+                    THEN 1 ELSE 0 END AS is_new
+        FROM pairs
+        WINDOW win AS (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag, pos_a,
+               sum(is_new) OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run
+        FROM runs
+    )
+    SELECT doc_a, CAST(min(pos_a) AS INT) AS start_a, doc_b,
+           CAST(min(pos_a) + diag AS INT) AS start_b,
+           CAST(max(pos_a) - min(pos_a) + {_TOKEN_RUN_K} AS INT)
+               AS len_tokens,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM isl GROUP BY doc_a, doc_b, diag, run"""
+
+
+def _token_runs_setup_sql() -> list:
+    """Setup tables for the sharded token-run oracle: the BPE relearn
+    + positional shingle explode runs ONCE (r10's 30x failure was the
+    TIME of this linear stage inside a one-shot CTE; splitting it from
+    the sharded pair join keeps both inside budget)."""
+    sh = f"""WITH {_bpe_sql_ctes()},
+    pos AS (
+        SELECT doc_id, unnest(range(0, len(toks) - {_TOKEN_RUN_K - 1}))
+               AS p, toks
+        FROM doc_tokens WHERE len(toks) >= {_TOKEN_RUN_K}
+    )
+    SELECT doc_id, p,
+           array_to_string(toks[p+1:p+{_TOKEN_RUN_K}], ' ') AS s
+    FROM pos"""
+    pairable = (
+        "SELECT s FROM _setup_sh GROUP BY s"
+        " HAVING count(*) >= 2 AND count(*) <= 64"
+    )
+    return [("_setup_sh", sh), ("_setup_pairable", pairable)]
+
+
+_TRIPLET_COMBINE = """WITH ranked AS (
+        SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY md5('tm:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS rnk
+        FROM documents
+    ),
+    nd AS (SELECT count(*) AS n FROM documents),
+    trip AS (
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               CAST(('0x' || substr(md5('tm:neg:' || p.doc_a || ':' || p.doc_b),
+                    1, 15)) AS BIGINT) % greatest(n.n, 1) AS r
+        FROM _shard_union p, nd n
+    )
+    SELECT t.doc_a AS anchor_id, t.doc_b AS positive_id,
+           rk.doc_id AS negative_id, t.jaccard
+    FROM trip t JOIN ranked rk ON rk.rnk = t.r
+    WHERE rk.doc_id <> t.doc_a AND rk.doc_id <> t.doc_b"""
+
 SHARDED_ORACLES = {
+    "exact_repeat_runs_tokens": {
+        "n_shards": SHARD_ORACLE_N,
+        "setup_sql": _token_runs_setup_sql(),
+        "shard_sql": lambda s: _token_runs_shard_sql(s, SHARD_ORACLE_N),
+        "combine_sql": "SELECT * FROM _shard_union",
+    },
+    "triplet_mining": {
+        # r10's 30x TIME casualty: the cost was the one-shot pair CTE,
+        # not the triplet mapping — shard the pairs, keep the cheap
+        # hash-negative join in the combine
+        "n_shards": SHARD_ORACLE_N,
+        "shard_sql": lambda s: _ngram_pairs_shard_sql(
+            s, SHARD_ORACLE_N, "jaccard"
+        ),
+        "combine_sql": _TRIPLET_COMBINE,
+    },
     "dedup_ngram_jaccard": {
         "n_shards": SHARD_ORACLE_N,
         "shard_sql": lambda s: _ngram_pairs_shard_sql(

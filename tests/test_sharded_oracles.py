@@ -31,6 +31,9 @@ def con():
 def test_sharded_equals_plain_oracle(con, name):
     spec = SHARDED_ORACLES[name]
     con.sql("DROP TABLE IF EXISTS _shard_union")
+    for tbl, sql in spec.get("setup_sql", []):
+        con.sql(f"DROP TABLE IF EXISTS {tbl}")
+        con.sql(f"CREATE TABLE {tbl} AS {sql}")
     for s in range(spec["n_shards"]):
         sql = spec["shard_sql"](s)
         if s == 0:
@@ -44,6 +47,8 @@ def test_sharded_equals_plain_oracle(con, name):
     pcols = [d[0] for d in plain.description]
     prows = sorted(map(tuple, plain.fetchall()))
     con.sql("DROP TABLE IF EXISTS _shard_union")
+    for tbl, _sql in spec.get("setup_sql", []):
+        con.sql(f"DROP TABLE IF EXISTS {tbl}")
     assert scols == pcols
     assert srows == prows
     assert srows, f"{name}: empty result — fixture no longer overlaps"

@@ -112,6 +112,12 @@ def main() -> int:
     def run_sharded(name: str):
         spec = SHARDED_ORACLES[name]
         con.sql("DROP TABLE IF EXISTS _shard_union")
+        # one-shot setup tables (e.g. the BPE-relearn product) so the
+        # linear stage is not repeated per shard
+        for tbl, sql in spec.get("setup_sql", []):
+            con.sql(f"DROP TABLE IF EXISTS {tbl}")
+            con.sql(f"CREATE TABLE {tbl} AS {sql}")
+            print(f"    [setup] {name}: {tbl}", flush=True)
         for s in range(spec["n_shards"]):
             sql = spec["shard_sql"](s)
             if s == 0:
@@ -123,6 +129,8 @@ def main() -> int:
         ocols = [d[0] for d in rel.description]
         orows = rel.fetchall()
         con.sql("DROP TABLE IF EXISTS _shard_union")
+        for tbl, _sql in spec.get("setup_sql", []):
+            con.sql(f"DROP TABLE IF EXISTS {tbl}")
         return ocols, orows
 
     for name, fn in qs.items():
