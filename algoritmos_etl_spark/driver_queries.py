@@ -1406,7 +1406,6 @@ REGISTRY_ORDER = (
     # ---- text / dedup / corpus ----
     "exact_repeat_runs",
     "exact_repeat_runs_tokens",  # r9 NEW: Lee 2022 at 50-BPE-token grain
-    "triplet_mining",          # r9 LATE IN: contrastive (a,p,n) mining
     "url_dedup",               # r11 NEW: URL-grain exact dedup over WARC
     "domain_curation",         # r11 NEW: registrable-domain rollup + gate
     "pps_sample",              # r9 LATE IN: integer systematic PPS
@@ -1418,6 +1417,7 @@ REGISTRY_ORDER = (
                                # rule-pack, the C4 order in ONE oracle
     "html_extraction",         # r9 NEW: HTML -> text extraction
     "warc_extraction",         # r10 NEW: WARC crawl-archive source tier
+    "warc_cdx_extraction",     # r11 NEW: cdx record-parallel read path
     "lang_id_trained",         # r10 NEW: trained char-trigram lang-ID
     # ---- vectors ----
     "ann_ivf_topk",
@@ -1433,6 +1433,12 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "triplet_mining",        # displaced by r11 warc_cdx_extraction:
+                             # hash-green r9-r10 AND 30x-sharded-proven
+                             # this round; the (a,p,n) mining machinery
+                             # stays evidenced via the in-window pair
+                             # family (exact_repeat_runs*, url_dedup)
+                             # and its own sharded big-notch row
     "bpe_roundtrip",         # displaced by r11 crawl_corpus: hash-green
                              # r9-r10; the tokenizer-relearn oracle
                              # stays in-window via bpe_encode (same

@@ -6815,3 +6815,31 @@ def q_crawl_corpus(spark, sf_dir):
         blocklist=_URL_BLOCKLIST,
         quality_rules=_CRAWL_RULES,
     )
+
+
+# ------- round 11: cdx record-level-parallel WARC path (scale story)
+
+
+@register(
+    "warc_cdx_extraction",
+    # Same full oracle as warc_extraction: the cdx path must produce
+    # EXACTLY the sequential walk's rows (same records, same torn
+    # quarantine — one torn member per torn file) while the PLAN
+    # changes from per-file sequential to per-record parallel. The
+    # shared oracle is the point: two physical strategies, one
+    # contract.
+    _oracle_warc_extraction(),
+    "The 100 TB WARC read path: record-level parallelism via the cdx "
+    "member-offset sidecar (CommonCrawl's real layout) — explode the "
+    "index, slice gzip members with the built-in binary substring "
+    "(JVM-side), repartition to full parallelism, parse each record "
+    "independently. Output contract identical to the sequential "
+    "member walk (same oracle), so the driver verifies that the "
+    "parallel strategy changes the plan and nothing else",
+)
+def q_warc_cdx_extraction(spark, sf_dir):
+    from .sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synthesize_warc_corpus(docs, with_cdx=True)
+    return warc.warc_extract_pages(warc.parse_warc_records_cdx(files))

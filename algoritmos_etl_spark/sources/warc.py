@@ -37,10 +37,12 @@ synthesizer, quarantine instead of task failure):
   bucket with. At 100 TB note: CommonCrawl files are ~1 GiB, so one
   row per file is one Arrow batch per file; size
   `spark.sql.files.maxPartitionBytes` accordingly or pre-split
-  archives — the parser itself is per-file sequential either way
-  (WARC is a tape format; record-level parallelism needs the member
-  offsets index, which is exactly what the cdx sidecar files carry in
-  real crawls).
+  archives — the sequential parser is per-file either way (WARC is a
+  tape format; record-level parallelism needs the member offsets
+  index, which is exactly what the cdx sidecar files carry in real
+  crawls — and `parse_warc_records_cdx` IS that path: explode the
+  index, slice members JVM-side, repartition to full parallelism,
+  parse each record independently).
 
 Reference scope note: the reference (/root/reference) has no crawl
 ingestion — its source edge is a JSON chart API (etl/data_fetcher.py);
@@ -208,6 +210,7 @@ def synthesize_warc_corpus(
     docs_per_file: int = DOCS_PER_FILE,
     torn_every: int = TORN_EVERY,
     messy_urls: bool = False,
+    with_cdx: bool = False,
 ) -> DataFrame:
     """(warc_file, content binary) — the fixture crawl drop (see
     module doc). Documents are laid out in doc_id order (global
@@ -218,7 +221,10 @@ def synthesize_warc_corpus(
     guaranteed to fail rather than short-read). `messy_urls=True`
     swaps the clean per-doc URI for `messy_url(doc_id)` — the
     URL-curation fixture with case noise, default ports, tracking
-    params, and canonical-grain duplicate groups."""
+    params, and canonical-grain duplicate groups. `with_cdx=True`
+    adds the member-offset index column (the CommonCrawl cdx sidecar
+    shape) that `parse_warc_records_cdx` needs for RECORD-level
+    parallelism."""
     w = Window.partitionBy(one_partition(F.col("doc_id"))).orderBy("doc_id")
     laid = docs.select(
         "doc_id",
@@ -247,16 +253,30 @@ def synthesize_warc_corpus(
             if cut >= len(last) - 8:
                 cut = max(11, len(last) - 9)
             members[-1] = last[:cut]
+        # cdx sidecar: member byte ranges as they exist ON DISK (the
+        # torn last member's entry covers only its surviving bytes, so
+        # the range read returns a truncated gzip stream and the
+        # record quarantines — same contract as the sequential walk)
+        offs, pos = [], 0
+        for m, d in zip(members, pdf["doc_id"]):
+            offs.append((int(d), pos, len(m)))
+            pos += len(m)
         return pd.DataFrame(
             {
                 "warc_file": [f"warc-{file_no:05d}.warc.gz"],
                 "content": [b"".join(members)],
+                "cdx": [offs],
             }
         )
 
-    return laid.groupBy("_file").applyInPandas(
-        build_file, schema="warc_file string, content binary"
+    out = laid.groupBy("_file").applyInPandas(
+        build_file,
+        schema=(
+            "warc_file string, content binary,"
+            " cdx array<struct<doc_id:long,offset:long,length:long>>"
+        ),
     )
+    return out if with_cdx else out.drop("cdx")
 
 
 def _parse_member(raw: bytes) -> dict:
@@ -410,6 +430,71 @@ def parse_warc_records(
             )
 
     return src.mapInPandas(parse, schema=_PARSE_SCHEMA)
+
+
+def parse_warc_records_cdx(files: DataFrame) -> DataFrame:
+    """Record-level-parallel WARC parse via the cdx member-offset
+    index — the path the module doc's 100 TB note calls for: the
+    sequential member walk (`parse_warc_records`) is per-FILE
+    sequential because WARC is a tape format, but real crawls ship a
+    cdx sidecar with member byte ranges, and with it each RECORD
+    becomes an independent unit of work. `files` is
+    `synthesize_warc_corpus(..., with_cdx=True)` output (or any
+    (warc_file, content, cdx array<struct<doc_id, offset, length>>)
+    relation; on a cluster the slice would be an object-store range
+    request instead of a substring over the fetched file).
+
+    Plan shape: explode the cdx, slice each member with the built-in
+    binary `substring` (JVM-side), REPARTITION to full parallelism —
+    the explode is what turns N files into N×members work units —
+    then one Arrow batch per partition gunzips + parses its members.
+    A member whose range is short/torn (the fixture cuts the archive
+    after the cdx was written) quarantines exactly like the
+    sequential walk; same output schema, same row contract."""
+    members = (
+        files.select(
+            "warc_file",
+            F.explode("cdx").alias("_c"),
+            F.col("content"),
+        )
+        .select(
+            "warc_file",
+            F.expr(
+                "substring(content, _c.offset + 1,"
+                " cast(_c.length as int))"
+            ).alias("_member"),
+        )
+        .repartition(files.sparkSession.sparkContext.defaultParallelism)
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for fname, member in zip(pdf["warc_file"], pdf["_member"]):
+                member = bytes(member) if member is not None else b""
+                d = zlib.decompressobj(wbits=31)
+                try:
+                    raw = d.decompress(member)
+                    if not d.eof:
+                        raise zlib.error("truncated member")
+                    rows.append({"warc_file": fname, **_parse_member(raw)})
+                except zlib.error:
+                    rows.append(
+                        {"warc_file": fname, **_quarantine(ERR_TORN)}
+                    )
+                except ValueError as e:
+                    rows.append({"warc_file": fname, **_quarantine(str(e))})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_file", "url", "warc_date", "warc_type",
+                    "http_status", "content_type", "html", "ok", "err",
+                ],
+            )
+
+    return members.mapInPandas(parse, schema=_PARSE_SCHEMA)
 
 
 def read_warc_dir(spark, path: str) -> DataFrame:

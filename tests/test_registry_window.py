@@ -41,7 +41,6 @@ MUST_BE_IN_WINDOW = {
     "bloom_join_prune",
     # extensions (r9 late flagships rotated in the round they landed)
     "exact_repeat_runs", "exact_repeat_runs_tokens",
-    "triplet_mining",
     "pps_sample",
     "quality_tiers",
     "bpe_encode", "html_extraction",
@@ -55,6 +54,7 @@ MUST_BE_IN_WINDOW = {
     # r11 flagships (rotated in the round they landed)
     "url_dedup", "domain_curation", "pdf_extraction",
     "quality_rules", "streaming_warc_ingest", "crawl_corpus",
+    "warc_cdx_extraction",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
@@ -66,6 +66,7 @@ EXPECTED_TAIL = {
     # evidenced in-window (see REGISTRY_ORDER notes)
     "passage_scrub", "heavy_hitters", "epoch_shards",
     "mixture_sample", "streaming_neardup", "bpe_roundtrip",
+    "triplet_mining",
     # displaced by the r10 rotation — hash-green r8-r9, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "table_profile", "incremental_revenue", "price_anomalies",

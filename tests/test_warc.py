@@ -226,3 +226,34 @@ def test_crawl_to_curation_composition(spark, docs, parsed):
     stats = text_ops.text_stats(docs_like)
     assert stats.count() == 11
     assert stats.filter(F.col("n_words") <= 0).count() == 0
+
+
+def test_cdx_parallel_parse_equals_sequential_walk(spark, docs):
+    """The cdx record-level-parallel path (r11) must produce EXACTLY
+    the sequential member walk's rows — records, quarantines, and all
+    — while changing only the plan (N files -> N x members work
+    units)."""
+    files = warc.synthesize_warc_corpus(
+        docs, docs_per_file=5, torn_every=2, with_cdx=True
+    ).localCheckpoint()
+    seq = warc.parse_warc_records(files.drop("cdx"))
+    par = warc.parse_warc_records_cdx(files)
+    key = lambda r: tuple(  # noqa: E731
+        "" if v is None else str(v) for v in r
+    )
+    assert sorted(map(key, par.collect())) == sorted(map(key, seq.collect()))
+    # the cdx index itself: contiguous, complete ranges per file
+    for row in files.collect():
+        total = len(bytes(row["content"]))
+        pos = 0
+        for c in sorted(row["cdx"], key=lambda c: c["offset"]):
+            assert c["offset"] == pos
+            pos += c["length"]
+        assert pos == total
+    # record-level parallelism: the parse runs at defaultParallelism,
+    # not at file count
+    members = warc.parse_warc_records_cdx(files)
+    assert (
+        members.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
