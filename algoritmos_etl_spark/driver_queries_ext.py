@@ -6675,7 +6675,7 @@ SHARDED_ORACLES = {
     "exact_repeat_runs_tokens": {
         "n_shards": SHARD_ORACLE_N,
         "setup_sql": _token_runs_setup_sql(),
-        "shard_sql": lambda s: _token_runs_shard_sql(s, SHARD_ORACLE_N),
+        "shard_sql": lambda s, n=SHARD_ORACLE_N: _token_runs_shard_sql(s, n),
         "combine_sql": "SELECT * FROM _shard_union",
     },
     "triplet_mining": {
@@ -6683,22 +6683,22 @@ SHARDED_ORACLES = {
         # not the triplet mapping — shard the pairs, keep the cheap
         # hash-negative join in the combine
         "n_shards": SHARD_ORACLE_N,
-        "shard_sql": lambda s: _ngram_pairs_shard_sql(
-            s, SHARD_ORACLE_N, "jaccard"
+        "shard_sql": lambda s, n=SHARD_ORACLE_N: _ngram_pairs_shard_sql(
+            s, n, "jaccard"
         ),
         "combine_sql": _TRIPLET_COMBINE,
     },
     "dedup_ngram_jaccard": {
         "n_shards": SHARD_ORACLE_N,
-        "shard_sql": lambda s: _ngram_pairs_shard_sql(
-            s, SHARD_ORACLE_N, "jaccard"
+        "shard_sql": lambda s, n=SHARD_ORACLE_N: _ngram_pairs_shard_sql(
+            s, n, "jaccard"
         ),
         "combine_sql": "SELECT doc_a, doc_b, jaccard FROM _shard_union",
     },
     "neardup_clusters": {
         "n_shards": SHARD_ORACLE_N,
-        "shard_sql": lambda s: _ngram_pairs_shard_sql(
-            s, SHARD_ORACLE_N, "edge"
+        "shard_sql": lambda s, n=SHARD_ORACLE_N: _ngram_pairs_shard_sql(
+            s, n, "edge"
         ),
         "combine_sql": f"""{_CLUSTER_COMBINE}
     SELECT doc_id, min(r) AS cluster_id, doc_id = min(r) AS is_canonical
@@ -6706,8 +6706,8 @@ SHARDED_ORACLES = {
     },
     "canonical_selection": {
         "n_shards": SHARD_ORACLE_N,
-        "shard_sql": lambda s: _ngram_pairs_shard_sql(
-            s, SHARD_ORACLE_N, "edge"
+        "shard_sql": lambda s, n=SHARD_ORACLE_N: _ngram_pairs_shard_sql(
+            s, n, "edge"
         ),
         "combine_sql": f"""{_CLUSTER_COMBINE},
     cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),

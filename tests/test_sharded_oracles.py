@@ -35,7 +35,7 @@ def test_sharded_equals_plain_oracle(con, name):
         con.sql(f"DROP TABLE IF EXISTS {tbl}")
         con.sql(f"CREATE TABLE {tbl} AS {sql}")
     for s in range(spec["n_shards"]):
-        sql = spec["shard_sql"](s)
+        sql = spec["shard_sql"](s, spec["n_shards"])
         if s == 0:
             con.sql(f"CREATE TABLE _shard_union AS {sql}")
         else:
@@ -59,7 +59,9 @@ def test_shards_are_disjoint_and_complete(con):
     spec = SHARDED_ORACLES["dedup_ngram_jaccard"]
     seen: dict = {}
     for s in range(spec["n_shards"]):
-        for a, b, _j in con.sql(spec["shard_sql"](s)).fetchall():
+        for a, b, _j in con.sql(
+            spec["shard_sql"](s, spec["n_shards"])
+        ).fetchall():
             assert (a, b) not in seen, f"pair in shards {seen[(a, b)]} and {s}"
             seen[(a, b)] = s
             assert a % spec["n_shards"] == s

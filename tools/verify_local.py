@@ -111,6 +111,10 @@ def main() -> int:
 
     def run_sharded(name: str):
         spec = SHARDED_ORACLES[name]
+        # VERIFY_SHARD_N overrides the shard count (bigger notches
+        # want more, smaller shards); disjointness/completeness hold
+        # for any n since a pair lands in shard doc_a % n
+        n_shards = int(os.environ.get("VERIFY_SHARD_N", spec["n_shards"]))
         con.sql("DROP TABLE IF EXISTS _shard_union")
         # one-shot setup tables (e.g. the BPE-relearn product) so the
         # linear stage is not repeated per shard
@@ -118,13 +122,13 @@ def main() -> int:
             con.sql(f"DROP TABLE IF EXISTS {tbl}")
             con.sql(f"CREATE TABLE {tbl} AS {sql}")
             print(f"    [setup] {name}: {tbl}", flush=True)
-        for s in range(spec["n_shards"]):
-            sql = spec["shard_sql"](s)
+        for s in range(n_shards):
+            sql = spec["shard_sql"](s, n_shards)
             if s == 0:
                 con.sql(f"CREATE TABLE _shard_union AS {sql}")
             else:
                 con.sql(f"INSERT INTO _shard_union {sql}")
-            print(f"    [shard {s + 1}/{spec['n_shards']}] {name}", flush=True)
+            print(f"    [shard {s + 1}/{n_shards}] {name}", flush=True)
         rel = con.sql(spec["combine_sql"])
         ocols = [d[0] for d in rel.description]
         orows = rel.fetchall()
