@@ -24,7 +24,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.scalars import one_partition
+from .functions.scalars import fixed6, one_partition
 from .sources.readers import ORACLE_BARS_CTE, daily_bars, load_table
 from .operators import cleaning, patterns, relational, similarity, sorting, technical, volatility
 
@@ -368,10 +368,14 @@ pwinmax AS (
     ) WHERE wrn >= 5 GROUP BY symbol
 )
 SELECT v.symbol, round(v.volatility, 6) AS volatility,
-       CASE WHEN v.volatility <= t.p_low THEN 'Conservador'
-            WHEN v.volatility <= t.p_high THEN 'Moderado'
+       CASE WHEN floor(v.volatility * 1000000 + 0.5)
+                 <= floor(t.p_low * 1000000 + 0.5) THEN 'Conservador'
+            WHEN floor(v.volatility * 1000000 + 0.5)
+                 <= floor(t.p_high * 1000000 + 0.5) THEN 'Moderado'
             ELSE 'Agresivo' END AS risk_class,
-       CAST(row_number() OVER (ORDER BY v.volatility, v.symbol) AS BIGINT) AS rank,
+       CAST(row_number() OVER (
+           ORDER BY floor(v.volatility * 1000000 + 0.5), v.symbol
+       ) AS BIGINT) AS rank,
        round(t.p_low, 6) AS p_low, round(t.p_high, 6) AS p_high,
        m.mean, m.std_dev, m.min_close, m.max_close, m.n, v.n_returns,
        pt.total_ups, pt.total_windows,
@@ -475,19 +479,23 @@ def q_risk(spark, sf_dir):
     )
     # symbol-grain from here down (thousands of rows at any scale) —
     # explicit single-partition key (see scalars.one_partition)
+    # rank order and class boundaries at the fixed6 quantizer grain —
+    # the 100x notch caught raw-float ordering flipping adjacent ranks
+    # (cross-engine ulp between two of 150k symbols)
     rank_w = Window.partitionBy(one_partition(F.col("symbol"))).orderBy(
-        F.col("volatility").asc(), F.col("symbol").asc()
+        fixed6(F.col("volatility")).asc(), F.col("symbol").asc()
     )
+    _qv = fixed6(F.col("volatility"))
     out = (
         per_symbol.crossJoin(F.broadcast(thresholds))
         .withColumn(
             "risk_class",
             F.when(
-                F.col("volatility") <= F.col("p_low"),
+                _qv <= fixed6(F.col("p_low")),
                 F.lit(volatility.CONSERVATIVE),
             )
             .when(
-                F.col("volatility") <= F.col("p_high"),
+                _qv <= fixed6(F.col("p_high")),
                 F.lit(volatility.MODERATE),
             )
             .otherwise(F.lit(volatility.AGGRESSIVE)),
@@ -529,8 +537,10 @@ thresholds AS (
            quantile_cont(volatility, 0.66) AS p_high
     FROM vols
 )
-SELECT CASE WHEN v.volatility <= t.p_low THEN 'Conservador'
-            WHEN v.volatility <= t.p_high THEN 'Moderado'
+SELECT CASE WHEN floor(v.volatility * 1000000 + 0.5)
+                 <= floor(t.p_low * 1000000 + 0.5) THEN 'Conservador'
+            WHEN floor(v.volatility * 1000000 + 0.5)
+                 <= floor(t.p_high * 1000000 + 0.5) THEN 'Moderado'
             ELSE 'Agresivo' END AS risk_class,
        CAST(count(*) AS BIGINT) AS n_assets
 FROM vols v CROSS JOIN thresholds t

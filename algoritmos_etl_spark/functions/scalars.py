@@ -86,6 +86,19 @@ def angle_degrees(cosine: Column) -> Column:
     return F.degrees(F.acos(clamped))
 
 
+def fixed6(col: Column) -> Column:
+    """floor(x·10⁶ + 0.5) as BIGINT — the shared cross-engine DECISION
+    grain at 6 decimals (the PSI q4 quantizer's precision-matched
+    sibling). Use it wherever a float ORDERS or CLASSIFIES rows whose
+    emitted form is round(x, 6): Spark and DuckDB aggregate floats
+    with last-ulp differences, and with enough rows (the 100× notch's
+    150k symbols) an ulp WILL land between two ranks or exactly on a
+    threshold. The quantizer is pure IEEE arithmetic — bit-identical
+    in numpy/Spark/DuckDB — so decisions made on it agree everywhere
+    the displayed values do. DuckDB twin: floor(x * 1000000 + 0.5)."""
+    return F.floor(col * 1_000_000 + F.lit(0.5)).cast("long")
+
+
 def regression_line(
     df: DataFrame, y: str, x: str, group: list[str] | None = None
 ) -> DataFrame:

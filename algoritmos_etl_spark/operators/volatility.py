@@ -24,7 +24,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import one_partition
+from ..functions.scalars import fixed6, one_partition
 from .technical import log_returns
 
 TRADING_DAYS = 252
@@ -55,7 +55,11 @@ def classify_risk(vol_df: DataFrame, p_low: float = 0.33, p_high: float = 0.66) 
 
     Ties in volatility break by symbol for determinism (the reference's
     insertion sort is stable in its iteration order, which has no
-    relational meaning).
+    relational meaning). Both the rank ORDER and the threshold
+    COMPARISONS run at the `fixed6` quantizer grain — volatility is a
+    float aggregate whose last ulp differs across engines, and the
+    100× notch proved an ulp lands between two ranks at 150k symbols
+    (the r10 PSI-boundary lesson at the ordering grain).
     """
     thresholds = vol_df.agg(
         F.percentile("volatility", F.lit(p_low)).alias("p_low"),
@@ -65,14 +69,15 @@ def classify_risk(vol_df: DataFrame, p_low: float = 0.33, p_high: float = 0.66) 
     # (an aggregate), thousands of rows at any data scale — not the raw
     # data; the non-foldable constant key makes that explicit in the plan
     rank_w = Window.partitionBy(one_partition(F.col("symbol"))).orderBy(
-        F.col("volatility").asc(), F.col("symbol").asc()
+        fixed6(F.col("volatility")).asc(), F.col("symbol").asc()
     )
+    qv = fixed6(F.col("volatility"))
     return (
         vol_df.crossJoin(F.broadcast(thresholds))
         .withColumn(
             "risk_class",
-            F.when(F.col("volatility") <= F.col("p_low"), F.lit(CONSERVATIVE))
-            .when(F.col("volatility") <= F.col("p_high"), F.lit(MODERATE))
+            F.when(qv <= fixed6(F.col("p_low")), F.lit(CONSERVATIVE))
+            .when(qv <= fixed6(F.col("p_high")), F.lit(MODERATE))
             .otherwise(F.lit(AGGRESSIVE)),
         )
         .withColumn("rank", F.row_number().over(rank_w))
