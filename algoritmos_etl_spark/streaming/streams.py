@@ -238,6 +238,22 @@ def enrich_with_dimension(
     return events.join(F.broadcast(dim), on, "left")
 
 
+def _await_or_fail(query, timeout_sec: int) -> None:
+    """Block until an availableNow stream drains, or fail LOUDLY.
+    awaitTermination(timeout) returning False leaves the query still
+    running — a caller that proceeds to read the sink sees a partial
+    or ABSENT dataset and can mistake it for a legitimately empty
+    result (the 100× notch caught exactly that: a 500k-doc crawl
+    batch outran the old fixed timeout and the query reported zero
+    pairs). Timing out is an ERROR, never an empty success."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query did not drain within {timeout_sec}s — "
+            "raise timeout_sec for this corpus size"
+        )
+
+
 def _neardup_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -301,7 +317,7 @@ def streaming_neardup_against_index(
     out_path: str,
     threshold: float = 0.2,
     max_bucket_size: int | None = 100,
-    timeout_sec: int = 300,
+    timeout_sec: int = 1800,
 ):
     """Streaming NEAR-dup via the materialized LSH index: every
     micro-batch (a) emits its near-dup pairs against the standing
@@ -335,7 +351,7 @@ def streaming_neardup_against_index(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    _await_or_fail(query, timeout_sec)
     return query
 
 
@@ -348,7 +364,7 @@ def streaming_warc_ingest(
     threshold: float = 0.2,
     max_bucket_size: int | None = 100,
     max_files_per_trigger: int = 1,
-    timeout_sec: int = 300,
+    timeout_sec: int = 1800,
 ):
     """End-to-end incremental crawl ingestion (VERDICT r10 task #5):
     a file-source stream of `.warc.gz` archives → binary WARC parse
@@ -425,7 +441,7 @@ def streaming_warc_ingest(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
+    _await_or_fail(query, timeout_sec)
     return query
 
 

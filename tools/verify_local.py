@@ -69,19 +69,27 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    con = duckdb.connect()
-    # big-corpus sweeps (the 10x/30x notches) run the oracle next to a
-    # live Spark JVM: cap DuckDB below the default 80%-of-RAM so the
-    # two engines fit together, and give it a spill directory so the
-    # heavy pair-join CTE oracles offload instead of OOM-ing
+    # big-corpus sweeps (the 10x/30x/100x notches) run the oracle next
+    # to a live Spark JVM: cap DuckDB below the default 80%-of-RAM so
+    # the two engines fit together, and give it a spill directory so
+    # the heavy pair-join CTE oracles offload instead of OOM-ing
     import tempfile
 
-    con.sql(f"SET memory_limit = '{os.environ.get('VERIFY_DUCKDB_MEM', '48GB')}'")
-    con.sql(f"SET temp_directory = '{tempfile.mkdtemp(prefix='duck_spill_')}'")
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+    def fresh_con():
+        c = duckdb.connect()
+        c.sql(
+            f"SET memory_limit = "
+            f"'{os.environ.get('VERIFY_DUCKDB_MEM', '48GB')}'"
         )
+        c.sql(
+            f"SET temp_directory = "
+            f"'{tempfile.mkdtemp(prefix='duck_spill_')}'"
+        )
+        for t in TABLES:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
 
     failures, passed, rows_only = [], [], []
     # oracles proven beyond the single-node SQL engine's memory at a
@@ -165,6 +173,15 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"[FAIL-oracle] {name}: {e}")
+            # an OOM-killed query can leave the connection's buffer
+            # pool pinned (observed at 100x: every later oracle then
+            # fails allocating KILOBYTES) — rebuild the connection so
+            # one oracle's death cannot poison the rest of the sweep
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+            con = fresh_con()
             continue
         problems = []
         if len(srows) != len(orows):
