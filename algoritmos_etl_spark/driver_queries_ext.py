@@ -6383,12 +6383,30 @@ def q_quality_rules(spark, sf_dir):
 _STREAM_WARC_SETUP: dict = {}
 
 
+# crawl-file size cap for the streaming fixture: a WARC file is ONE
+# sequential parse unit (tape format), so per-batch latency is bounded
+# by the largest file — real crawls cap at ~100k records/file for the
+# same reason. The 100x notch caught the old halve-the-corpus staging
+# producing two 250k-member archives whose single-threaded parse blew
+# the stream's drain budget; capping restores the real geometry (more,
+# bounded files -> more micro-batches, each bounded).
+_WARC_STREAM_DPF_CAP = 25_000
+
+
+def _warc_stream_dpf(n: int) -> int:
+    """docs-per-file for n increment docs: half the corpus (two
+    batches at test scales) capped at _WARC_STREAM_DPF_CAP. The
+    oracle reconstructs the SAME number, so the torn-member set is
+    layout-derived on both sides."""
+    return max(1, min(_WARC_STREAM_DPF_CAP, (n + 1) // 2))
+
+
 def _stream_warc_setup(spark, sf_dir: str) -> str:
     """Staged ingest fixture: the base corpus (doc_id % 3 == 0) is
-    already in the standing LSH index; the increments arrive as TWO
-    real .warc.gz files on disk (half the increment docs each, the
-    second file torn mid-last-member), written executor-side. Cached
-    per (session, sf_dir) like every staged-ingest tree."""
+    already in the standing LSH index; the increments arrive as real
+    .warc.gz files on disk (docs-per-file from `_warc_stream_dpf`,
+    every 2nd file torn mid-last-member), written executor-side.
+    Cached per (session, sf_dir) like every staged-ingest tree."""
 
     def populate(work: str) -> None:
         import os
@@ -6401,7 +6419,7 @@ def _stream_warc_setup(spark, sf_dir: str) -> str:
         inc = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
         n = inc.count()
         files = warc.synthesize_warc_corpus(
-            inc, docs_per_file=max(1, (n + 1) // 2), torn_every=2
+            inc, docs_per_file=_warc_stream_dpf(n), torn_every=2
         )
         out_dir = os.path.join(work, "stream")
         os.makedirs(out_dir, exist_ok=True)
@@ -6421,18 +6439,36 @@ def _stream_warc_setup(spark, sf_dir: str) -> str:
 def _oracle_streaming_warc_ingest() -> str:
     from .operators.html_text import html_to_text_sql, synthesize_html_sql
 
-    # the torn member is the LAST record of file 1 = the max increment
-    # doc_id (increments laid in doc_id order, two half-corpus files,
-    # torn_every=2 tears file_no 1)
-    mixed = f"""mixed AS (
+    # torn members are layout-derived exactly like the staging: lay
+    # the increments in doc_id order, slice into files of
+    # _warc_stream_dpf(n), tear every 2nd file's LAST member
+    # (torn_every=2) — the warc_extraction oracle's arithmetic with
+    # the dpf cap folded in
+    mixed = f"""inc AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) - 1 AS seq,
+               count(*) OVER () AS n
+        FROM documents WHERE doc_id % 3 <> 0
+    ),
+    filed AS (
+        SELECT doc_id, seq,
+               seq // greatest(least({_WARC_STREAM_DPF_CAP},
+                                     (n + 1) // 2), 1) AS file_no,
+               max(seq) OVER (PARTITION BY
+                   seq // greatest(least({_WARC_STREAM_DPF_CAP},
+                                         (n + 1) // 2), 1)) AS max_seq
+        FROM inc
+    ),
+    live_inc AS (
+        SELECT doc_id FROM filed
+        WHERE NOT (file_no % 2 = 1 AND seq = max_seq)
+    ),
+    mixed AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
         UNION ALL
         SELECT doc_id, {html_to_text_sql('html')} AS text
         FROM (SELECT doc_id, {synthesize_html_sql()} AS html
-              FROM documents
-              WHERE doc_id % 3 <> 0
-                AND doc_id <> (SELECT max(doc_id) FROM documents
-                               WHERE doc_id % 3 <> 0)) h
+              FROM documents JOIN live_inc USING (doc_id)) h
     )"""
     minhash_mixed = _MINHASH.replace("FROM documents", "FROM mixed", 1)
     return f"""WITH {mixed},
