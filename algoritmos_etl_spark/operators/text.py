@@ -103,58 +103,66 @@ QUALITY_RULES = (
 )
 
 
-def _quality_signals(docs: DataFrame) -> DataFrame:
-    """Per-doc integer signals for the Gopher rule pack — ONE
-    projection over documents, zero shuffles. Lines are the non-empty
+def _quality_signal_cols(text: Column) -> dict[str, Column]:
+    """The Gopher rule-pack integer signals as named Columns over a
+    text expression — the shared builder under `_quality_signals`
+    (the doc-grain report/gate) and `quality_keep_cols` (the map-only
+    inline gate a composed plan projects onto ITS OWN relation, no
+    doc_id self-join — VERDICT r11 task #6). Lines are the non-empty
     newline-separated segments (a blank line neither starts with a
     bullet nor ends with an ellipsis, so it stays out of both
     denominators — documented policy)."""
-    words = words_col(F.col("text"))
-    lines = F.filter(
-        F.split(F.col("text"), "\n"), lambda x: x != ""
+    words = words_col(text)
+    lines = F.filter(F.split(text, "\n"), lambda x: x != "")
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#")))).cast(
+        "long"
     )
-    n_hash = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
-    ).cast("long")
     n_dots = (
-        (
-            F.length("text")
-            - F.length(F.replace(F.col("text"), F.lit("...")))
-        )
-        / 3
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3
     ).cast("long")
-    return docs.select(
-        "doc_id",
-        F.size(words).cast("long").alias("n_words"),
-        F.aggregate(
+    return {
+        "n_words": F.size(words).cast("long"),
+        "total_chars": F.aggregate(
             words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-        ).alias("total_chars"),
-        (n_hash + n_dots).alias("n_sym"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(
+        ),
+        "n_sym": n_hash + n_dots,
+        "n_lines": F.size(lines).cast("long"),
+        "n_bullet": F.size(
             F.filter(lines, lambda l: l.rlike("^[ \t]*[-*•]"))
-        ).cast("long").alias("n_bullet"),
-        F.size(
+        ).cast("long"),
+        "n_ellipsis": F.size(
             F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)[ \t]*$"))
-        ).cast("long").alias("n_ellipsis"),
-        F.size(
+        ).cast("long"),
+        "n_alpha": F.size(
             F.filter(words, lambda w: w.rlike("[A-Za-z]"))
-        ).cast("long").alias("n_alpha"),
-        F.size(
+        ).cast("long"),
+        "n_stop": F.size(
             F.array_intersect(
                 F.array_distinct(F.transform(words, F.lower)),
                 F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
             )
-        ).cast("long").alias("n_stop"),
+        ).cast("long"),
+    }
+
+
+def _quality_signals(docs: DataFrame) -> DataFrame:
+    """Per-doc integer signals for the Gopher rule pack — ONE
+    projection over documents, zero shuffles."""
+    sig = _quality_signal_cols(F.col("text"))
+    return docs.select(
+        "doc_id", *[col.alias(name) for name, col in sig.items()]
     )
 
 
-def _quality_verdicts(s) -> dict:
-    """rule name → (value Column, passed Column) over a signals row.
-    Shared by the long-format report and the keep gate so the two can
+def _quality_verdicts(sig: dict[str, Column] | None = None) -> dict:
+    """rule name → (value Column, passed Column) over the signal
+    columns (default: the named columns a `_quality_signals` row
+    exposes; pass `_quality_signal_cols(...)` output to evaluate the
+    verdicts inline over any relation). Shared by the long-format
+    report, the keep gate, and the inline crawl gate so the three can
     never disagree. All comparisons are INTEGER cross-multiplications
     — engine-exact at every scale."""
-    c = F.col
+    c = (lambda name: sig[name]) if sig is not None else F.col
     return {
         "word_count": (
             c("n_words"),
@@ -249,6 +257,31 @@ def quality_rules_keep(
         n_failed.cast("int").alias("n_failed"),
         (n_failed == 0).alias("keep"),
     )
+
+
+def quality_keep_expr(
+    text: Column, rules: tuple[str, ...] | None = None
+) -> Column:
+    """The rule-pack gate as ONE boolean Column over a text
+    expression — the inline form a composed pipeline filters with
+    directly (`df.filter(quality_keep_expr(F.col("text")))`), keeping
+    the stage map-only instead of recomputing the doc subtree on a
+    build side and joining back on a minted key (VERDICT r11 task #6
+    / ADVICE r11 #1: a doc_id self-join both re-runs the extraction
+    chain and inherits the minted key's collision semantics). Same
+    shared `_quality_verdicts` expressions as the report and the
+    keep-gate relation, so the three can never drift."""
+    verdicts = _quality_verdicts(_quality_signal_cols(text))
+    names = [n for n, _ in QUALITY_RULES]
+    if rules is not None:
+        unknown = set(rules) - set(names)
+        if unknown:
+            raise ValueError(f"unknown quality rules: {sorted(unknown)}")
+        names = [n for n in names if n in set(rules)]
+    keep = F.lit(True)
+    for name in names:
+        keep = keep & verdicts[name][1]
+    return keep
 
 
 def _marker_count(text: Column, marker: str) -> Column:

@@ -41,8 +41,10 @@ from pyspark.sql import functions as F
 # tracking parameters removed by normalization — the published
 # cross-site tracking set (Google Analytics utm_*, Google/Facebook/
 # Microsoft click ids, bare ref). Anchored at the param name so a
-# legitimate `?href=` or `?butm_x=` survives.
-TRACKING_PARAM_RE = "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)="
+# legitimate `?href=` or `?butm_x=` survives; `(=|$)` so a VALUELESS
+# tracking param (`?utm_source`, `?gclid`) is removed too instead of
+# splitting what should be one canonical URL (ADVICE r11 #4).
+TRACKING_PARAM_RE = "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|ref)(=|$)"
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"

@@ -9,7 +9,7 @@ ORDER assembled from the round-10/11 tiers, end to end in one plan —
     → registrable-domain blocklist gate  (url_ops.domain_gate,
       the C4 bad-domain filter)
     → html_to_text extraction  (scale tier, map-only)
-    → Gopher/Dolma rule-pack quality gate  (text.quality_rules_keep)
+    → Gopher/Dolma rule-pack quality gate  (text.quality_keep_expr)
 
 Every stage has a DuckDB twin, so the registered `crawl_corpus` query
 carries a FULL oracle across the whole composition: the fixture's
@@ -20,8 +20,13 @@ seven published quality thresholds must agree for the hash to match.
 Scale shape: parse and extraction are map-only; the single wide
 operation is the URL-dedup window's hash shuffle on the canonical URL
 (high-cardinality key); the domain gate and rule pack are row-local
-projections. A 100 TB crawl pays one shuffle before the corpus-grain
-dedup family takes over.
+projections — the quality gate is an INLINE filter over the extracted
+text (`text.quality_keep_expr`), not a recompute-and-join-back on the
+minted doc_id (VERDICT r11 task #6 / ADVICE r11 #1: the self-join
+both re-ran the extraction chain on a build side and made the keep
+verdict ride a 60-bit hash key whose collisions would cross-
+contaminate verdicts at ~2^30 URLs). A 100 TB crawl pays one shuffle
+before the corpus-grain dedup family takes over.
 """
 
 from __future__ import annotations
@@ -31,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..operators import url_ops
 from ..operators.html_text import html_to_text_col
-from ..operators.text import quality_rules_keep, token_hash, words_col
+from ..operators.text import quality_keep_expr, token_hash, words_col
 
 
 def crawl_to_corpus(
@@ -58,14 +63,19 @@ def crawl_to_corpus(
         ).alias("domain"),
         "warc_date",
         "n_dups",
-        text.alias("text"),
+        # explode(array(...)) is a deliberate Generate barrier: the
+        # quality filter below references `text` ~a dozen times, and
+        # predicate pushdown substitutes projection aliases into the
+        # condition — without the barrier the whole regex extraction
+        # chain would be re-inlined PER REFERENCE (measured 1x -> 12x
+        # plan duplication). A generator output can't be pushed
+        # through, so the chain runs once per row and the gate reads
+        # the materialized attribute.
+        F.explode(F.array(text)).alias("text"),
     )
-    keep = (
-        quality_rules_keep(docs, rules=quality_rules)
-        .filter("keep")
-        .select("doc_id")
-    )
-    return docs.join(keep, "doc_id").select(
+    return docs.filter(
+        quality_keep_expr(F.col("text"), rules=quality_rules)
+    ).select(
         "doc_id",
         "url_norm",
         "domain",

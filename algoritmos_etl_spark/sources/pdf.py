@@ -378,8 +378,16 @@ def decode_pdf(data: bytes) -> dict:
         walk(pages_obj)
         text = " ".join(page_texts)
         return {"n_pages": n_pages, "text": text, "n_chars": len(text)}
-    except ValueError:
-        raise
+    except ValueError as e:
+        # whitelist the three documented codes at the boundary: an
+        # untyped ValueError (e.g. int() 'invalid literal' when a
+        # truncated body or a chance 'startxref' inside a content
+        # stream misleads the xref walk) must not leak an arbitrary
+        # message into `err` — the quarantine contract is typed codes
+        # only (ADVICE r11 #2)
+        if str(e) in (ERR_BAD_PDF, ERR_TRUNCATED, ERR_BAD_FILTER):
+            raise
+        raise ValueError(ERR_TRUNCATED) from e
     # only the classes truncated/corrupt input actually raises — the
     # decode_png discipline: a blanket Exception would quarantine
     # MemoryError or a latent bug as "corrupt input data"

@@ -71,6 +71,7 @@ ERR_SHORT_PAYLOAD = "short_payload"
 ERR_BAD_HTTP = "bad_http_envelope"
 ERR_CHUNKED = "unsupported_transfer_encoding"
 ERR_BAD_UTF8 = "undecodable_body"
+ERR_UNKNOWN_CHARSET = "unknown_charset"
 
 _URL_PREFIX = "https://example.com/doc/"
 

@@ -410,13 +410,20 @@ def streaming_warc_ingest(
         )
     )
 
-    # hold per-batch DataFrame handles until the query ends: a py4j
-    # handle GC'd mid-stream invalidates its JVM accumulators while a
-    # late task-completion event still tries to update them —
-    # harmless, but it spews DAGScheduler ERRORs into a clean log
+    # hold per-batch DataFrame handles while their tasks can still
+    # emit completion events: a py4j handle GC'd mid-stream
+    # invalidates its JVM accumulators while a late task-completion
+    # event still tries to update them — harmless, but it spews
+    # DAGScheduler ERRORs into a clean log. Capped at the last two
+    # batches (foreachBatch is synchronous, so batch N-2's jobs are
+    # long done when batch N starts) — bounded even if the
+    # availableNow trigger below is ever swapped for a continuous one
+    # (ADVICE r11 #3), and earlier batches' Arrow buffers are freed
+    # as the drain progresses instead of pinned to query end.
     live_refs: list = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        del live_refs[:-2]
         pages = warc_extract_pages(
             parse_warc_records(batch_df)
         ).localCheckpoint(eager=False)
