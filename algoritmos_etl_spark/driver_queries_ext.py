@@ -5714,9 +5714,11 @@ from .sources.warc import (  # noqa: E402
 )
 
 
-def _oracle_warc_extraction() -> str:
+def _oracle_warc_extraction(charsets: bool = False) -> str:
     from .operators.html_text import html_to_text_sql, synthesize_html_sql
+    from .sources.warc import charset_html_sql
 
+    html_expr = charset_html_sql() if charsets else synthesize_html_sql()
     return f"""WITH laid AS (
         SELECT doc_id, text,
                row_number() OVER (ORDER BY doc_id) - 1 AS seq
@@ -5728,7 +5730,7 @@ def _oracle_warc_extraction() -> str:
         FROM laid
     ),
     named AS (
-        SELECT doc_id, {synthesize_html_sql()} AS html,
+        SELECT doc_id, {html_expr} AS html,
                'warc-' || lpad(CAST(file_no AS VARCHAR), 5, '0')
                    || '.warc.gz' AS warc_file,
                (file_no % {_WARC_TORN} = {_WARC_TORN - 1}
@@ -5767,22 +5769,29 @@ def _oracle_warc_extraction() -> str:
     # member rule is deterministic (last member of every TORN_EVERY-th
     # file) — so DuckDB reproduces the ENTIRE pipeline's output
     # without gzip: a framing bug, an HTTP-strip bug, or a lost/extra
-    # record anywhere in the binary path breaks the hash.
-    _oracle_warc_extraction(),
+    # record anywhere in the binary path breaks the hash. r12: the
+    # fixture is mixed-charset (cp1252/latin-1 wire bytes with
+    # non-ASCII markers, one mode declared only via meta tag) and the
+    # oracle carries the per-mode body arithmetic — a decoder that
+    # ignores the declared charset quarantines those pages and breaks
+    # the hash.
+    _oracle_warc_extraction(charsets=True),
     "WARC (ISO 28500) crawl-archive ingestion — the CommonCrawl edge: "
     "synthesize real gzip'd WARC response records (member-per-record, "
-    "full HTTP/1.1 envelopes, every 5th file torn mid-member), parse "
-    "them back with the member-walking binary parser (Arrow-batched "
-    "mapInPandas, quarantine contract instead of task failure), strip "
-    "the HTTP envelope, and run the scale-tier html_to_text chain. "
-    "Map-only over files — zero shuffles at 100 TB beyond the "
-    "fixture's own layout",
+    "full HTTP/1.1 envelopes, every 5th file torn mid-member, "
+    "mixed-charset bodies: utf-8/cp1252/latin-1 via Content-Type plus "
+    "a meta-tag-declared mode), parse them back with the "
+    "member-walking binary parser (Arrow-batched mapInPandas, "
+    "charset-aware strict decode, quarantine contract instead of "
+    "task failure), strip the HTTP envelope, and run the scale-tier "
+    "html_to_text chain. Map-only over files — zero shuffles at "
+    "100 TB beyond the fixture's own layout",
 )
 def q_warc_extraction(spark, sf_dir):
     from .sources import warc
 
     docs = load_table(spark, sf_dir, "documents")
-    files = warc.synthesize_warc_corpus(docs)
+    files = warc.synthesize_warc_corpus(docs, charsets=True)
     return warc.warc_extract_pages(warc.parse_warc_records(files))
 
 
@@ -6780,7 +6789,8 @@ _CRAWL_RULES = tuple(
 
 
 def _oracle_crawl_corpus() -> str:
-    from .operators.html_text import html_to_text_sql, synthesize_html_sql
+    from .operators.html_text import html_to_text_sql
+    from .sources.warc import charset_html_sql
 
     blocked = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
     host = url_ops.url_host_sql("url_norm")
@@ -6803,7 +6813,7 @@ def _oracle_crawl_corpus() -> str:
     gated AS (SELECT * FROM domained WHERE domain NOT IN ({blocked})),
     withhtml AS (
         SELECT g.url_norm, g.domain, g.warc_date, g.n_dups,
-               {synthesize_html_sql()} AS html
+               {charset_html_sql()} AS html
         FROM gated g JOIN documents USING (doc_id)
     ),
     ext AS (
@@ -6845,7 +6855,7 @@ def q_crawl_corpus(spark, sf_dir):
     from .sources import warc
 
     docs = load_table(spark, sf_dir, "documents")
-    files = warc.synthesize_warc_corpus(docs, messy_urls=True)
+    files = warc.synthesize_warc_corpus(docs, messy_urls=True, charsets=True)
     return crawl_to_corpus(
         warc.parse_warc_records(files),
         blocklist=_URL_BLOCKLIST,
@@ -6864,7 +6874,7 @@ def q_crawl_corpus(spark, sf_dir):
     # changes from per-file sequential to per-record parallel. The
     # shared oracle is the point: two physical strategies, one
     # contract.
-    _oracle_warc_extraction(),
+    _oracle_warc_extraction(charsets=True),
     "The 100 TB WARC read path: record-level parallelism via the cdx "
     "member-offset sidecar (CommonCrawl's real layout) — explode the "
     "index, slice gzip members with the built-in binary substring "
@@ -6877,5 +6887,5 @@ def q_warc_cdx_extraction(spark, sf_dir):
     from .sources import warc
 
     docs = load_table(spark, sf_dir, "documents")
-    files = warc.synthesize_warc_corpus(docs, with_cdx=True)
+    files = warc.synthesize_warc_corpus(docs, with_cdx=True, charsets=True)
     return warc.warc_extract_pages(warc.parse_warc_records_cdx(files))

@@ -158,6 +158,237 @@ def registrable_domain_sql(host: str) -> str:
     )
 
 
+# ---------------------------------- Public-Suffix-List domain grain
+
+# Bounded subset of the Public Suffix List (publicsuffix.org — public
+# knowledge; the full list is ~10k rules, this fixture carries the
+# high-traffic registries plus one wildcard/exception family so every
+# rule KIND is exercised). Format is the PSL's own: bare suffix =
+# normal rule, '*.' prefix = wildcard (every child of the suffix is
+# itself a public suffix), '!' prefix = exception (this exact name is
+# registrable despite a covering wildcard). VERDICT r11 task #2: the
+# naive 2-label cut collapses example.co.uk to co.uk, so one
+# blocklist entry nukes a whole country registry and rollups
+# mis-group.
+PSL_RULES = (
+    # generic TLDs
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "name", "mobi", "io", "ai", "app", "dev", "page", "xyz", "site",
+    "online", "tech", "store", "blog", "news", "cloud", "shop",
+    # country TLDs whose second level is open registration
+    "de", "fr", "nl", "it", "es", "se", "no", "fi", "dk", "pl", "ch",
+    "at", "be", "cz", "pt", "gr", "hu", "ro", "ie", "ca", "us", "eu",
+    "ru", "cn", "tv", "me", "co",
+    # countries with registry-controlled second levels
+    "uk", "co.uk", "org.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk",
+    "nhs.uk", "police.uk",
+    "jp", "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp",
+    "go.jp", "gr.jp", "lg.jp",
+    "au", "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au",
+    "id.au", "act.edu.au", "nsw.edu.au",
+    "br", "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "in", "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "mx", "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "kr", "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr",
+    "tw", "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw",
+    "hk", "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk",
+    "sg", "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg",
+    "za", "co.za", "org.za", "net.za", "web.za", "gov.za", "ac.za",
+    "ar", "com.ar", "org.ar", "net.ar", "gob.ar", "edu.ar",
+    "nz", "co.nz", "org.nz", "net.nz", "govt.nz", "ac.nz",
+    "school.nz", "geek.nz", "gen.nz",
+    "my", "com.my", "org.my", "net.my", "gov.my", "edu.my",
+    "th", "co.th", "or.th", "in.th", "go.th", "ac.th",
+    "vn", "com.vn", "org.vn", "net.vn", "gov.vn", "edu.vn",
+    "id", "co.id", "or.id", "web.id", "ac.id", "go.id",
+    "ph", "com.ph", "org.ph", "net.ph", "gov.ph", "edu.ph",
+    "il", "co.il", "org.il", "net.il", "gov.il", "ac.il", "muni.il",
+    "tr", "com.tr", "org.tr", "net.tr", "gov.tr", "edu.tr",
+    "ua", "com.ua", "org.ua", "net.ua", "gov.ua", "edu.ua", "in.ua",
+    # wildcard registries + the exception that proves the kind
+    "*.ck", "!www.ck", "*.bd", "*.np",
+)
+
+# deepest rule key in the table — bounds the suffix candidates a host
+# needs (wildcards match one label DEEPER than their key)
+_PSL_MAX_LABELS = max(
+    r.lstrip("!*.").count(".") + 1 for r in PSL_RULES
+)
+
+
+def _psl_rule_rows() -> list[tuple[str, bool, bool, bool]]:
+    """PSL_RULES folded to one row per suffix key:
+    (key, has_normal, has_wildcard, has_exception). Wildcard rules
+    are keyed by their PARENT ('*.ck' → key 'ck'): a wildcard match
+    at key depth k makes the public suffix k+1 labels deep."""
+    acc: dict[str, list[bool]] = {}
+    for r in PSL_RULES:
+        if r.startswith("!"):
+            key, slot = r[1:], 2
+        elif r.startswith("*."):
+            key, slot = r[2:], 1
+        else:
+            key, slot = r, 0
+        flags = acc.setdefault(key, [False, False, False])
+        flags[slot] = True
+    return [(k, f[0], f[1], f[2]) for k, f in sorted(acc.items())]
+
+
+def psl_rules_df(spark) -> DataFrame:
+    """The folded rule table as a (tiny, broadcastable) DataFrame."""
+    return spark.createDataFrame(
+        _psl_rule_rows(),
+        "suffix string, has_normal boolean,"
+        " has_wildcard boolean, has_exception boolean",
+    )
+
+
+def with_registrable_domain_psl(
+    df: DataFrame, host_col: str, out_col: str = "domain"
+) -> DataFrame:
+    """Append `out_col` = the PSL registrable domain of `host_col`
+    (publicsuffix.org algorithm: exception rule wins; else the
+    LONGEST matching rule is the public suffix, wildcards matching
+    one label deeper than their key; no match → the last label; the
+    registrable domain is the public suffix plus one label, or the
+    whole host when the host IS a public suffix — the same
+    passthrough the naive cut applies to single labels).
+
+    Scale shape: map-only — one broadcast hash join per candidate
+    depth (3 for this rule table) against the ~200-row rule table,
+    precedence resolved in a single projection. No shuffle, no
+    explode, composes in front of any gate or rollup."""
+    spark = df.sparkSession
+    rules = F.broadcast(psl_rules_df(spark))
+    host = F.col(host_col)
+    n = F.size(F.split(host, "\\."))
+    out = df.withColumn("_psl_n", n)
+    for k in range(1, _PSL_MAX_LABELS + 1):
+        out = out.withColumn(
+            f"_tail{k}",
+            F.when(
+                F.col("_psl_n") >= k, F.substring_index(host, ".", -k)
+            ),
+        )
+    # registrable candidates go one label deeper than the deepest
+    # public suffix (wildcard at depth MAX ⇒ ps = MAX+1 labels)
+    for k in (_PSL_MAX_LABELS + 1, _PSL_MAX_LABELS + 2):
+        out = out.withColumn(
+            f"_tail{k}",
+            F.when(
+                F.col("_psl_n") >= k, F.substring_index(host, ".", -k)
+            ),
+        )
+    for k in range(1, _PSL_MAX_LABELS + 1):
+        r = rules.select(
+            F.col("suffix").alias(f"_k{k}"),
+            F.col("has_normal").alias(f"_n{k}"),
+            F.col("has_wildcard").alias(f"_w{k}"),
+            F.col("has_exception").alias(f"_e{k}"),
+        )
+        out = out.join(
+            F.broadcast(r), out[f"_tail{k}"] == r[f"_k{k}"], "left"
+        )
+    t = lambda k: F.col(f"_tail{k}")  # noqa: E731
+    flag = lambda p, k: F.coalesce(F.col(f"_{p}{k}"), F.lit(False))  # noqa: E731
+    # exception at depth k: that exact tail is registrable
+    reg = None
+    for k in range(_PSL_MAX_LABELS, 0, -1):
+        arm = (flag("e", k), t(k))
+        reg = F.when(*arm) if reg is None else reg.when(*arm)
+    # else: ps depth = max(normal k, wildcard k+1, default 1);
+    # registrable = tail(ps+1), or the whole host if no label is left
+    ps = F.lit(1)
+    for k in range(1, _PSL_MAX_LABELS + 1):
+        ps = F.greatest(
+            ps,
+            F.when(flag("n", k), F.lit(k)).otherwise(F.lit(1)),
+            F.when(flag("w", k), F.lit(k + 1)).otherwise(F.lit(1)),
+        )
+    deeper = None
+    for k in range(_PSL_MAX_LABELS + 2, 1, -1):
+        arm = (ps + 1 == k, t(k))
+        deeper = F.when(*arm) if deeper is None else deeper.when(*arm)
+    reg = reg.otherwise(
+        F.when(F.col("_psl_n") > ps, deeper).otherwise(host)
+    )
+    out = out.withColumn(out_col, reg)
+    drop = (
+        ["_psl_n"]
+        + [f"_tail{k}" for k in range(1, _PSL_MAX_LABELS + 3)]
+        + [
+            f"_{p}{k}"
+            for k in range(1, _PSL_MAX_LABELS + 1)
+            for p in ("k", "n", "w", "e")
+        ]
+    )
+    return out.drop(*drop)
+
+
+def psl_rules_values_sql() -> str:
+    """The folded rule table as a DuckDB VALUES relation — the twin
+    of `psl_rules_df`, derived from the same constant."""
+    rows = ", ".join(
+        f"('{k}', {str(n).upper()}, {str(w).upper()}, {str(e).upper()})"
+        for k, n, w, e in _psl_rule_rows()
+    )
+    return (
+        f"(VALUES {rows}) AS psl_rules"
+        "(suffix, has_normal, has_wildcard, has_exception)"
+    )
+
+
+def psl_domain_cte(src: str, host_col: str) -> str:
+    """DuckDB twin of `with_registrable_domain_psl` as a
+    WITH-fragment: consumes relation `src` (exposing `host_col`),
+    yields `psl_domained` = src + `domain`. Kept next to the Column
+    version so the dialects cannot drift."""
+    m = _PSL_MAX_LABELS
+    tails = ", ".join(
+        f"""CASE WHEN len(string_split({host_col}, '.')) >= {k}
+             THEN array_to_string(list_slice(
+                  string_split({host_col}, '.'), -{k}, -1), '.')
+           END AS _tail{k}"""
+        for k in range(1, m + 3)
+    )
+    joins = "\n        ".join(
+        f"LEFT JOIN ({psl_rules_values_sql()}) r{k}"
+        f" ON r{k}.suffix = c._tail{k}"
+        for k in range(1, m + 1)
+    )
+    exc_arms = " ".join(
+        f"WHEN coalesce(r{k}.has_exception, FALSE) THEN c._tail{k}"
+        for k in range(m, 0, -1)
+    )
+    ps_terms = ", ".join(
+        f"CASE WHEN coalesce(r{k}.has_normal, FALSE) THEN {k} ELSE 1 END,"
+        f" CASE WHEN coalesce(r{k}.has_wildcard, FALSE) THEN {k + 1}"
+        f" ELSE 1 END"
+        for k in range(1, m + 1)
+    )
+    deeper_arms = " ".join(
+        f"WHEN _ps + 1 = {k} THEN _tail{k}" for k in range(m + 2, 1, -1)
+    )
+    return f"""_psl_tails AS (
+        SELECT *, {tails} FROM {src}
+    ),
+    _psl_matched AS (
+        SELECT c.*, greatest(1, {ps_terms}) AS _ps,
+               CASE {exc_arms} ELSE NULL END AS _exc
+        FROM _psl_tails c
+        {joins}
+    ),
+    psl_domained AS (
+        SELECT * EXCLUDE (_ps, _exc,
+                {', '.join(f'_tail{k}' for k in range(1, m + 3))}),
+            coalesce(_exc,
+                CASE WHEN len(string_split({host_col}, '.')) > _ps
+                     THEN (CASE {deeper_arms} END)
+                     ELSE {host_col} END) AS domain
+        FROM _psl_matched
+    )"""
+
+
 def url_dedup(
     pages: DataFrame,
     url_col: str = "url",

@@ -52,6 +52,7 @@ this module is extension surface for the 100 TB training-data brief
 
 from __future__ import annotations
 
+import re
 import zlib
 
 from pyspark.sql import DataFrame, Window
@@ -74,6 +75,81 @@ ERR_BAD_UTF8 = "undecodable_body"
 ERR_UNKNOWN_CHARSET = "unknown_charset"
 
 _URL_PREFIX = "https://example.com/doc/"
+
+# mixed-charset fixture modes (doc_id % 4 picks one) — real crawls are
+# 20-30% legacy-charset, declared in the HTTP Content-Type or an HTML
+# meta tag (VERDICT r11 task #1). Each mode: (codec, declared-in-
+# header?, marker). The marker is appended to the body text so the
+# wire bytes are GENUINELY non-UTF-8 for the legacy modes (the corpus
+# text is ASCII; without a marker the codecs would be indistinguishable
+# and the fixture vacuous): € is 0x80 in cp1252 (proves the cp1252
+# table, not latin-1), ï/± are 0xEF/0xB1 in latin-1 (invalid UTF-8
+# sequences), ‘ ’ • are 0x91/0x92/0x95 cp1252 (the meta-sniff mode).
+# Legacy-mode bodies are ASCII-folded first (non-ASCII → '?') so the
+# strict encode can never fail — identity on the ASCII corpus, and an
+# exact one-regex SQL twin otherwise.
+CHARSET_MODES = (
+    ("utf-8", True, "§µ—€"),
+    ("windows-1252", True, "café €"),
+    ("iso-8859-1", True, "naïve ±"),
+    ("windows-1252", False, "‘q’ •"),
+)
+
+# java.util.regex form; the DuckDB twin uses RE2's braced hex escapes
+_ASCII_FOLD_JAVA = "[^\\x00-\\x7f]"
+_ASCII_FOLD_RE2 = "[^\\x{00}-\\x{7f}]"
+
+
+def charset_html_col(doc_id, text):
+    """The mixed-charset fixture page as ONE Column expression:
+    mode = doc_id % 4 picks the codec/marker (CHARSET_MODES), legacy
+    modes ASCII-fold the body, mode 3 declares its codec via a
+    `<meta charset=...>` tag instead of the Content-Type header.
+    `charset_html_sql` is the DuckDB twin — kept adjacent so the
+    dialects cannot drift."""
+    from ..operators.html_text import _HTML_PREFIX, _HTML_SUFFIX
+
+    t = F.coalesce(text, F.lit(""))
+    folded = F.regexp_replace(t, _ASCII_FOLD_JAVA, "?")
+    mode = F.pmod(doc_id, F.lit(4))
+    body = (
+        F.when(mode == 0, F.concat(t, F.lit(" " + CHARSET_MODES[0][2])))
+        .when(mode == 1, F.concat(folded, F.lit(" " + CHARSET_MODES[1][2])))
+        .when(mode == 2, F.concat(folded, F.lit(" " + CHARSET_MODES[2][2])))
+        .otherwise(F.concat(folded, F.lit(" " + CHARSET_MODES[3][2])))
+    )
+    meta_prefix = _HTML_PREFIX.replace(
+        "<head>", f'<head><meta charset="{CHARSET_MODES[3][0]}">', 1
+    )
+    prefix = F.when(mode == 3, F.lit(meta_prefix)).otherwise(
+        F.lit(_HTML_PREFIX)
+    )
+    return F.concat(prefix, body, F.lit(_HTML_SUFFIX))
+
+
+def charset_html_sql(doc_id_expr: str = "doc_id") -> str:
+    """DuckDB twin of `charset_html_col` over the documents view
+    (text, doc_id). The meta tag is OMITTED on purpose: the tag
+    regex replaces every tag with a space and collapses runs, so a
+    tag between two other tags leaves the extracted text identical —
+    the oracle reconstructs the extraction OUTPUT, and the Spark side
+    carrying the real tag is exactly what proves the sniffer works
+    (an ignored meta tag quarantines the page and breaks the hash)."""
+    from ..operators.html_text import _HTML_PREFIX, _HTML_SUFFIX
+
+    pre = _HTML_PREFIX.replace("'", "''")
+    suf = _HTML_SUFFIX.replace("'", "''")
+    t = "coalesce(text, '')"
+    folded = f"regexp_replace({t}, '{_ASCII_FOLD_RE2}', '?', 'g')"
+    arms = " ".join(
+        f"WHEN {m} THEN {t if m == 0 else folded} || ' {mk}'"
+        for m, (_cs, _hdr, mk) in enumerate(CHARSET_MODES[:3])
+    )
+    body = (
+        f"(CASE ({doc_id_expr}) % 4 {arms}"
+        f" ELSE {folded} || ' {CHARSET_MODES[3][2]}' END)"
+    )
+    return f"'{pre}' || {body} || '{suf}'"
 
 _PARSE_SCHEMA = (
     "warc_file string, url string, warc_date string, warc_type string,"
@@ -179,15 +255,29 @@ def messy_url_sql(e: str) -> str:
     )
 
 
-def build_warc_member(doc_id: int, html: str, url: str | None = None) -> bytes:
+def build_warc_member(
+    doc_id: int,
+    html: str,
+    url: str | None = None,
+    charset: str = "utf-8",
+    charset_in_header: bool = True,
+) -> bytes:
     """One gzip member holding one WARC/1.0 `response` record with a
     full HTTP/1.1 envelope around `html` — the real wire layout, built
     with stdlib zlib only. Deterministic: fixed compression level, no
-    mtime/filename in the gzip header (wbits=31 writes a bare header)."""
-    body = html.encode("utf-8")
+    mtime/filename in the gzip header (wbits=31 writes a bare header).
+    `charset` encodes the body (STRICT — the fixture guarantees
+    encodability; an error here is a fixture bug, not a crawl
+    condition); `charset_in_header=False` drops the charset parameter
+    from Content-Type, leaving only an in-body meta tag (if any) to
+    declare it — the sniffer path."""
+    body = html.encode(charset)
+    ctype = (
+        f"text/html; charset={charset}" if charset_in_header else "text/html"
+    )
     http = (
         b"HTTP/1.1 200 OK\r\n"
-        b"Content-Type: text/html; charset=utf-8\r\n"
+        + f"Content-Type: {ctype}\r\n".encode("ascii")
         + b"Content-Length: %d\r\n\r\n" % len(body)
         + body
     )
@@ -212,6 +302,7 @@ def synthesize_warc_corpus(
     torn_every: int = TORN_EVERY,
     messy_urls: bool = False,
     with_cdx: bool = False,
+    charsets: bool = False,
 ) -> DataFrame:
     """(warc_file, content binary) — the fixture crawl drop (see
     module doc). Documents are laid out in doc_id order (global
@@ -225,15 +316,23 @@ def synthesize_warc_corpus(
     params, and canonical-grain duplicate groups. `with_cdx=True`
     adds the member-offset index column (the CommonCrawl cdx sidecar
     shape) that `parse_warc_records_cdx` needs for RECORD-level
-    parallelism."""
-    w = Window.partitionBy(one_partition(F.col("doc_id"))).orderBy("doc_id")
-    laid = docs.select(
-        "doc_id",
-        F.concat(
+    parallelism. `charsets=True` swaps the all-UTF-8 page shell for
+    the mixed-charset modes (`CHARSET_MODES`: cp1252/latin-1 bodies
+    with non-ASCII markers, one mode declared only via meta tag) —
+    the decoder-recall fixture (VERDICT r11 task #1)."""
+    html = (
+        charset_html_col(F.col("doc_id"), F.col("text"))
+        if charsets
+        else F.concat(
             F.lit(_HTML_PREFIX),
             F.coalesce(F.col("text"), F.lit("")),
             F.lit(_HTML_SUFFIX),
-        ).alias("_html"),
+        )
+    )
+    w = Window.partitionBy(one_partition(F.col("doc_id"))).orderBy("doc_id")
+    laid = docs.select(
+        "doc_id",
+        html.alias("_html"),
         (F.row_number().over(w) - 1).alias("_seq"),
     ).withColumn("_file", F.floor(F.col("_seq") / docs_per_file).cast("long"))
 
@@ -242,11 +341,21 @@ def synthesize_warc_corpus(
 
         pdf = pdf.sort_values("_seq")
         file_no = int(pdf["_file"].iloc[0])
-        members = [
-            build_warc_member(
-                int(d), h, url=messy_url(int(d)) if messy_urls else None
+
+        def member(d: int, h: str) -> bytes:
+            cs, in_hdr, _mk = (
+                CHARSET_MODES[d % 4] if charsets else CHARSET_MODES[0]
             )
-            for d, h in zip(pdf["doc_id"], pdf["_html"])
+            return build_warc_member(
+                d,
+                h,
+                url=messy_url(d) if messy_urls else None,
+                charset=cs,
+                charset_in_header=in_hdr,
+            )
+
+        members = [
+            member(int(d), h) for d, h in zip(pdf["doc_id"], pdf["_html"])
         ]
         if torn_every and file_no % torn_every == torn_every - 1 and members:
             last = members[-1]
@@ -330,17 +439,69 @@ def _parse_member(raw: bytes) -> dict:
             hfields[k.strip().lower()] = v.strip()
     if hfields.get(b"transfer-encoding", b"").lower() == b"chunked":
         raise ValueError(ERR_CHUNKED)
-    try:
-        body = hbody.decode("utf-8")
-    except UnicodeDecodeError:
-        raise ValueError(ERR_BAD_UTF8)
-    row["http_status"] = int(status_parts[1])
     ctype = hfields.get(b"content-type")
+    body = _decode_body(hbody, ctype)
+    row["http_status"] = int(status_parts[1])
     row["content_type"] = (
         ctype.decode("ascii", "replace") if ctype is not None else None
     )
     row["html"] = body
     return row
+
+
+# charset=NAME inside a Content-Type header value or a meta tag; name
+# charset per RFC 2978 (alnum plus the registry's punctuation)
+_CHARSET_PARAM_RE = re.compile(
+    rb"charset\s*=\s*[\"']?([A-Za-z0-9_.:\-]+)", re.IGNORECASE
+)
+# <meta charset="..."> AND <meta http-equiv=Content-Type
+# content="text/html; charset=..."> — both carry `charset=` inside the
+# tag, so one pattern covers the two declaration forms
+_META_CHARSET_RE = re.compile(
+    rb"<meta\s[^>]{0,200}?charset\s*=\s*[\"']?([A-Za-z0-9_.:\-]+)",
+    re.IGNORECASE,
+)
+# prescan window for the meta declaration — the WHATWG prescan reads
+# the first 1024 bytes, and real emitters put the tag at the top
+_META_SNIFF_BYTES = 1024
+
+
+def _decode_body(hbody: bytes, ctype: bytes | None) -> str:
+    """Charset-aware body decode (VERDICT r11 task #1 — real crawls
+    are 20-30% legacy-charset; decoding UTF-8-only silently
+    quarantined them all). Precedence mirrors WHATWG: the HTTP
+    Content-Type charset parameter wins; absent that, a meta-tag
+    prescan over the first 1024 bytes; absent both, UTF-8 (documented
+    policy — the modern-web default, where WHATWG's windows-1252
+    default is a legacy-rendering rule, not an archival one). The
+    selected codec decodes STRICTLY: an unknown name quarantines as
+    `unknown_charset`, bytes invalid for the declared codec as
+    `undecodable_body` — typed codes only, never a fallback cascade
+    whose output would depend on which engine's guesser ran."""
+    import codecs
+
+    declared = None
+    if ctype is not None:
+        m = _CHARSET_PARAM_RE.search(ctype)
+        if m:
+            declared = m.group(1)
+    if declared is None:
+        m = _META_CHARSET_RE.search(hbody[:_META_SNIFF_BYTES])
+        if m:
+            declared = m.group(1)
+    enc = declared.decode("ascii") if declared is not None else "utf-8"
+    try:
+        codecs.lookup(enc)
+    except LookupError:
+        raise ValueError(ERR_UNKNOWN_CHARSET) from None
+    try:
+        return hbody.decode(enc)
+    except LookupError:
+        # resolvable but NOT a text encoding (charset=base64/hex/...):
+        # bytes.decode refuses it at call time, same typed verdict
+        raise ValueError(ERR_UNKNOWN_CHARSET) from None
+    except (UnicodeDecodeError, ValueError):
+        raise ValueError(ERR_BAD_UTF8) from None
 
 
 def _quarantine(err: str) -> dict:

@@ -257,3 +257,107 @@ def test_cdx_parallel_parse_equals_sequential_walk(spark, docs):
         members.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+
+
+# ------------------------------------------- mixed-charset decoding
+
+
+def _http_record(body: bytes, ctype: bytes) -> bytes:
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(body) + body
+    )
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.test/\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(http) + http + b"\r\n\r\n"
+    )
+
+
+def test_header_charset_cp1252_decodes(spark):
+    body = "précis €5".encode("windows-1252")
+    with pytest.raises(UnicodeDecodeError):
+        body.decode("utf-8")  # non-vacuous: wire bytes are NOT utf-8
+    rows = _parse_one(
+        spark, _http_record(body, b"text/html; charset=windows-1252")
+    )
+    assert rows[0]["ok"] and rows[0]["html"] == "précis €5"
+
+
+def test_header_charset_latin1_decodes(spark):
+    body = "naïve ±ok".encode("iso-8859-1")
+    rows = _parse_one(
+        spark, _http_record(body, b'text/html; charset="ISO-8859-1"')
+    )
+    assert rows[0]["ok"] and rows[0]["html"] == "naïve ±ok"
+
+
+def test_meta_tag_charset_sniffed_when_header_silent(spark):
+    html = '<html><head><meta charset="windows-1252"></head>' \
+           "<body>‘q’ •</body></html>"
+    body = html.encode("windows-1252")
+    with pytest.raises(UnicodeDecodeError):
+        body.decode("utf-8")
+    rows = _parse_one(spark, _http_record(body, b"text/html"))
+    assert rows[0]["ok"] and "‘q’ •" in rows[0]["html"]
+
+
+def test_meta_http_equiv_form_sniffed(spark):
+    html = (
+        "<html><head><meta http-equiv=\"Content-Type\" "
+        "content=\"text/html; charset=iso-8859-1\"></head>"
+        "<body>café</body></html>"
+    )
+    rows = _parse_one(spark, _http_record(html.encode("iso-8859-1"),
+                                          b"text/html"))
+    assert rows[0]["ok"] and "café" in rows[0]["html"]
+
+
+def test_header_charset_wins_over_meta(spark):
+    # header says latin-1; a (lying) meta says utf-8 — header wins,
+    # so the latin-1 bytes decode as latin-1
+    html = '<html><head><meta charset="utf-8"></head>' \
+           "<body>é</body></html>"
+    rows = _parse_one(
+        spark,
+        _http_record(html.encode("iso-8859-1"),
+                     b"text/html; charset=iso-8859-1"),
+    )
+    assert rows[0]["ok"] and "é" in rows[0]["html"]
+
+
+def test_unknown_charset_quarantines(spark):
+    rows = _parse_one(
+        spark, _http_record(b"abc", b"text/html; charset=klingon-8")
+    )
+    assert rows[0]["err"] == warc.ERR_UNKNOWN_CHARSET
+
+
+def test_non_text_codec_name_quarantines(spark):
+    # resolvable by codecs.lookup but not a text encoding — must take
+    # the typed unknown_charset path, never crash the task
+    rows = _parse_one(
+        spark, _http_record(b"abc", b"text/html; charset=base64")
+    )
+    assert rows[0]["err"] == warc.ERR_UNKNOWN_CHARSET
+
+
+def test_declared_charset_mismatch_quarantines(spark):
+    # declared utf-8, bytes are not — strict decode, typed code
+    rows = _parse_one(
+        spark, _http_record(b"\xff\xfe\x80", b"text/html; charset=utf-8")
+    )
+    assert rows[0]["err"] == warc.ERR_BAD_UTF8
+
+
+def test_charset_fixture_roundtrip_all_modes(spark, docs):
+    sub = docs.limit(8)
+    files = warc.synthesize_warc_corpus(sub, docs_per_file=8,
+                                        torn_every=0, charsets=True)
+    parsed = warc.parse_warc_records(files)
+    rows = {r["url"]: r for r in parsed.collect()}
+    assert len(rows) == 8 and all(r["ok"] for r in rows.values())
+    texts = [r["html"] for r in rows.values()]
+    # every mode's marker survived the wire round trip
+    for _cs, _hdr, marker in warc.CHARSET_MODES:
+        assert any(marker in t for t in texts), marker
