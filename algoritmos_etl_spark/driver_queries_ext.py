@@ -6196,34 +6196,45 @@ def q_url_dedup(spark, sf_dir):
 # the C4 bad-domain list shape (one entry covers all subdomains)
 _URL_BLOCKLIST = ["tracker.net", "clickfarm.biz"]
 
+# the rollup's blocklist adds a ccTLD-SLD registrant: at the PSL
+# grain it blocks exactly Docs.Example.CO.UK's registrant while
+# blog.other.co.uk survives; at the naive grain the entry would
+# match nothing (both collapse to 'co.uk')
+_DOMAIN_BLOCKLIST = _URL_BLOCKLIST + ["example.co.uk"]
+
 
 def _oracle_domain_curation() -> str:
     host = url_ops.url_host_sql("url_norm")
-    dom = url_ops.registrable_domain_sql("_h")
-    blocked = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+    blocked = ", ".join(f"'{d}'" for d in _DOMAIN_BLOCKLIST)
     return f"""WITH {_warc_live_urls_cte()},
     {url_ops.normalize_url_cte('live')},
     hosted AS (SELECT *, {host} AS _h FROM normed),
-    domained AS (SELECT *, {dom} AS domain FROM hosted)
+    {url_ops.psl_domain_cte('hosted', '_h')}
     SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
            CAST(count(DISTINCT _h) AS BIGINT) AS n_hosts,
            CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
            domain IN ({blocked}) AS blocked
-    FROM domained GROUP BY domain"""
+    FROM psl_domained GROUP BY domain"""
 
 
 @register(
     "domain_curation",
     # Full oracle: same fixture reconstruction as url_dedup, then the
-    # host/registrable-domain extraction twins and the per-domain
-    # rollup with the blocklist verdict — the C4 bad-domain gate.
+    # host extraction twin, the Public-Suffix-List longest-suffix
+    # match (rule table + algorithm twinned in url_ops: normal /
+    # wildcard / exception kinds), and the per-domain rollup with the
+    # blocklist verdict — the C4 bad-domain gate at the TRUE
+    # registrant grain (r12: example.co.uk and other.co.uk roll up
+    # apart; the naive 2-label cut collapsed both to co.uk).
     _oracle_domain_curation(),
-    "Per-domain curation rollup over the crawl: registrable-domain "
-    "grain (naive 2-label cut, documented vs PSL), per-domain page / "
-    "host / canonical-URL counts, and the C4-shape blocklist verdict. "
-    "One partial-agg shuffle onto the bounded domain grain; the "
-    "blocklist is a literal predicate (a real pipeline broadcasts a "
-    "blocklist table)",
+    "Per-domain curation rollup over the crawl at the Public-Suffix-"
+    "List registrable grain (broadcast longest-suffix match over a "
+    "bounded rule table: normal/wildcard/exception kinds, naive "
+    "2-label cut kept as documented fallback), per-domain page / "
+    "host / canonical-URL counts, and the C4-shape blocklist verdict "
+    "— a ccTLD-SLD entry blocks one registrant, never a country "
+    "registry. Map-only up to one partial-agg shuffle onto the "
+    "bounded domain grain",
 )
 def q_domain_curation(spark, sf_dir):
     from .sources import warc
@@ -6233,7 +6244,9 @@ def q_domain_curation(spark, sf_dir):
     pages = warc.parse_warc_records(files).filter(
         F.col("ok") & (F.col("warc_type") == "response")
     )
-    return url_ops.domain_rollup(pages, "url", blocklist=_URL_BLOCKLIST)
+    return url_ops.domain_rollup(
+        pages, "url", blocklist=_DOMAIN_BLOCKLIST, psl=True
+    )
 
 
 # ---------------- round 11: PDF text-extraction codec tier (VERDICT #2)

@@ -333,8 +333,8 @@ def psl_rules_values_sql() -> str:
         for k, n, w, e in _psl_rule_rows()
     )
     return (
-        f"(VALUES {rows}) AS psl_rules"
-        "(suffix, has_normal, has_wildcard, has_exception)"
+        f"(SELECT * FROM (VALUES {rows}) AS _pr"
+        "(suffix, has_normal, has_wildcard, has_exception))"
     )
 
 
@@ -352,7 +352,7 @@ def psl_domain_cte(src: str, host_col: str) -> str:
         for k in range(1, m + 3)
     )
     joins = "\n        ".join(
-        f"LEFT JOIN ({psl_rules_values_sql()}) r{k}"
+        f"LEFT JOIN {psl_rules_values_sql()} r{k}"
         f" ON r{k}.suffix = c._tail{k}"
         for k in range(1, m + 1)
     )
@@ -423,24 +423,31 @@ def domain_rollup(
     pages: DataFrame,
     url_col: str = "url",
     blocklist: list[str] | None = None,
+    psl: bool = False,
 ) -> DataFrame:
     """Per-registrable-domain aggregation with the C4-shape blocklist
     verdict: (domain, n_pages, n_hosts, n_urls, blocked). `blocklist`
     entries are registrable domains — matching is at that grain, so
-    one entry covers every subdomain. One partial-agg shuffle onto
-    the domain grain (bounded by the web's registrable-domain count,
-    ~milllions — trivially clustered at 100 TB); the blocklist is a
-    literal isin against the bounded list (a real pipeline would
-    broadcast-join a blocklist table; isin keeps the fixture's plan
-    free of a join on a 2-element list)."""
+    one entry covers every subdomain. `psl=True` computes the grain
+    with the Public-Suffix-List longest-suffix match
+    (`with_registrable_domain_psl` — broadcast joins, still map-only)
+    instead of the naive 2-label cut, so example.co.uk and
+    other.co.uk roll up apart and a blocklist entry can never cover a
+    whole country registry. One partial-agg shuffle onto the domain
+    grain (bounded by the web's registrable-domain count, ~milllions
+    — trivially clustered at 100 TB); the blocklist is a literal isin
+    against the bounded list (a real pipeline would broadcast-join a
+    blocklist table; isin keeps the fixture's plan free of a join on
+    a 2-element list)."""
     norm = normalize_url_col(F.col(url_col))
     host = url_host_col(F.col("url_norm"))
-    dom = registrable_domain_col(F.col("_host"))
-    enriched = (
-        pages.withColumn("url_norm", norm)
-        .withColumn("_host", host)
-        .withColumn("domain", dom)
-    )
+    enriched = pages.withColumn("url_norm", norm).withColumn("_host", host)
+    if psl:
+        enriched = with_registrable_domain_psl(enriched, "_host")
+    else:
+        enriched = enriched.withColumn(
+            "domain", registrable_domain_col(F.col("_host"))
+        )
     blocked = (
         F.col("domain").isin(*blocklist) if blocklist else F.lit(False)
     )
@@ -459,11 +466,25 @@ def domain_gate(
     pages: DataFrame,
     blocklist: list[str],
     url_col: str = "url",
+    psl: bool = False,
 ) -> DataFrame:
     """Drop pages whose registrable domain is blocklisted (the C4
     bad-domain filter). Map-only: the verdict is a per-row expression
     against the bounded literal list — zero shuffles, composes in
-    front of any curation gate."""
+    front of any curation gate. `psl=True` evaluates the grain with
+    the PSL longest-suffix match (broadcast joins, still map-only) so
+    a blocklist entry like example.co.uk matches exactly that
+    registrant instead of nothing (naive grain: co.uk)."""
+    if psl:
+        hosted = pages.withColumn(
+            "_gate_host", url_host_col(normalize_url_col(F.col(url_col)))
+        )
+        gated = with_registrable_domain_psl(
+            hosted, "_gate_host", out_col="_gate_domain"
+        )
+        return gated.filter(
+            ~F.col("_gate_domain").isin(*blocklist)
+        ).drop("_gate_host", "_gate_domain")
     dom = registrable_domain_col(
         url_host_col(normalize_url_col(F.col(url_col)))
     )

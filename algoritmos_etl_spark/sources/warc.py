@@ -184,13 +184,16 @@ def warc_date_sql(doc_id_expr: str) -> str:
 # i // 16 page rule, each 16-doc block's {0, 1, 8, 9} residues share
 # one canonical URL (a 4-way duplicate group), which is what
 # `url_dedup`'s keep-first contract is graded on.
+# indices 4 and 5 are ccTLD-SLD hosts (r12): the naive 2-label cut
+# collapses BOTH to 'co.uk' while the PSL grain keeps example.co.uk
+# and other.co.uk apart — the registrable-domain fixture case
 _MESSY_HOSTS = [
     "Example.COM",
     "example.com",
     "www.example.com",
     "news.example.com",
-    "Sample.ORG",
-    "blog.sample.org",
+    "Docs.Example.CO.UK",
+    "blog.other.co.uk",
     "spam.tracker.NET",
     "ads.clickfarm.biz",
 ]
@@ -230,7 +233,7 @@ def messy_url_sql(e: str) -> str:
         f"(CASE ({e}) % 8"
         " WHEN 0 THEN 'Example.COM' WHEN 1 THEN 'example.com'"
         " WHEN 2 THEN 'www.example.com' WHEN 3 THEN 'news.example.com'"
-        " WHEN 4 THEN 'Sample.ORG' WHEN 5 THEN 'blog.sample.org'"
+        " WHEN 4 THEN 'Docs.Example.CO.UK' WHEN 5 THEN 'blog.other.co.uk'"
         " WHEN 6 THEN 'spam.tracker.NET' ELSE 'ads.clickfarm.biz' END)"
     )
     https = f"(({e}) // 2) % 2 = 0"

@@ -225,7 +225,9 @@ def test_crawl_to_corpus_composition(spark):
     # per block = 20 survivors (every doc passes the rule subset)
     assert len(out) == 20
     doms = {r["domain"] for r in out}
-    assert doms == {"example.com", "sample.org"}
+    # crawl_to_corpus documents the naive 2-label grain (PSL is the
+    # rollup/gate option): both co.uk registrants collapse here
+    assert doms == {"example.com", "co.uk"}
     # keep-first: each 4-way group keeps its min doc_id's fetch, and
     # n_dups records the group size
     by_url = {r["url_norm"]: r for r in out}
@@ -264,3 +266,101 @@ def text_quality_keep_all(df):
     from algoritmos_etl_spark.operators.text import quality_rules_keep
 
     return [r for r in quality_rules_keep(df).collect() if r["keep"]]
+
+
+# -------------------------------------- Public-Suffix-List grain
+
+
+PSL_CASES = [
+    # (host, expected registrable domain per the PSL algorithm)
+    ("docs.example.co.uk", "example.co.uk"),   # ccTLD-SLD rule
+    ("blog.other.co.uk", "other.co.uk"),       # ≠ example.co.uk
+    ("www.example.com", "example.com"),
+    ("example.com", "example.com"),
+    ("foo.bar.ck", "foo.bar.ck"),              # wildcard *.ck
+    ("www.ck", "www.ck"),                      # exception !www.ck
+    ("sub.www.ck", "www.ck"),                  # exception wins in subtree
+    ("a.b.nsw.edu.au", "b.nsw.edu.au"),        # 3-label rule
+    ("deep.a.b.example.co.uk", "example.co.uk"),
+    ("localhost", "localhost"),                # single label passthrough
+    ("thing.internal", "thing.internal"),      # unknown TLD → default rule
+    ("co.uk", "co.uk"),                        # host IS a public suffix
+    ("y.x.np", "y.x.np"),                      # wildcard *.np
+]
+
+
+def test_psl_registrable_domain_cases(spark):
+    df = spark.createDataFrame([(h,) for h, _ in PSL_CASES], "host string")
+    got = {
+        r["host"]: r["domain"]
+        for r in url_ops.with_registrable_domain_psl(df, "host").collect()
+    }
+    assert got == dict(PSL_CASES)
+
+
+def test_psl_sql_twin_parity(spark):
+    hosts = [h for h, _ in PSL_CASES] + ["", "weird..double", "x.np", "uk"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["domain"]
+        for r in url_ops.with_registrable_domain_psl(df, "host").collect()
+    }
+    vals = ", ".join(f"('{h}')" for h in hosts)
+    sql = (
+        f"WITH src AS (SELECT * FROM (VALUES {vals}) s(host)), "
+        + url_ops.psl_domain_cte("src", "host")
+        + " SELECT host, domain FROM psl_domained"
+    )
+    con = duckdb.connect()
+    oracle = dict(con.sql(sql).fetchall())
+    con.close()
+    assert got == oracle
+
+
+def test_psl_rollup_separates_cctld_sld_registrants(spark):
+    rows = [
+        ("https://docs.example.co.uk/a",),
+        ("https://m.example.co.uk/b",),
+        ("https://blog.other.co.uk/c",),
+        ("https://news.example.com/d",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    naive = {
+        r["domain"] for r in url_ops.domain_rollup(df).collect()
+    }
+    assert "co.uk" in naive  # the documented naive-collapse defect
+    psl = {
+        r["domain"]: r["n_pages"]
+        for r in url_ops.domain_rollup(df, psl=True).collect()
+    }
+    assert psl == {"example.co.uk": 2, "other.co.uk": 1, "example.com": 1}
+
+
+def test_psl_blocklist_no_overmatch(spark):
+    rows = [
+        ("https://docs.example.co.uk/a",),
+        ("https://blog.other.co.uk/c",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    # naive grain: the registrant entry matches NOTHING (both are co.uk)
+    assert url_ops.domain_gate(df, ["example.co.uk"]).count() == 2
+    # PSL grain: exactly the one registrant is blocked
+    kept = {
+        r["url"]
+        for r in url_ops.domain_gate(df, ["example.co.uk"], psl=True)
+        .collect()
+    }
+    assert kept == {"https://blog.other.co.uk/c"}
+    # ...and blocking a public suffix at PSL grain nukes nothing,
+    # because no host's REGISTRABLE domain is ever a bare suffix
+    assert url_ops.domain_gate(df, ["co.uk"], psl=True).count() == 2
+
+
+def test_psl_gate_is_map_only(spark):
+    df = spark.createDataFrame([("https://a.co.uk/x",)], "url string")
+    plan = (
+        url_ops.domain_gate(df, ["b.co.uk"], psl=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # no shuffle
