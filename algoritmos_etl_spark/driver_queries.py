@@ -1414,7 +1414,6 @@ REGISTRY_ORDER = (
     "snapshot_delete_mor",     # r10 NEW: merge-on-read equality deletes
     "snapshot_delete_positions",  # r10 NEW: deletion-vector position grain
     # ---- text / dedup / corpus ----
-    "exact_repeat_runs",
     "exact_repeat_runs_tokens",  # r9 NEW: Lee 2022 at 50-BPE-token grain
     "url_dedup",               # r11 NEW: URL-grain exact dedup over WARC
     "domain_curation",         # r11 NEW: registrable-domain rollup + gate
@@ -1428,6 +1427,8 @@ REGISTRY_ORDER = (
     "html_extraction",         # r9 NEW: HTML -> text extraction
     "warc_extraction",         # r10 NEW: WARC crawl-archive source tier
     "warc_cdx_extraction",     # r11 NEW: cdx record-parallel read path
+    "host_pagerank",           # r12 NEW: link harvest -> PSL domain graph
+                               # -> integer fixed-point rank, one oracle
     "lang_id_trained",         # r10 NEW: trained char-trigram lang-ID
     # ---- vectors ----
     "ann_ivf_topk",
@@ -1443,6 +1444,12 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "exact_repeat_runs",     # displaced by r12 host_pagerank: hash-green
+                             # r8-r11 AND 30x-proven; the ExactSubstr
+                             # passage machinery stays in-window via
+                             # exact_repeat_runs_tokens (same
+                             # verified-shingle core at the stricter
+                             # BPE-token grain, 30x-sharded oracle)
     "triplet_mining",        # displaced by r11 warc_cdx_extraction:
                              # hash-green r9-r10 AND 30x-sharded-proven
                              # this round; the (a,p,n) mining machinery

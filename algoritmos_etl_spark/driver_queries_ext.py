@@ -4190,13 +4190,47 @@ def q_streaming_cdc_state(spark, sf_dir):
         shutil.rmtree(run_dir, ignore_errors=True)
 
 
+def _pagerank_loop_cte(iters: int = 10) -> str:
+    """DuckDB twin of `graph.pagerank`'s ENTIRE fixed-point loop as a
+    WITH-fragment chain: consumes relation `e` (u, v, w — the
+    aggregated positive-weight edge list), yields `ow`/`ej`/`nodes`/
+    `pr0`..`pr{iters}`. Ranks are int64 1e12 fixed point,
+    contributions use the overflow-safe floor(r·w/wu) decomposition,
+    damping is integer 15/85 percent — bit-identical on any
+    engine/partitioning, so iterative graph algorithms carry full
+    value-hash oracles (shared by `textrank_keywords` on the word
+    graph and `host_pagerank` on the domain graph)."""
+    parts = [
+        "ow AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM e GROUP BY 1)",
+        "ej AS (SELECT e.u, e.v, e.w, ow.wu FROM e JOIN ow ON ow.u = e.u)",
+        """nodes AS (SELECT DISTINCT node FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e))""",
+        "pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""pr{it} AS (
+        SELECT n.node,
+               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT ej.v AS node,
+                   sum((p.r // ej.wu) * ej.w
+                       + ((p.r % ej.wu) * ej.w) // ej.wu) AS c
+            FROM ej JOIN pr{it - 1} p ON p.node = ej.u GROUP BY 1
+        ) s ON s.node = n.node
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
 @register(
     "textrank_keywords",
-    # The ENTIRE 10-iteration fixed point is reproduced in SQL: ranks
-    # are int64 fixed-point (1e12), contributions use the overflow-safe
-    # floor(r*w/wu) decomposition, damping is integer 15/85 percent —
-    # bit-identical on any engine/partitioning, so even the iterative
-    # graph algorithm carries a full value-hash oracle.
+    # The ENTIRE 10-iteration fixed point is reproduced in SQL
+    # (_pagerank_loop_cte): ranks are int64 fixed-point (1e12),
+    # contributions use the overflow-safe floor(r*w/wu) decomposition,
+    # damping is integer 15/85 percent — bit-identical on any
+    # engine/partitioning, so even the iterative graph algorithm
+    # carries a full value-hash oracle.
     f"""WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
     i AS (SELECT ws, unnest(range(1, len(ws))) AS i FROM w WHERE len(ws) >= 2),
     b AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM i),
@@ -4207,110 +4241,7 @@ def q_streaming_cdc_state(spark, sf_dir):
             UNION ALL SELECT w2 AS u, w1 AS v, n FROM p
         ) GROUP BY 1, 2
     ),
-    ow AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM e GROUP BY 1),
-    ej AS (SELECT e.u, e.v, e.w, ow.wu FROM e JOIN ow ON ow.u = e.u),
-    nodes AS (SELECT DISTINCT u AS node FROM e),
-    pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
-    pr1 AS (
-        SELECT n.node,
-               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
-        FROM nodes n LEFT JOIN (
-            SELECT ej.v AS node,
-                   sum((p0.r // ej.wu) * ej.w
-                       + ((p0.r % ej.wu) * ej.w) // ej.wu) AS c
-            FROM ej JOIN pr0 p0 ON p0.node = ej.u GROUP BY 1
-        ) s ON s.node = n.node
-    ),
-    pr2 AS (
-        SELECT n.node,
-               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
-        FROM nodes n LEFT JOIN (
-            SELECT ej.v AS node,
-                   sum((p1.r // ej.wu) * ej.w
-                       + ((p1.r % ej.wu) * ej.w) // ej.wu) AS c
-            FROM ej JOIN pr1 p1 ON p1.node = ej.u GROUP BY 1
-        ) s ON s.node = n.node
-    ),
-    pr3 AS (
-        SELECT n.node,
-               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
-        FROM nodes n LEFT JOIN (
-            SELECT ej.v AS node,
-                   sum((p2.r // ej.wu) * ej.w
-                       + ((p2.r % ej.wu) * ej.w) // ej.wu) AS c
-            FROM ej JOIN pr2 p2 ON p2.node = ej.u GROUP BY 1
-        ) s ON s.node = n.node
-    ),
-    pr4 AS (
-        SELECT n.node,
-               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
-        FROM nodes n LEFT JOIN (
-            SELECT ej.v AS node,
-                   sum((p3.r // ej.wu) * ej.w
-                       + ((p3.r % ej.wu) * ej.w) // ej.wu) AS c
-            FROM ej JOIN pr3 p3 ON p3.node = ej.u GROUP BY 1
-        ) s ON s.node = n.node
-    ),
-    pr5 AS (
-        SELECT n.node,
-               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
-        FROM nodes n LEFT JOIN (
-            SELECT ej.v AS node,
-                   sum((p4.r // ej.wu) * ej.w
-                       + ((p4.r % ej.wu) * ej.w) // ej.wu) AS c
-            FROM ej JOIN pr4 p4 ON p4.node = ej.u GROUP BY 1
-        ) s ON s.node = n.node
-    ),
-    pr6 AS (
-        SELECT n.node,
-               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
-        FROM nodes n LEFT JOIN (
-            SELECT ej.v AS node,
-                   sum((p5.r // ej.wu) * ej.w
-                       + ((p5.r % ej.wu) * ej.w) // ej.wu) AS c
-            FROM ej JOIN pr5 p5 ON p5.node = ej.u GROUP BY 1
-        ) s ON s.node = n.node
-    ),
-    pr7 AS (
-        SELECT n.node,
-               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
-        FROM nodes n LEFT JOIN (
-            SELECT ej.v AS node,
-                   sum((p6.r // ej.wu) * ej.w
-                       + ((p6.r % ej.wu) * ej.w) // ej.wu) AS c
-            FROM ej JOIN pr6 p6 ON p6.node = ej.u GROUP BY 1
-        ) s ON s.node = n.node
-    ),
-    pr8 AS (
-        SELECT n.node,
-               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
-        FROM nodes n LEFT JOIN (
-            SELECT ej.v AS node,
-                   sum((p7.r // ej.wu) * ej.w
-                       + ((p7.r % ej.wu) * ej.w) // ej.wu) AS c
-            FROM ej JOIN pr7 p7 ON p7.node = ej.u GROUP BY 1
-        ) s ON s.node = n.node
-    ),
-    pr9 AS (
-        SELECT n.node,
-               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
-        FROM nodes n LEFT JOIN (
-            SELECT ej.v AS node,
-                   sum((p8.r // ej.wu) * ej.w
-                       + ((p8.r % ej.wu) * ej.w) // ej.wu) AS c
-            FROM ej JOIN pr8 p8 ON p8.node = ej.u GROUP BY 1
-        ) s ON s.node = n.node
-    ),
-    pr10 AS (
-        SELECT n.node,
-               CAST(150000000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
-        FROM nodes n LEFT JOIN (
-            SELECT ej.v AS node,
-                   sum((p9.r // ej.wu) * ej.w
-                       + ((p9.r % ej.wu) * ej.w) // ej.wu) AS c
-            FROM ej JOIN pr9 p9 ON p9.node = ej.u GROUP BY 1
-        ) s ON s.node = n.node
-    ),
+    {_pagerank_loop_cte(10)},
     deg AS (SELECT u AS node, count(DISTINCT v) AS n_edges FROM e GROUP BY 1)
     SELECT p10.node AS word, p10.r AS rank_e12,
            CAST(deg.n_edges AS BIGINT) AS n_edges
@@ -6902,3 +6833,74 @@ def q_warc_cdx_extraction(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     files = warc.synthesize_warc_corpus(docs, with_cdx=True, charsets=True)
     return warc.warc_extract_pages(warc.parse_warc_records_cdx(files))
+
+
+# ---- round 12: host-graph PageRank curation prior (VERDICT r11 #3)
+
+from .sources.warc import link_targets_sql  # noqa: E402
+
+
+def _oracle_host_pagerank() -> str:
+    # survivors of the keep-first URL dedup (the grain real pipelines
+    # harvest links at — duplicate fetches must not double-count
+    # edges), then the link-rule integer twin and the shared
+    # fixed-point loop
+    return f"""WITH {_warc_live_urls_cte()},
+    {url_ops.normalize_url_cte('live')},
+    ranked AS (
+        SELECT doc_id, url_norm,
+               row_number() OVER (PARTITION BY url_norm
+                                  ORDER BY warc_date, url) AS rn
+        FROM normed
+    ),
+    surv AS (SELECT doc_id FROM ranked WHERE rn = 1),
+    {link_targets_sql('surv')},
+    e AS (SELECT u, v, w FROM link_edges),
+    {_pagerank_loop_cte(10)},
+    outd AS (SELECT u AS node, count(DISTINCT v) AS n FROM e GROUP BY 1),
+    ind AS (SELECT v AS node, count(DISTINCT u) AS n FROM e GROUP BY 1)
+    SELECT p.node AS domain, p.r AS rank_e12,
+           CAST(coalesce(outd.n, 0) AS BIGINT) AS n_out,
+           CAST(coalesce(ind.n, 0) AS BIGINT) AS n_in
+    FROM pr10 p
+    LEFT JOIN outd ON outd.node = p.node
+    LEFT JOIN ind ON ind.node = p.node
+    ORDER BY rank_e12 DESC, domain ASC"""
+
+
+@register(
+    "host_pagerank",
+    # Full oracle across the WHOLE composition: fixture layout + torn
+    # rule + messy-URL twins + every normalization rule + the
+    # keep-first window (so link harvesting happens at the DEDUPED
+    # grain), then the outlink fixture's integer edge twin
+    # (`warc.link_targets_sql` — mailto/relative/self-edge arms
+    # excluded by the same arithmetic the HTML footer was built from)
+    # and the ENTIRE 10-iteration integer fixed point
+    # (`_pagerank_loop_cte`, shared with textrank_keywords). A defect
+    # in href extraction, link resolution, the PSL domain grain, edge
+    # aggregation, or any PageRank iteration breaks this one hash.
+    _oracle_host_pagerank(),
+    "Host-graph PageRank as a curation prior (RefinedWeb shape): "
+    "parse the outlink WARC fixture, URL-dedup keep-first, harvest "
+    "<a href> targets with one JVM regex pass, resolve each against "
+    "the page host (absolute / protocol-relative / relative / "
+    "non-navigation arms), roll endpoints to the PSL registrable-"
+    "domain grain (broadcast longest-suffix match), drop domain "
+    "self-edges, ONE partial-agg shuffle onto the bounded (src,dst) "
+    "pair grain, then 10 integer fixed-point iterations on the "
+    "bounded domain graph — 100 TB of HTML feeds one shuffle before "
+    "the loop. Output: (domain, rank_e12, n_out, n_in); external "
+    "domains the crawl never fetched receive rank and emit none",
+)
+def q_host_pagerank(spark, sf_dir):
+    from .operators import links
+    from .sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synthesize_warc_corpus(docs, messy_urls=True, links=True)
+    pages = warc.parse_warc_records(files).filter(
+        F.col("ok") & (F.col("warc_type") == "response")
+    )
+    deduped = url_ops.url_dedup(pages, "url", "warc_date")
+    return links.host_pagerank(deduped)

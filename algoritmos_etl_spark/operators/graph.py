@@ -67,26 +67,26 @@ def pagerank(
     )
     ranks = nodes.withColumn("r", F.lit(SCALE).cast("long"))
     contrib = F.expr("(r DIV wu) * w + ((r % wu) * w) DIV wu")
-    for _ in range(iterations):
+    for it in range(iterations):
         inflow = (
             e.join(ranks, e["u"] == ranks["node"])
             .select(F.col("v").alias("node"), contrib.alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(inflow, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(_BASE)
-                    + F.expr(
-                        f"({_DAMP_NUM} * coalesce(c, 0L)) DIV 100"
-                    )
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(_BASE)
+                + F.expr(f"({_DAMP_NUM} * coalesce(c, 0L)) DIV 100")
+            ).cast("long").alias("r"),
         )
+        # truncate lineage every 3rd round (and at the end): enough
+        # to keep the plan shallow, while 3x fewer checkpoint
+        # materialization jobs than per-iteration truncation (r12;
+        # integer math makes the cadence result-invariant)
+        if it % 3 == 2 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("rank_e12"))
 
 

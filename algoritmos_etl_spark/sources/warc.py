@@ -258,6 +258,90 @@ def messy_url_sql(e: str) -> str:
     )
 
 
+# outlink fixture pool (the `links=True` crawl): the 8 crawled messy
+# hosts plus 3 external-only targets, so the host graph has nodes the
+# crawl never fetched (they receive rank but emit none — the directed
+# dangling case) and exercises the PSL grain and href case noise again
+_LINK_HOSTS = _MESSY_HOSTS + [
+    "cdn.assets.example.net",  # generic-TLD external target
+    "static.mirror.co.uk",     # ccTLD-SLD external: PSL grain in hrefs
+    "WWW.Partner.IO",          # case noise inside the href itself
+]
+
+# PSL registrable domain of each _LINK_HOSTS entry, index-aligned —
+# the oracle's direct pool-index -> domain mapping (the Spark side
+# derives it through normalize/host/PSL machinery; a pytest pins this
+# list against `with_registrable_domain_psl` so the twins cannot
+# drift)
+_LINK_DOMAINS = [
+    "example.com",    # Example.COM
+    "example.com",    # example.com
+    "example.com",    # www.example.com
+    "example.com",    # news.example.com
+    "example.co.uk",  # Docs.Example.CO.UK
+    "other.co.uk",    # blog.other.co.uk
+    "tracker.net",    # spam.tracker.NET
+    "clickfarm.biz",  # ads.clickfarm.biz
+    "example.net",    # cdn.assets.example.net
+    "mirror.co.uk",   # static.mirror.co.uk
+    "partner.io",     # WWW.Partner.IO
+]
+
+
+def link_html_expr(e: str = "doc_id") -> str:
+    """Spark SQL expression: the deterministic outlink footer for doc
+    `e` — 2 + e%3 anchors; link j is a mailto (skipped by extraction)
+    when (e+j)%11=0, a RELATIVE href (resolves to the page's own host
+    → a domain self-edge the graph drops) when (e+j)%7=0, else an
+    absolute https href into `_LINK_HOSTS` at index
+    (e·(2j+3) + j²) mod 11. Pure integer arithmetic so the DuckDB
+    oracle rebuilds the exact edge list without parsing HTML
+    (`link_targets_sql` — kept below so the dialects cannot drift)."""
+    pool = ", ".join(f"'{h}'" for h in _LINK_HOSTS)
+    t = f"(({e}) * (2*j + 3) + j*j) % {len(_LINK_HOSTS)}"
+    return (
+        f"array_join(transform(sequence(1L, 2L + ({e}) % 3), j -> "
+        f"CASE WHEN (({e}) + j) % 11 = 0 "
+        "THEN '<a href=\"mailto:crawl@example.com\">mail</a>' "
+        f"WHEN (({e}) + j) % 7 = 0 "
+        "THEN concat('<a href=\"/local/', j, '\">here</a>') "
+        f"ELSE concat('<a href=\"https://', "
+        f"element_at(array({pool}), CAST({t} AS INT) + 1), "
+        "'/l/', j, '\">out</a>') END), ' ')"
+    )
+
+
+def link_targets_sql(src: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of `link_html_expr`'s EDGE-LIST consequence as a
+    WITH-fragment: consumes relation `src` (exposing `id_col` =
+    nonnegative BIGINT doc ids), yields `link_edges` (u, v, w) — the
+    registrable-domain outlink edges those docs' pages carry, mailto
+    and relative (self-edge) arms excluded, self-edges at the domain
+    grain dropped, weights = link counts. Domains come from the
+    index-aligned `_LINK_DOMAINS` constant."""
+    dom = " ".join(
+        f"WHEN {k} THEN '{d}'" for k, d in enumerate(_LINK_DOMAINS)
+    )
+    return f"""_lj AS (
+        SELECT {id_col} AS i,
+               unnest(range(1, 2 + {id_col} % 3 + 1)) AS j
+        FROM {src}
+    ),
+    _lt AS (
+        SELECT i, j, (i * (2*j + 3) + j*j) % {len(_LINK_HOSTS)} AS t
+        FROM _lj
+        WHERE (i + j) % 11 <> 0 AND (i + j) % 7 <> 0
+    ),
+    _ld AS (
+        SELECT (CASE i % 8 {dom} END) AS u, (CASE t {dom} END) AS v
+        FROM _lt
+    ),
+    link_edges AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS w
+        FROM _ld WHERE u <> v GROUP BY u, v
+    )"""
+
+
 def build_warc_member(
     doc_id: int,
     html: str,
@@ -306,6 +390,7 @@ def synthesize_warc_corpus(
     messy_urls: bool = False,
     with_cdx: bool = False,
     charsets: bool = False,
+    links: bool = False,
 ) -> DataFrame:
     """(warc_file, content binary) — the fixture crawl drop (see
     module doc). Documents are laid out in doc_id order (global
@@ -322,16 +407,31 @@ def synthesize_warc_corpus(
     parallelism. `charsets=True` swaps the all-UTF-8 page shell for
     the mixed-charset modes (`CHARSET_MODES`: cp1252/latin-1 bodies
     with non-ASCII markers, one mode declared only via meta tag) —
-    the decoder-recall fixture (VERDICT r11 task #1)."""
-    html = (
-        charset_html_col(F.col("doc_id"), F.col("text"))
-        if charsets
-        else F.concat(
+    the decoder-recall fixture (VERDICT r11 task #1). `links=True`
+    (plain shell only) inserts the deterministic cross-host outlink
+    footer (`link_html_expr`) between the text paragraph and the
+    boilerplate footer — the host-graph fixture."""
+    if links and charsets:
+        raise ValueError("links fixture composes with the plain shell only")
+    if links:
+        # _HTML_SUFFIX opens with '</p>'; close the paragraph, emit
+        # the outlink nav, then continue with the footer boilerplate
+        html = F.concat(
+            F.lit(_HTML_PREFIX),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit('</p><nav class="outlinks">'),
+            F.expr(link_html_expr("doc_id")),
+            F.lit("</nav>"),
+            F.lit(_HTML_SUFFIX[len("</p>"):]),
+        )
+    elif charsets:
+        html = charset_html_col(F.col("doc_id"), F.col("text"))
+    else:
+        html = F.concat(
             F.lit(_HTML_PREFIX),
             F.coalesce(F.col("text"), F.lit("")),
             F.lit(_HTML_SUFFIX),
         )
-    )
     w = Window.partitionBy(one_partition(F.col("doc_id"))).orderBy("doc_id")
     laid = docs.select(
         "doc_id",

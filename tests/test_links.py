@@ -1,0 +1,161 @@
+"""Host-graph link analytics (`operators/links.py`): href extraction
+and resolution arms, the fixture-pool domain pin, cross-engine edge
+parity (Spark HTML harvest vs the DuckDB integer link twin), the
+fixed-point rank over the crawl fixture, and the crawl-plan rank
+signal join."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from algoritmos_etl_spark.operators import links, url_ops
+from algoritmos_etl_spark.sources import warc
+
+
+def test_link_domains_pin_psl(spark):
+    """`warc._LINK_DOMAINS` (the oracle's pool-index -> domain CASE)
+    must equal what the real PSL machinery derives from the pool
+    hosts — the twin-drift pin."""
+    rows = [(h.lower(),) for h in warc._LINK_HOSTS]
+    df = spark.createDataFrame(rows, "host string")
+    got = [
+        r["domain"]
+        for r in url_ops.with_registrable_domain_psl(df, "host")
+        .collect()
+    ]
+    # createDataFrame preserves row order on a local list
+    assert got == warc._LINK_DOMAINS
+
+
+HREF_CASES = [
+    # (href, page_host, expected target host)
+    ("https://Other.ORG/x", "a.com", "other.org"),
+    ("http://b.com:8080/y", "a.com", "b.com"),     # port stripped
+    ("//cdn.c.com/z", "a.com", "cdn.c.com"),       # protocol-relative
+    ("/local/1", "a.com", "a.com"),                # rooted relative
+    ("page2.html", "a.com", "a.com"),              # bare relative
+    ("?q=1", "a.com", "a.com"),                    # query-only
+    ("https://d.com/x#frag", "a.com", "d.com"),    # fragment stripped
+    ("#top", "a.com", None),                       # fragment-only
+    ("", "a.com", None),
+    ("mailto:x@y.com", "a.com", None),
+    ("javascript:void(0)", "a.com", None),
+    ("tel:+1555", "a.com", None),
+]
+
+
+def test_link_target_host_arms(spark):
+    df = spark.createDataFrame(
+        [(h, p) for h, p, _ in HREF_CASES], "href string, page string"
+    )
+    got = [
+        r["t"]
+        for r in df.select(
+            links.link_target_host_col(
+                F.col("href"), F.col("page")
+            ).alias("t")
+        ).collect()
+    ]
+    assert got == [e for _, _, e in HREF_CASES]
+
+
+def test_extract_hrefs(spark):
+    html = (
+        '<p><a href="/a">x</a><A HREF="https://b.com/y">y</A>'
+        "<a class=\"z\" href='s.html'>s</a><a>no href</a></p>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(
+        links.extract_hrefs_col(F.col("html")).alias("h")
+    ).collect()[0]["h"]
+    assert got == ["/a", "https://b.com/y", "s.html"]
+
+
+def test_fixture_edges_match_integer_twin(spark):
+    """The edges Spark harvests from the links-fixture HTML must equal
+    the DuckDB integer twin's edge list for the same doc ids — the
+    href footer, extraction regex, resolution arms, PSL grain, and
+    self-edge drop all sit between the two."""
+    ids = list(range(40))
+    docs = spark.createDataFrame(
+        [(i, f"body text {i}") for i in ids], "doc_id long, text string"
+    )
+    files = warc.synthesize_warc_corpus(
+        docs, messy_urls=True, links=True, torn_every=0
+    )
+    pages = warc.parse_warc_records(files).filter(
+        F.col("ok") & (F.col("warc_type") == "response")
+    ).withColumn("url_norm", url_ops.normalize_url_col(F.col("url")))
+    got = {
+        (r["u"], r["v"]): r["w"]
+        for r in links.host_link_edges(pages).collect()
+    }
+    vals = ", ".join(f"({i})" for i in ids)
+    sql = (
+        f"WITH ids AS (SELECT * FROM (VALUES {vals}) s(doc_id)), "
+        + warc.link_targets_sql("ids")
+        + " SELECT u, v, w FROM link_edges"
+    )
+    con = duckdb.connect()
+    want = {(u, v): w for u, v, w in con.sql(sql).fetchall()}
+    con.close()
+    assert got == want
+    # sanity: the graph is non-trivial and reaches external-only hosts
+    assert len(got) > 5
+    assert any(v in ("example.net", "mirror.co.uk", "partner.io")
+               for _, v in got)
+
+
+def test_host_pagerank_shape(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(64)], "doc_id long, text string"
+    )
+    files = warc.synthesize_warc_corpus(
+        docs, messy_urls=True, links=True, torn_every=0
+    )
+    pages = warc.parse_warc_records(files).filter(
+        F.col("ok") & (F.col("warc_type") == "response")
+    )
+    deduped = url_ops.url_dedup(pages, "url", "warc_date")
+    out = links.host_pagerank(deduped).collect()
+    doms = {r["domain"] for r in out}
+    # crawled domains that emit links
+    assert "example.com" in doms and "tracker.net" in doms
+    # external-only targets receive rank but emit none
+    ext = [r for r in out if r["domain"] == "partner.io"]
+    assert ext and ext[0]["n_out"] == 0 and ext[0]["n_in"] > 0
+    # ranks are positive int64 fixed-point; base floor for any node
+    assert all(r["rank_e12"] >= 150_000_000_000 for r in out)
+    # output is rank-desc ordered
+    ranks = [r["rank_e12"] for r in out]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_crawl_host_rank_signal(spark):
+    from algoritmos_etl_spark.plans.crawl import crawl_to_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "word " * 60 + "tail.") for i in range(32)],
+        "doc_id long, text string",
+    )
+    files = warc.synthesize_warc_corpus(
+        docs, messy_urls=True, links=True, torn_every=0
+    )
+    parsed = warc.parse_warc_records(files)
+    pages = parsed.filter(F.col("ok") & (F.col("warc_type") == "response"))
+    rank = links.host_pagerank(url_ops.url_dedup(pages, "url", "warc_date"))
+    from algoritmos_etl_spark.operators.text import QUALITY_RULES
+
+    rules = tuple(n for n, _ in QUALITY_RULES if n != "stopword_floor")
+    corpus = crawl_to_corpus(
+        parsed, blocklist=["tracker.net"], quality_rules=rules,
+        host_rank=rank,
+    )
+    rows = corpus.collect()
+    assert rows and "host_rank_e12" in corpus.columns
+    # every surviving page's domain carries link evidence here, so the
+    # signal is populated; the join is a broadcast (no extra shuffle)
+    assert all(r["host_rank_e12"] is not None for r in rows)
+    plan = corpus._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
