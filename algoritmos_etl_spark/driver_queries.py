@@ -1422,6 +1422,8 @@ REGISTRY_ORDER = (
     "quality_tiers",           # r9 rotation IN: CCNet head/middle/tail
     "quality_rules",           # r11 NEW: Gopher/Dolma rule-pack gate
     "bpe_encode",              # full oracle since r9 (SQL relearns merges)
+    "bpe_encode_bytes",        # r12 NEW: GPT-2-style byte grain, relearn
+                               # oracle; decode∘encode == identity
     "crawl_corpus",            # r11 NEW: WARC->URL-dedup->gate->extract->
                                # rule-pack, the C4 order in ONE oracle
     "html_extraction",         # r9 NEW: HTML -> text extraction
@@ -1440,10 +1442,17 @@ REGISTRY_ORDER = (
     # ---- multimodal / profiling / joins ----
     "multimodal_report",
     "image_jpeg_neardup",      # r10 NEW: baseline-DCT JPEG decode tier
-    "audio_features",
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "audio_features",        # displaced by r12 bpe_encode_bytes:
+                             # rows-only BY DESIGN since r8 (codec-
+                             # family policy — moving it tail-ward
+                             # RAISES the window's full-oracle count);
+                             # the WAV codec + feature chain stays
+                             # pinned by test_multimodal's exact
+                             # non-SQL reference and the in-window
+                             # multimodal_report
     "exact_repeat_runs",     # displaced by r12 host_pagerank: hash-green
                              # r8-r11 AND 30x-proven; the ExactSubstr
                              # passage machinery stays in-window via

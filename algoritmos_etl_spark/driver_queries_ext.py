@@ -6904,3 +6904,142 @@ def q_host_pagerank(spark, sf_dir):
     )
     deduped = url_ops.url_dedup(pages, "url", "warc_date")
     return links.host_pagerank(deduped)
+
+
+# ------ round 12: byte-level pre-tokenized BPE arm (VERDICT r11 #4)
+
+
+def _bpe_bytes_sql_ctes(
+    n_merges: int = _BPE_N_MERGES, min_freq: int = _BPE_MIN_FREQ
+) -> str:
+    """DuckDB twin of the BYTE-level BPE pipeline (`bpe.PRETOKEN_RE`
+    GPT-2-style pre-tokenizer over RAW text, UTF-8 hex-chunk grain,
+    no END marker, ids 0..255 = bytes / 256+ = merges) — the
+    `_bpe_sql_ctes` relearn structure with the word-specific stages
+    (lowercasing, alphabet ids, byte fallback) gone, because byte
+    level makes them unnecessary by construction. The pre-tokenizer
+    pattern is shared VERBATIM with the Column twin (java.util.regex
+    and RE2 agree on it — leftmost-first alternation, \\p classes;
+    pinned on hostile fixtures in tests/test_bpe.py)."""
+    from .operators.bpe import PRETOKEN_RE
+
+    pat = PRETOKEN_RE.replace("'", "''")
+    parts = [
+        f"bpt AS (SELECT doc_id, regexp_extract_all(text, '{pat}') "
+        "AS pts FROM documents)",
+        "bwords AS (SELECT p AS ptok, count(*) AS freq FROM "
+        "(SELECT unnest(pts) AS p FROM bpt) GROUP BY p)",
+        "bh AS (SELECT ptok, freq, lower(hex(encode(ptok))) AS h "
+        "FROM bwords)",
+        "bt0 AS (SELECT ptok, freq, array_to_string(list_transform("
+        "range(1, length(h) // 2 + 1), j -> substr(h, 2*j - 1, 2)), ' ') "
+        "AS s FROM bh)",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"bp{i} AS (SELECT tl[j] AS l, tl[j+1] AS r, sum(freq) AS c "
+            f"FROM (SELECT freq, string_split(s, ' ') AS tl FROM bt{i - 1}), "
+            f"LATERAL (SELECT unnest(range(1, len(tl))) AS j) u "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"bm{i} AS (SELECT l, r FROM bp{i} WHERE c >= {min_freq} "
+            f"ORDER BY c DESC, l ASC, r ASC LIMIT 1)"
+        )
+        parts.append(
+            f"bt{i} AS (SELECT ptok, freq, CASE WHEN bm{i}.l IS NULL THEN s "
+            f"ELSE list_reduce(string_split(s, ' '), (acc, x) -> "
+            f"CASE WHEN (acc = bm{i}.l OR ends_with(acc, ' ' || bm{i}.l)) "
+            f"AND x = bm{i}.r THEN acc || x ELSE acc || ' ' || x END) END "
+            f"AS s FROM bt{i - 1} LEFT JOIN bm{i} ON TRUE)"
+        )
+    tn = f"bt{n_merges}"
+    merge_union = " UNION ALL ".join(
+        f"SELECT {i} AS i, l, r FROM bm{i}" for i in range(1, n_merges + 1)
+    )
+    parts += [
+        "per_bpt_pos AS (SELECT doc_id, unnest(pts) AS ptok, "
+        "unnest(range(1, len(pts)+1)) AS ppos FROM bpt)",
+        f"bdoc_tokens AS (SELECT doc_id, string_split(string_agg({tn}.s, "
+        f"' ' ORDER BY ppos), ' ') AS toks "
+        f"FROM per_bpt_pos JOIN {tn} USING (ptok) GROUP BY doc_id)",
+        f"bmerges AS ({merge_union})",
+        "bvocab AS (SELECT tok, CAST(min(id) AS INT) AS id FROM ("
+        "SELECT l || r AS tok, 255 + i AS id FROM bmerges) GROUP BY tok)",
+    ]
+    return ",\n    ".join(parts)
+
+
+# byte-level model cache: plain Python (merges list), deterministic
+# per sf_dir — the _BPE_MODEL_CACHE contract
+_BPE_BYTES_MODEL_CACHE: dict[str, list] = {}
+
+
+def _bpe_bytes_model(spark, sf_dir):
+    from .operators import bpe
+
+    merges = _BPE_BYTES_MODEL_CACHE.get(sf_dir)
+    if merges is None:
+        docs = load_table(spark, sf_dir, "documents")
+        merges, _tab = bpe.learn_bpe_bytes(
+            spark, docs, n_merges=_BPE_N_MERGES, min_freq=_BPE_MIN_FREQ
+        )
+        _BPE_BYTES_MODEL_CACHE[sf_dir] = merges
+    return merges
+
+
+@register(
+    "bpe_encode_bytes",
+    # Full relearn oracle, byte grain: DuckDB re-runs the GPT-2-style
+    # pre-tokenization (same RE2/Java-shared pattern), relearns the
+    # merge table over UTF-8 hex chunks through n_merges unrolled
+    # rounds, and reassembles per-doc ordered id sequences (merged
+    # ids via the vocab table, single bytes arithmetically from their
+    # own hex). Empty/NULL-text docs keep their (0, '') row via the
+    # LEFT JOIN, matching posexplode_outer.
+    f"""WITH {_bpe_bytes_sql_ctes()},
+    bdoc_tok_pos AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(1, len(toks)+1)) AS tpos
+        FROM bdoc_tokens
+    ),
+    bids AS (
+        SELECT doc_id, tpos,
+               coalesce(v.id, CAST(('0x' || tok) AS INT)) AS id
+        FROM bdoc_tok_pos LEFT JOIN bvocab v USING (tok)
+    ),
+    benc AS (
+        SELECT doc_id, count(*) AS n,
+               string_agg(CAST(id AS VARCHAR), ',' ORDER BY tpos) AS csv
+        FROM bids GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(benc.n, 0) AS BIGINT) AS n_tokens,
+           coalesce(benc.csv, '') AS token_ids_csv
+    FROM documents d LEFT JOIN benc USING (doc_id)""",
+    "Byte-level pre-tokenized BPE (GPT-2 shape, Radford 2019): a "
+    "leftmost-first regex pre-tokenizer over RAW text (case and "
+    "spaces significant, RE2-compatible — the documented "
+    "trailing-space-lookahead deviation), merges learned over UTF-8 "
+    "byte sequences (2-char hex tokens reuse the word grain's "
+    "pair-count/greedy-fold machinery verbatim), every byte "
+    "in-vocabulary by construction so no alphabet pass and no OOV "
+    "fallback, and decode∘encode == IDENTITY (pytest-pinned on "
+    "mixed-script fixtures; the word arm only round-trips the "
+    "normalized view). Same scale shape as bpe_encode: segmentation "
+    "once per DISTINCT pre-token, literal-map ids, one doc_id "
+    "shuffle for reassembly (M8)",
+)
+def q_bpe_encode_bytes(spark, sf_dir):
+    from .operators import bpe
+
+    merges = _bpe_bytes_model(spark, sf_dir)
+    encoded = bpe.bpe_encode_bytes(
+        load_table(spark, sf_dir, "documents"), merges
+    )
+    # atomic-column driver contract: project ids to CSV (bpe_encode's
+    # registered-view convention)
+    return encoded.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(",", "token_ids").alias("token_ids_csv"),
+    )

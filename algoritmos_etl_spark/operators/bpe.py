@@ -103,6 +103,17 @@ def learn_bpe(
     parallelism), and the final (word, freq, toks) table.
     """
     cur = _initial_tokens(word_freqs(docs)).localCheckpoint(eager=False)
+    return _learn_merge_loop(cur, n_merges, min_freq)
+
+
+def _learn_merge_loop(
+    cur: DataFrame, n_merges: int, min_freq: int
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """The merge-learning loop shared by the word grain (`learn_bpe`)
+    and the byte grain (`learn_bpe_bytes`): `cur` is any
+    (…, freq, toks) table; per round, pair-count partial agg →
+    single-row argmax with the count-desc/left-asc/right-asc
+    tiebreak → greedy JVM fold, lineage truncated per round."""
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (
@@ -332,4 +343,198 @@ def bpe_decode(
     return encoded.select(
         "doc_id",
         F.rtrim(F.decode(F.unhex(hex_stream), "UTF-8")).alias("text"),
+    )
+
+
+# ------------------------------------------------ byte-level grain
+#
+# GPT-2-style byte-level BPE (Radford et al. 2019): pre-tokenize with
+# a regex over the RAW text (case and whitespace significant — a
+# leading space is part of the following pre-token), then merge over
+# each pre-token's UTF-8 BYTE sequence. Every byte is in-vocabulary
+# by construction, so the alphabet-collection step and the OOV
+# fallback disappear, and decode(encode(text)) == text EXACTLY (the
+# word grain only round-trips the normalized view).
+#
+# Byte tokens are represented as 2-char lowercase hex strings; a
+# merged token is the concatenation of its parts' hex (always even
+# length ≥ 4, so "is it a single byte" is just length = 2). This
+# keeps the ENTIRE word-grain machinery reusable verbatim:
+# `_pair_counts`, `_apply_merge`, and `_learn_merge_loop` operate on
+# (freq, toks) and never look inside a token.
+#
+# Pre-tokenizer pattern note: GPT-2's original has a trailing
+# `\s+(?!\S)` lookahead arm; RE2 (the DuckDB oracle's engine) has no
+# lookahead, so this GPT-2-STYLE pattern drops that arm — the only
+# divergence is that a MULTI-space run becomes one whitespace
+# pre-token instead of splitting before its last space. Both engine
+# twins share the pattern; leftmost-first alternation semantics agree
+# between java.util.regex and RE2 (pytest-pinned on hostile mixed
+# fixtures).
+
+PRETOKEN_RE = (
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+)
+
+N_RESERVED_BYTE_IDS = 256  # ids 0..255 = the bytes; merges from 256
+
+
+def pretokens_col(text: Column) -> Column:
+    """All pre-tokens of `text`, document order, as array<string> —
+    one JVM regex pass."""
+    return F.regexp_extract_all(text, F.lit(PRETOKEN_RE), F.lit(0))
+
+
+def hex_chunks_col(tok: Column) -> Column:
+    """UTF-8 bytes of `tok` as an array of 2-char lowercase hex
+    strings — the byte grain's initial token sequence. Pure JVM (hex
+    + substring arithmetic)."""
+    hx = F.lower(F.hex(F.encode(tok, "UTF-8")))
+    return F.transform(
+        F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
+        lambda i: hx.substr(i * 2 - 1, F.lit(2)),
+    )
+
+
+def pretoken_freqs(docs: DataFrame) -> DataFrame:
+    """(word, freq) at the pre-token grain (column kept as `word` so
+    the shared merge machinery applies unchanged): one explode + one
+    map-side-combinable groupBy — 100 TB of text reduces to the
+    bounded weighted pre-token table, same premise as `word_freqs`."""
+    return (
+        docs.select(F.explode(pretokens_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def learn_bpe_bytes(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = 20,
+    min_freq: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn up to `n_merges` byte-level merge rules. Returns
+    (merges, tokenized_pretoken_table) — merges over hex-chunk
+    tokens, deterministic at any parallelism (the shared loop's
+    tiebreak on ascii hex strings orders identically on any
+    engine)."""
+    cur = pretoken_freqs(docs).select(
+        "word", "freq", hex_chunks_col(F.col("word")).alias("toks")
+    ).localCheckpoint(eager=False)
+    return _learn_merge_loop(cur, n_merges, min_freq)
+
+
+def bpe_bytes_vocab_ids(merges: list) -> dict[str, int]:
+    """hex-token -> id: merged tokens only (single bytes are their
+    own value — id = int(tok, 16), computed arithmetically, never
+    through this map). First-wins on duplicate merged strings, the
+    `bpe_vocab_ids` convention."""
+    vocab: dict[str, int] = {}
+    for i, (left, right, _c) in enumerate(merges):
+        vocab.setdefault(left + right, N_RESERVED_BYTE_IDS + i)
+    return vocab
+
+
+def segment_pretokens(pretokens: DataFrame, merges: list) -> DataFrame:
+    """(word) -> (word, toks) at the byte grain: hex-chunk the
+    pre-token, then apply the learned merges in order (the shared
+    greedy fold)."""
+    cur = pretokens.select(
+        "word", hex_chunks_col(F.col("word")).alias("toks")
+    ).localCheckpoint(eager=False)
+    for left, right, _c in merges:
+        cur = _apply_merge(cur, left, right).localCheckpoint(eager=False)
+    return cur
+
+
+def bpe_encode_bytes(docs: DataFrame, merges: list) -> DataFrame:
+    """Encode documents to ORDERED byte-level token-ID sequences:
+    (doc_id, n_tokens, token_ids array<int>). Empty/NULL text gives
+    an empty array; every string encodes losslessly and
+    `bpe_decode_bytes` inverts EXACTLY (no normalization).
+
+    Scale shape mirrors `bpe_encode`: segmentation runs once per
+    DISTINCT pre-token (Heaps-bounded), the merged-token -> id map is
+    a literal expression (single bytes resolve arithmetically from
+    their own hex), per-doc reassembly is one posexplode + join +
+    sorted collect — the single shuffle, on doc_id."""
+    vocab = bpe_bytes_vocab_ids(merges)
+    vmap = F.create_map(
+        *[x for t, i in vocab.items() for x in (F.lit(t), F.lit(i))]
+    ) if vocab else None
+
+    def ids_for(tok):
+        byte_id = F.conv(tok, 16, 10).cast("int")
+        if vmap is None:
+            return byte_id
+        return F.coalesce(F.try_element_at(vmap, tok).cast("int"), byte_id)
+
+    pt_in_doc = docs.select(
+        "doc_id",
+        F.posexplode_outer(pretokens_col(F.col("text"))).alias(
+            "pos", "word"
+        ),
+    )
+    pt_codes = segment_pretokens(
+        pt_in_doc.filter(F.col("word").isNotNull())
+        .select("word")
+        .distinct(),
+        merges,
+    ).select(
+        "word", F.transform(F.col("toks"), ids_for).alias("ids")
+    )
+    per_doc = (
+        pt_in_doc.join(pt_codes, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("word").isNotNull(),
+                                F.struct("pos", "ids"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids")
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        "token_ids",
+    )
+
+
+def bpe_decode_bytes(encoded: DataFrame, merges: list) -> DataFrame:
+    """EXACT inverse of `bpe_encode_bytes` (no END marker, no case or
+    whitespace normalization — byte level is lossless by
+    construction): each merged id maps back to its hex through a
+    literal map, byte ids to their own two hex digits arithmetically,
+    and the per-doc hex stream is unhex'd and UTF-8-decoded once, so
+    multi-byte characters split across merges reassemble. Pure JVM,
+    one projection, no shuffle."""
+    vocab = bpe_bytes_vocab_ids(merges)
+    hexmap = F.create_map(
+        *[x for t, i in vocab.items() for x in (F.lit(i), F.lit(t))]
+    ) if vocab else None
+    byte_hex = lambda i: F.lpad(  # noqa: E731
+        F.lower(F.conv(i.cast("string"), 10, 16)), 2, "0"
+    )
+    id_hex = (
+        byte_hex
+        if hexmap is None
+        else (
+            lambda i: F.coalesce(F.try_element_at(hexmap, i), byte_hex(i))
+        )
+    )
+    hex_stream = F.concat_ws("", F.transform(F.col("token_ids"), id_hex))
+    return encoded.select(
+        "doc_id",
+        F.decode(F.unhex(hex_stream), "UTF-8").alias("text"),
     )

@@ -246,3 +246,138 @@ def test_bpe_decode_inverts_encode_in_spark(spark):
             w for w in (text or "").lower().strip().split(" ") if w
         )
         assert got[d] == expect, d
+
+
+# ------------------------------------------------ byte-level grain
+
+
+MIXED_TEXTS = [
+    "Hello, world! It's GPT-2-style.",
+    "wörld Grüße — naïve café",
+    "日本語のテスト and ASCII mixed42ascii日本x",
+    "spaces  double   triple\tand\nnewlines",
+    "(x)=1; y[2]+z don't won't 'quoted'",
+    " leading space and trailing ",
+    "",
+    "CamelCase UPPER lower 3.14159 100%",
+]
+
+
+def _ref_pretokens(text):
+    import re as _re
+
+    # reference via Python's regex engine (a THIRD implementation
+    # besides java.util.regex and RE2): \p{L}/\p{N} rendered as
+    # unicode category shorthands Python supports
+    pat = (
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+"
+    )
+    # [^\W\d_] is letter-ish but excludes '_' which \p{L} also
+    # excludes; [^\s\w]+ misses '_' (it is \w), so handle '_' as
+    # punctuation explicitly
+    pat = pat.replace(r" ?[^\s\w]+", r" ?(?:[^\s\w]|_)+")
+    return _re.findall(pat, text)
+
+
+def test_pretokenizer_three_engine_parity(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    df = _docs(spark, MIXED_TEXTS)
+    got = {
+        r["doc_id"]: r["p"]
+        for r in df.select(
+            "doc_id", bpe.pretokens_col(F.col("text")).alias("p")
+        ).collect()
+    }
+    con = duckdb.connect()
+    pat = bpe.PRETOKEN_RE.replace("'", "''")
+    for i, t in enumerate(MIXED_TEXTS):
+        duck = con.sql(
+            f"SELECT regexp_extract_all('{t.replace(chr(39), chr(39)*2)}',"
+            f" '{pat}')"
+        ).fetchone()[0]
+        assert got[i] == duck, f"Spark vs DuckDB diverge on {t!r}"
+        assert got[i] == _ref_pretokens(t), f"regex vs re ref on {t!r}"
+        # segmentation is a partition of the text
+        assert "".join(got[i]) == t
+    con.close()
+
+
+def _ref_bpe_bytes(ptok_freqs: dict[str, int], n_merges: int, min_freq: int):
+    vocab = {
+        p: [f"{b:02x}" for b in p.encode("utf-8")] for p in ptok_freqs
+    }
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in ptok_freqs.items():
+            t = vocab[w]
+            for a, b in zip(t, t[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_freq:
+            break
+        merges.append((left, right, c))
+        for w, t in vocab.items():
+            out: list[str] = []
+            for x in t:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_learn_bpe_bytes_matches_reference(spark):
+    docs = _docs(spark, MIXED_TEXTS)
+    merges, tab = bpe.learn_bpe_bytes(spark, docs, n_merges=10, min_freq=2)
+    pf = {r["word"]: r["freq"] for r in bpe.pretoken_freqs(docs).collect()}
+    ref_merges, ref_vocab = _ref_bpe_bytes(pf, n_merges=10, min_freq=2)
+    assert merges == ref_merges
+    got = {r["word"]: r["toks"] for r in tab.collect()}
+    assert got == ref_vocab
+    assert len(merges) > 0
+
+
+def test_bpe_bytes_roundtrip_identity(spark):
+    docs = _docs(spark, MIXED_TEXTS)
+    merges, _ = bpe.learn_bpe_bytes(spark, docs, n_merges=8, min_freq=2)
+    enc = bpe.bpe_encode_bytes(docs, merges)
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in bpe.bpe_decode_bytes(enc, merges).collect()
+    }
+    # EXACT identity — not the word grain's normalized view
+    for i, t in enumerate(MIXED_TEXTS):
+        assert dec[i] == t
+    # ids: merged ids appear (>255) and byte ids stay < 256 where
+    # no merge covers them; every id is in range
+    rows = enc.collect()
+    all_ids = [i for r in rows for i in r["token_ids"]]
+    assert any(i >= 256 for i in all_ids)
+    assert all(0 <= i < 256 + len(merges) for i in all_ids)
+    # empty doc encodes to the empty sequence
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[6]["n_tokens"] == 0 and by_id[6]["token_ids"] == []
+
+
+def test_bpe_bytes_roundtrip_unseen_text(spark):
+    # merges learned on one corpus must still encode/decode text with
+    # pre-tokens and scripts never seen in training (byte level has
+    # no OOV by construction)
+    train = _docs(spark, ["the cat sat on the mat", "the dog ran"])
+    merges, _ = bpe.learn_bpe_bytes(spark, train, n_merges=6, min_freq=2)
+    unseen = ["Ωμέγα β; ¿qué? — ±3·10², 中文", "the theater <th>"]
+    docs = _docs(spark, unseen)
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in bpe.bpe_decode_bytes(
+            bpe.bpe_encode_bytes(docs, merges), merges
+        ).collect()
+    }
+    assert [dec[i] for i in range(len(unseen))] == unseen

@@ -40,7 +40,7 @@ MUST_BE_IN_WINDOW = {
     "snapshot_delete_mor", "snapshot_delete_positions",
     "bloom_join_prune",
     # extensions (r9 late flagships rotated in the round they landed)
-    "exact_repeat_runs", "exact_repeat_runs_tokens",
+    "exact_repeat_runs_tokens",
     "pps_sample",
     "quality_tiers",
     "bpe_encode", "html_extraction",
@@ -48,13 +48,15 @@ MUST_BE_IN_WINDOW = {
     "pca_projection",
     "streaming_heavy_hitters",
     "streaming_cdc_state",
-    "multimodal_report", "image_jpeg_neardup", "audio_features",
+    "multimodal_report", "image_jpeg_neardup",
     # r10 flagships (rotated in the round they landed)
     "warc_extraction", "lang_id_trained",
     # r11 flagships (rotated in the round they landed)
     "url_dedup", "domain_curation", "pdf_extraction",
     "quality_rules", "streaming_warc_ingest", "crawl_corpus",
     "warc_cdx_extraction",
+    # r12 flagships (rotated in the round they landed)
+    "host_pagerank", "bpe_encode_bytes",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
@@ -62,6 +64,11 @@ MUST_BE_IN_WINDOW = {
 # the twelve r8 tail flagships plus this round's three new flagships
 # in, and fifteen hash-green-for-multiple-rounds entries out.
 EXPECTED_TAIL = {
+    # displaced by the r12 rotation — exact_repeat_runs hash-green
+    # r8-r11 with the span machinery in-window via the _tokens arm;
+    # audio_features rows-only BY DESIGN (moving it out raises the
+    # window's full-oracle count), codec pinned in test_multimodal
+    "exact_repeat_runs", "audio_features",
     # displaced by the r11 rotation — hash-green r9-r10, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "passage_scrub", "heavy_hitters", "epoch_shards",
