@@ -1431,10 +1431,11 @@ REGISTRY_ORDER = (
     "warc_cdx_extraction",     # r11 NEW: cdx record-parallel read path
     "host_pagerank",           # r12 NEW: link harvest -> PSL domain graph
                                # -> integer fixed-point rank, one oracle
+    "image_caption_pairs",     # r12 NEW: LAION-shape <img src,alt> mining
+                               # joined to the URL-keyed image corpus
     "lang_id_trained",         # r10 NEW: trained char-trigram lang-ID
     # ---- vectors ----
     "ann_ivf_topk",
-    "pca_projection",
     # ---- streaming / event-time ----
     "streaming_heavy_hitters",  # r9 LATE IN: CM grid as incremental MV
     "streaming_warc_ingest",   # r11 NEW: crawl-file stream end-to-end
@@ -1445,6 +1446,14 @@ REGISTRY_ORDER = (
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "pca_projection",        # displaced by r12 image_caption_pairs:
+                             # rows-only BY DESIGN since r8 (numpy
+                             # eigendecomposition policy — moving it
+                             # tail-ward raises the window's
+                             # full-oracle count to 49/50); PCA stays
+                             # pinned by test_vectors' numpy parity
+                             # and the vector tier by the in-window
+                             # ann_ivf_topk
     "audio_features",        # displaced by r12 bpe_encode_bytes:
                              # rows-only BY DESIGN since r8 (codec-
                              # family policy — moving it tail-ward

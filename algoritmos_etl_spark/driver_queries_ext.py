@@ -7043,3 +7043,80 @@ def q_bpe_encode_bytes(spark, sf_dir):
         "n_tokens",
         F.concat_ws(",", "token_ids").alias("token_ids_csv"),
     )
+
+
+# ------ round 12: image-text pair mining, LAION shape (VERDICT r11 #5)
+
+from .sources.warc import IMG_URL_PREFIX, img_pairs_sql  # noqa: E402
+
+
+def _oracle_image_caption_pairs() -> str:
+    from .sources.warc import IMG_POOL
+
+    return f"""WITH {_warc_live_urls_cte()},
+    {url_ops.normalize_url_cte('live')},
+    ranked AS (
+        SELECT doc_id, url_norm,
+               row_number() OVER (PARTITION BY url_norm
+                                  ORDER BY warc_date, url) AS rn
+        FROM normed
+    ),
+    surv AS (SELECT doc_id, url_norm FROM ranked WHERE rn = 1),
+    {img_pairs_sql('surv')},
+    cg AS (SELECT DISTINCT doc_id % {IMG_POOL} AS g FROM documents),
+    matched AS (
+        SELECT p.g, p.caption, s.url_norm AS page_url
+        FROM img_pairs p
+        JOIN surv s ON s.doc_id = p.i
+        JOIN cg ON cg.g = p.g
+        WHERE p.absolute
+    ),
+    gated AS (
+        SELECT g, caption, page_url,
+               len(list_filter(string_split(caption, ' '),
+                   x -> x <> '')) AS nw
+        FROM matched
+    )
+    SELECT CAST(g AS BIGINT) AS img_id,
+           '{IMG_URL_PREFIX}' || g || '.png' AS img_url,
+           page_url, caption,
+           CAST(nw AS BIGINT) AS n_caption_words,
+           (nw >= 3 AND length(caption) <= 200) AS caption_ok
+    FROM gated"""
+
+
+@register(
+    "image_caption_pairs",
+    # Full oracle on the RELATIONAL surface (the pdf_extraction
+    # precedent — pixel codecs are pytest-pinned, the mining is
+    # relational): fixture layout + torn rule + URL twins + the
+    # keep-first window, then the img-tag integer twin
+    # (`warc.img_pairs_sql` — absolute vs rooted-relative src arms,
+    # three caption-quality arms), the bounded cdn namespace join
+    # (relative-src pairs miss BY CONSTRUCTION — the 404 arm), and
+    # the LAION-style caption gate. The payload/dHash arm of the same
+    # miner is pinned in tests/test_links.py against the real PNG
+    # decode.
+    _oracle_image_caption_pairs(),
+    "Image-text pair mining, the LAION shape: harvest <img src, alt> "
+    "from the deduped crawl (one JVM regex pass, per-tag attribute "
+    "extraction in a transform), resolve each src against its page "
+    "(absolute / protocol-relative / rooted arms), normalize, and "
+    "inner-join the URL-keyed image corpus — 100 TB of pages and a "
+    "billion-image store meet in ONE equi-join on the normalized "
+    "image URL (fixture scale broadcasts the bounded side); caption "
+    "word-floor/length-ceiling gate is a row-local REPORT column. "
+    "Output joins the crawl tier to the multimodal tier by URL key",
+)
+def q_image_caption_pairs(spark, sf_dir):
+    from .operators import links
+    from .sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synthesize_warc_corpus(docs, messy_urls=True, links=True)
+    pages = warc.parse_warc_records(files).filter(
+        F.col("ok") & (F.col("warc_type") == "response")
+    )
+    deduped = url_ops.url_dedup(pages, "url", "warc_date")
+    images = links.synthesize_image_url_corpus(docs)
+    return links.mine_image_caption_pairs(deduped, images).drop("payload")

@@ -141,3 +141,128 @@ def host_pagerank(
         )
         .orderBy(F.col("rank_e12").desc(), F.col("domain").asc())
     )
+
+
+# ------------------------------------------- image-text pair mining
+
+# img tag, either quote style, bounded like the anchor pattern
+_IMG_TAG_RE = "(?i)<img\\s[^>]{0,500}?>"
+_SRC_RE = "(?i)src\\s*=\\s*[\"']([^\"']*)[\"']"
+_ALT_RE = "(?i)alt\\s*=\\s*[\"']([^\"']*)[\"']"
+
+
+def extract_img_pairs_col(html: Column) -> Column:
+    """All <img> tags in `html` as array<struct<src,alt>> — one JVM
+    regex pass for the tags, per-tag attribute extraction inside a
+    transform (attributes may appear in either order or be absent;
+    a missing attribute extracts as '')."""
+    tags = F.regexp_extract_all(html, F.lit(_IMG_TAG_RE), F.lit(0))
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, _SRC_RE, 1).alias("src"),
+            F.regexp_extract(t, _ALT_RE, 1).alias("alt"),
+        ),
+    )
+
+
+def resolve_src_col(src: Column, page_host: Column) -> Column:
+    """Full (un-normalized) URL an img src FETCHES from, resolved
+    against the page host: absolute and protocol-relative keep their
+    authority; rooted and bare relatives resolve against the page
+    ROOT (a documented simplification — per-page directory resolution
+    needs the path, which curation-grain mining doesn't);
+    non-navigation schemes and empty srcs yield NULL."""
+    s = F.regexp_replace(F.trim(src), "#.*$", "")
+    return (
+        F.when(s.rlike(_SKIP_RE) | (s == ""), F.lit(None))
+        .when(s.rlike("^//"), F.concat(F.lit("https:"), s))
+        .when(s.rlike(_AUTH_RE), s)
+        .when(
+            s.rlike("^/"),
+            F.concat(F.lit("https://"), page_host, s),
+        )
+        .otherwise(F.concat(F.lit("https://"), page_host, F.lit("/"), s))
+    )
+
+
+def synthesize_image_url_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic URL-keyed image corpus — the fixture twin of a
+    fetched cdn image store: (img_id, img_url, payload) with img_id =
+    doc_id mod IMG_POOL (distinct — the bounded cdn namespace the
+    links fixture's absolute srcs point into) and payload a real PNG
+    (`multimodal.synthesize_png_corpus`)."""
+    from ..sources.warc import IMG_POOL, IMG_URL_PREFIX
+    from .multimodal import synthesize_png_corpus
+
+    ids = docs.select(
+        (F.col("doc_id") % IMG_POOL).alias("doc_id")
+    ).distinct()
+    return synthesize_png_corpus(ids).select(
+        F.col("doc_id").alias("img_id"),
+        F.concat(
+            F.lit(IMG_URL_PREFIX), F.col("doc_id"), F.lit(".png")
+        ).alias("img_url"),
+        "payload",
+    )
+
+
+def mine_image_caption_pairs(
+    pages: DataFrame,
+    images: DataFrame,
+    url_col: str = "url_norm",
+    html_col: str = "html",
+    min_caption_words: int = 3,
+    max_caption_chars: int = 200,
+) -> DataFrame:
+    """LAION-shape image-text pair mining over a (deduped) crawl:
+    harvest <img src, alt> pairs, resolve each src against its page,
+    normalize, and inner-join the URL-keyed image corpus — one row
+    per (page, img tag) whose image the corpus actually has:
+    (img_id, img_url, page_url, caption, n_caption_words,
+    caption_ok, payload). `caption_ok` is a REPORT column (word floor
+    + length ceiling — the LAION-style alt-text gate); consumers
+    filter, the miner never drops a matched pair.
+
+    Scale shape: harvest + resolution are map-only Column
+    expressions; the single wide operation is the equi-join on the
+    normalized image URL — both sides shuffle on a high-cardinality
+    key (at fixture scale the bounded image side broadcasts
+    instead). 100 TB of pages and a billion-image store meet in ONE
+    hash join; caption gating is row-local."""
+    from .text import words_col
+    from .url_ops import normalize_url_col
+
+    host = url_host_col(F.col(url_col))
+    tagged = pages.select(
+        F.col(url_col).alias("page_url"),
+        host.alias("_page_host"),
+        F.explode(extract_img_pairs_col(F.col(html_col))).alias("_t"),
+    )
+    resolved = tagged.select(
+        "page_url",
+        normalize_url_col(
+            resolve_src_col(F.col("_t.src"), F.col("_page_host"))
+        ).alias("img_url"),
+        F.col("_t.alt").alias("caption"),
+    ).filter(F.col("img_url").isNotNull() & (F.col("img_url") != ""))
+    n_words = F.size(words_col(F.col("caption"))).cast("long")
+    gated = resolved.select(
+        "page_url",
+        "img_url",
+        "caption",
+        n_words.alias("n_caption_words"),
+        (
+            (n_words >= min_caption_words)
+            & (F.length("caption") <= max_caption_chars)
+        ).alias("caption_ok"),
+    )
+    return gated.join(images, "img_url").select(
+        "img_id",
+        "img_url",
+        "page_url",
+        "caption",
+        "n_caption_words",
+        "caption_ok",
+        "payload",
+    )

@@ -311,6 +311,60 @@ def link_html_expr(e: str = "doc_id") -> str:
     )
 
 
+IMG_URL_PREFIX = "https://cdn.assets.example.net/img/"
+IMG_POOL = 1000  # image ids are doc_id % IMG_POOL (bounded cdn corpus)
+
+
+def img_html_expr(e: str = "doc_id") -> str:
+    """Spark SQL expression: the deterministic <img src alt> block for
+    doc `e` — e%3 images; image j targets cdn id (e·7 + j·13) mod
+    IMG_POOL with an ABSOLUTE cdn src when (e+j)%2=0 and a
+    rooted-RELATIVE src otherwise (resolves to the page's own host —
+    never in the cdn corpus, the 404-shaped miss arm), and a
+    three-arm caption: empty alt / too-short 'logo' / a full
+    sentence. Pure integer arithmetic; DuckDB twin `img_pairs_sql`
+    kept below so the dialects cannot drift."""
+    g = f"(({e}) * 7 + j * 13) % {IMG_POOL}"
+    cap = (
+        f"CASE (({e}) + 3*j) % 5 WHEN 0 THEN '' WHEN 1 THEN 'logo' "
+        f"ELSE concat('Chart ', j, ' for page ', ({e}) DIV 16, "
+        "' shows sample data trends over time') END"
+    )
+    src = (
+        f"CASE WHEN (({e}) + j) % 2 = 0 "
+        f"THEN concat('{IMG_URL_PREFIX}', {g}, '.png') "
+        f"ELSE concat('/img/', {g}, '.png') END"
+    )
+    # slice(…, 1, e%3): sequence(a, b) DESCENDS when b < a, so the
+    # j-range is sliced from a fixed [1,2] instead
+    return (
+        f"array_join(transform(slice(sequence(1L, 2L), 1, "
+        f"CAST(({e}) % 3 AS INT)), j -> "
+        f"concat('<img src=\"', {src}, '\" alt=\"', {cap}, '\">')), ' ')"
+    )
+
+
+def img_pairs_sql(src: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of `img_html_expr`'s PAIR-LIST consequence as a
+    WITH-fragment: consumes relation `src` (exposing `id_col`),
+    yields `img_pairs` (i, j, g, absolute, caption) — one row per
+    img tag those docs' pages carry."""
+    return f"""_ij AS (
+        SELECT {id_col} AS i,
+               unnest(range(1, {id_col} % 3 + 1)) AS j
+        FROM {src}
+    ),
+    img_pairs AS (
+        SELECT i, j, (i * 7 + j * 13) % {IMG_POOL} AS g,
+               (i + j) % 2 = 0 AS absolute,
+               CASE (i + 3*j) % 5 WHEN 0 THEN '' WHEN 1 THEN 'logo'
+                    ELSE 'Chart ' || j || ' for page ' || (i // 16) ||
+                         ' shows sample data trends over time' END
+                   AS caption
+        FROM _ij
+    )"""
+
+
 def link_targets_sql(src: str, id_col: str = "doc_id") -> str:
     """DuckDB twin of `link_html_expr`'s EDGE-LIST consequence as a
     WITH-fragment: consumes relation `src` (exposing `id_col` =
@@ -415,13 +469,16 @@ def synthesize_warc_corpus(
         raise ValueError("links fixture composes with the plain shell only")
     if links:
         # _HTML_SUFFIX opens with '</p>'; close the paragraph, emit
-        # the outlink nav, then continue with the footer boilerplate
+        # the outlink nav and the image figures, then continue with
+        # the footer boilerplate
         html = F.concat(
             F.lit(_HTML_PREFIX),
             F.coalesce(F.col("text"), F.lit("")),
             F.lit('</p><nav class="outlinks">'),
             F.expr(link_html_expr("doc_id")),
-            F.lit("</nav>"),
+            F.lit('</nav><div class="figures">'),
+            F.expr(img_html_expr("doc_id")),
+            F.lit("</div>"),
             F.lit(_HTML_SUFFIX[len("</p>"):]),
         )
     elif charsets:

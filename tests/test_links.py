@@ -159,3 +159,74 @@ def test_crawl_host_rank_signal(spark):
     assert all(r["host_rank_e12"] is not None for r in rows)
     plan = corpus._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# -------------------------------------- image-text pair mining
+
+
+def test_img_pair_extraction_attribute_arms(spark):
+    html = (
+        '<img src="/a.png" alt="one two three">'
+        "<img alt='reversed order' src='/b.png'>"
+        '<img src="/c.png">'          # no alt -> ''
+        '<IMG SRC="/d.png" ALT="x">'  # case-insensitive
+        "<imgx src=\"/not-an-img.png\">"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(
+        links.extract_img_pairs_col(F.col("html")).alias("p")
+    ).collect()[0]["p"]
+    assert [(r["src"], r["alt"]) for r in got] == [
+        ("/a.png", "one two three"),
+        ("/b.png", "reversed order"),
+        ("/c.png", ""),
+        ("/d.png", "x"),
+    ]
+
+
+def test_crawl_to_pairs_composition_with_dhash(spark):
+    """The crawl -> pairs -> dHash composition: mine pairs from the
+    links fixture (keep-first deduped), keep the payload arm, and
+    difference-hash the matched images through the REAL PNG decode —
+    the pixel side the relational oracle can't see."""
+    from algoritmos_etl_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(64)], "doc_id long, text string"
+    )
+    files = warc.synthesize_warc_corpus(
+        docs, messy_urls=True, links=True, torn_every=0
+    )
+    pages = warc.parse_warc_records(files).filter(
+        F.col("ok") & (F.col("warc_type") == "response")
+    )
+    deduped = url_ops.url_dedup(pages, "url", "warc_date")
+    images = links.synthesize_image_url_corpus(docs)
+    pairs = links.mine_image_caption_pairs(deduped, images)
+    rows = pairs.collect()
+    assert rows, "fixture must yield matched pairs"
+    # every matched image id is in the bounded cdn namespace and the
+    # caption gate splits (all three caption arms occur)
+    assert all(0 <= r["img_id"] < warc.IMG_POOL for r in rows)
+    oks = {r["caption_ok"] for r in rows}
+    assert oks == {True, False}
+    assert any(r["n_caption_words"] == 0 for r in rows)   # empty alt
+    assert any(r["caption_ok"] for r in rows)
+    # relative-src pairs never match (the cdn corpus is the only
+    # image store; page hosts are not in it)
+    assert all(r["img_url"].startswith(warc.IMG_URL_PREFIX) for r in rows)
+    # dHash arm: decode + hash the matched images; every hash lands
+    hashed = multimodal.image_dhash(
+        pairs.select(F.col("img_id").alias("doc_id"), "payload")
+        .distinct()
+    ).collect()
+    assert hashed and all(r["dhash"] is not None for r in hashed)
+    # and equals hashing the corpus directly at the same ids
+    direct = {
+        r["doc_id"]: r["dhash"]
+        for r in multimodal.image_dhash(
+            images.select(F.col("img_id").alias("doc_id"), "payload")
+        ).collect()
+    }
+    for r in hashed:
+        assert r["dhash"] == direct[r["doc_id"]]

@@ -45,7 +45,6 @@ MUST_BE_IN_WINDOW = {
     "quality_tiers",
     "bpe_encode", "html_extraction",
     "ann_ivf_topk",
-    "pca_projection",
     "streaming_heavy_hitters",
     "streaming_cdc_state",
     "multimodal_report", "image_jpeg_neardup",
@@ -56,7 +55,7 @@ MUST_BE_IN_WINDOW = {
     "quality_rules", "streaming_warc_ingest", "crawl_corpus",
     "warc_cdx_extraction",
     # r12 flagships (rotated in the round they landed)
-    "host_pagerank", "bpe_encode_bytes",
+    "host_pagerank", "bpe_encode_bytes", "image_caption_pairs",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
@@ -67,8 +66,9 @@ EXPECTED_TAIL = {
     # displaced by the r12 rotation — exact_repeat_runs hash-green
     # r8-r11 with the span machinery in-window via the _tokens arm;
     # audio_features rows-only BY DESIGN (moving it out raises the
-    # window's full-oracle count), codec pinned in test_multimodal
-    "exact_repeat_runs", "audio_features",
+    # window's full-oracle count), codec pinned in test_multimodal;
+    # pca_projection likewise rows-only (numpy eigendecomposition)
+    "exact_repeat_runs", "audio_features", "pca_projection",
     # displaced by the r11 rotation — hash-green r9-r10, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "passage_scrub", "heavy_hitters", "epoch_shards",
