@@ -22,10 +22,15 @@ hash). Three operators over the WARC tier's (url, fetch ts) output:
   beyond real crawl skew, which AQE handles), row_number + group
   count in one window pass.
 - `domain_rollup` / `domain_gate` — per-domain aggregation at the
-  registrable-domain grain (last two labels — the documented naive
-  cut; production would consult the Public Suffix List) and the
-  C4-shape blocklist gate (registrable-domain match, so a blocklist
-  entry covers all its subdomains).
+  registrable-domain grain and the C4-shape blocklist gate
+  (registrable-domain match, so a blocklist entry covers all its
+  subdomains). Two grains: the naive last-two-labels cut (the
+  dependency-free floor) and, with `psl=True`, the real Public
+  Suffix List longest-suffix match (`with_registrable_domain_psl` —
+  broadcast joins over a bounded rule table with normal/wildcard/
+  exception kinds, r12), under which `example.co.uk` and
+  `other.co.uk` roll up apart and a blocklist entry can never cover
+  a whole country registry.
 
 Reference scope note: the reference (/root/reference) has no URL
 surface; this module is extension surface for the 100 TB
