@@ -7120,3 +7120,81 @@ def q_image_caption_pairs(spark, sf_dir):
     deduped = url_ops.url_dedup(pages, "url", "warc_date")
     images = links.synthesize_image_url_corpus(docs)
     return links.mine_image_caption_pairs(deduped, images).drop("payload")
+
+
+def _bpe_bytes_train_sql(
+    n_merges: int = _BPE_N_MERGES, min_freq: int = _BPE_MIN_FREQ
+) -> str:
+    """The TRAINING-ONLY prefix of `_bpe_bytes_sql_ctes` (pre-token
+    frequency table + merge rounds + vocab — all vocabulary-grain, so
+    it fits any notch), for the sharded big-notch oracle: the 100x
+    one-shot CTE OOM'd on the per-doc APPLICATION stage, not on
+    training."""
+    full = _bpe_bytes_sql_ctes(n_merges, min_freq)
+    # drop the two per-doc application parts (they are re-derived per
+    # shard); keep everything else verbatim so the dialects can't fork
+    cut = full.index("per_bpt_pos AS")
+    head = full[:cut].rstrip().rstrip(",")
+    tail_from = full.index("bmerges AS")
+    return head + ",\n    " + full[tail_from:]
+
+
+def _bpe_bytes_shard_sql(s: int, n: int) -> str:
+    from .operators.bpe import PRETOKEN_RE
+
+    pat = PRETOKEN_RE.replace("'", "''")
+    return f"""WITH spt AS (
+        SELECT doc_id, regexp_extract_all(text, '{pat}') AS pts
+        FROM documents WHERE doc_id % {n} = {s}
+    ),
+    sp AS (
+        SELECT doc_id, unnest(pts) AS ptok,
+               unnest(range(1, len(pts)+1)) AS ppos
+        FROM spt
+    ),
+    sdoc AS (
+        SELECT doc_id, string_split(string_agg(b.s, ' ' ORDER BY ppos),
+               ' ') AS toks
+        FROM sp JOIN _setup_btb b USING (ptok) GROUP BY doc_id
+    ),
+    stp AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               unnest(range(1, len(toks)+1)) AS tpos
+        FROM sdoc
+    ),
+    sids AS (
+        SELECT doc_id, tpos,
+               coalesce(v.id, CAST(('0x' || tok) AS INT)) AS id
+        FROM stp LEFT JOIN _setup_bvocab v USING (tok)
+    ),
+    senc AS (
+        SELECT doc_id, count(*) AS n,
+               string_agg(CAST(id AS VARCHAR), ',' ORDER BY tpos) AS csv
+        FROM sids GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(senc.n, 0) AS BIGINT) AS n_tokens,
+           coalesce(senc.csv, '') AS token_ids_csv
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {n} = {s}) d
+    LEFT JOIN senc USING (doc_id)"""
+
+
+SHARDED_ORACLES["bpe_encode_bytes"] = {
+    # r12 100x: the one-shot CTE OOM'd (40 GB) materializing 500k
+    # per-doc token lists; training is vocab-grain and runs ONCE as
+    # setup tables, application shards by doc residue — the
+    # exact_repeat_runs_tokens setup_sql pattern
+    "n_shards": SHARD_ORACLE_N,
+    "setup_sql": [
+        (
+            "_setup_btb",
+            f"WITH {_bpe_bytes_train_sql()} "
+            f"SELECT ptok, s FROM bt{_BPE_N_MERGES}",
+        ),
+        (
+            "_setup_bvocab",
+            f"WITH {_bpe_bytes_train_sql()} SELECT tok, id FROM bvocab",
+        ),
+    ],
+    "shard_sql": _bpe_bytes_shard_sql,
+    "combine_sql": "SELECT * FROM _shard_union",
+}
