@@ -1405,7 +1405,6 @@ REGISTRY_ORDER = (
     "top_supplier_q15",        # r9 rotation IN: Q15 agg-vs-own-max
     "bracket_revenue",         # r9 rotation IN: Q19 disjunctive brackets
     "dominant_suppliers",      # r9 rotation IN: Q20 nested correlated aggs
-    "bloom_join_prune",        # r9 LATE IN: bloom semi-join pruning
     # ---- snapshot / warehouse ----
     "snapshot_evolution",      # r9 NEW: row delete + add-column backfill
     "snapshot_changes",        # r9 rotation IN: time travel x keyed diff
@@ -1417,6 +1416,10 @@ REGISTRY_ORDER = (
     "exact_repeat_runs_tokens",  # r9 NEW: Lee 2022 at 50-BPE-token grain
     "url_dedup",               # r11 NEW: URL-grain exact dedup over WARC
     "domain_curation",         # r11 NEW: registrable-domain rollup + gate
+    "robots_gate",             # r12 NEW: RFC 9309 compliance gate —
+                               # relational parse + regex translate +
+                               # longest-match precedence, one oracle
+    "domain_token_budget",     # r12 NEW: mixture table over crawl_corpus
     "pps_sample",              # r9 LATE IN: integer systematic PPS
     "pdf_extraction",          # r11 NEW: PDF text-extraction codec tier
     "quality_tiers",           # r9 rotation IN: CCNet head/middle/tail
@@ -1442,10 +1445,23 @@ REGISTRY_ORDER = (
     "streaming_cdc_state",
     # ---- multimodal / profiling / joins ----
     "multimodal_report",
-    "image_jpeg_neardup",      # r10 NEW: baseline-DCT JPEG decode tier
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
+    "image_jpeg_neardup",    # displaced by r12 robots_gate: rows-only
+                             # BY DESIGN since r10 (codec-family
+                             # policy); the JPEG baseline-DCT decode
+                             # stays pinned by test_multimodal's exact
+                             # non-SQL reference, banding == brute
+                             # force pinned, and the dhash family
+                             # in-window via multimodal_report — with
+                             # this move the driver window is 50/50
+                             # FULL-oracle rows
+    "bloom_join_prune",      # displaced by r12 domain_token_budget:
+                             # hash-green r9-r11; the bloom semi-join
+                             # pruning PLAN stays pinned by its pytest
+                             # and the join-pruning family by the 13
+                             # in-window TPC-H shapes
     "pca_projection",        # displaced by r12 image_caption_pairs:
                              # rows-only BY DESIGN since r8 (numpy
                              # eigendecomposition policy — moving it

@@ -7198,3 +7198,223 @@ SHARDED_ORACLES["bpe_encode_bytes"] = {
     "shard_sql": _bpe_bytes_shard_sql,
     "combine_sql": "SELECT * FROM _shard_union",
 }
+
+
+# ---------- round 12: robots.txt compliance gate (REP, RFC 9309)
+
+
+def _oracle_robots_gate() -> str:
+    from .operators.robots import ROBOTS_AGENT, robots_body_sql
+    from .sources.warc import _MESSY_HOSTS
+
+    hosts_vals = ", ".join(
+        f"({i}, '{h.lower()}')" for i, h in enumerate(_MESSY_HOSTS)
+    )
+    # RE2: escape every metacharacter (a trailing $ was stripped
+    # first); replacement is backslash + group — DuckDB literals keep
+    # backslashes, so the rewrite string is written verbatim
+    esc = (
+        r"regexp_replace(regexp_replace(path, '\$$', ''),"
+        r" '([.\[\]{}()+?^\\|$])', '\\\1', 'g')"
+    )
+    rx = (
+        f"'^' || regexp_replace({esc}, '\\*', '.*', 'g') ||"
+        r" (CASE WHEN regexp_matches(path, '\$$') THEN '$' ELSE '' END)"
+    )
+    host = url_ops.url_host_sql("url_norm")
+    return f"""WITH {_warc_live_urls_cte()},
+    {url_ops.normalize_url_cte('live')},
+    ranked AS (
+        SELECT url_norm,
+               row_number() OVER (PARTITION BY url_norm
+                                  ORDER BY warc_date, url) AS rn
+        FROM normed
+    ),
+    surv AS (SELECT url_norm FROM ranked WHERE rn = 1),
+    rhosts AS (SELECT * FROM (VALUES {hosts_vals}) _rh(hidx, host)),
+    rbodies AS (
+        SELECT host, {robots_body_sql('hidx')} AS body FROM rhosts
+    ),
+    rlines AS (
+        SELECT host, unnest(ls) AS rawline,
+               unnest(range(1, len(ls)+1)) AS lidx
+        FROM (SELECT host, string_split(replace(body, chr(13), ''),
+                     chr(10)) AS ls FROM rbodies)
+    ),
+    rnorm AS (
+        SELECT host, lidx,
+               trim(regexp_replace(rawline, '#.*$', '')) AS line
+        FROM rlines
+    ),
+    rtyped AS (
+        SELECT host, lidx,
+               lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS key,
+               trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS val
+        FROM rnorm
+        WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+              IN ('user-agent', 'allow', 'disallow')
+    ),
+    ropen AS (
+        SELECT host, lidx, key, val,
+               CASE WHEN key = 'user-agent'
+                    AND coalesce(lag(key) OVER (PARTITION BY host
+                        ORDER BY lidx), '') <> 'user-agent'
+                    THEN 1 ELSE 0 END AS opener
+        FROM rtyped
+    ),
+    rgrp AS (
+        SELECT host, lidx, key, val,
+               sum(opener) OVER (PARTITION BY host ORDER BY lidx) AS grp
+        FROM ropen
+    ),
+    ragents AS (
+        SELECT host, grp, lower(val) AS agent FROM rgrp
+        WHERE key = 'user-agent'
+    ),
+    rdirs AS (
+        SELECT host, grp, key = 'allow' AS allow, val AS path
+        FROM rgrp WHERE key <> 'user-agent' AND val <> ''
+    ),
+    rrules AS (
+        SELECT d.host, a.agent, d.allow, d.path,
+               CAST(length(d.path) AS BIGINT) AS plen, {rx} AS rx
+        FROM rdirs d JOIN ragents a USING (host, grp)
+    ),
+    rnamed AS (SELECT DISTINCT host FROM rrules
+               WHERE agent = '{ROBOTS_AGENT}'),
+    rapp AS (
+        SELECT host, allow, path, plen, rx FROM rrules
+        WHERE agent = '{ROBOTS_AGENT}'
+        UNION ALL
+        SELECT r.host, r.allow, r.path, r.plen, r.rx FROM rrules r
+        WHERE r.agent = '*'
+          AND r.host NOT IN (SELECT host FROM rnamed)
+    ),
+    pkeyed AS (
+        SELECT url_norm, {host} AS _h,
+               CASE WHEN regexp_extract(url_norm,
+                    '^[a-z+.-]+://[^/]*(/.*)?$', 1) = '' THEN '/'
+                    ELSE regexp_extract(url_norm,
+                    '^[a-z+.-]+://[^/]*(/.*)?$', 1) END AS _p
+        FROM surv
+    ),
+    phits AS (
+        SELECT url_norm, allow, path,
+               row_number() OVER (PARTITION BY url_norm
+                   ORDER BY plen DESC, allow DESC, path DESC) AS rn
+        FROM pkeyed JOIN rapp ON rapp.host = pkeyed._h
+        WHERE regexp_matches(_p, rx)
+    ),
+    pbest AS (SELECT url_norm, allow, path FROM phits WHERE rn = 1)
+    SELECT k.url_norm, coalesce(b.allow, TRUE) AS allowed,
+           b.path AS rule_path
+    FROM pkeyed k LEFT JOIN pbest b USING (url_norm)"""
+
+
+@register(
+    "robots_gate",
+    # Full oracle across the whole tier: fixture layout + URL twins +
+    # keep-first window, the per-host robots BODY twin
+    # (robots.robots_body_sql), the RELATIONAL parse (line explode,
+    # comment strip, group windows, agents x directives), the regex
+    # translation (* wildcard, trailing-$ anchor, metachar escapes in
+    # BOTH dialects), RFC group resolution (named agent overrides *),
+    # and longest-match/Allow-wins precedence. A defect anywhere in
+    # parse, translate, resolve, or match flips a verdict and breaks
+    # the hash.
+    _oracle_robots_gate(),
+    "robots.txt compliance gate (REP, RFC 9309) — the crawl-"
+    "politeness stage between fetch and curation: parse per-host "
+    "robots bodies RELATIONALLY (group structure is a running-sum "
+    "window over line numbers, not a stateful scan — both engines "
+    "share the formulation), resolve the agent group per RFC (a "
+    "named agent's group beats *), translate directive paths to "
+    "anchored regexes (* and trailing-$ per the REP), and gate each "
+    "deduped URL by longest-match precedence with Allow winning "
+    "ties. Rule table is bounded and broadcast; pages fan out only "
+    "onto their own host's rules; one max-struct partial agg per "
+    "page. No rule -> allowed",
+)
+def q_robots_gate(spark, sf_dir):
+    from .operators import robots
+    from .sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synthesize_warc_corpus(docs, messy_urls=True)
+    pages = warc.parse_warc_records(files).filter(
+        F.col("ok") & (F.col("warc_type") == "response")
+    )
+    deduped = url_ops.url_dedup(pages, "url", "warc_date")
+    robots_df = spark.createDataFrame(
+        [
+            (h.lower(), robots.robots_body(i))
+            for i, h in enumerate(warc._MESSY_HOSTS)
+        ],
+        "host string, body string",
+    )
+    rules = robots.parse_robots(robots_df)
+    return robots.robots_gate(
+        deduped.select("url_norm"), rules, agent=robots.ROBOTS_AGENT
+    )
+
+
+# ------- round 12: per-domain token budget (the mixture-table shape)
+
+
+def _oracle_domain_token_budget() -> str:
+    return f"""WITH base AS ({_oracle_crawl_corpus()})
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST((sum(n_words) * 1000000)
+                // (SELECT sum(n_words) FROM base) AS BIGINT)
+               AS words_ppm
+    FROM base GROUP BY domain"""
+
+
+@register(
+    "domain_token_budget",
+    # Full oracle: the ENTIRE crawl_corpus composition (its oracle is
+    # reused verbatim as the base CTE) plus the per-domain budget
+    # rollup with an integer-ppm share (floor division — exact on
+    # both engines for nonnegative sums).
+    _oracle_domain_token_budget(),
+    "Per-domain token budget over the curated crawl — the mixture "
+    "table a Dolma/Pile-style training run is planned from: "
+    "(domain, n_docs, n_words, n_chars, words_ppm) where words_ppm "
+    "is the integer parts-per-million share of surviving words. One "
+    "partial-agg shuffle onto the bounded domain grain on top of the "
+    "crawl composition; the global total is a single broadcast "
+    "scalar. The number packing/mixture sampling consume upstream",
+)
+def q_domain_token_budget(spark, sf_dir):
+    from .plans.crawl import crawl_to_corpus
+    from .sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = warc.synthesize_warc_corpus(docs, messy_urls=True, charsets=True)
+    corpus = crawl_to_corpus(
+        warc.parse_warc_records(files),
+        blocklist=_URL_BLOCKLIST,
+        quality_rules=_CRAWL_RULES,
+    )
+    total = corpus.select(F.sum("n_words").alias("t"))
+    return (
+        corpus.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            F.expr("(n_words * 1000000) DIV t").cast("long").alias(
+                "words_ppm"
+            ),
+        )
+    )

@@ -18,6 +18,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # queries whose plans legitimately contain a cartesian/nested-loop join,
 # with the boundedness argument
 CROSS_OK = {
+    "domain_token_budget": "domain rollup × 1-row total-words broadcast",
     "bm25_topk": "postings × 1-row corpus stats (N, avgdl) broadcast",
     "pps_sample": "weighted line × 1-row total-weight broadcast",
     "triplet_mining": "near-dup pairs × 1-row corpus-count broadcast",

@@ -38,7 +38,6 @@ MUST_BE_IN_WINDOW = {
     "snapshot_evolution", "snapshot_changes",
     "priority_drift_categorical", "snapshot_file_skipping",
     "snapshot_delete_mor", "snapshot_delete_positions",
-    "bloom_join_prune",
     # extensions (r9 late flagships rotated in the round they landed)
     "exact_repeat_runs_tokens",
     "pps_sample",
@@ -47,7 +46,7 @@ MUST_BE_IN_WINDOW = {
     "ann_ivf_topk",
     "streaming_heavy_hitters",
     "streaming_cdc_state",
-    "multimodal_report", "image_jpeg_neardup",
+    "multimodal_report",
     # r10 flagships (rotated in the round they landed)
     "warc_extraction", "lang_id_trained",
     # r11 flagships (rotated in the round they landed)
@@ -56,6 +55,7 @@ MUST_BE_IN_WINDOW = {
     "warc_cdx_extraction",
     # r12 flagships (rotated in the round they landed)
     "host_pagerank", "bpe_encode_bytes", "image_caption_pairs",
+    "robots_gate", "domain_token_budget",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
@@ -67,8 +67,11 @@ EXPECTED_TAIL = {
     # r8-r11 with the span machinery in-window via the _tokens arm;
     # audio_features rows-only BY DESIGN (moving it out raises the
     # window's full-oracle count), codec pinned in test_multimodal;
-    # pca_projection likewise rows-only (numpy eigendecomposition)
+    # pca_projection / image_jpeg_neardup likewise rows-only — the
+    # window is now 50/50 FULL-oracle; bloom_join_prune's pruning
+    # plan stays pytest-pinned with 13 TPC-H shapes in-window
     "exact_repeat_runs", "audio_features", "pca_projection",
+    "image_jpeg_neardup", "bloom_join_prune",
     # displaced by the r11 rotation — hash-green r9-r10, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "passage_scrub", "heavy_hitters", "epoch_shards",
