@@ -44,6 +44,8 @@ def crawl_to_corpus(
     blocklist: list[str],
     quality_rules: tuple[str, ...] | None = None,
     host_rank: DataFrame | None = None,
+    robots_rules: DataFrame | None = None,
+    robots_agent: str = "trainingbot",
 ) -> DataFrame:
     """`parsed` is `sources.warc.parse_warc_records` output. Returns
     one row per SURVIVING document: (doc_id — the 60-bit hash of the
@@ -61,6 +63,17 @@ def crawl_to_corpus(
     Stays one-shuffle: the join build side is broadcast."""
     pages = parsed.filter(F.col("ok") & (F.col("warc_type") == "response"))
     deduped = url_ops.url_dedup(pages, "url", "warc_date")
+    if robots_rules is not None:
+        # RFC 9309 compliance stage (operators/robots): gate BEFORE
+        # extraction, after dedup — a disallowed URL never pays HTML
+        # processing; the rule table is bounded and broadcast
+        from ..operators.robots import robots_gate
+
+        deduped = (
+            robots_gate(deduped, robots_rules, agent=robots_agent)
+            .filter(F.col("allowed"))
+            .drop("allowed", "rule_path")
+        )
     gated = url_ops.domain_gate(deduped, blocklist, url_col="url_norm")
     text = html_to_text_col(F.coalesce(F.col("html"), F.lit("")))
     docs = gated.select(

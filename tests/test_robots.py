@@ -192,3 +192,50 @@ def test_fixture_bodies_parse_parity(spark):
     want = set(map(tuple, con.sql(sql).fetchall()))
     con.close()
     assert got == want
+
+
+def test_crawl_composition_with_robots_stage(spark):
+    """crawl_to_corpus(robots_rules=...) drops exactly the
+    disallowed URLs between dedup and extraction."""
+    from algoritmos_etl_spark.operators.text import QUALITY_RULES
+    from algoritmos_etl_spark.plans.crawl import crawl_to_corpus
+    from algoritmos_etl_spark.sources import warc
+
+    docs = spark.createDataFrame(
+        [(i, "word " * 60 + "tail.") for i in range(64)],
+        "doc_id long, text string",
+    )
+    files = warc.synthesize_warc_corpus(docs, messy_urls=True, torn_every=0)
+    parsed = warc.parse_warc_records(files)
+    rules = robots.parse_robots(
+        spark.createDataFrame(
+            [
+                (h.lower(), robots.robots_body(i))
+                for i, h in enumerate(warc._MESSY_HOSTS)
+            ],
+            "host string, body string",
+        )
+    )
+    q = tuple(n for n, _ in QUALITY_RULES if n != "stopword_floor")
+    plain = crawl_to_corpus(parsed, blocklist=[], quality_rules=q)
+    gated = crawl_to_corpus(
+        parsed, blocklist=[], quality_rules=q, robots_rules=rules,
+        robots_agent=robots.ROBOTS_AGENT,
+    )
+    plain_urls = {r["url_norm"] for r in plain.collect()}
+    gated_urls = {r["url_norm"] for r in gated.collect()}
+    assert gated_urls < plain_urls  # strictly smaller: some URLs blocked
+    # the dropped set is exactly the robots-disallowed subset
+    from pyspark.sql import functions as FF
+
+    verdicts = {
+        r["url_norm"]: r["allowed"]
+        for r in robots.robots_gate(
+            spark.createDataFrame(
+                [(u,) for u in plain_urls], "url_norm string"
+            ),
+            rules,
+            agent=robots.ROBOTS_AGENT,
+        ).collect()
+    }
+    assert gated_urls == {u for u in plain_urls if verdicts[u]}
