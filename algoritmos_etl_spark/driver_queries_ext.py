@@ -238,13 +238,17 @@ _SHINGLES_CACHE: dict = {}
 
 
 def _shingles(spark, sf_dir):
+    # repartition before the checkpoint: AQE coalesces the shingle
+    # table to ~2 partitions by BYTES, single-tasking the md5/banding
+    # maps every consumer runs on it (r12 optimization round — the
+    # landed-cache spread pattern, see _deduped_links_pages)
     return session_cached(
         _SHINGLES_CACHE,
         spark,
         sf_dir,
         lambda: dedup.doc_shingles(
             load_table(spark, sf_dir, "documents"), k=3
-        ),
+        ).repartition(spark.sparkContext.defaultParallelism),
     )
 
 
@@ -3356,13 +3360,18 @@ def _bpe_encoded(spark, sf_dir):
     from .operators import bpe
 
     merges, alphabet = _bpe_model(spark, sf_dir)
+    # repartition before the checkpoint: the encoded table coalesces
+    # to ~5 partitions by bytes, but its consumer (the token-grain
+    # ExactSubstr shingle build) does ~200 B of string assembly per
+    # token POSITION off it — spread it over the cores (r12
+    # optimization round, the landed-cache spread pattern)
     return session_cached(
         _BPE_ENC_CACHE,
         spark,
         sf_dir,
         lambda: bpe.bpe_encode(
             load_table(spark, sf_dir, "documents"), merges, alphabet
-        ),
+        ).repartition(spark.sparkContext.defaultParallelism),
     )
 
 
@@ -5721,9 +5730,33 @@ def _oracle_warc_extraction(charsets: bool = False) -> str:
 def q_warc_extraction(spark, sf_dir):
     from .sources import warc
 
-    docs = load_table(spark, sf_dir, "documents")
-    files = warc.synthesize_warc_corpus(docs, charsets=True)
-    return warc.warc_extract_pages(warc.parse_warc_records(files))
+    return warc.warc_extract_pages(
+        warc.parse_warc_records(_charset_warc_files(spark, sf_dir))
+    )
+
+
+# mixed-charset WARC fixture landed once per (session, sf_dir): the
+# sequential walk (warc_extraction) and the cdx record-parallel path
+# (warc_cdx_extraction) read the SAME crawl drop — that is the point
+# of the two-strategies-one-contract pair; synthesizing it twice was
+# pure duplicated applyInPandas work (r12 optimization round). cdx is
+# a superset fixture: the sequential parser projects it away.
+_CHARSET_FILES_CACHE: dict = {}
+
+
+def _charset_warc_files(spark, sf_dir):
+    from .sources import warc
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        # spread before the checkpoint: the files table coalesces to
+        # ONE partition by bytes, single-tasking both parsers' Python
+        # member walks (each pass pays the full gzip+parse serially)
+        return warc.synthesize_warc_corpus(
+            docs, with_cdx=True, charsets=True
+        ).repartition(spark.sparkContext.defaultParallelism)
+
+    return session_cached(_CHARSET_FILES_CACHE, spark, sf_dir, build)
 
 
 # -------------------- round 10: trained language-ID (VERDICT #2)
@@ -6090,6 +6123,47 @@ def _oracle_url_dedup() -> str:
     FROM ranked WHERE rn = 1"""
 
 
+# parsed messy-URL crawl pages, landed once per (session, sf_dir) —
+# the crawl-family session-cache convention (8e95a10): url_dedup,
+# domain_curation and robots_gate all consume the SAME synthesized
+# fixture + binary parse; a real pipeline parses a crawl drop once
+# and every curation stage reads the landed table (r12 optimization
+# round: 3× the synthesize+parse subtree → 1×).
+_MESSY_PAGES_CACHE: dict = {}
+
+
+def _messy_pages(spark, sf_dir):
+    from .sources import warc
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        files = warc.synthesize_warc_corpus(docs, messy_urls=True)
+        # spread before the checkpoint: the parsed pages coalesce to
+        # ONE partition by bytes, single-tasking every consumer's
+        # regex-heavy first stage (normalization, PSL, robots match)
+        return warc.parse_warc_records(files).filter(
+            F.col("ok") & (F.col("warc_type") == "response")
+        ).repartition(spark.sparkContext.defaultParallelism)
+
+    return session_cached(_MESSY_PAGES_CACHE, spark, sf_dir, build)
+
+
+# the URL-deduped view of the same pages: url_dedup's own output and
+# robots_gate's input — one keep-first window shared per session
+_MESSY_DEDUP_CACHE: dict = {}
+
+
+def _messy_deduped(spark, sf_dir):
+    return session_cached(
+        _MESSY_DEDUP_CACHE,
+        spark,
+        sf_dir,
+        lambda: url_ops.url_dedup(
+            _messy_pages(spark, sf_dir), "url", "warc_date"
+        ),
+    )
+
+
 @register(
     "url_dedup",
     # Full oracle: DuckDB rebuilds the ENTIRE pipeline — the WARC
@@ -6111,14 +6185,7 @@ def _oracle_url_dedup() -> str:
     "projection",
 )
 def q_url_dedup(spark, sf_dir):
-    from .sources import warc
-
-    docs = load_table(spark, sf_dir, "documents")
-    files = warc.synthesize_warc_corpus(docs, messy_urls=True)
-    pages = warc.parse_warc_records(files).filter(
-        F.col("ok") & (F.col("warc_type") == "response")
-    )
-    return url_ops.url_dedup(pages, "url", "warc_date").select(
+    return _messy_deduped(spark, sf_dir).select(
         "url_norm", "url", "warc_date", "warc_file", "n_dups"
     )
 
@@ -6168,15 +6235,11 @@ def _oracle_domain_curation() -> str:
     "bounded domain grain",
 )
 def q_domain_curation(spark, sf_dir):
-    from .sources import warc
-
-    docs = load_table(spark, sf_dir, "documents")
-    files = warc.synthesize_warc_corpus(docs, messy_urls=True)
-    pages = warc.parse_warc_records(files).filter(
-        F.col("ok") & (F.col("warc_type") == "response")
-    )
     return url_ops.domain_rollup(
-        pages, "url", blocklist=_DOMAIN_BLOCKLIST, psl=True
+        _messy_pages(spark, sf_dir),
+        "url",
+        blocklist=_DOMAIN_BLOCKLIST,
+        psl=True,
     )
 
 
@@ -6823,9 +6886,9 @@ def q_crawl_corpus(spark, sf_dir):
 def q_warc_cdx_extraction(spark, sf_dir):
     from .sources import warc
 
-    docs = load_table(spark, sf_dir, "documents")
-    files = warc.synthesize_warc_corpus(docs, with_cdx=True, charsets=True)
-    return warc.warc_extract_pages(warc.parse_warc_records_cdx(files))
+    return warc.warc_extract_pages(
+        warc.parse_warc_records_cdx(_charset_warc_files(spark, sf_dir))
+    )
 
 
 # ---- round 12: host-graph PageRank curation prior (VERDICT r11 #3)
@@ -7322,12 +7385,7 @@ def q_robots_gate(spark, sf_dir):
     from .operators import robots
     from .sources import warc
 
-    docs = load_table(spark, sf_dir, "documents")
-    files = warc.synthesize_warc_corpus(docs, messy_urls=True)
-    pages = warc.parse_warc_records(files).filter(
-        F.col("ok") & (F.col("warc_type") == "response")
-    )
-    deduped = url_ops.url_dedup(pages, "url", "warc_date")
+    deduped = _messy_deduped(spark, sf_dir)
     robots_df = spark.createDataFrame(
         [
             (h.lower(), robots.robots_body(i))
@@ -7416,8 +7474,18 @@ def _deduped_links_pages(spark, sf_dir):
         pages = warc.parse_warc_records(files).filter(
             F.col("ok") & (F.col("warc_type") == "response")
         )
-        return url_ops.url_dedup(pages, "url", "warc_date").select(
-            "url_norm", "html"
+        # spread the landed table over the cores BEFORE the checkpoint
+        # (r12 optimization round): the dedup window's output is a few
+        # MB, so AQE coalesces it to ONE partition — bytes are a
+        # terrible proxy for per-row compute on HTML, and the
+        # regex-heavy consumers (href harvest, img-pair mining) were
+        # running single-task off the cache (measured 6.8 s → 0.9 s
+        # for the edge build at sf0.1). defaultParallelism scales with
+        # the cluster; content is unchanged (round-robin repartition).
+        return (
+            url_ops.url_dedup(pages, "url", "warc_date")
+            .select("url_norm", "html")
+            .repartition(spark.sparkContext.defaultParallelism)
         )
     return session_cached(_LINKS_PAGES_CACHE, spark, sf_dir, build)
 

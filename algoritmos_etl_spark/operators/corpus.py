@@ -780,7 +780,14 @@ def quality_tiers(
     between exact integers and the interpolated double — deterministic
     on both engines.
     """
-    scored = nb_quality_scores(docs, is_pos=is_pos, n_buckets=n_buckets)
+    # scored feeds BOTH the tercile aggregate and the final projection
+    # — materialize once (lazy) or the whole NB train+score subtree
+    # (token explode, weight broadcast, doc_id shuffle) executes twice,
+    # no CSE across the crossJoin branches (r12 optimization round:
+    # plan went 40 Exchanges → 11, see plans/r12/quality_tiers_*.txt)
+    scored = nb_quality_scores(
+        docs, is_pos=is_pos, n_buckets=n_buckets
+    ).localCheckpoint(eager=False)
     cuts = scored.filter(F.col("per_token_e6").isNotNull()).agg(
         F.percentile(
             F.col("per_token_e6"),

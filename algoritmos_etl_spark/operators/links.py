@@ -81,18 +81,34 @@ def host_link_edges(
     of real links) are dropped; domains come from the PSL
     longest-suffix match (broadcast joins, map-only). One shuffle:
     the partial-agg count onto the (u, v) pair grain."""
-    exploded = pages.select(
+    # the page host's PSL domain is computed at PAGE grain, BEFORE the
+    # href explode (r12 optimization round): one PSL evaluation per
+    # page instead of per anchor, and the explode's fused codegen body
+    # stays under Janino's 64 KB method limit (both PSL expressions
+    # below the Generate overflowed it and fell back to interpreted
+    # eval — measured 3x slower on the edge-build stage)
+    hosted = pages.select(
         url_host_col(F.col(url_col)).alias("_page_host"),
-        F.explode(extract_hrefs_col(F.col(html_col))).alias("_href"),
+        F.col(html_col).alias("_html"),
     )
-    targeted = exploded.select(
-        "_page_host",
-        link_target_host_col(F.col("_href"), F.col("_page_host")).alias(
-            "_tgt_host"
+    src = with_registrable_domain_psl(hosted, "_page_host", out_col="u")
+    # resolve every href INSIDE one array transform at page grain:
+    # the per-anchor regex work compiles as a loop body in the
+    # higher-order function instead of being inlined into the
+    # explode's downstream consume path (which, with the PSL match
+    # and the partial agg, overflowed Janino's 64 KB method limit
+    # and fell back to interpreted eval)
+    tgt_hosts = F.filter(
+        F.transform(
+            extract_hrefs_col(F.col("_html")),
+            lambda h: link_target_host_col(h, F.col("_page_host")),
         ),
-    ).filter(F.col("_tgt_host").isNotNull() & (F.col("_tgt_host") != ""))
-    src = with_registrable_domain_psl(targeted, "_page_host", out_col="u")
-    both = with_registrable_domain_psl(src, "_tgt_host", out_col="v")
+        lambda t: t.isNotNull() & (t != ""),
+    )
+    targeted = src.select(
+        "u", F.explode(tgt_hosts).alias("_tgt_host")
+    )
+    both = with_registrable_domain_psl(targeted, "_tgt_host", out_col="v")
     return (
         both.filter(F.col("u") != F.col("v"))
         .groupBy("u", "v")
@@ -124,15 +140,27 @@ def host_pagerank(
         pages, url_col=url_col, html_col=html_col
     ).localCheckpoint()
     ranks = pagerank(edges, iterations=iterations)
-    n_out = edges.groupBy(F.col("u").alias("node")).agg(
-        F.count_distinct("v").alias("n_out")
-    )
-    n_in = edges.groupBy(F.col("v").alias("node")).agg(
-        F.count_distinct("u").alias("n_in")
+    # both degree rollups in ONE partial-agg shuffle (r12 optimization
+    # round): `edges` rows are distinct (u, v) pairs by construction
+    # (host_link_edges groups on the pair), so each distinct-degree is
+    # a plain row count — the union doubles the map-side rows of the
+    # BOUNDED edge table but replaces two groupBy shuffles + two left
+    # joins with one of each, with no Expand/distinct machinery
+    deg = (
+        edges.select(F.col("u").alias("node"), F.lit(True).alias("_out"))
+        .unionByName(
+            edges.select(
+                F.col("v").alias("node"), F.lit(False).alias("_out")
+            )
+        )
+        .groupBy("node")
+        .agg(
+            F.sum(F.when(F.col("_out"), 1).otherwise(0)).alias("n_out"),
+            F.sum(F.when(F.col("_out"), 0).otherwise(1)).alias("n_in"),
+        )
     )
     return (
-        ranks.join(n_out, "node", "left")
-        .join(n_in, "node", "left")
+        ranks.join(deg, "node", "left")
         .select(
             F.col("node").alias("domain"),
             "rank_e12",

@@ -103,7 +103,13 @@ def parse_robots(
             & (F.coalesce(F.lag("key").over(w), F.lit("")) != "user-agent")
         ).cast("int").alias("_opener"),
     )
-    grouped = flagged.withColumn("grp", F.sum("_opener").over(w))
+    # grouped feeds BOTH sides of the agents × directives join —
+    # materialize the (bounded: hosts × robots lines) table once or
+    # the explode + two window passes run twice, no CSE across
+    # self-join branches (r12 optimization round)
+    grouped = flagged.withColumn(
+        "grp", F.sum("_opener").over(w)
+    ).localCheckpoint(eager=False)
     agents = grouped.filter(F.col("_ua") == 1).select(
         "host", "grp", F.lower(F.col("val")).alias("agent")
     )
@@ -147,9 +153,16 @@ def robots_gate(
     named = rules.filter(F.col("agent") == agent.lower())
     star = rules.filter(F.col("agent") == "*")
     has_named = named.select("host").distinct()
-    applicable = named.unionByName(
-        star.join(has_named, "host", "left_anti")
-    ).select("host", "allow", "path", "plen", "rx")
+    # `rules` is referenced three times (named, star, the anti-join's
+    # build side) and the result is broadcast anyway — materialize the
+    # bounded resolved table once instead of re-running the rule parse
+    # per reference (r12 optimization round: robots_gate's plan
+    # carried the parse subtree 4×, 42 Exchanges → see plans/r12/)
+    applicable = (
+        named.unionByName(star.join(has_named, "host", "left_anti"))
+        .select("host", "allow", "path", "plen", "rx")
+        .localCheckpoint(eager=False)
+    )
 
     path = F.regexp_extract(F.col(url_col), "^[a-z+.-]+://[^/]*(/.*)?$", 1)
     keyed = pages.withColumn(

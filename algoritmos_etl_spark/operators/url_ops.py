@@ -248,6 +248,26 @@ def psl_rules_df(spark) -> DataFrame:
     )
 
 
+def _psl_depth_sets() -> tuple[dict, dict, dict]:
+    """`_psl_rule_rows` bucketed by (kind, label depth): three
+    {depth: sorted suffix list} dicts (normal, wildcard, exception).
+    A k-label tail can only string-equal a k-label suffix, so the
+    per-depth buckets partition the rule table exactly the way the
+    old per-depth equi-joins matched it."""
+    normal: dict[int, list] = {}
+    wild: dict[int, list] = {}
+    exc: dict[int, list] = {}
+    for key, has_n, has_w, has_e in _psl_rule_rows():
+        d = key.count(".") + 1
+        if has_n:
+            normal.setdefault(d, []).append(key)
+        if has_w:
+            wild.setdefault(d, []).append(key)
+        if has_e:
+            exc.setdefault(d, []).append(key)
+    return normal, wild, exc
+
+
 def with_registrable_domain_psl(
     df: DataFrame, host_col: str, out_col: str = "domain"
 ) -> DataFrame:
@@ -259,75 +279,68 @@ def with_registrable_domain_psl(
     whole host when the host IS a public suffix — the same
     passthrough the naive cut applies to single labels).
 
-    Scale shape: map-only — one broadcast hash join per candidate
-    depth (3 for this rule table) against the ~200-row rule table,
-    precedence resolved in a single projection. No shuffle, no
-    explode, composes in front of any gate or rollup."""
-    spark = df.sparkSession
-    rules = F.broadcast(psl_rules_df(spark))
+    Scale shape: map-only, zero joins (r12 optimization round). The
+    rule table is a compile-time constant, so each per-depth
+    membership test compiles to a codegen hash-set `IN` over the
+    depth's suffixes instead of a broadcast hash join — the old shape
+    paid 3 BroadcastExchanges per call (6 in the host-graph edge
+    builder, which domains BOTH endpoints), pure fixed overhead on a
+    table that never changes at runtime. The intermediates (tails,
+    per-depth flags, the public-suffix depth) are STAGED as aliased
+    columns used more than once, so CollapseProject keeps the
+    projection boundaries and each subexpression is evaluated — and
+    codegen'd — exactly once (a single inlined expression tree
+    overflowed Janino's method limit and fell back to interpreted
+    eval). The DuckDB twin (`psl_domain_cte`) keeps the join
+    formulation — same rule table, same result."""
     host = F.col(host_col)
-    n = F.size(F.split(host, "\\."))
-    out = df.withColumn("_psl_n", n)
-    for k in range(1, _PSL_MAX_LABELS + 1):
-        out = out.withColumn(
-            f"_tail{k}",
+    normal, wild, exc = _psl_depth_sets()
+    m = _PSL_MAX_LABELS
+    p = "_psl"
+
+    s1 = df.withColumn(f"{p}_n", F.size(F.split(host, "\\.")))
+    for k in range(1, m + 1):
+        s1 = s1.withColumn(
+            f"{p}_t{k}",
             F.when(
-                F.col("_psl_n") >= k, F.substring_index(host, ".", -k)
+                F.col(f"{p}_n") >= k, F.substring_index(host, ".", -k)
             ),
         )
-    # registrable candidates go one label deeper than the deepest
-    # public suffix (wildcard at depth MAX ⇒ ps = MAX+1 labels)
-    for k in (_PSL_MAX_LABELS + 1, _PSL_MAX_LABELS + 2):
-        out = out.withColumn(
-            f"_tail{k}",
-            F.when(
-                F.col("_psl_n") >= k, F.substring_index(host, ".", -k)
-            ),
-        )
-    for k in range(1, _PSL_MAX_LABELS + 1):
-        r = rules.select(
-            F.col("suffix").alias(f"_k{k}"),
-            F.col("has_normal").alias(f"_n{k}"),
-            F.col("has_wildcard").alias(f"_w{k}"),
-            F.col("has_exception").alias(f"_e{k}"),
-        )
-        out = out.join(
-            F.broadcast(r), out[f"_tail{k}"] == r[f"_k{k}"], "left"
-        )
-    t = lambda k: F.col(f"_tail{k}")  # noqa: E731
-    flag = lambda p, k: F.coalesce(F.col(f"_{p}{k}"), F.lit(False))  # noqa: E731
-    # exception at depth k: that exact tail is registrable
-    reg = None
-    for k in range(_PSL_MAX_LABELS, 0, -1):
-        arm = (flag("e", k), t(k))
-        reg = F.when(*arm) if reg is None else reg.when(*arm)
-    # else: ps depth = max(normal k, wildcard k+1, default 1);
-    # registrable = tail(ps+1), or the whole host if no label is left
+
+    def flag(sets: dict, k: int) -> Column:
+        keys = sets.get(k)
+        if not keys:
+            return F.lit(False)
+        return F.coalesce(F.col(f"{p}_t{k}").isin(*keys), F.lit(False))
+
+    # ps depth = max(normal k, wildcard k+1, default 1)
     ps = F.lit(1)
-    for k in range(1, _PSL_MAX_LABELS + 1):
+    for k in range(1, m + 1):
         ps = F.greatest(
             ps,
-            F.when(flag("n", k), F.lit(k)).otherwise(F.lit(1)),
-            F.when(flag("w", k), F.lit(k + 1)).otherwise(F.lit(1)),
+            F.when(flag(normal, k), F.lit(k)).otherwise(F.lit(1)),
+            F.when(flag(wild, k), F.lit(k + 1)).otherwise(F.lit(1)),
         )
-    deeper = None
-    for k in range(_PSL_MAX_LABELS + 2, 1, -1):
-        arm = (ps + 1 == k, t(k))
-        deeper = F.when(*arm) if deeper is None else deeper.when(*arm)
+    s2 = s1.withColumn(f"{p}_ps", ps)
+
+    # exception at depth k: that exact tail is registrable; else
+    # registrable = the last ps+1 labels (substring_index handles the
+    # count arithmetically — no per-depth CASE ladder), or the whole
+    # host when the host IS a public suffix
+    reg = None
+    for k in range(m, 0, -1):
+        arm = (flag(exc, k), F.col(f"{p}_t{k}"))
+        reg = F.when(*arm) if reg is None else reg.when(*arm)
+    deeper = F.expr(
+        f"substring_index({host_col}, '.', -({p}_ps + 1))"
+    )
     reg = reg.otherwise(
-        F.when(F.col("_psl_n") > ps, deeper).otherwise(host)
+        F.when(F.col(f"{p}_n") > F.col(f"{p}_ps"), deeper).otherwise(host)
     )
-    out = out.withColumn(out_col, reg)
-    drop = (
-        ["_psl_n"]
-        + [f"_tail{k}" for k in range(1, _PSL_MAX_LABELS + 3)]
-        + [
-            f"_{p}{k}"
-            for k in range(1, _PSL_MAX_LABELS + 1)
-            for p in ("k", "n", "w", "e")
-        ]
+    out = s2.withColumn(out_col, reg)
+    return out.drop(
+        f"{p}_n", f"{p}_ps", *[f"{p}_t{k}" for k in range(1, m + 1)]
     )
-    return out.drop(*drop)
 
 
 def psl_rules_values_sql() -> str:

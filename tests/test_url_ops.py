@@ -357,10 +357,14 @@ def test_psl_blocklist_no_overmatch(spark):
 
 
 def test_psl_gate_is_map_only(spark):
+    # r12 optimization round: the PSL match is a pure codegen
+    # projection over a compile-time rule table — no join of ANY kind
+    # (the old shape paid 3 BroadcastExchanges per call), no shuffle
     df = spark.createDataFrame([("https://a.co.uk/x",)], "url string")
     plan = (
         url_ops.domain_gate(df, ["b.co.uk"], psl=True)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
     assert "Exchange hashpartitioning" not in plan  # no shuffle
