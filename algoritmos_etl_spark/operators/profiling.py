@@ -146,6 +146,10 @@ def drift_psi(
     # degenerate one-bucket histogram) instead of bucketing to NULL and
     # silently vanishing from the PSI — with rows only in bucket 0 the
     # smoothing terms make the drift read maximal, not 0.0.
+    # 1-row result consumed by BOTH bucketed() broadcasts — without
+    # the materialization each broadcast re-runs the full baseline
+    # percentile scan (r12 optimization round: order_value_drift's
+    # plan carried 16 parquet scans of `orders`, now 2 — one per side)
     bounds = baseline.agg(
         F.coalesce(
             F.percentile(
@@ -153,7 +157,7 @@ def drift_psi(
             ),
             F.array().cast("array<double>"),
         ).alias("bounds")
-    )
+    ).localCheckpoint(eager=False)
 
     def q4(c):
         # exact while |v|·10⁴ < 2^53 — the pure-IEEE cross-engine
@@ -176,6 +180,9 @@ def drift_psi(
     grid = baseline.sparkSession.range(n_buckets).select(
         F.col("id").cast("int").alias("bucket")
     )
+    # bounded (n_buckets rows); feeds the totals aggregate AND the
+    # final projection — materialize once instead of histogramming
+    # both sides twice
     hist = (
         grid.join(bucketed(baseline, "n_base"), "bucket", "left")
         .join(bucketed(current, "n_cur"), "bucket", "left")
@@ -184,6 +191,7 @@ def drift_psi(
             F.coalesce("n_base", F.lit(0)).alias("n_base"),
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
+        .localCheckpoint(eager=False)
     )
     totals = hist.agg(
         F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
@@ -247,42 +255,63 @@ def drift_psi_categorical(
             .agg(F.count(F.lit(1)).alias(out))
         )
 
-    base_counts = counted(baseline, "n_base")
+    # the baseline's category counts are computed ONCE and reused for
+    # both the top-N cut and the baseline's folded histogram (folding
+    # the COUNTS table instead of re-scanning the raw rows — summing
+    # folded counts equals counting folded rows); `top` is bounded
+    # (≤ max_categories rows) and referenced by two broadcasts + the
+    # grid, so it is materialized too. r12 optimization round:
+    # priority_drift_categorical's plan carried 20 parquet scans of
+    # `orders`, now 2 — one per side.
+    base_counts = counted(baseline, "n_base").localCheckpoint(eager=False)
     top = (
         base_counts.orderBy(
             F.col("n_base").desc(), F.col("category").asc()
         )
         .limit(max_categories)
         .select("category")
+        .localCheckpoint(eager=False)
     )
 
-    def folded(df: DataFrame, out: str) -> DataFrame:
-        return (
-            df.select(cat.alias("category"))
-            .join(F.broadcast(top.withColumn("_keep", F.lit(1))),
-                  "category", "left")
-            .select(
-                F.when(
-                    F.col("_keep").isNotNull(), F.col("category")
-                ).otherwise(F.lit("__OTHER__")).alias("category")
-            )
-            .groupBy("category")
-            .agg(F.count(F.lit(1)).alias(out))
+    def fold_key(keep_flag):
+        return F.when(
+            keep_flag.isNotNull(), F.col("category")
+        ).otherwise(F.lit("__OTHER__")).alias("category")
+
+    base_folded = (
+        base_counts.join(
+            F.broadcast(top.withColumn("_keep", F.lit(1))),
+            "category", "left",
         )
+        .select(fold_key(F.col("_keep")), "n_base")
+        .groupBy("category")
+        .agg(F.sum("n_base").alias("n_base"))
+    )
+    cur_folded = (
+        current.select(cat.alias("category"))
+        .join(F.broadcast(top.withColumn("_keep", F.lit(1))),
+              "category", "left")
+        .select(fold_key(F.col("_keep")))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
 
     grid = top.unionByName(
         baseline.sparkSession.createDataFrame(
             [("__OTHER__",)], "category string"
         )
     ).distinct()
+    # bounded (≤ max_categories + 1 rows); feeds totals AND the final
+    # projection — materialize once
     hist = (
-        grid.join(folded(baseline, "n_base"), "category", "left")
-        .join(folded(current, "n_cur"), "category", "left")
+        grid.join(base_folded, "category", "left")
+        .join(cur_folded, "category", "left")
         .select(
             "category",
             F.coalesce("n_base", F.lit(0)).alias("n_base"),
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
+        .localCheckpoint(eager=False)
     )
     totals = hist.agg(
         F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
