@@ -1013,7 +1013,10 @@ def positional_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
 
 
 def exact_repeat_runs(
-    docs: DataFrame, k: int = 8, max_occ: int = 64
+    docs: DataFrame,
+    k: int = 8,
+    max_occ: int = 64,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal VERIFIED exact repeats — the Lee et al. 2022 ExactSubstr
     contract at word resolution: every output row is a pair of
@@ -1044,8 +1047,12 @@ def exact_repeat_runs(
     Output: (doc_a, start_a, doc_b, start_b, len_words, n_shingles)
     with (doc_a, start_a) < (doc_b, start_b) lexicographically —
     intra-doc self-repeats qualify (memorization fuel too).
+
+    `sh` optionally supplies a materialized `positional_shingles(docs,
+    k)` relation (see `duplicate_passages`).
     """
-    sh = positional_shingles(docs, k).localCheckpoint(eager=False)
+    if sh is None:
+        sh = positional_shingles(docs, k).localCheckpoint(eager=False)
     return _maximal_diagonal_runs(sh, k, max_occ, "len_words")
 
 
@@ -1193,7 +1200,10 @@ def exact_repeat_runs_tokens(
 
 
 def duplicate_passages(
-    docs: DataFrame, k: int = 8, min_count: int = 2
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-passage spans — the ExactSubstr analogue of
     "Deduplicating Training Data Makes Language Models Better"
@@ -1221,8 +1231,14 @@ def duplicate_passages(
     Output: (doc_id, span_start, span_end, span_words, n_dup_shingles)
     — word-index span [start, end] inclusive, its width, and how many
     duplicated shingle positions support it.
+
+    `sh` optionally supplies a materialized `positional_shingles(docs,
+    k)` relation (the `shingles=` convention: at cluster scale the
+    positional index is a written ingest artifact shared by every
+    ExactSubstr consumer; r12 optimization round).
     """
-    sh = positional_shingles(docs, k).localCheckpoint(eager=False)
+    if sh is None:
+        sh = positional_shingles(docs, k).localCheckpoint(eager=False)
     dup_h = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
