@@ -7205,7 +7205,11 @@ def q_image_caption_pairs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     deduped = _deduped_links_pages(spark, sf_dir)
-    images = links.synthesize_image_url_corpus(docs)
+    # the registered view drops `payload`, so skip the PNG encode —
+    # it runs inside an opaque mapInPandas that column pruning cannot
+    # reach (r12 optimization round; the dHash arm keeps real bytes
+    # in tests/test_links.py)
+    images = links.synthesize_image_url_corpus(docs, with_payload=False)
     return links.mine_image_caption_pairs(deduped, images).drop("payload")
 
 

@@ -214,23 +214,41 @@ def resolve_src_col(src: Column, page_host: Column) -> Column:
     )
 
 
-def synthesize_image_url_corpus(docs: DataFrame) -> DataFrame:
+def synthesize_image_url_corpus(
+    docs: DataFrame, with_payload: bool = True
+) -> DataFrame:
     """Deterministic URL-keyed image corpus — the fixture twin of a
     fetched cdn image store: (img_id, img_url, payload) with img_id =
     doc_id mod IMG_POOL (distinct — the bounded cdn namespace the
     links fixture's absolute srcs point into) and payload a real PNG
-    (`multimodal.synthesize_png_corpus`)."""
+    (`multimodal.synthesize_png_corpus`).
+
+    `with_payload=False` emits the same rows with a NULL payload and
+    skips the PNG encode entirely (r12 optimization round): the
+    mining join only needs the URL key, and a consumer that drops
+    `payload` cannot have it pruned for free — the encode runs inside
+    an opaque mapInPandas, beyond Catalyst's column pruning (guide
+    §4.1: pass only what the function needs). The dHash/pixel arm
+    (tests/test_links.py) keeps the real bytes."""
     from ..sources.warc import IMG_POOL, IMG_URL_PREFIX
-    from .multimodal import synthesize_png_corpus
 
     ids = docs.select(
         (F.col("doc_id") % IMG_POOL).alias("doc_id")
     ).distinct()
+    url = F.concat(
+        F.lit(IMG_URL_PREFIX), F.col("doc_id"), F.lit(".png")
+    ).alias("img_url")
+    if not with_payload:
+        return ids.select(
+            F.col("doc_id").alias("img_id"),
+            url,
+            F.lit(None).cast("binary").alias("payload"),
+        )
+    from .multimodal import synthesize_png_corpus
+
     return synthesize_png_corpus(ids).select(
         F.col("doc_id").alias("img_id"),
-        F.concat(
-            F.lit(IMG_URL_PREFIX), F.col("doc_id"), F.lit(".png")
-        ).alias("img_url"),
+        url,
         "payload",
     )
 
