@@ -12,10 +12,13 @@ sums map-side, one 1-row result exploded to the long report (JVM
 array-of-structs, no Python). `unique` rules add count-distinct
 columns to the same agg (Catalyst plans multi-distinct via Expand —
 still one scan, one extra shuffle tier). `foreign_key` rules need a
-second relation; each compiles to a broadcast-dim join counted in the
-same style and unioned into the report. A 100 TB table therefore pays
-one scan for the whole rule set, not one scan per rule — the property
-that makes running the gate on every ingest batch affordable.
+second relation; each broadcast-left-joins the deduped dim key set
+onto the fact with a match marker, and the miss count rides the SAME
+aggregation as the row predicates (r12: previously the FK arm
+re-scanned the fact twice — once for the denominator, once for the
+anti-join count). A 100 TB table therefore pays one scan for the
+whole rule set, not one scan per rule — the property that makes
+running the gate on every ingest batch affordable.
 
 Violation semantics (documented per rule, pinned by tests and the
 registered DuckDB oracle): NULL fails in_range / in_set / matches
@@ -115,6 +118,22 @@ def check(df: DataFrame, rules: list) -> DataFrame:
     if not (row_rules or uniq_rules or fk_rules):
         raise ValueError("no expectations given")
 
+    # Fold FK rules into the same single fact scan: broadcast-left-join
+    # each deduped dim key set with a match marker, then count misses as
+    # conditional sums beside the row predicates. The join is key-deduped
+    # so row multiplicity (and every other rule's counts) is unchanged.
+    work = df
+    fk_markers = []
+    for k, r in enumerate(fk_rules):
+        marker = f"__fk_hit_{k}"
+        dim_keys = (
+            r.dim.select(F.col(r.dim_col).alias(r.col))
+            .dropDuplicates()
+            .withColumn(marker, F.lit(True))
+        )
+        work = work.join(F.broadcast(dim_keys), r.col, "left")
+        fk_markers.append(marker)
+
     parts = []
     aggs = []
     # F.sum over zero rows is NULL; an empty batch is a routine gate
@@ -134,8 +153,21 @@ def check(df: DataFrame, rules: list) -> DataFrame:
         aggs.append(
             F.count_distinct(*[F.col(c) for c in r.cols]).alias(f"ud{j}")
         )
+    for k, r in enumerate(fk_rules):
+        key_present = F.col(r.col).isNotNull()
+        aggs.append(
+            F.coalesce(F.sum(key_present.cast("long")), F.lit(0)).alias(f"fc{k}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    (key_present & F.col(fk_markers[k]).isNull()).cast("long")
+                ),
+                F.lit(0),
+            ).alias(f"fv{k}")
+        )
     if aggs:
-        one = df.agg(*aggs)
+        one = work.agg(*aggs)
         structs = [
             F.struct(
                 F.lit(r.name).alias("rule"),
@@ -150,24 +182,16 @@ def check(df: DataFrame, rules: list) -> DataFrame:
                 (F.col(f"uc{j}") - F.col(f"ud{j}")).alias("n_violations"),
             )
             for j, r in enumerate(uniq_rules)
+        ] + [
+            F.struct(
+                F.lit(r.name).alias("rule"),
+                F.col(f"fc{k}").alias("n_checked"),
+                F.col(f"fv{k}").alias("n_violations"),
+            )
+            for k, r in enumerate(fk_rules)
         ]
         parts.append(
             one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
-        )
-    for r in fk_rules:
-        keys = df.select(F.col(r.col)).filter(F.col(r.col).isNotNull())
-        dim_keys = r.dim.select(
-            F.col(r.dim_col).alias(r.col)
-        ).dropDuplicates()
-        joined = keys.join(F.broadcast(dim_keys), r.col, "left_anti")
-        parts.append(
-            keys.agg(F.count(F.lit(1)).alias("n_checked"))
-            .crossJoin(
-                joined.agg(F.count(F.lit(1)).alias("n_violations"))
-            )
-            .select(
-                F.lit(r.name).alias("rule"), "n_checked", "n_violations"
-            )
         )
     out = parts[0]
     for p in parts[1:]:

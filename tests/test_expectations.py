@@ -101,6 +101,29 @@ def test_single_pass_plan_shape(tbl):
     assert n_scans == 1, plan
 
 
+def test_fk_rides_the_single_fact_scan(tbl, spark):
+    """FK rules fold into the same aggregation via a broadcast-marker
+    join: the fact relation is scanned ONCE total (plus one scan of the
+    dim), not once per FK arm (r12 optimization)."""
+    dim = spark.createDataFrame([(10,), (20,)], "k long")
+    out = E.check(
+        tbl,
+        [
+            E.not_null("key"),
+            E.unique("key"),
+            E.foreign_key("key", dim, "k"),
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly two relation scans: the fact once, the dim once
+    n_scans = plan.count("LocalTableScan") + plan.count("Scan ExistingRDD")
+    assert n_scans == 2, plan
+    # and the values are unchanged from the multi-scan formulation
+    rep = {r.rule: r for r in out.collect()}
+    r = rep["foreign_key(key->k)"]
+    assert (r.n_checked, r.n_violations, r.passed) == (5, 1, False)
+
+
 def test_empty_rules_raise(tbl):
     with pytest.raises(ValueError):
         E.check(tbl, [])
