@@ -2981,23 +2981,13 @@ def _pos_shingles(spark, sf_dir):
     )
 
 
-# the verified duplicated-span table: duplicate_passages' own output
-# and passage_scrub's input — found once, scrubbed from the same find
-_DUP_SPANS_CACHE: dict = {}
-
-
-def _dup_spans(spark, sf_dir):
-    return session_cached(
-        _DUP_SPANS_CACHE,
-        spark,
-        sf_dir,
-        lambda: dedup.duplicate_passages(
-            load_table(spark, sf_dir, "documents"),
-            k=_PASSAGE_K,
-            min_count=2,
-            sh=_pos_shingles(spark, sf_dir),
-        ),
-    )
+# r13: the r12 round memoised the verified-span table and had
+# duplicate_passages RETURN it (and passage_scrub consume it) — the
+# bench then measured an RDD scan, not the operator (VERDICT r12).
+# Queries may share the landed positional-shingle INPUT
+# (_pos_shingles, the written-ingest-artifact convention) but must
+# compute their own declared result inside the timed region, so the
+# span find runs inside each consumer's plan again.
 
 
 @register(
@@ -3047,7 +3037,14 @@ def _dup_spans(spark, sf_dir):
     "position; the interval merge is a per-doc window (M8)",
 )
 def q_duplicate_passages(spark, sf_dir):
-    return _dup_spans(spark, sf_dir)
+    # computes its own span find per run (hash narrow → string verify
+    # → island merge); only the positional-shingle INPUT is shared
+    return dedup.duplicate_passages(
+        load_table(spark, sf_dir, "documents"),
+        k=_PASSAGE_K,
+        min_count=2,
+        sh=_pos_shingles(spark, sf_dir),
+    )
 
 
 @register(
@@ -5650,9 +5647,15 @@ def _oracle_passage_scrub() -> str:
     "sequence exactly",
 )
 def q_passage_scrub(spark, sf_dir):
+    # runs its OWN span find + scrub per run (the find is part of the
+    # declared computation — its oracle rebuilds it); only the
+    # positional-shingle INPUT table is shared (r13, VERDICT r12 #1)
     docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.duplicate_passages(
+        docs, k=_PASSAGE_K, min_count=2, sh=_pos_shingles(spark, sf_dir)
+    )
     return dedup.scrub_passages(
-        docs, k=_PASSAGE_K, min_count=2, spans=_dup_spans(spark, sf_dir)
+        docs, k=_PASSAGE_K, min_count=2, spans=spans
     )
 
 
@@ -6189,8 +6192,11 @@ def _messy_pages(spark, sf_dir):
     return session_cached(_MESSY_PAGES_CACHE, spark, sf_dir, build)
 
 
-# the URL-deduped view of the same pages: url_dedup's own output and
-# robots_gate's input — one keep-first window shared per session
+# the URL-deduped frontier robots_gate consumes as INPUT (a real
+# crawl pipeline gates the deduped frontier table, not raw fetches).
+# r13: q_url_dedup no longer returns this memo — it computes its own
+# keep-first window per run (VERDICT r12 #1); this landed view exists
+# only so robots_gate's input matches the _deduped_links_pages shape.
 _MESSY_DEDUP_CACHE: dict = {}
 
 
@@ -6226,9 +6232,12 @@ def _messy_deduped(spark, sf_dir):
     "projection",
 )
 def q_url_dedup(spark, sf_dir):
-    return _messy_deduped(spark, sf_dir).select(
-        "url_norm", "url", "warc_date", "warc_file", "n_dups"
-    )
+    # computes its own normalization + keep-first window per run over
+    # the landed parse (the declared operator is the window, so the
+    # window must be inside the timed plan — VERDICT r12 #1)
+    return url_ops.url_dedup(
+        _messy_pages(spark, sf_dir), "url", "warc_date"
+    ).select("url_norm", "url", "warc_date", "warc_file", "n_dups")
 
 
 # registrable-domain blocklist for the fixture's two junk domains —
@@ -6899,9 +6908,17 @@ def _oracle_crawl_corpus() -> str:
     "(the canonical-URL window) before corpus-grain dedup takes over",
 )
 def q_crawl_corpus(spark, sf_dir):
-    # consumes the session-cached corpus (shared with
-    # domain_token_budget — the landed-table pipeline shape)
-    return _crawl_corpus_df(spark, sf_dir)
+    # runs the crawl plan (dedup window → domain gate → html_to_text
+    # → quality gate) per run over the landed PARSE — the parse is the
+    # shared ingest artifact, the composition is this query's declared
+    # computation and stays inside the timed plan (VERDICT r12 #1)
+    from .plans.crawl import crawl_to_corpus
+
+    return crawl_to_corpus(
+        _crawl_parsed_pages(spark, sf_dir),
+        blocklist=_URL_BLOCKLIST,
+        quality_rules=_CRAWL_RULES,
+    )
 
 
 # ------- round 11: cdx record-level-parallel WARC path (scale story)
@@ -7535,12 +7552,16 @@ def _deduped_links_pages(spark, sf_dir):
     return session_cached(_LINKS_PAGES_CACHE, spark, sf_dir, build)
 
 
-# the curated corpus: crawl_corpus + domain_token_budget
-_CRAWL_CORPUS_CACHE: dict = {}
+# the landed PARSE of the messy+charset crawl drop: the ingest
+# artifact q_crawl_corpus (and the curated-corpus table below) build
+# from — a real pipeline parses a crawl drop once and lands it; the
+# crawl COMPOSITION itself runs inside each consumer's plan (r13,
+# VERDICT r12 #1: q_crawl_corpus previously returned the memoised
+# corpus itself, so the bench measured an RDD scan).
+_CRAWL_PARSED_CACHE: dict = {}
 
 
-def _crawl_corpus_df(spark, sf_dir):
-    from .plans.crawl import crawl_to_corpus
+def _crawl_parsed_pages(spark, sf_dir):
     from .sources import warc
 
     def build():
@@ -7548,8 +7569,26 @@ def _crawl_corpus_df(spark, sf_dir):
         files = warc.synthesize_warc_corpus(
             docs, messy_urls=True, charsets=True
         )
+        # spread before the checkpoint (the AQE single-partition trap,
+        # r12): consumers run regex-heavy HTML work off this table
+        return warc.parse_warc_records(files).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    return session_cached(_CRAWL_PARSED_CACHE, spark, sf_dir, build)
+
+
+# the curated corpus as a landed table: domain_token_budget's INPUT
+# (the mixture table is planned FROM a landed curated corpus — its
+# own computation is the budget rollup, which runs in its plan)
+_CRAWL_CORPUS_CACHE: dict = {}
+
+
+def _crawl_corpus_df(spark, sf_dir):
+    from .plans.crawl import crawl_to_corpus
+
+    def build():
         return crawl_to_corpus(
-            warc.parse_warc_records(files),
+            _crawl_parsed_pages(spark, sf_dir),
             blocklist=_URL_BLOCKLIST,
             quality_rules=_CRAWL_RULES,
         )

@@ -4,7 +4,8 @@ Usage:
     python tools/explain_query.py <suffix> <query> [query ...]
     python tools/explain_query.py <suffix> --all
 
-Writes plans/r12/<query>_<suffix>.txt (suffix = before|after). The
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (round
+defaults to r13; suffix = before|after). The
 optimization-round deliverable: the judge checks plan claims (Exchange
 counts, join strategies, PushedFilters, BatchEvalPython absence)
 against these files without running Spark.
@@ -18,7 +19,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-OUT_DIR = os.path.join(REPO, "plans", "r12")
+OUT_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+)
 
 
 def main() -> int:
