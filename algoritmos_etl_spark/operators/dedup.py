@@ -1105,6 +1105,18 @@ def _maximal_diagonal_runs(
     # two orders under the guard.)
     hot_side = F.broadcast(hot) if hot.count() <= 8_000_000 else hot
     cand0 = sh.join(hot_side, "_h", "left_semi").drop("_h")
+    return _runs_from_candidates(cand0, k, max_occ, len_alias)
+
+
+def _runs_from_candidates(
+    cand0: DataFrame, k: int, max_occ: int, len_alias: str
+) -> DataFrame:
+    """The verification + pairing + island core shared by both
+    narrowing strategies: `cand0` is the hash-narrowed positional
+    candidate set (doc_id, pos, shingle) — the exact 2..max_occ
+    df-cap recount and the pair self-join key on the literal STRING,
+    so a hash collision can never flag a clean position regardless of
+    which hash narrowed the candidates."""
     pairable = (
         cand0.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1194,9 +1206,79 @@ def exact_repeat_runs_tokens(
     Output: (doc_a, start_a, doc_b, start_b, len_tokens, n_shingles),
     positions in TOKEN index space, (doc_a, start_a) < (doc_b,
     start_b); intra-doc self-repeats qualify.
+
+    Hash-FIRST narrowing (r13; guide §2.3 "shuffle keys and metadata
+    instead of payloads"): the old path materialized the comma-joined
+    shingle STRING for EVERY position (~4 B/id × k ≈ 200 B/position,
+    the dominant phase) only for ~9% of positions to survive the
+    hot-hash narrow. Now the narrow runs on an 8-byte `xxhash64` of
+    the id SLICE itself — no string assembly — and strings are built
+    only for candidate positions via one doc-grain join back to the
+    encoded table. Identical output: equal id windows ⇔ equal
+    comma-joined strings (ids are integers, ',' appears in neither),
+    both hashes are functions of the window, and the exact-string
+    2..max_occ recount + string-keyed pair join still perform the
+    verification, so either hash only ever NARROWS.
     """
-    sh = positional_token_shingles(encoded, k).localCheckpoint(eager=False)
-    return _maximal_diagonal_runs(sh, k, max_occ, "len_tokens")
+    enc = encoded.select("doc_id", "token_ids")
+    win_hashes = F.when(
+        F.size("token_ids") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("token_ids") - k),
+            lambda i: F.xxhash64(F.slice("token_ids", i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    pos_h = enc.select(
+        "doc_id", F.posexplode(win_hashes).alias("pos", "_h")
+    ).localCheckpoint(eager=False)
+    hot = (
+        pos_h.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_nh"))
+        .filter(F.col("_nh") >= 2)
+        .select("_h")
+        .localCheckpoint()
+    )
+    # same HashedRelation-realistic broadcast budget as the
+    # string-hash path (see _maximal_diagonal_runs)
+    hot_side = F.broadcast(hot) if hot.count() <= 8_000_000 else hot
+    cand_pos = pos_h.join(hot_side, "_h", "left_semi").select(
+        "doc_id", "pos"
+    )
+    # rebuild the string ONLY for candidates: collapse the surviving
+    # positions to doc grain, join the encoded table once by doc_id,
+    # and slice+join each candidate window inside one array transform
+    per_doc = cand_pos.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("_ps")
+    )
+    # spread the attach join BEFORE the explode: AQE coalesces the
+    # doc-grain join output to one partition by bytes, single-tasking
+    # the candidate string build (bytes are a bad proxy for the
+    # per-window concat work) — round-robin over the cores instead
+    spread = enc.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        per_doc.join(enc, "doc_id")
+        .repartition(spread)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "_ps",
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.concat_ws(
+                            ",",
+                            F.slice("token_ids", p + 1, k).cast(
+                                "array<string>"
+                            ),
+                        ).alias("shingle"),
+                    ),
+                )
+            ).alias("_c"),
+        )
+        .select("doc_id", F.col("_c.pos").alias("pos"), F.col("_c.shingle").alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
+    return _runs_from_candidates(cand, k, max_occ, "len_tokens")
 
 
 def duplicate_passages(

@@ -561,6 +561,30 @@ def test_exact_repeat_runs_tokens_match_bruteforce_reference(spark):
         assert got == brute(toks_py), f"seed {seed}"
 
 
+def test_exact_repeat_runs_tokens_hash_first_equals_string_first(spark):
+    """r13 optimization pin: the hash-FIRST narrowing (xxhash64 over
+    the raw id slice; shingle strings built only for hot-hash
+    candidates) must be output-identical to the string-first
+    formulation (positional_token_shingles -> _maximal_diagonal_runs)
+    — the hash only narrows, the exact-string df-cap recount and the
+    string-keyed pair join still verify."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (d, [rng.randint(256, 262) for _ in range(rng.randint(4, 40))])
+        for d in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    k = 4
+    sh = dedup.positional_token_shingles(df, k)
+    ref = dedup._maximal_diagonal_runs(sh, k, 8, "len_tokens")
+    got = dedup.exact_repeat_runs_tokens(df, k=k, max_occ=8)
+    assert ref.count() > 0  # the fixture must actually exercise runs
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+
 def test_exact_repeat_runs_tokens_end_to_end_bpe(spark):
     """Lee 2022 composition: a passage shared verbatim by two docs must
     surface as a >= 50-token verified run at the positions bpe_encode
