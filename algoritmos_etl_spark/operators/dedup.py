@@ -351,32 +351,71 @@ def _with_base_hash(sh: DataFrame) -> DataFrame:
     )
 
 
+# Per-SparkContext memo of reusable unresolved Column trees (r13):
+# building the 16-permutation aggregate list costs ~0.25 s of py4j
+# round trips PER CALL — pure fixed driver cost that the streaming
+# path paid once per MICRO-BATCH. Unresolved Columns are immutable
+# and carry no data, but their py4j handles die with the JVM, so the
+# memo keys on applicationId and evicts dead contexts (the
+# session_cached convention).
+_COLUMN_MEMO: dict = {}
+
+
+def _ctx_memo(tag, build):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:  # no active context — nothing to pin the handles to
+        return build()
+    for k in [k for k, (ctx, _) in _COLUMN_MEMO.items() if ctx._jsc is None]:
+        del _COLUMN_MEMO[k]
+    key = (sc.applicationId, tag)
+    ent = _COLUMN_MEMO.get(key)
+    if ent is None:
+        ent = (sc, build())
+        _COLUMN_MEMO[key] = ent
+    return ent[1]
+
+
 def _minhash_aggs(n_hashes: int = MINHASH_HASHES) -> list:
     """Min-aggregates of the affine permutation family over `_h`."""
-    return [
-        F.min(
-            F.pmod(
-                F.lit(MINHASH_A[j]) * F.col("_h") + F.lit(MINHASH_B[j]),
-                F.lit(MINHASH_PRIME),
-            )
-        ).alias(f"h{j}")
-        for j in range(n_hashes)
-    ]
+    return _ctx_memo(
+        ("mh_aggs", n_hashes),
+        lambda: [
+            F.min(
+                F.pmod(
+                    F.lit(MINHASH_A[j]) * F.col("_h") + F.lit(MINHASH_B[j]),
+                    F.lit(MINHASH_PRIME),
+                )
+            ).alias(f"h{j}")
+            for j in range(n_hashes)
+        ],
+    )
 
 
-def minhash_bands(sigs: DataFrame, n_bands: int = MINHASH_BANDS) -> DataFrame:
-    """(doc_id, band, band_sig): md5 over each band's concatenated rows."""
-    n_hashes = len([c for c in sigs.columns if c.startswith("h")])
+def _band_structs(n_hashes: int, n_bands: int) -> list:
     rows_per_band = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols = [
+            F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
         bands.append(
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws(",", *cols)).alias("band_sig"),
             )
         )
+    return bands
+
+
+def minhash_bands(sigs: DataFrame, n_bands: int = MINHASH_BANDS) -> DataFrame:
+    """(doc_id, band, band_sig): md5 over each band's concatenated rows."""
+    n_hashes = len([c for c in sigs.columns if c.startswith("h")])
+    bands = _ctx_memo(
+        ("mh_bands", n_hashes, n_bands),
+        lambda: _band_structs(n_hashes, n_bands),
+    )
     return sigs.select(
         "doc_id", F.explode(F.array(*bands)).alias("bs")
     ).select("doc_id", "bs.band", "bs.band_sig")
@@ -551,7 +590,14 @@ def minhash_lsh_incremental(
             _with_base_hash(sh_new).groupBy("doc_id").agg(*_minhash_aggs())
         ).localCheckpoint(eager=False)
     bands_new = bands_new.select("doc_id", "band", "band_sig")
-    bands_old = spark.read.parquet(f"{path}/bands")
+    # explicit schemas on the index reads: the layout is fixed by the
+    # two writers (minhash_write_index, the streaming appender), and
+    # per-micro-batch schema INFERENCE costs a driver job reading
+    # parquet footers on every lookup (r13; measured ~0.1 s per read
+    # per batch). Partition columns (batch_id, band) stay discovered.
+    bands_old = spark.read.schema(
+        "doc_id long, band_sig string, batch_id int, band int"
+    ).parquet(f"{path}/bands")
     if max_batch_id_exclusive is not None:
         bands_old = bands_old.filter(
             F.col("batch_id") < max_batch_id_exclusive
@@ -583,7 +629,9 @@ def minhash_lsh_incremental(
         )
         .distinct()
     )
-    sh_old = spark.read.parquet(f"{path}/shingles")
+    sh_old = spark.read.schema(
+        "doc_id long, shingle string, batch_id int"
+    ).parquet(f"{path}/shingles")
     if max_batch_id_exclusive is not None:
         sh_old = sh_old.filter(F.col("batch_id") < max_batch_id_exclusive)
     sh_all = sh_old.select("doc_id", "shingle").unionByName(

@@ -296,19 +296,40 @@ def _neardup_batch(
         max_batch_id_exclusive=batch_id,
         sh_new=sh, bands_new=bands,
     )
-    pairs.write.mode("overwrite").parquet(
-        f"{out_path}/pairs/batch_id={batch_id}"
-    )
-    # repartition by the partition column before the partitioned
-    # write: without it every upstream task opens a writer per band
-    # it touches (tasks × 16 tiny files per batch) — the file count
-    # later lookups must list and open. After it, one file per band.
-    bands.repartition("band").write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(f"{index_path}/bands/batch_id={batch_id}")
-    sh.write.mode("overwrite").parquet(
-        f"{index_path}/shingles/batch_id={batch_id}"
-    )
+    # The three sink writes are INDEPENDENT jobs: the pair lookup
+    # reads the standing index strictly BELOW this batch_id, and the
+    # two index appends land in batch_id=N directories that same
+    # lookup excludes — so ordering between them carries no
+    # information. Overlap them in a small thread pool (guide §2.6)
+    # instead of serializing three fixed per-job latencies into every
+    # micro-batch; each write is the same idempotent per-batch-subdir
+    # overwrite as before, so the exactly-once replay contract is
+    # untouched (a replayed batch still rewrites all three with
+    # identical content).
+    def _w_pairs() -> None:
+        pairs.write.mode("overwrite").parquet(
+            f"{out_path}/pairs/batch_id={batch_id}"
+        )
+
+    def _w_bands() -> None:
+        # repartition by the partition column before the partitioned
+        # write: without it every upstream task opens a writer per band
+        # it touches (tasks × 16 tiny files per batch) — the file count
+        # later lookups must list and open. After it, one file per band.
+        bands.repartition("band").write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(f"{index_path}/bands/batch_id={batch_id}")
+
+    def _w_sh() -> None:
+        sh.write.mode("overwrite").parquet(
+            f"{index_path}/shingles/batch_id={batch_id}"
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(w) for w in (_w_pairs, _w_bands, _w_sh)]:
+            fut.result()
 
 
 def streaming_neardup_against_index(
@@ -423,13 +444,19 @@ def streaming_warc_ingest(
     live_refs: list = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         del live_refs[:-2]
+        # EAGER checkpoint: the binary parse + extraction (the batch's
+        # real payload) materializes exactly once, up front — so the
+        # quarantine write and the near-dup work below both read
+        # cached blocks and can run CONCURRENTLY (guide §2.6) without
+        # racing to compute the parse twice. Lazy + sequential before:
+        # the quarantine write paid the whole parse, then the near-dup
+        # stage waited on it.
         pages = warc_extract_pages(
             parse_warc_records(batch_df)
-        ).localCheckpoint(eager=False)
-        pages.filter(~F.col("ok")).write.mode("overwrite").parquet(
-            f"{out_path}/quarantine/batch_id={batch_id}"
-        )
+        ).localCheckpoint(eager=True)
         good = pages.filter(F.col("ok")).select(
             F.regexp_extract(F.col("url"), doc_id_from_url, 1)
             .cast("long")
@@ -437,10 +464,19 @@ def streaming_warc_ingest(
             "text",
         )
         live_refs.append((batch_df, pages, good))
-        _neardup_batch(
-            good, batch_id, index_path, out_path,
-            threshold=threshold, max_bucket_size=max_bucket_size,
-        )
+
+        def _w_quarantine() -> None:
+            pages.filter(~F.col("ok")).write.mode("overwrite").parquet(
+                f"{out_path}/quarantine/batch_id={batch_id}"
+            )
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_w_quarantine)
+            _neardup_batch(
+                good, batch_id, index_path, out_path,
+                threshold=threshold, max_bucket_size=max_bucket_size,
+            )
+            fut.result()
 
     query = (
         raw.writeStream.foreachBatch(process)
