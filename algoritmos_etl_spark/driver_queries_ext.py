@@ -230,6 +230,36 @@ sh AS (
 
 _SHINGLE_DF_CAP = 100
 
+# Documents-table row count per sf_dir — the size driver for the
+# landed-cache spread floor below. One metadata-only parquet count per
+# corpus; the value is engine- and session-independent, so a plain
+# dict memo is safe across sessions.
+_DOC_COUNT_CACHE: dict[str, int] = {}
+
+
+def _doc_count(spark, sf_dir: str) -> int:
+    n = _DOC_COUNT_CACHE.get(sf_dir)
+    if n is None:
+        n = load_table(spark, sf_dir, "documents").count()
+        _DOC_COUNT_CACHE[sf_dir] = n
+    return n
+
+
+def _spread_n(spark, sf_dir: str, per_task_docs: int = 8) -> int:
+    """Scale-adaptive landed-cache spread WITH a size floor (r13,
+    VERDICT r12 #3 / guide §2.5): defaultParallelism partitions,
+    capped so one task never owns fewer than `per_task_docs`
+    documents' worth of rows. The r12 unconditional
+    repartition(defaultParallelism) paid 32-way task overhead on
+    tables of a few hundred rows (tiny SFs, low-core runs) — spread
+    must be proportional to data, not to the core count alone."""
+    n = _doc_count(spark, sf_dir)
+    return max(
+        1,
+        min(spark.sparkContext.defaultParallelism, n // per_task_docs),
+    )
+
+
 # The (doc_id, 3-shingle) inverted-index base feeds dedup_ngram_jaccard
 # AND dedup_minhash_lsh (signatures + verification) — the corpus is
 # shingled once per (session, sf_dir). At cluster scale this is the
@@ -248,7 +278,7 @@ def _shingles(spark, sf_dir):
         sf_dir,
         lambda: dedup.doc_shingles(
             load_table(spark, sf_dir, "documents"), k=3
-        ).repartition(spark.sparkContext.defaultParallelism),
+        ).repartition(_spread_n(spark, sf_dir)),
     )
 
 
@@ -1668,9 +1698,7 @@ _JPEG_CORPUS_CACHE: dict = {}
 def _landed_fixture(cache, spark, sf_dir, synth):
     def build():
         docs = load_table(spark, sf_dir, "documents").select("doc_id")
-        return synth(docs).repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        return synth(docs).repartition(_spread_n(spark, sf_dir))
     return session_cached(cache, spark, sf_dir, build)
 
 
@@ -3024,7 +3052,7 @@ def _pos_shingles(spark, sf_dir):
         sf_dir,
         lambda: dedup.positional_shingles(
             load_table(spark, sf_dir, "documents"), k=_PASSAGE_K
-        ).repartition(spark.sparkContext.defaultParallelism),
+        ).repartition(_spread_n(spark, sf_dir)),
     )
 
 
@@ -3454,7 +3482,7 @@ def _bpe_encoded(spark, sf_dir):
         sf_dir,
         lambda: bpe.bpe_encode(
             load_table(spark, sf_dir, "documents"), merges, alphabet
-        ).repartition(spark.sparkContext.defaultParallelism),
+        ).repartition(_spread_n(spark, sf_dir)),
     )
 
 
@@ -5845,7 +5873,7 @@ def _charset_warc_files(spark, sf_dir):
         # member walks (each pass pays the full gzip+parse serially)
         return warc.synthesize_warc_corpus(
             docs, with_cdx=True, charsets=True
-        ).repartition(spark.sparkContext.defaultParallelism)
+        ).repartition(_spread_n(spark, sf_dir))
 
     return session_cached(_CHARSET_FILES_CACHE, spark, sf_dir, build)
 
@@ -6234,7 +6262,7 @@ def _messy_pages(spark, sf_dir):
         # regex-heavy first stage (normalization, PSL, robots match)
         return warc.parse_warc_records(files).filter(
             F.col("ok") & (F.col("warc_type") == "response")
-        ).repartition(spark.sparkContext.defaultParallelism)
+        ).repartition(_spread_n(spark, sf_dir))
 
     return session_cached(_MESSY_PAGES_CACHE, spark, sf_dir, build)
 
@@ -7594,7 +7622,7 @@ def _deduped_links_pages(spark, sf_dir):
         return (
             url_ops.url_dedup(pages, "url", "warc_date")
             .select("url_norm", "html")
-            .repartition(spark.sparkContext.defaultParallelism)
+            .repartition(_spread_n(spark, sf_dir))
         )
     return session_cached(_LINKS_PAGES_CACHE, spark, sf_dir, build)
 
@@ -7619,7 +7647,7 @@ def _crawl_parsed_pages(spark, sf_dir):
         # spread before the checkpoint (the AQE single-partition trap,
         # r12): consumers run regex-heavy HTML work off this table
         return warc.parse_warc_records(files).repartition(
-            spark.sparkContext.defaultParallelism
+            _spread_n(spark, sf_dir)
         )
     return session_cached(_CRAWL_PARSED_CACHE, spark, sf_dir, build)
 
