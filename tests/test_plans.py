@@ -394,3 +394,30 @@ def test_waiting_suppliers_single_fact_pass_no_self_join(tables):
 
     li_scans = len(_re.findall(r"Scan parquet[^\n]*lineitem", plan))
     assert li_scans == 1, plan
+
+
+def test_corpus_sized_session_tables_land_as_parquet_not_blocks(spark):
+    """r13 session-cache budget (VERDICT r12 #4): corpus-sized landed
+    tables (positional shingles, encoded corpus) are parquet
+    artifacts, not localCheckpoint executor blocks — landing and
+    reading one must not grow executor storage, and the accounting
+    hook must see whatever blocks DO exist."""
+    from algoritmos_etl_spark.driver_queries import (
+        session_cache_storage_bytes,
+    )
+    from algoritmos_etl_spark.driver_queries_ext import _pos_shingles
+
+    sf_dir = "/root/testdata/sf0.001"
+    before = session_cache_storage_bytes(spark)
+    assert isinstance(before, int) and before >= 0
+    sh = _pos_shingles(spark, sf_dir)
+    n = sh.count()
+    assert n > 0
+    # reading the artifact is a parquet scan: column pruning must
+    # reach it (the hash pass reads h without the shingle strings)
+    pruned = sh.select("h").groupBy("h").count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan, plan
+    assert "shingle" not in plan.split("ReadSchema")[-1], plan
+    after = session_cache_storage_bytes(spark)
+    assert after - before == 0, (before, after)
