@@ -1134,9 +1134,19 @@ def _maximal_diagonal_runs(
     verification, and the candidate join + self-join reuse one string
     partitioning (a hash collision can therefore never flag a clean
     position; the hash only ever narrows)."""
-    sh = sh.select(
-        "doc_id", "pos", "shingle", F.xxhash64("shingle").alias("_h")
-    )
+    if "h" in sh.columns:
+        # the positional table already carries a 60-bit md5-prefix
+        # hash (the landed parquet artifact): narrowing on it lets the
+        # hot-count scan prune the shingle STRINGS away entirely
+        # (parquet ReadSchema = doc_id, pos, h), instead of reading
+        # every string to recompute xxhash64 (r13). Any
+        # hash-of-the-shingle works here — collisions only ADD
+        # candidates; the exact-string recount below verifies.
+        sh = sh.select("doc_id", "pos", "shingle", F.col("h").alias("_h"))
+    else:
+        sh = sh.select(
+            "doc_id", "pos", "shingle", F.xxhash64("shingle").alias("_h")
+        )
     hot = (
         sh.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_nh"))

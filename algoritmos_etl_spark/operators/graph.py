@@ -106,11 +106,19 @@ def textrank_keywords(docs: DataFrame, top_k: int = 25) -> DataFrame:
     """
     from .corpus import _doc_bigrams
 
+    # materialize the bounded bigram-count table once per run (guide
+    # §7.2): `undirected` references it twice and `degrees` twice
+    # more, and Catalyst does not CSE across union/join branches — the
+    # corpus-wide bigram explode+agg ran FOUR times per invocation
+    # (r13; steady-state medians 2.8 → 2.4 s at sf0.1 — the remaining
+    # cost is the 10-iteration loop's ~30 sequential exchanges). The
+    # table is vocabulary-bigram grain, bounded, so it stays small.
     pairs = (
         _doc_bigrams(docs)
         .filter(F.col("w1") != F.col("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     undirected = pairs.select(
         F.col("w1").alias("u"), F.col("w2").alias("v"), F.col("n").alias("w")
