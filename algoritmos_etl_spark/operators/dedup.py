@@ -351,30 +351,11 @@ def _with_base_hash(sh: DataFrame) -> DataFrame:
     )
 
 
-# Per-SparkContext memo of reusable unresolved Column trees (r13):
-# building the 16-permutation aggregate list costs ~0.25 s of py4j
-# round trips PER CALL — pure fixed driver cost that the streaming
-# path paid once per MICRO-BATCH. Unresolved Columns are immutable
-# and carry no data, but their py4j handles die with the JVM, so the
-# memo keys on applicationId and evicts dead contexts (the
-# session_cached convention).
-_COLUMN_MEMO: dict = {}
-
-
-def _ctx_memo(tag, build):
-    from pyspark import SparkContext
-
-    sc = SparkContext._active_spark_context
-    if sc is None:  # no active context — nothing to pin the handles to
-        return build()
-    for k in [k for k, (ctx, _) in _COLUMN_MEMO.items() if ctx._jsc is None]:
-        del _COLUMN_MEMO[k]
-    key = (sc.applicationId, tag)
-    ent = _COLUMN_MEMO.get(key)
-    if ent is None:
-        ent = (sc, build())
-        _COLUMN_MEMO[key] = ent
-    return ent[1]
+# shared per-SparkContext Column-tree memo (see functions.scalars):
+# the 16-permutation aggregate list cost ~0.25 s of py4j round trips
+# PER CALL — pure fixed driver cost the streaming path paid once per
+# MICRO-BATCH.
+from ..functions.scalars import ctx_memo as _ctx_memo  # noqa: E402
 
 
 def _minhash_aggs(n_hashes: int = MINHASH_HASHES) -> list:
@@ -725,42 +706,69 @@ def simhash(
     """
     chunk_bits = bits // chunks
     toks = doc_tokens(docs)
-    base = F.pmod(_tok_hash(F.lit("sh"), F.col("token")), F.lit(MINHASH_PRIME))
-    hashed = toks.select(
-        "doc_id",
-        *[
+
+    # the three Column families below are pure functions of (bits,
+    # chunks) — ~150 py4j expression constructions that cost ~1.3 s
+    # PER CALL on this registry's hot path (r13; the bench invokes
+    # simhash once per pass). Memoise per SparkContext (_ctx_memo).
+    def _hash_cols() -> list:
+        base = F.pmod(
+            _tok_hash(F.lit("sh"), F.col("token")), F.lit(MINHASH_PRIME)
+        )
+        return [
             F.pmod(
                 F.lit(SIMHASH_A[c]) * base + F.lit(SIMHASH_B[c]),
                 F.lit(MINHASH_PRIME),
             ).alias(f"h{c}")
             for c in range(chunks)
-        ],
+        ]
+
+    def _vote_aggs() -> list:
+        return [
+            F.sum(
+                F.when(
+                    F.expr(f"shiftright(h{c}, {b})").bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s_{c}_{b}")
+            for c in range(chunks)
+            for b in range(chunk_bits)
+        ]
+
+    def _pack_cols() -> list:
+        chunk_cols = []
+        for c in range(chunks):
+            packed_chunk = sum(
+                (
+                    F.when(
+                        F.col(f"s_{c}_{b}") >= 0, F.lit(1 << b)
+                    ).otherwise(F.lit(0))
+                    for b in range(chunk_bits)
+                ),
+                F.lit(0),
+            )
+            chunk_cols.append(packed_chunk.cast("long").alias(f"c{c}"))
+        return chunk_cols
+
+    def _full_col():
+        full = F.col("c0").cast("long")
+        for c in range(1, chunks):
+            full = full + F.shiftleft(F.col(f"c{c}"), c * chunk_bits)
+        return full
+
+    hashed = toks.select(
+        "doc_id", *_ctx_memo(("sh_hash", bits, chunks), _hash_cols)
     )
-    vote_aggs = [
-        F.sum(
-            F.when(
-                F.expr(f"shiftright(h{c}, {b})").bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"s_{c}_{b}")
-        for c in range(chunks)
-        for b in range(chunk_bits)
-    ]
-    votes = hashed.groupBy("doc_id").agg(*vote_aggs)
-    chunk_cols = []
-    for c in range(chunks):
-        packed_chunk = sum(
-            (
-                F.when(F.col(f"s_{c}_{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-                for b in range(chunk_bits)
-            ),
-            F.lit(0),
-        )
-        chunk_cols.append(packed_chunk.cast("long").alias(f"c{c}"))
-    out = votes.select("doc_id", *chunk_cols)
-    full = F.col("c0").cast("long")
-    for c in range(1, chunks):
-        full = full + F.shiftleft(F.col(f"c{c}"), c * chunk_bits)
-    return out.withColumn("simhash", full)
+    votes = hashed.groupBy("doc_id").agg(
+        *_ctx_memo(("sh_votes", bits, chunks), _vote_aggs)
+    )
+    out = votes.select(
+        "doc_id", *_ctx_memo(("sh_pack", bits, chunks), _pack_cols)
+    )
+    return out.withColumn(
+        "simhash", _ctx_memo(("sh_full", bits, chunks), _full_col)
+    )
 
 
 def simhash_neardup_pairs(

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import ctx_memo
+
 # tracking parameters removed by normalization — the published
 # cross-site tracking set (Google Analytics utm_*, Google/Facebook/
 # Microsoft click ids, bare ref). Anchored at the param name so a
@@ -293,51 +295,69 @@ def with_registrable_domain_psl(
     overflowed Janino's method limit and fell back to interpreted
     eval). The DuckDB twin (`psl_domain_cte`) keeps the join
     formulation — same rule table, same result."""
-    host = F.col(host_col)
-    normal, wild, exc = _psl_depth_sets()
     m = _PSL_MAX_LABELS
     p = "_psl"
 
-    s1 = df.withColumn(f"{p}_n", F.size(F.split(host, "\\.")))
-    for k in range(1, m + 1):
-        s1 = s1.withColumn(
-            f"{p}_t{k}",
-            F.when(
+    def _build_cols():
+        # the literal-set flag trees (~200 suffixes across three rule
+        # kinds) cost ~0.3 s of py4j construction per call — memoised
+        # per SparkContext (r13), since every tree is a pure function
+        # of (host_col, the compile-time rule table)
+        host = F.col(host_col)
+        normal, wild, exc = _psl_depth_sets()
+
+        tails = {
+            k: F.when(
                 F.col(f"{p}_n") >= k, F.substring_index(host, ".", -k)
-            ),
+            )
+            for k in range(1, m + 1)
+        }
+
+        def flag(sets: dict, k: int) -> Column:
+            keys = sets.get(k)
+            if not keys:
+                return F.lit(False)
+            return F.coalesce(F.col(f"{p}_t{k}").isin(*keys), F.lit(False))
+
+        # ps depth = max(normal k, wildcard k+1, default 1)
+        ps = F.lit(1)
+        for k in range(1, m + 1):
+            ps = F.greatest(
+                ps,
+                F.when(flag(normal, k), F.lit(k)).otherwise(F.lit(1)),
+                F.when(flag(wild, k), F.lit(k + 1)).otherwise(F.lit(1)),
+            )
+
+        # exception at depth k: that exact tail is registrable; else
+        # registrable = the last ps+1 labels (substring_index handles
+        # the count arithmetically — no per-depth CASE ladder), or the
+        # whole host when the host IS a public suffix
+        reg = None
+        for k in range(m, 0, -1):
+            arm = (flag(exc, k), F.col(f"{p}_t{k}"))
+            reg = F.when(*arm) if reg is None else reg.when(*arm)
+        deeper = F.expr(
+            f"substring_index({host_col}, '.', -({p}_ps + 1))"
         )
-
-    def flag(sets: dict, k: int) -> Column:
-        keys = sets.get(k)
-        if not keys:
-            return F.lit(False)
-        return F.coalesce(F.col(f"{p}_t{k}").isin(*keys), F.lit(False))
-
-    # ps depth = max(normal k, wildcard k+1, default 1)
-    ps = F.lit(1)
-    for k in range(1, m + 1):
-        ps = F.greatest(
-            ps,
-            F.when(flag(normal, k), F.lit(k)).otherwise(F.lit(1)),
-            F.when(flag(wild, k), F.lit(k + 1)).otherwise(F.lit(1)),
+        reg = reg.otherwise(
+            F.when(F.col(f"{p}_n") > F.col(f"{p}_ps"), deeper).otherwise(
+                host
+            )
         )
-    s2 = s1.withColumn(f"{p}_ps", ps)
+        return F.size(F.split(host, "\\.")), tails, ps, reg
 
-    # exception at depth k: that exact tail is registrable; else
-    # registrable = the last ps+1 labels (substring_index handles the
-    # count arithmetically — no per-depth CASE ladder), or the whole
-    # host when the host IS a public suffix
-    reg = None
-    for k in range(m, 0, -1):
-        arm = (flag(exc, k), F.col(f"{p}_t{k}"))
-        reg = F.when(*arm) if reg is None else reg.when(*arm)
-    deeper = F.expr(
-        f"substring_index({host_col}, '.', -({p}_ps + 1))"
+    n_col, tails, ps, reg = ctx_memo(
+        ("psl_cols", host_col, out_col), _build_cols
     )
-    reg = reg.otherwise(
-        F.when(F.col(f"{p}_n") > F.col(f"{p}_ps"), deeper).otherwise(host)
+    # one withColumns per STAGE (not per column): the staged
+    # projection boundaries that keep each subexpression under
+    # Janino's method limit are preserved, while the plan-op count —
+    # each of which resolves the growing schema eagerly — drops from
+    # m+3 to 3
+    s1 = df.withColumn(f"{p}_n", n_col).withColumns(
+        {f"{p}_t{k}": tails[k] for k in range(1, m + 1)}
     )
-    out = s2.withColumn(out_col, reg)
+    out = s1.withColumn(f"{p}_ps", ps).withColumn(out_col, reg)
     return out.drop(
         f"{p}_n", f"{p}_ps", *[f"{p}_t{k}" for k in range(1, m + 1)]
     )
