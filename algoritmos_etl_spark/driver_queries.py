@@ -1409,7 +1409,10 @@ REGISTRY_ORDER = (
     # ---- relational query shapes ----
     "forecast_revenue",        # r9 LATE IN: Q6 pure-pushdown forecast
     "product_profit",          # r9 LATE IN: Q9 fact⋈fact year join
-    "customer_distribution",   # r9 LATE IN: Q13 LEFT OUTER count-0
+    "bloom_join_prune",        # r13 re-entry (VERDICT r12 #9: rotated-
+                               # out queries re-enter within 2 rounds):
+                               # runtime Bloom semi-join prune,
+                               # hash-green r9-r11
     "small_qty_revenue",       # Q17 correlated-avg join-back
     "waiting_suppliers",       # Q21 EXISTS-chain collapse
     "bi_nation_volume",        # r9 rotation IN: Q7 dual dim chains
@@ -1418,7 +1421,6 @@ REGISTRY_ORDER = (
     "important_parts",         # r9 rotation IN: Q11 global threshold
     "promo_revenue_share",     # r9 rotation IN: Q14 conditional share
     "top_supplier_q15",        # r9 rotation IN: Q15 agg-vs-own-max
-    "bracket_revenue",         # r9 rotation IN: Q19 disjunctive brackets
     "dominant_suppliers",      # r9 rotation IN: Q20 nested correlated aggs
     # ---- snapshot / warehouse ----
     "snapshot_evolution",      # r9 NEW: row delete + add-column backfill
@@ -1426,9 +1428,12 @@ REGISTRY_ORDER = (
     "priority_drift_categorical",  # r9 rotation IN: categorical PSI
     "snapshot_file_skipping",  # r9 LATE IN: manifest min/max pruning
     "snapshot_delete_mor",     # r10 NEW: merge-on-read equality deletes
-    "snapshot_delete_positions",  # r10 NEW: deletion-vector position grain
     # ---- text / dedup / corpus ----
     "exact_repeat_runs_tokens",  # r9 NEW: Lee 2022 at 50-BPE-token grain
+    "exact_repeat_runs",       # r13 re-entry (VERDICT r12 #9):
+                               # word-grain ExactSubstr runs, hash-green
+                               # r8-r11 + 30x-proven; r13 narrows on the
+                               # stored md5-prefix hash
     "url_dedup",               # r11 NEW: URL-grain exact dedup over WARC
     "domain_curation",         # r11 NEW: registrable-domain rollup + gate
     "robots_gate",             # r12 NEW: RFC 9309 compliance gate —
@@ -1439,12 +1444,10 @@ REGISTRY_ORDER = (
     "pdf_extraction",          # r11 NEW: PDF text-extraction codec tier
     "quality_tiers",           # r9 rotation IN: CCNet head/middle/tail
     "quality_rules",           # r11 NEW: Gopher/Dolma rule-pack gate
-    "bpe_encode",              # full oracle since r9 (SQL relearns merges)
     "bpe_encode_bytes",        # r12 NEW: GPT-2-style byte grain, relearn
                                # oracle; decode∘encode == identity
     "crawl_corpus",            # r11 NEW: WARC->URL-dedup->gate->extract->
                                # rule-pack, the C4 order in ONE oracle
-    "html_extraction",         # r9 NEW: HTML -> text extraction
     "warc_extraction",         # r10 NEW: WARC crawl-archive source tier
     "warc_cdx_extraction",     # r11 NEW: cdx record-parallel read path
     "host_pagerank",           # r12 NEW: link harvest -> PSL domain graph
@@ -1454,51 +1457,50 @@ REGISTRY_ORDER = (
     "lang_id_trained",         # r10 NEW: trained char-trigram lang-ID
     # ---- vectors ----
     "ann_ivf_topk",
+    "pca_projection",          # r13 re-entry (VERDICT r12 #9):
+                               # rows-only BY DESIGN (numpy eigenbasis
+                               # policy), driver rows signal restored
     # ---- streaming / event-time ----
     "streaming_heavy_hitters",  # r9 LATE IN: CM grid as incremental MV
     "streaming_warc_ingest",   # r11 NEW: crawl-file stream end-to-end
     "streaming_cdc_state",
     # ---- multimodal / profiling / joins ----
     "multimodal_report",
+    "audio_features",          # r13 re-entry (VERDICT r12 #9):
+                               # rows-only BY DESIGN (RIFF/PCM policy)
+    "image_jpeg_neardup",      # r13 re-entry (VERDICT r12 #9):
+                               # rows-only BY DESIGN (JPEG codec
+                               # policy); r13 lands the fixture,
+                               # decode stays in-query
     # ---- beyond the correctness window (position 51+): each is
     # transitively pinned — by pytest, and where noted by an in-window
     # query that exercises the same operator ----
-    "image_jpeg_neardup",    # displaced by r12 robots_gate: rows-only
-                             # BY DESIGN since r10 (codec-family
-                             # policy); the JPEG baseline-DCT decode
-                             # stays pinned by test_multimodal's exact
-                             # non-SQL reference, banding == brute
-                             # force pinned, and the dhash family
-                             # in-window via multimodal_report — with
-                             # this move the driver window is 50/50
-                             # FULL-oracle rows
-    "bloom_join_prune",      # displaced by r12 domain_token_budget:
-                             # hash-green r9-r11; the bloom semi-join
-                             # pruning PLAN stays pinned by its pytest
-                             # and the join-pruning family by the 13
-                             # in-window TPC-H shapes
-    "pca_projection",        # displaced by r12 image_caption_pairs:
-                             # rows-only BY DESIGN since r8 (numpy
-                             # eigendecomposition policy — moving it
-                             # tail-ward raises the window's
-                             # full-oracle count to 49/50); PCA stays
-                             # pinned by test_vectors' numpy parity
-                             # and the vector tier by the in-window
-                             # ann_ivf_topk
-    "audio_features",        # displaced by r12 bpe_encode_bytes:
-                             # rows-only BY DESIGN since r8 (codec-
-                             # family policy — moving it tail-ward
-                             # RAISES the window's full-oracle count);
-                             # the WAV codec + feature chain stays
-                             # pinned by test_multimodal's exact
-                             # non-SQL reference and the in-window
-                             # multimodal_report
-    "exact_repeat_runs",     # displaced by r12 host_pagerank: hash-green
-                             # r8-r11 AND 30x-proven; the ExactSubstr
-                             # passage machinery stays in-window via
-                             # exact_repeat_runs_tokens (same
-                             # verified-shingle core at the stricter
-                             # BPE-token grain, 30x-sharded oracle)
+    "customer_distribution", # displaced by the r13 re-entry rotation
+                             # (VERDICT r12 #9): Q13 hash-green r9-r12;
+                             # the OLAP family keeps 11 in-window
+                             # TPC-H shapes incl. the LEFT-OUTER
+                             # grain via returned_item_customers
+    "bracket_revenue",       # displaced by the r13 re-entry rotation:
+                             # Q19 hash-green r9-r12; disjunctive
+                             # bracket pushdown stays evidenced via
+                             # forecast_revenue + the plan-hygiene gate
+    "snapshot_delete_positions",  # displaced by the r13 re-entry
+                             # rotation: hash-green r10-r12; the
+                             # snapshot family keeps FOUR in-window
+                             # entries incl. the MoR delete grain
+                             # (snapshot_delete_mor)
+    "bpe_encode",            # displaced by the r13 re-entry rotation:
+                             # hash-green r9-r12; the relearn-in-SQL
+                             # oracle machinery stays in-window via
+                             # bpe_encode_bytes (same pair-count/
+                             # greedy-fold at byte grain) and the
+                             # encoded corpus is consumed in-window by
+                             # exact_repeat_runs_tokens
+    "html_extraction",       # displaced by the r13 re-entry rotation:
+                             # hash-green r9-r12; the html_to_text
+                             # chain is embedded VERBATIM in the
+                             # in-window warc_extraction/crawl_corpus
+                             # oracles
     "triplet_mining",        # displaced by r11 warc_cdx_extraction:
                              # hash-green r9-r10 AND 30x-sharded-proven
                              # this round; the (a,p,n) mining machinery

@@ -125,7 +125,12 @@ def check(df: DataFrame, rules: list) -> DataFrame:
     work = df
     fk_markers = []
     for k, r in enumerate(fk_rules):
+        # marker name guaranteed absent from the fact's columns: a
+        # user fact already carrying __fk_hit_k would make the marker
+        # reference ambiguous and fail check() (ADVICE r12 #1)
         marker = f"__fk_hit_{k}"
+        while marker in df.columns:
+            marker += "_"
         dim_keys = (
             r.dim.select(F.col(r.dim_col).alias(r.col))
             .dropDuplicates()

@@ -29,20 +29,20 @@ MUST_BE_IN_WINDOW = {
     "dtw_report",
     # relational / OLAP / warehouse (r8 flagships + r9 rotations
     # + the r9 LATE TPC-H completions)
-    "forecast_revenue", "product_profit", "customer_distribution",
+    "forecast_revenue", "product_profit",
     "small_qty_revenue", "waiting_suppliers",
     "bi_nation_volume", "nation_market_share",
     "returned_item_customers", "important_parts",
-    "promo_revenue_share", "top_supplier_q15", "bracket_revenue",
+    "promo_revenue_share", "top_supplier_q15",
     "dominant_suppliers",
     "snapshot_evolution", "snapshot_changes",
     "priority_drift_categorical", "snapshot_file_skipping",
-    "snapshot_delete_mor", "snapshot_delete_positions",
+    "snapshot_delete_mor",
     # extensions (r9 late flagships rotated in the round they landed)
     "exact_repeat_runs_tokens",
     "pps_sample",
     "quality_tiers",
-    "bpe_encode", "html_extraction",
+    
     "ann_ivf_topk",
     "streaming_heavy_hitters",
     "streaming_cdc_state",
@@ -56,6 +56,10 @@ MUST_BE_IN_WINDOW = {
     # r12 flagships (rotated in the round they landed)
     "host_pagerank", "bpe_encode_bytes", "image_caption_pairs",
     "robots_gate", "domain_token_budget",
+    # r13 re-entries (VERDICT r12 #9: rotated-out queries re-enter
+    # within 2 rounds so they never silently exit verification)
+    "exact_repeat_runs", "bloom_join_prune", "audio_features",
+    "image_jpeg_neardup", "pca_projection",
 }
 
 # The declared outside-window tail: each is transitively pinned (see
@@ -63,15 +67,11 @@ MUST_BE_IN_WINDOW = {
 # the twelve r8 tail flagships plus this round's three new flagships
 # in, and fifteen hash-green-for-multiple-rounds entries out.
 EXPECTED_TAIL = {
-    # displaced by the r12 rotation — exact_repeat_runs hash-green
-    # r8-r11 with the span machinery in-window via the _tokens arm;
-    # audio_features rows-only BY DESIGN (moving it out raises the
-    # window's full-oracle count), codec pinned in test_multimodal;
-    # pca_projection / image_jpeg_neardup likewise rows-only — the
-    # window is now 50/50 FULL-oracle; bloom_join_prune's pruning
-    # plan stays pytest-pinned with 13 TPC-H shapes in-window
-    "exact_repeat_runs", "audio_features", "pca_projection",
-    "image_jpeg_neardup", "bloom_join_prune",
+    # displaced by the r13 re-entry rotation (VERDICT r12 #9) — all
+    # hash-green r9-r12, every family evidenced in-window (see
+    # REGISTRY_ORDER notes)
+    "customer_distribution", "bracket_revenue",
+    "snapshot_delete_positions", "bpe_encode", "html_extraction",
     # displaced by the r11 rotation — hash-green r9-r10, family
     # evidenced in-window (see REGISTRY_ORDER notes)
     "passage_scrub", "heavy_hitters", "epoch_shards",
