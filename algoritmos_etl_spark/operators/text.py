@@ -24,6 +24,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import ctx_memo
+
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 # language → marker words (padded-substring counting). The heuristic is
@@ -740,32 +742,40 @@ def text_quality_gate(docs: DataFrame) -> DataFrame:
     """The projection-only slice of the curation signals: quality stats
     + predicted language in ONE select — what a filter gate needs,
     without the n-gram shuffle `text_quality` adds."""
-    words = words_col(F.col("text"))
-    n_words = F.size(words)
-    stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
-    lowered = F.lower(F.col("text"))
-    scores = {
-        lang: sum(
-            (_marker_count(lowered, m) for m in markers), F.lit(0).cast("long")
+    def _cols() -> list:
+        # pure functions of module constants (~60 py4j constructions)
+        # — memoised per SparkContext (r13, the ctx_memo convention)
+        words = words_col(F.col("text"))
+        n_words = F.size(words)
+        stop_hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+        lowered = F.lower(F.col("text"))
+        scores = {
+            lang: sum(
+                (_marker_count(lowered, m) for m in markers),
+                F.lit(0).cast("long"),
+            )
+            for lang, markers in LANG_MARKERS.items()
+        }
+        en, es, de, fr = (scores[lang] for lang in ("en", "es", "de", "fr"))
+        pred = (
+            F.when((en == 0) & (es == 0) & (de == 0) & (fr == 0), F.lit("und"))
+            .when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
+            .when((es >= de) & (es >= fr), F.lit("es"))
+            .when(de >= fr, F.lit("de"))
+            .otherwise(F.lit("fr"))
         )
-        for lang, markers in LANG_MARKERS.items()
-    }
-    en, es, de, fr = (scores[lang] for lang in ("en", "es", "de", "fr"))
-    pred = (
-        F.when((en == 0) & (es == 0) & (de == 0) & (fr == 0), F.lit("und"))
-        .when((en >= es) & (en >= de) & (en >= fr), F.lit("en"))
-        .when((es >= de) & (es >= fr), F.lit("es"))
-        .when(de >= fr, F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
+        return [
+            n_words.alias("n_words"),
+            F.round(
+                F.when(n_words > 0, stop_hits.cast("double") / n_words)
+                .otherwise(0.0),
+                6,
+            ).alias("stopword_ratio"),
+            pred.alias("pred_lang"),
+        ]
+
     return docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.round(
-            F.when(n_words > 0, stop_hits.cast("double") / n_words).otherwise(0.0),
-            6,
-        ).alias("stopword_ratio"),
-        pred.alias("pred_lang"),
+        "doc_id", *ctx_memo(("text_quality_gate",), _cols)
     )
 
 
